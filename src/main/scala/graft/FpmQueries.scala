@@ -1,0 +1,163 @@
+package graft
+
+import graft.fpm.{AssociationRules, FPGrowth, FPGrowthModel, Predictor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.ConcurrentHashMap
+
+/**
+ * The FP-Growth-family queries of SparkEntry, over the canonical
+ * order->brand baskets (FIXTURES.md §3), each with a DuckDB-oracle SQL
+ * counterpart built from brute-force k<=3 itemset enumeration (FP-Growth
+ * itemset extraction itself is not SQL-expressible at scale; capping the
+ * declared query at arity 3 keeps the oracle exact — SURVEY.md §5).
+ */
+object FpmQueries {
+
+  val MinSupport = 0.01
+  val MinConfidence = 0.05
+
+  // One fitted model per sf dir: fit once, query many (the reference's
+  // model-reuse shape; also what Verify/Bench want).
+  private val models = new ConcurrentHashMap[String, FPGrowthModel]()
+
+  def model(spark: SparkSession, dir: String): FPGrowthModel =
+    models.computeIfAbsent(dir, _ =>
+      new FPGrowth()
+        .setMinSupport(MinSupport)
+        .setMinConfidence(MinConfidence)
+        .setNumPartitions(spark.sparkContext.defaultParallelism)
+        .fit(Tables.orderBrandBaskets(spark, dir)))
+
+  /** q: the basket-ization itself (join + collect_set + array_sort). */
+  def baskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orderBrandBaskets(spark, dir)
+      .select(col("l_orderkey"), array_join(col("items"), ",").as("items_str"))
+
+  /** q: L1 frequent items — explode / groupBy / HAVING / no FP machinery. */
+  def l1FreqItems(spark: SparkSession, dir: String, minSupport: Double = 0.05): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val n = b.count()
+    val minCount = math.max(1L, math.ceil(minSupport * n).toLong)
+    b.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+  }
+
+  /** q: full FP-Growth, declared at itemset arity <= 3 (oracle-exact cap). */
+  def freqItemsets(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+
+  /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    model(spark, dir).associationRules
+      .where(size(col("antecedent")) <= 2)
+      .select(
+        array_join(array_sort(col("antecedent")), ",").as("antecedent"),
+        col("consequent").getItem(0).as("consequent"),
+        col("confidence"), col("lift"), col("support"))
+
+  /** q: rule-based prediction over every basket (broadcast rules + subset probe). */
+  def predict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = model(spark, dir)
+    val rules = m.associationRules
+      .where(size(col("antecedent")) <= 2)
+      .select(col("antecedent"), col("consequent").getItem(0), col("lift"))
+      .as[(Array[String], String, Double)]
+      .collect()
+    Predictor.predict(
+      Tables.orderBrandBaskets(spark, dir),
+      Predictor.sortRules(rules), "items", "prediction")
+      .select(col("l_orderkey"), col("prediction"))
+  }
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  /** Shared basket-ization CTE (DuckDB). */
+  val BasketCte: String =
+    """baskets AS (
+      |  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY l_orderkey)""".stripMargin
+
+  /** Brute-force k1/k2/k3 itemset CTEs at MinSupport (DuckDB). */
+  val MineCtes: String =
+    s"""$BasketCte,
+       |n AS (SELECT count(*) AS c FROM baskets),
+       |mc AS (SELECT greatest(1, cast(ceil(${MinSupport}::DOUBLE * c) AS BIGINT)) AS m FROM n),
+       |ex AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
+       |k1 AS (SELECT item, count(*) AS f FROM ex GROUP BY 1
+       |       HAVING count(*) >= (SELECT m FROM mc)),
+       |k2 AS (SELECT a.item AS i1, b.item AS i2, count(*) AS f
+       |       FROM ex a JOIN ex b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+       |       GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM mc)),
+       |k3 AS (SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS f
+       |       FROM ex a
+       |       JOIN ex b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+       |       JOIN ex c ON b.l_orderkey = c.l_orderkey AND b.item < c.item
+       |       GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc))""".stripMargin
+
+  /** Rule CTEs (list-typed antecedents) on top of [[MineCtes]] (DuckDB). */
+  val RuleCtes: String =
+    s"""$MineCtes,
+       |cand AS (
+       |  SELECT [i1] AS ant, i2 AS cons, f FROM k2
+       |  UNION ALL SELECT [i2], i1, f FROM k2
+       |  UNION ALL SELECT [i1, i2], i3, f FROM k3
+       |  UNION ALL SELECT [i1, i3], i2, f FROM k3
+       |  UNION ALL SELECT [i2, i3], i1, f FROM k3),
+       |antfreq AS (
+       |  SELECT [item] AS key, f FROM k1
+       |  UNION ALL SELECT [i1, i2], f FROM k2),
+       |rules AS (
+       |  SELECT cand.ant, cand.cons,
+       |         cand.f::DOUBLE / af.f AS confidence,
+       |         (cand.f::DOUBLE / af.f) / (fc.f::DOUBLE / (SELECT c FROM n)) AS lift,
+       |         cand.f::DOUBLE / (SELECT c FROM n) AS support
+       |  FROM cand
+       |  JOIN antfreq af ON cand.ant = af.key
+       |  JOIN k1 fc ON cand.cons = fc.item
+       |  WHERE cand.f::DOUBLE / af.f >= ${MinConfidence}::DOUBLE)""".stripMargin
+
+  val BasketsSql: String =
+    s"""WITH $BasketCte
+       |SELECT l_orderkey, array_to_string(items, ',') AS items_str FROM baskets""".stripMargin
+
+  def l1Sql(minSupport: Double = 0.05): String =
+    s"""WITH $BasketCte,
+       |n AS (SELECT count(*) AS c FROM baskets)
+       |SELECT item, count(*) AS freq
+       |FROM (SELECT unnest(items) AS item FROM baskets)
+       |GROUP BY item
+       |HAVING count(*) >= (SELECT greatest(1, cast(ceil(${minSupport}::DOUBLE * c) AS BIGINT)) FROM n)""".stripMargin
+
+  val FreqItemsetsSql: String =
+    s"""WITH $MineCtes
+       |SELECT item AS itemset, f AS freq FROM k1
+       |UNION ALL SELECT i1 || ',' || i2, f FROM k2
+       |UNION ALL SELECT i1 || ',' || i2 || ',' || i3, f FROM k3""".stripMargin
+
+  val AssocRulesSql: String =
+    s"""WITH $RuleCtes
+       |SELECT array_to_string(ant, ',') AS antecedent, cons AS consequent,
+       |       confidence, lift, support
+       |FROM rules""".stripMargin
+
+  val PredictSql: String =
+    s"""WITH $RuleCtes,
+       |matches AS (
+       |  SELECT b.l_orderkey, r.cons, max(r.lift) AS best_lift
+       |  FROM baskets b JOIN rules r
+       |    ON list_has_all(b.items, r.ant) AND NOT list_contains(b.items, r.cons)
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT l_orderkey,
+       |         string_agg(cons, ', ' ORDER BY best_lift DESC, cons) AS prediction
+       |  FROM matches GROUP BY 1)
+       |SELECT b.l_orderkey, coalesce(p.prediction, '') AS prediction
+       |FROM baskets b LEFT JOIN pred p ON b.l_orderkey = p.l_orderkey""".stripMargin
+}

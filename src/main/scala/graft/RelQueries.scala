@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational coverage queries over the TPC-H-ish testdata — one per
+ * operator family in SURVEY.md §2 that is pure Catalyst: scan+projection+
+ * filter pushdown (S1/P1/P2), hash aggregation (A1/A2/P3), broadcast joins
+ * (J2), ordering/top-k (O1), distinct (O5), word count (A5).
+ *
+ * Double sums are computed exactly (cast to decimal(18,4), summed, cast
+ * back to double) so the Spark and DuckDB results are bit-identical
+ * regardless of accumulation order.
+ */
+object RelQueries {
+
+  private def dec(c: String) = sum(col(c).cast("decimal(18,4)"))
+
+  /** TPC-H Q1-shaped pricing summary: filter pushdown + partial/final agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec("l_quantity").cast("double").as("sum_qty"),
+        dec("l_extendedprice").cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation: two joins, the dims broadcast. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dec("o_totalprice").cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val NationRevenueSql: String =
+    """SELECT n_name,
+      |  cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Top-k with deterministic tie-break. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  val TopOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** Distinct projection. */
+  def distinctStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  val DistinctStatusSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** Word count over documents (the reference's WordCountDemo, A5). */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  val WordCountSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
+
+  /** Per-user per-event-type aggregate over events. */
+  def eventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec("value").cast("double").as("sum_value"))
+
+  val EventStatsSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+}

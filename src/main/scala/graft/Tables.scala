@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata loaders + the canonical basket-izations (FIXTURES.md §3). */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * order -> distinct part brands basket: `items: array<string>` sorted so
+   * the set has one canonical form on both the Spark and DuckDB side.
+   * The part dimension is tiny -> broadcast join, no shuffle of lineitem
+   * for the probe side beyond the final groupBy.
+   */
+  def orderBrandBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val part = load(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("items"))
+  }
+
+  /** user -> distinct event types basket. */
+  def userEventBaskets(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("items"))
+}
