@@ -1,0 +1,203 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-data pipeline queries (dedup / similarity / text analysis /
+ * multimodal) over the `documents` and `embeddings` tables, with DuckDB
+ * oracles wherever the semantics are SQL-expressible. Non-expressible ops
+ * (SimHash, rolling hash, LSH ANN, stub decode) are declared without
+ * oracle SQL (driver records rows-only) and are covered by ScalaTest
+ * differential specs instead.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  // ------------------------------------------------------------------ dedup
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text")
+
+  val DedupExactSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  count(*) OVER w AS group_size,
+      |  min(doc_id) OVER w AS keeper,
+      |  doc_id = min(doc_id) OVER w AS keep
+      |FROM documents
+      |WINDOW w AS (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))""".stripMargin
+
+  /** DuckDB CTEs: distinct word 5-gram inverted index + sizes. */
+  private val GramCtes: String =
+    """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |      FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+4], ' ')
+      |                       for i in range(1, greatest(len(words) - 3, 1))]) AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |sz AS (SELECT doc_id, count(*) AS s FROM ex GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardSql(threshold: Double): String =
+    s"""WITH $GramCtes
+       |SELECT d1, d2, i::DOUBLE / (sa.s + sb.s - i) AS jaccard
+       |FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       |WHERE i::DOUBLE / (sa.s + sb.s - i) >= ${threshold}::DOUBLE""".stripMargin
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+
+  val NgramJaccardSql: String = jaccardSql(0.5)
+
+  /** MinHash+LSH with exact verification: equals the exact pair set at the
+    * declared threshold (recall for the planted j~0.99 dup pairs is
+    * 1 - 1e-22 with b=8, r=4; precision exact by construction). */
+  def minHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashPairs(docs(s, d), "doc_id", "text",
+      n = 5, bands = 8, rowsPerBand = 4, threshold = 0.7)
+
+  val MinHashLshSql: String = jaccardSql(0.7)
+
+  /** SimHash near-dup pairs — not SQL-expressible; rows-only + spec. */
+  def simHashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+
+  // ------------------------------------------------------------- text stats
+
+  def quality(s: SparkSession, d: String): DataFrame =
+    TextStats.qualityFeatures(docs(s, d), "doc_id", "text")
+
+  val QualitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(words) AS n_words,
+      |  list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) AS mean_word_len,
+      |  (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE
+      |    / length(text) AS punct_ratio,
+      |  len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+      |    / len(words) AS stopword_ratio
+      |FROM w""".stripMargin
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextStats.langId(col("text")).as("predicted"),
+      (TextStats.langId(col("text")) === col("lang")).as("matches_label"))
+
+  val LangIdSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+      |    len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+      |    len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','en'))) AS h_es,
+      |    len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','dans'))) AS h_fr
+      |  FROM w),
+      |p AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+      |         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+      |         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+      |         WHEN h_es >= h_fr THEN 'es'
+      |         ELSE 'fr' END AS predicted
+      |  FROM h)
+      |SELECT doc_id, predicted, predicted = lang AS matches_label FROM p""".stripMargin
+
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenCounts(docs(s, d), "doc_id", "text")
+
+  val TokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+      |FROM documents""".stripMargin
+
+  def fingerprintMd5(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), Dedup.fingerprint(col("text")).as("fingerprint_md5"))
+
+  val FingerprintMd5Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint_md5
+      |FROM documents""".stripMargin
+
+  /** Codegen'd Karp-Rabin rolling hash — no SQL oracle; spec-covered. */
+  def fingerprintRolling(s: SparkSession, d: String): DataFrame =
+    TextStats.fingerprints(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("fingerprint_rk"))
+
+  // ------------------------------------------------------------- similarity
+
+  def embeddingStats(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingStats(embs(s, d), "vec_id", "embedding")
+
+  val EmbeddingStatsSql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS l2_norm,
+      |  list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding) AS mean_val
+      |FROM embeddings""".stripMargin
+
+  /** Exact top-5 per query (vec_id < 100): id/rank output only, so the
+    * compare is float-robust (min rank margin in the data is ~2e-5,
+    * far above double-vs-float noise). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 100), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  val CosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+      |         * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Approximate ANN via random-hyperplane LSH — rows-only + recall spec. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 100), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  // -------------------------------------------------------------- multimodal
+
+  /** Binary frame sampling; frames decoded back to UTF-8 for the oracle
+    * (payloads are manufactured from text — byte == char offsets). */
+  def frameSamples(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.documentBlobs(s, d), width = 64, stride = 128)
+      .select(col("media_id"), col("frame_no"),
+        col("frame").cast("string").as("frame_str"))
+
+  val FrameSamplesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS nbytes FROM documents)
+      |SELECT media_id, frame_no, substr(text, (frame_no * 128 + 1)::INT, 64) AS frame_str
+      |FROM m, unnest(range(0, ((nbytes - 64) // 128) + 1)) AS t(frame_no)
+      |WHERE nbytes >= 64""".stripMargin
+
+  /** Stub decode features — rows-only + spec. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF()
+}

@@ -22,6 +22,20 @@ object SparkEntry {
     "q09_distinct_status" -> ((s, d) => RelQueries.distinctStatus(s, d)),
     "q10_word_count" -> ((s, d) => RelQueries.wordCount(s, d)),
     "q11_event_stats" -> ((s, d) => RelQueries.eventStats(s, d)),
+    "q12_dedup_exact" -> ((s, d) => PipelineQueries.dedupExact(s, d)),
+    "q13_ngram_jaccard" -> ((s, d) => PipelineQueries.ngramJaccard(s, d)),
+    "q14_minhash_lsh" -> ((s, d) => PipelineQueries.minHashLsh(s, d)),
+    "q15_simhash_pairs" -> ((s, d) => PipelineQueries.simHashPairs(s, d)),
+    "q16_text_quality" -> ((s, d) => PipelineQueries.quality(s, d)),
+    "q17_lang_id" -> ((s, d) => PipelineQueries.langId(s, d)),
+    "q18_token_counts" -> ((s, d) => PipelineQueries.tokenCounts(s, d)),
+    "q19_fingerprint_md5" -> ((s, d) => PipelineQueries.fingerprintMd5(s, d)),
+    "q20_fingerprint_rolling" -> ((s, d) => PipelineQueries.fingerprintRolling(s, d)),
+    "q21_embedding_stats" -> ((s, d) => PipelineQueries.embeddingStats(s, d)),
+    "q22_cosine_topk" -> ((s, d) => PipelineQueries.cosineTopK(s, d)),
+    "q23_ann_lsh" -> ((s, d) => PipelineQueries.annLsh(s, d)),
+    "q24_frame_samples" -> ((s, d) => PipelineQueries.frameSamples(s, d)),
+    "q25_media_features" -> ((s, d) => PipelineQueries.mediaFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +52,19 @@ object SparkEntry {
     "q09_distinct_status" -> RelQueries.DistinctStatusSql,
     "q10_word_count" -> RelQueries.WordCountSql,
     "q11_event_stats" -> RelQueries.EventStatsSql,
+    "q12_dedup_exact" -> PipelineQueries.DedupExactSql,
+    "q13_ngram_jaccard" -> PipelineQueries.NgramJaccardSql,
+    "q14_minhash_lsh" -> PipelineQueries.MinHashLshSql,
+    // q15_simhash_pairs: hash-function-defined, not SQL-expressible (spec-covered)
+    "q16_text_quality" -> PipelineQueries.QualitySql,
+    "q17_lang_id" -> PipelineQueries.LangIdSql,
+    "q18_token_counts" -> PipelineQueries.TokenCountsSql,
+    "q19_fingerprint_md5" -> PipelineQueries.FingerprintMd5Sql,
+    // q20_fingerprint_rolling: custom codegen expression (spec-covered)
+    "q21_embedding_stats" -> PipelineQueries.EmbeddingStatsSql,
+    "q22_cosine_topk" -> PipelineQueries.CosineTopKSql,
+    // q23_ann_lsh: approximate by design (recall spec-covered)
+    "q24_frame_samples" -> PipelineQueries.FrameSamplesSql,
+    // q25_media_features: stub decoder output (spec-covered)
   )
 }

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for a large-scale training-data
+ * pipeline, all pure DataFrame algebra (shuffle-aware by construction):
+ *
+ *  - exact: hash-groupBy on a normalized fingerprint; one shuffle on the
+ *    (high-cardinality, well-distributed) hash key.
+ *  - n-gram Jaccard: exact all-pairs similarity via the shared-shingle
+ *    inverted-index join — only pairs sharing at least one shingle are
+ *    materialized. `maxShingleDF` drops ubiquitous shingles (stop-gram
+ *    pruning) to bound the join fan-out at scale.
+ *  - MinHash + LSH banding: signature per doc (k minimums over seeded
+ *    xxhash64), banded bucket join for candidates, exact Jaccard verify on
+ *    the candidates only. At 100 TB this is the scale path: candidate
+ *    count is driven by collision structure, never n^2.
+ *  - SimHash: 64-bit sign-aggregated token hashes; near-dup = small
+ *    Hamming distance; candidate generation via 16-bit band equality
+ *    (pigeonhole: hamming <= 3 guarantees one of 4 bands matches exactly).
+ */
+object Dedup {
+
+  /** Lowercased whitespace word tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined), [] when too short. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Normalized-text fingerprint (lower, collapse whitespace, md5). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /**
+   * Exact dedup: every row keyed by its fingerprint, with the group's
+   * canonical keeper (min id) and size. `keep = (id == keeper)`.
+   */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .withColumn("keep", col(idCol) === col("keeper"))
+  }
+
+  /** (id, shingle) inverted index, optionally stop-gram pruned. */
+  private def shingleIndex(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleDF: Long): DataFrame = {
+    val idx = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("gram"))
+    if (maxShingleDF <= 0) idx
+    else {
+      val common = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxShingleDF).select(col("gram"))
+      idx.join(broadcast(common), Seq("gram"), "left_anti")
+    }
+  }
+
+  /** Exact Jaccard over the candidate pair set (d1 < d2 assumed). */
+  private def verifyJaccard(
+      cand: DataFrame, idx: DataFrame, threshold: Double): DataFrame = {
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(idx.select(col("doc").as("d1"), col("gram")), "d1")
+      .join(idx.select(col("doc").as("d2"), col("gram").as("gram2")), "d2")
+      .where(col("gram") === col("gram2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+   * pairs sharing >= 1 (surviving) shingle, filtered to jaccard >= t.
+   */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.7,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cand, idx, threshold)
+  }
+
+  /**
+   * MinHash + LSH banding, then exact-Jaccard verification of candidates.
+   * `numHashes = bands * rowsPerBand` seeded xxhash64 minimums; a pair is a
+   * candidate iff some band of the signatures matches exactly. For
+   * threshold t, recall per pair is `1 - (1 - t^r)^b` — with default
+   * (b=8, r=4) and t=0.7, ~0.974; near 1 for the j~0.99 pairs planted
+   * duplicates produce. Verification makes precision exact.
+   */
+  def minHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+    val numHashes = bands * rowsPerBand
+    val sigAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("gram"))).as(s"h$i")
+    }
+    val sigs = idx.groupBy(col("doc")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(slice: _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cand, idx, threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset (sign-aggregated xxhash bits). */
+  def simHash(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      // Deterministic 64-bit token hash (same scheme as RollingHash).
+      val h = graft.functions.RollingHash.hashString(t) * -7046029254386353131L
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simHashUdf = udf((ts: Seq[String]) => simHash(ts))
+
+  /** doc id + 64-bit simhash. */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), simHashUdf(tokens(col(textCol))).as("simhash"))
+
+  /**
+   * Near-dup pairs with hamming(simhash) <= maxHamming (<= 15 supported):
+   * 16-bit band-equality candidates (pigeonhole-complete for <= 3 with 4
+   * bands), then exact `bit_count(xor)` filter.
+   */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands are pigeonhole-complete only to 3")
+    val hashes = simHashes(docs, idCol, textCol)
+    val banded = hashes.select(col("doc"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("simhash"), b * 16) bitwiseAND lit(0xffffL)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band"), col("bb.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        bit_count(col("a.simhash") bitwiseXOR col("b.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

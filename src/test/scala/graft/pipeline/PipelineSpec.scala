@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / similarity / text / multimodal operators: unit + differential. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("pipeline-spec")
+    .getOrCreate()
+
+  private def sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ rolling hash
+
+  test("RollingHash expression == reference impl, codegen and interpreted") {
+    import spark.implicits._
+    val strs = Seq("", "a", "hello world", "ünïcödé ≠ ascii", "x" * 1000)
+    val df = strs.toDF("s")
+    val got = df.select(RollingHash.rolling_hash(col("s"))).as[Long].collect()
+    assert(got.toSeq == strs.map(RollingHash.hashString))
+    // null propagates
+    val nulls = Seq[Option[String]](Some("a"), None).toDF("s")
+    val g2 = nulls.select(RollingHash.rolling_hash(col("s"))).collect()
+    assert(!g2(0).isNullAt(0) && g2(1).isNullAt(0))
+    // survives a codegen-disabled (interpreted) run too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val g3 = df.select(RollingHash.rolling_hash(col("s"))).as[Long].collect()
+      assert(g3.toSeq == strs.map(RollingHash.hashString))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  // ------------------------------------------------------------------- dedup
+
+  test("exact dedup groups identical-after-normalization docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "group_size", "keeper", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 1L, true)))
+    assert(out(1) == ((2L, 2L, 1L, false)))
+    assert(out(2) == ((3L, 1L, 3L, true)))
+  }
+
+  test("ngram jaccard and minhash agree on planted near-dups (sf0.001 docs)") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.7)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minHashPairs(docs, "doc_id", "text", 5, 8, 4, 0.7)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "sf0.001 should contain planted near-dup pairs")
+    assert(mh == exact, "LSH+verify must equal the exact pair set here")
+  }
+
+  test("simhash: hamming small for near-identical, large for unrelated") {
+    val a = "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq
+    val b = a.updated(3, "foxx") // one token changed
+    val c = "completely unrelated words zebra quantum plasma xylophone".split(" ").toSeq
+    val hAB = java.lang.Long.bitCount(Dedup.simHash(a) ^ Dedup.simHash(b))
+    val hAC = java.lang.Long.bitCount(Dedup.simHash(a) ^ Dedup.simHash(c))
+    assert(hAB < hAC)
+    assert(Dedup.simHash(a) == Dedup.simHash(a)) // deterministic
+  }
+
+  // -------------------------------------------------------------- similarity
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.keys.toSeq.sorted.take(20)
+    val expected = queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toList
+    }.toMap
+    val got = Similarity.bruteForceTopK(
+        e, e.where($"vec_id".isin(queries: _*)), "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(got == expected)
+  }
+
+  test("LSH ANN achieves >=50% recall@5 vs brute force on sf0.001") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  // -------------------------------------------------------------- multimodal
+
+  test("stub decode features: fixed dim, normalized, deterministic") {
+    val f = Multimodal.stubDecodeFeature("hello world".getBytes, 16)
+    assert(f.length == 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-5)
+    assert(f.toSeq == Multimodal.stubDecodeFeature("hello world".getBytes, 16).toSeq)
+    assert(Multimodal.stubDecodeFeature(Array.emptyByteArray, 16).sum == 0f)
+  }
+
+  test("frame sampling produces fixed-width frames at the right offsets") {
+    import spark.implicits._
+    val media = Seq((1L, "text/plain", ("abcdefgh" * 20))) // 160 bytes
+      .toDF("media_id", "mime", "text")
+      .select(col("media_id"), col("mime"), col("text").cast("binary").as("blob"))
+      .withColumn("nbytes", octet_length(col("blob")).cast("long"))
+    val frames = Multimodal.sampleFrames(media, width = 16, stride = 64)
+      .select($"frame_no", $"frame".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // offsets 0, 64, 128 fit (128+16 <= 160); 192 does not
+    assert(frames.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.forall(_._2.length == 16))
+    assert(frames(0)._2 == "abcdefgh" * 2)
+  }
+
+  test("extractFeatures keeps ids and emits fixed-dim vectors (sf0.001)") {
+    import spark.implicits._
+    val blobs = Multimodal.documentBlobs(spark, sf)
+    val feats = Multimodal.extractFeatures(blobs)
+    assert(feats.count() == blobs.count())
+    val row = feats.head()
+    assert(row.dim == 16 && row.feature.length == 16)
+  }
+}
