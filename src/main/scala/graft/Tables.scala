@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import java.util.concurrent.ConcurrentHashMap
 
 /** Testdata loaders + the canonical basket-izations (FIXTURES.md §3). */
 object Tables {
@@ -9,19 +12,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // The basket table feeds several queries + the model fit; build it once
+  // per sf dir and keep it cached (it is small: one row per order).
+  private val basketCache = new ConcurrentHashMap[String, DataFrame]()
+
   /**
    * order -> distinct part brands basket: `items: array<string>` sorted so
    * the set has one canonical form on both the Spark and DuckDB side.
    * The part dimension is tiny -> broadcast join, no shuffle of lineitem
    * for the probe side beyond the final groupBy.
    */
-  def orderBrandBaskets(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val part = load(spark, dir, "part").select("p_partkey", "p_brand")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("p_brand"))).as("items"))
-  }
+  def orderBrandBaskets(spark: SparkSession, dir: String): DataFrame =
+    basketCache.computeIfAbsent(dir, _ => {
+      val li = load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val part = load(spark, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("p_brand"))).as("items"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** user -> distinct event types basket. */
   def userEventBaskets(spark: SparkSession, dir: String): DataFrame =

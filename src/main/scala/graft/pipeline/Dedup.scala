@@ -55,11 +55,19 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keeper"))
   }
 
-  /** (id, shingle) inverted index, optionally stop-gram pruned. */
+  /**
+   * (id, shingle-fingerprint) inverted index, optionally stop-gram pruned.
+   * Shingles are xxhash64-fingerprinted to 8-byte join keys: the
+   * equality self-join sorts/shuffles longs instead of ~30-char strings
+   * (expected collisions across a corpus of G distinct shingles are
+   * G^2/2^65 — ~0 until G approaches billions).
+   */
   private def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDF: Long): DataFrame = {
-    val idx = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("gram"))
+    val idx = docs.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("g"))
+      .select(col("doc"), xxhash64(col("g")).as("gram"))
     if (maxShingleDF <= 0) idx
     else {
       val common = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -87,20 +95,30 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard near-dup pairs via the inverted-index join:
-   * pairs sharing >= 1 (surviving) shingle, filtered to jaccard >= t.
+   * Exact n-gram Jaccard near-dup pairs via the inverted-index join.
+   * One shingle-equality self-join doubles as candidate generation AND
+   * intersection counting (groupBy pair = |A intersect B|); only pairs
+   * sharing >= 1 surviving shingle ever materialize.
    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.7,
       maxShingleDF: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
-    val cand = idx.as("a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = idx.as("a")
       .join(idx.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .distinct()
-    verifyJaccard(cand, idx, threshold)
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /**
@@ -117,6 +135,7 @@ object Dedup {
       threshold: Double = 0.7,
       maxShingleDF: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numHashes = bands * rowsPerBand
     val sigAggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("gram"))).as(s"h$i")

