@@ -106,4 +106,48 @@ object RelQueries {
     """SELECT user_id, event_type, count(*) AS n,
       |  cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  /** Tumbling-hour aggregate (batch twin of the streaming window query). */
+  def eventHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.hourlyBatch(spark, dir)
+
+  val EventHourlySql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |  count(*) AS n,
+      |  cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** 30-min-gap sessionization (batch twin of flatMapGroupsWithState). */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionsBatch(spark, dir)
+
+  val EventSessionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tns FROM events),
+      |x AS (SELECT user_id, event_id, tns,
+      |        CASE WHEN lag(tns) OVER w IS NULL
+      |                  OR tns - lag(tns) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS is_start
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      |s AS (SELECT user_id, tns,
+      |        sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS session_no
+      |      FROM x)
+      |SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events,
+      |       min(tns) AS start_us, max(tns) AS end_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** JSON property extraction + aggregate. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), countDistinct(col("k")).as("n_distinct_k"))
+
+  val JsonPropsSql: String =
+    """SELECT event_type, sum(k)::BIGINT AS sum_k,
+      |       count(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
 }

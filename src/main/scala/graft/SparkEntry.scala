@@ -36,6 +36,9 @@ object SparkEntry {
     "q23_ann_lsh" -> ((s, d) => PipelineQueries.annLsh(s, d)),
     "q24_frame_samples" -> ((s, d) => PipelineQueries.frameSamples(s, d)),
     "q25_media_features" -> ((s, d) => PipelineQueries.mediaFeatures(s, d)),
+    "q26_event_hourly" -> ((s, d) => RelQueries.eventHourly(s, d)),
+    "q27_event_sessions" -> ((s, d) => RelQueries.eventSessions(s, d)),
+    "q28_json_props" -> ((s, d) => RelQueries.jsonProps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +69,8 @@ object SparkEntry {
     // q23_ann_lsh: approximate by design (recall spec-covered)
     "q24_frame_samples" -> PipelineQueries.FrameSamplesSql,
     // q25_media_features: stub decoder output (spec-covered)
+    "q26_event_hourly" -> RelQueries.EventHourlySql,
+    "q27_event_sessions" -> RelQueries.EventSessionsSql,
+    "q28_json_props" -> RelQueries.JsonPropsSql,
   )
 }
