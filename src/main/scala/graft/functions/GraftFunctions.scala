@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SQL surface for the engine's native expressions: `rolling_hash(str)`,
+ * `array_dot(a, b)`, `array_cosine(a, b)`.
+ *
+ * Two registration paths:
+ *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+ *    (cluster-wide, survives session cloning);
+ *  - [[GraftFunctions.register]] for an existing session (tests, REPL).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def cast(e: Expression, to: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DataType.fromDDL(to))
+
+  private[functions] val definitions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    ("array_dot",
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) =>
+        ArrayDot(cast(exprs(0), "array<double>"), cast(exprs(1), "array<double>"))),
+    ("array_cosine",
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
+      (exprs: Seq[Expression]) => {
+        val a = cast(exprs(0), "array<double>")
+        val b = cast(exprs(1), "array<double>")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(ArrayDot(a, b), Multiply(Sqrt(ArrayDot(a, a)), Sqrt(ArrayDot(b, b))))
+      }))
+
+  /** Register on a live session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
