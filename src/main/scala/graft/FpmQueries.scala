@@ -75,6 +75,43 @@ object FpmQueries {
       .select(col("l_orderkey"), col("prediction"))
   }
 
+  /**
+   * q: rules grouped per antecedent (the reference's A8 `reduceByKey(_ ::: _)`
+   * + O3 per-group lift-desc sort, `apriori/Apriori.scala:127-128`), as a
+   * deterministic projection: group size, best consequent by (lift desc,
+   * consequent asc), and the group's max lift.
+   */
+  def rulesByAntecedent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = model(spark, dir).associationRules
+      .where(size(col("antecedent")) <= 2)
+      .select(
+        array_join(array_sort(col("antecedent")), ",").as("antecedent"),
+        col("consequent").getItem(0).as("consequent"),
+        col("lift"))
+    val w = Window.partitionBy(col("antecedent"))
+      .orderBy(col("lift").desc, col("consequent").asc)
+    r.withColumn("rn", row_number().over(w))
+      .groupBy(col("antecedent"))
+      .agg(
+        count(lit(1)).as("n_rules"),
+        max(when(col("rn") === 1, col("consequent"))).as("top_consequent"),
+        max(col("lift")).as("max_lift"))
+  }
+
+  // lazy: RuleCtes is declared later in this object (init-order)
+  lazy val RulesByAntecedentSql: String =
+    s"""WITH $RuleCtes,
+       |flat AS (
+       |  SELECT array_to_string(ant, ',') AS antecedent, cons, lift,
+       |         row_number() OVER (PARTITION BY array_to_string(ant, ',')
+       |                            ORDER BY lift DESC, cons ASC) AS rn
+       |  FROM rules)
+       |SELECT antecedent, count(*) AS n_rules,
+       |       max(CASE WHEN rn = 1 THEN cons END) AS top_consequent,
+       |       max(lift) AS max_lift
+       |FROM flat GROUP BY antecedent""".stripMargin
+
   // ---------------------------------------------------------------- oracle SQL
 
   /** Shared basket-ization CTE (DuckDB). */

@@ -39,6 +39,7 @@ object SparkEntry {
     "q26_event_hourly" -> ((s, d) => RelQueries.eventHourly(s, d)),
     "q27_event_sessions" -> ((s, d) => RelQueries.eventSessions(s, d)),
     "q28_json_props" -> ((s, d) => RelQueries.jsonProps(s, d)),
+    "q29_rules_by_antecedent" -> ((s, d) => FpmQueries.rulesByAntecedent(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,5 +73,6 @@ object SparkEntry {
     "q26_event_hourly" -> RelQueries.EventHourlySql,
     "q27_event_sessions" -> RelQueries.EventSessionsSql,
     "q28_json_props" -> RelQueries.JsonPropsSql,
+    "q29_rules_by_antecedent" -> FpmQueries.RulesByAntecedentSql,
   )
 }

