@@ -76,6 +76,43 @@ object FpmQueries {
   }
 
   /**
+   * q: FP-Growth over the (wider, deeper) order->supplier basket domain —
+   * ~4x the item count of brands, lower support, deeper conditional trees.
+   * Itemset arity capped at 3 for the brute-force oracle.
+   */
+  def supplierItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val m = models.computeIfAbsent(dir + "#supplier", _ =>
+      new FPGrowth()
+        .setMinSupport(0.001)
+        .setNumPartitions(spark.sparkContext.defaultParallelism)
+        .fit(Tables.orderSupplierBaskets(spark, dir)))
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+  }
+
+  val SupplierItemsetsSql: String =
+    s"""WITH baskets AS (
+       |  SELECT l_orderkey, list_sort(list(DISTINCT l_suppkey::VARCHAR)) AS items
+       |  FROM lineitem GROUP BY l_orderkey),
+       |n AS (SELECT count(*) AS c FROM baskets),
+       |mc AS (SELECT greatest(1, cast(ceil(0.001::DOUBLE * c) AS BIGINT)) AS m FROM n),
+       |ex AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
+       |k1 AS (SELECT item, count(*) AS f FROM ex GROUP BY 1
+       |       HAVING count(*) >= (SELECT m FROM mc)),
+       |k2 AS (SELECT a.item AS i1, b.item AS i2, count(*) AS f
+       |       FROM ex a JOIN ex b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+       |       GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM mc)),
+       |k3 AS (SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS f
+       |       FROM ex a
+       |       JOIN ex b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+       |       JOIN ex c ON b.l_orderkey = c.l_orderkey AND b.item < c.item
+       |       GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc))
+       |SELECT item AS itemset, f AS freq FROM k1
+       |UNION ALL SELECT i1 || ',' || i2, f FROM k2
+       |UNION ALL SELECT i1 || ',' || i2 || ',' || i3, f FROM k3""".stripMargin
+
+  /**
    * q: rules grouped per antecedent (the reference's A8 `reduceByKey(_ ::: _)`
    * + O3 per-group lift-desc sort, `apriori/Apriori.scala:127-128`), as a
    * deterministic projection: group size, best consequent by (lift desc,

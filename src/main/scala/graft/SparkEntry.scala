@@ -40,6 +40,7 @@ object SparkEntry {
     "q27_event_sessions" -> ((s, d) => RelQueries.eventSessions(s, d)),
     "q28_json_props" -> ((s, d) => RelQueries.jsonProps(s, d)),
     "q29_rules_by_antecedent" -> ((s, d) => FpmQueries.rulesByAntecedent(s, d)),
+    "q30_supplier_itemsets" -> ((s, d) => FpmQueries.supplierItemsets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +75,6 @@ object SparkEntry {
     "q27_event_sessions" -> RelQueries.EventSessionsSql,
     "q28_json_props" -> RelQueries.JsonPropsSql,
     "q29_rules_by_antecedent" -> FpmQueries.RulesByAntecedentSql,
+    "q30_supplier_itemsets" -> FpmQueries.SupplierItemsetsSql,
   )
 }

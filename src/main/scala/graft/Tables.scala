@@ -37,4 +37,12 @@ object Tables {
     load(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(array_sort(collect_set(col("event_type"))).as("items"))
+
+  /** order -> distinct suppliers basket (wider item domain than brands). */
+  def orderSupplierBaskets(spark: SparkSession, dir: String): DataFrame =
+    basketCache.computeIfAbsent(dir + "#supplier", _ =>
+      load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_suppkey").cast("string"))).as("items"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 }
