@@ -150,4 +150,49 @@ object RelQueries {
       |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
       |      FROM events)
       |GROUP BY 1""".stripMargin
+
+  /** Running per-supplier revenue: window frame over a unique sort key. */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("running_revenue",
+        sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("running_revenue"))
+  }
+
+  val RunningRevenueSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,4)))
+      |         OVER (PARTITION BY l_suppkey
+      |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+      |FROM lineitem""".stripMargin
+
+  /** Semi/anti join: per-segment counts of customers with and without orders. */
+  def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
+  val CustomerOrderPresenceSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+      |  count(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
+      |FROM customer GROUP BY 1""".stripMargin
 }

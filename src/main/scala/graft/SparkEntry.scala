@@ -41,6 +41,8 @@ object SparkEntry {
     "q28_json_props" -> ((s, d) => RelQueries.jsonProps(s, d)),
     "q29_rules_by_antecedent" -> ((s, d) => FpmQueries.rulesByAntecedent(s, d)),
     "q30_supplier_itemsets" -> ((s, d) => FpmQueries.supplierItemsets(s, d)),
+    "q31_running_revenue" -> ((s, d) => RelQueries.runningRevenue(s, d)),
+    "q32_order_presence" -> ((s, d) => RelQueries.customerOrderPresence(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +78,7 @@ object SparkEntry {
     "q28_json_props" -> RelQueries.JsonPropsSql,
     "q29_rules_by_antecedent" -> FpmQueries.RulesByAntecedentSql,
     "q30_supplier_itemsets" -> FpmQueries.SupplierItemsetsSql,
+    "q31_running_revenue" -> RelQueries.RunningRevenueSql,
+    "q32_order_presence" -> RelQueries.CustomerOrderPresenceSql,
   )
 }

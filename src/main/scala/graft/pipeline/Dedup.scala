@@ -199,11 +199,15 @@ object Dedup {
     out
   }
 
-  private val simHashUdf = udf((ts: Seq[String]) => simHash(ts))
+  private val simHashUdf = udf { (text: String) =>
+    // tokenize inside the UDF: one pass, no interpreted HOF column stage
+    if (text == null) 0L
+    else simHash(text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq)
+  }
 
   /** doc id + 64-bit simhash. */
   def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"), simHashUdf(tokens(col(textCol))).as("simhash"))
+    docs.select(col(idCol).as("doc"), simHashUdf(col(textCol)).as("simhash"))
 
   /**
    * Near-dup pairs with hamming(simhash) <= maxHamming (<= 15 supported):

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression guards: the scale properties SCALE.md claims
+ * (pushdown, pruning, broadcast, partial agg, top-k) must stay visible in
+ * the plans, not just hold by accident.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .appName("plan-spec")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("pricing summary pushes the shipdate filter and prunes columns") {
+    val p = plan("q06_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+    // pruned: 5 of 11 lineitem columns read
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("nation revenue broadcasts both dimension tables") {
+    val p = plan("q07_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("basket build broadcasts the part dimension") {
+    val p = plan("q01_baskets")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti") {
+    val p = plan("q32_order_presence")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import graft.functions.VectorExprs
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, dir, "embeddings")
+      .select(VectorExprs.array_dot(col("embedding"), col("embedding")).as("d"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("array_dot"), p)
+  }
+}
