@@ -46,9 +46,10 @@ class FPGrowth private (
     private var minSupport: Double,
     private var minConfidence: Double,
     private var numPartitions: Int,
-    private var balanced: Boolean) extends Serializable {
+    private var balanced: Boolean,
+    private var treeAggregation: Boolean) extends Serializable {
 
-  def this() = this("items", 0.3, 0.8, -1, true)
+  def this() = this("items", 0.3, 0.8, -1, true, false)
 
   def setItemsCol(v: String): this.type = { itemsCol = v; this }
   def setMinSupport(v: Double): this.type = {
@@ -62,6 +63,15 @@ class FPGrowth private (
   def setNumPartitions(v: Int): this.type = { numPartitions = v; this }
   /** true = EPFP balanced groups (default); false = PFP hash groups. */
   def setBalanced(v: Boolean): this.type = { balanced = v; this }
+
+  /**
+   * true = mine via the [[FPPatternsAgg]] Catalyst aggregate (map-side
+   * partial FP-trees, shuffled as serialized path-multisets — wins with
+   * dense prefix sharing); false (default) = typed flatMapGroups (raw
+   * cond-transactions shuffle — wins when prefixes rarely repeat).
+   * Results are identical (spec-enforced).
+   */
+  def setTreeAggregation(v: Boolean): this.type = { treeAggregation = v; this }
 
   def fit(dataset: Dataset[_]): FPGrowthModel = {
     val spark = dataset.sparkSession
@@ -106,19 +116,35 @@ class FPGrowth private (
       }
 
     val mc = minCount
-    val freqItemsets: DataFrame = condTxns
-      .groupByKey(_._1)
-      .flatMapGroups { (gid, it) =>
-        val tree = new FPTree
-        it.foreach { case (_, txn) => tree.add(txn) }
-        val group = bcGroup.value
-        val dict = bcItems.value
-        tree.extract(mc, r => group(r) == gid).map { case (ranks, cnt) =>
-          (ranks.map(dict), cnt)
-        }
+    val minedDF: DataFrame =
+      if (treeAggregation) {
+        condTxns.toDF("gid", "ranks")
+          .groupBy(col("gid"))
+          .agg(FPTreeAggregate.fp_patterns(col("gid"), col("ranks"), mc, groupOf)
+            .as("patterns"))
+          .select(explode(col("patterns")).as("p"))
+          .select(col("p.ranks").as("ranks"), col("p.freq").as("freq"))
+          .as[(Seq[Int], Long)]
+          .map { case (ranks, cnt) =>
+            val dict = bcItems.value
+            (ranks.map(dict).toArray, cnt)
+          }
+          .toDF("items", "freq")
+      } else {
+        condTxns
+          .groupByKey(_._1)
+          .flatMapGroups { (gid, it) =>
+            val tree = new FPTree
+            it.foreach { case (_, txn) => tree.add(txn) }
+            val group = bcGroup.value
+            val dict = bcItems.value
+            tree.extract(mc, r => group(r) == gid).map { case (ranks, cnt) =>
+              (ranks.map(dict), cnt)
+            }
+          }
+          .toDF("items", "freq")
       }
-      .toDF("items", "freq")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freqItemsets: DataFrame = minedDF.persist(StorageLevel.MEMORY_AND_DISK)
     freqItemsets.count() // materialize before releasing the input
     if (handlePersistence) input.unpersist()
 

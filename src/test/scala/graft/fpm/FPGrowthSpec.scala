@@ -61,6 +61,22 @@ class FPGrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("Catalyst tree-aggregation path matches flatMapGroups path exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val items = (0 until 15).map(i => s"tt$i")
+    val df = Seq.fill(400)(rng.shuffle(items).take(1 + rng.nextInt(7))).toDF("items")
+      .repartition(5) // force multiple map-side partial trees per group
+    for (parts <- Seq(2, 5)) {
+      val viaGroups = itemsetsOf(new FPGrowth()
+        .setMinSupport(0.03).setNumPartitions(parts).fit(df))
+      val viaAgg = itemsetsOf(new FPGrowth()
+        .setMinSupport(0.03).setNumPartitions(parts).setTreeAggregation(true).fit(df))
+      assert(viaAgg == viaGroups, s"parts=$parts")
+      assert(viaAgg.nonEmpty)
+    }
+  }
+
   test("association rules match MLlib (confidence + support) and compute lift") {
     import spark.implicits._
     val model = new FPGrowth().setMinSupport(0.4).setMinConfidence(0.6).fit(trainDF)
