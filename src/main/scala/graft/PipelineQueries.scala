@@ -175,6 +175,22 @@ object PipelineQueries {
       |  FROM scored)
       |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Embedding-cosine near-dup pairs at 0.42 (safely off the data's cosine
+    * mass: nearest pair is 1.7e-3 from the threshold — double-vs-float
+    * noise cannot flip membership). Ids only, float-robust compare. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(s, d), "vec_id", "embedding", 0.42)
+
+  val EmbeddingNearDupSql: String =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      |      >= 0.42""".stripMargin
+
   /** Approximate ANN via random-hyperplane LSH — rows-only + recall spec. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)

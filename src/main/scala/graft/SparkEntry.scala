@@ -43,6 +43,7 @@ object SparkEntry {
     "q30_supplier_itemsets" -> ((s, d) => FpmQueries.supplierItemsets(s, d)),
     "q31_running_revenue" -> ((s, d) => RelQueries.runningRevenue(s, d)),
     "q32_order_presence" -> ((s, d) => RelQueries.customerOrderPresence(s, d)),
+    "q33_embedding_neardup" -> ((s, d) => PipelineQueries.embeddingNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +81,6 @@ object SparkEntry {
     "q30_supplier_itemsets" -> FpmQueries.SupplierItemsetsSql,
     "q31_running_revenue" -> RelQueries.RunningRevenueSql,
     "q32_order_presence" -> RelQueries.CustomerOrderPresenceSql,
+    "q33_embedding_neardup" -> PipelineQueries.EmbeddingNearDupSql,
   )
 }

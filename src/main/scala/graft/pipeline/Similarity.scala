@@ -116,6 +116,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * Exact embedding-cosine near-dup pairs (cosine >= threshold, id1 < id2).
+   * Brute-force all-pairs with the broadcast-nested-loop join + codegen'd
+   * cosine — exact and oracle-checkable. At corpus sizes where n^2 stops
+   * being affordable, [[lshTopK]]'s bucket candidates + this threshold
+   * filter is the scale path (same verify step, approximate recall).
+   */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs.array_dot
+    // Normalize each side ONCE (per-row cast + norm), so the n^2 pair loop
+    // is a single codegen'd dot over array<double> — no per-pair casts or
+    // norm recomputation (those made this 8x slower).
+    def unit(side: DataFrame, idAs: String, vecAs: String): DataFrame = side
+      .select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("v"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("n"))
+      .select(col(idAs), transform(col("v"), x => x / col("n")).as(vecAs))
+    val a = unit(df, "v1", "va")
+    val b = unit(df, "v2", "vb")
+    a.join(b, col("v1") < col("v2"))
+      .where(array_dot(col("va"), col("vb")) >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
   /** Embedding summary stats (norm etc.), all-double sequential math. */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)

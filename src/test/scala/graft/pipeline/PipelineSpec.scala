@@ -101,6 +101,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("cosine near-dup pairs match a driver-side exact computation") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.42
+    } yield (i, j)).toSet
+    val got = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.42)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("LSH ANN achieves >=50% recall@5 vs brute force on sf0.001") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sf, "embeddings")
