@@ -198,6 +198,15 @@ object PipelineQueries {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF-bucketed ANN (coarse quantizer + probed inverted lists) —
+    * approximate at nProbe < numCentroids; rows-only + equivalence spec. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 100), "vec_id", "embedding",
+        k = 5, numCentroids = 16, nProbe = 6)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   // -------------------------------------------------------------- multimodal
 
   /** Binary frame sampling; frames decoded back to UTF-8 for the oracle

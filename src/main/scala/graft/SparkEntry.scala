@@ -44,6 +44,7 @@ object SparkEntry {
     "q31_running_revenue" -> ((s, d) => RelQueries.runningRevenue(s, d)),
     "q32_order_presence" -> ((s, d) => RelQueries.customerOrderPresence(s, d)),
     "q33_embedding_neardup" -> ((s, d) => PipelineQueries.embeddingNearDup(s, d)),
+    "q34_ann_ivf" -> ((s, d) => PipelineQueries.annIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -117,6 +117,80 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse k-means quantizer trained
+   * driver-side on a bounded sample (seeded Lloyd iterations over
+   * unit-normalized vectors), corpus rows assigned to their nearest
+   * centroid's inverted list, queries probing the `nProbe` nearest lists,
+   * exact cosine re-rank inside the probed lists. With
+   * `nProbe == numCentroids` this degenerates to exact brute force
+   * (spec-enforced); smaller probes trade recall for touching only
+   * `nProbe/numCentroids` of the corpus — the IVF scale contract.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 5, sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
+    import corpus.sparkSession.implicits._
+
+    def unitVec(v: Array[Double]): Array[Double] = {
+      var n = 0.0
+      v.foreach(x => n += x * x)
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      v.map(_ * inv)
+    }
+    // Deterministic training sample: first `sampleSize` rows by id.
+    val sample = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .as[(Long, Seq[Double])].collect().map(r => unitVec(r._2.toArray))
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.indices.toList).take(numCentroids)
+      .map(sample(_)).toArray
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(numCentroids)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](numCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < numCentroids) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(numCentroids)(c =>
+        if (counts(c) == 0) centroids(c) else unitVec(sums(c)))
+    }
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>
+      val u = unitVec(v.map(_.toDouble).toArray)
+      val cents = bcCentroids.value
+      cents.indices
+        .map(c => (cents(c).zip(u).map { case (a, b) => a * b }.sum, c))
+        .sortBy { case (d, c) => (-d, c) }.take(n).map(_._2)
+    }
+
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      cellsUdf(1)(col(vecCol)).getItem(0).as("cell"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(cellsUdf(nProbe)(col(vecCol))).as("cell")))
+    val scored = cb.join(qb, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
    * Exact embedding-cosine near-dup pairs (cosine >= threshold, id1 < id2).
    * Brute-force all-pairs with the broadcast-nested-loop join + codegen'd
    * cosine — exact and oracle-checkable. At corpus sizes where n^2 stops

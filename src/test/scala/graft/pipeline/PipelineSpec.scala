@@ -133,6 +133,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF with full probing == brute force; partial probing keeps recall") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where($"vec_id" < 30)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+        numCentroids = 8, nProbe = 8)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact, "probing every cell must equal brute force")
+    val partial = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+        numCentroids = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map { case (a, _, c) => (a, c) }
+    val recall = (exactPairs intersect partial).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   // -------------------------------------------------------------- multimodal
 
   test("stub decode features: fixed dim, normalized, deterministic") {
