@@ -270,4 +270,45 @@ class FPGrowthModel private[fpm] (
       .select(col("antecedent").as(itemsCol)).distinct()
     transform(antecedents)
   }
+
+  /**
+   * Persist the fitted model: itemsets + item support as parquet, scalar
+   * params as a one-line JSON (no external libs — the schema is 4 fields).
+   */
+  def save(path: String): Unit = {
+    val spark = freqItemsets.sparkSession
+    import spark.implicits._
+    freqItemsets.write.mode("overwrite").parquet(s"$path/freqItemsets")
+    itemSupport.toSeq.toDF("item", "support")
+      .write.mode("overwrite").parquet(s"$path/itemSupport")
+    val meta =
+      s"""{"numTransactions":$numTransactions,"minConfidence":$minConfidence,
+         |"itemsCol":"$itemsCol","predictionCol":"$predictionCol"}""".stripMargin
+      .replace("\n", "")
+    spark.createDataset(Seq(meta)).coalesce(1)
+      .write.mode("overwrite").text(s"$path/metadata")
+  }
+}
+
+object FPGrowthModel {
+
+  /** Load a model persisted by [[FPGrowthModel.save]]. */
+  def load(spark: SparkSession, path: String): FPGrowthModel = {
+    import spark.implicits._
+    val meta = spark.read.textFile(s"$path/metadata").head()
+    def field(name: String): String = {
+      val m = s""""$name":("[^"]*"|[^,}]*)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"bad metadata: $meta"))
+      m.group(1).stripPrefix("\"").stripSuffix("\"")
+    }
+    val itemSupport = spark.read.parquet(s"$path/itemSupport")
+      .as[(String, Double)].collect().toMap
+    new FPGrowthModel(
+      spark.read.parquet(s"$path/freqItemsets"),
+      itemSupport,
+      field("numTransactions").toLong,
+      field("itemsCol"),
+      field("predictionCol"),
+      field("minConfidence").toDouble)
+  }
 }

@@ -124,6 +124,29 @@ class FPGrowthSpec extends AnyFunSuite {
     assert(model.transform(spark).count() > 0)
   }
 
+  test("save/load round-trips itemsets, rules, and predictions") {
+    import spark.implicits._
+    val model = new FPGrowth().setMinSupport(0.4).setMinConfidence(0.6).fit(trainDF)
+    val dir = java.nio.file.Files.createTempDirectory("fpm-model").toString
+    model.save(dir)
+    val loaded = FPGrowthModel.load(spark, dir)
+    assert(itemsetsOf(loaded) == itemsetsOf(model))
+    assert(loaded.numTransactions == model.numTransactions)
+    assert(loaded.itemSupport == model.itemSupport)
+    val origRules = model.associationRules
+      .select($"antecedent", $"consequent", $"confidence")
+      .as[(Seq[String], Seq[String], Double)].collect()
+      .map { case (a, c, conf) => (a.toSet, c.toSet, conf) }.toSet
+    val loadedRules = loaded.associationRules
+      .select($"antecedent", $"consequent", $"confidence")
+      .as[(Seq[String], Seq[String], Double)].collect()
+      .map { case (a, c, conf) => (a.toSet, c.toSet, conf) }.toSet
+    assert(loadedRules == origRules)
+    val probe = Seq(Seq("I1"), Seq("I5", "I2", "I3")).toDF("items")
+    assert(loaded.transform(probe).collect().map(_.toString).toSeq ==
+      model.transform(probe).collect().map(_.toString).toSeq)
+  }
+
   test("duplicate items in a transaction are rejected") {
     import spark.implicits._
     val bad = Seq(Seq("a", "a", "b")).toDF("items")
