@@ -15,8 +15,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: session/codegen/parquet-footer init is a
     // once-per-cluster cost, not part of any query's steady-state time.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    catch { case _: Throwable => }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
