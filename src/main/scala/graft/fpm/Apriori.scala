@@ -1,6 +1,6 @@
 package graft.fpm
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,17 +10,18 @@ import org.apache.spark.storage.StorageLevel
  * The reference's Apriori (`/root/reference/src/main/java/fdu/cst/bigdata/apriori/Apriori.scala:20-133`)
  * collects the whole dataset to the driver and scans it per candidate —
  * an anti-pattern called out in SURVEY.md A7/S2 that cannot survive any
- * scale. This rewrite keeps its *semantics* but distributes the scan:
+ * scale. This rewrite keeps its *semantics* (same frequent-itemset output)
+ * but distributes the scan and prunes candidates:
  *
  *  - L1 = explode/groupBy/HAVING (same as FP-Growth's first pass);
- *  - level-k candidates = k-combinations of the frequent *singletons*
- *    (faithful to the reference's quirk at `apriori/Apriori.scala:87-90` —
- *    it combines single items, not the classic F(k-1) x F(k-1) join);
- *    candidates live on the driver (bounded by #frequent items, which
- *    minSupport bounds) and are broadcast;
+ *  - level-k candidates extend frequent (k-1)-itemsets with a larger
+ *    frequent singleton and keep only those whose every (k-1)-subset is
+ *    frequent (anti-monotone pruning). The reference enumerates ALL
+ *    C(n, k) singleton combinations (`apriori/Apriori.scala:87-90`) —
+ *    results are provably identical, but C(n, k) driver blowup is not;
  *  - support counting = one distributed pass per level: each basket emits
  *    the ids of candidates it contains (subset probe against the broadcast
- *    table), then groupBy(id).count — no driver data.
+ *    table), then a count per id — no driver data.
  *
  * Rules are 1 => 1 only (only those survive the reference's final filter,
  * `apriori/Apriori.scala:124`). Two lift columns are produced:
@@ -42,12 +43,26 @@ class Apriori private (
   def setMinConfidence(v: Double): this.type = { minConfidence = v; this }
   def setMaxLevel(v: Int): this.type = { maxLevel = v; this }
 
-  /** All frequent itemsets: `items array<string>, freq long`. */
-  def freqItemsets(dataset: Dataset[_]): DataFrame = {
-    val spark = dataset.sparkSession
-    import spark.implicits._
+  /** Frequent (k-1)-itemsets -> pruned k-candidates (sorted item arrays). */
+  private def genCandidates(
+      frontier: Seq[Array[String]], singletons: Array[String]): Array[Array[String]] = {
+    val frequent = frontier.map(_.toSeq).toSet
+    frontier.iterator.flatMap { fs =>
+      singletons.iterator
+        .filter(_ > fs.last)
+        .map(i => fs :+ i)
+        .filter { c =>
+          c.indices.forall { drop =>
+            frequent.contains((c.take(drop) ++ c.drop(drop + 1)).toSeq)
+          }
+        }
+    }.toArray
+  }
 
-    val input = dataset.select(col(itemsCol)).where(col(itemsCol).isNotNull)
+  /** One mining pass: (all frequent itemsets, #transactions). */
+  private def mineAll(
+      spark: SparkSession, input: DataFrame): (Seq[(Array[String], Long)], Long) = {
+    import spark.implicits._
     val handlePersist = input.storageLevel == StorageLevel.NONE
     if (handlePersist) input.persist(StorageLevel.MEMORY_AND_DISK)
     val n = input.count()
@@ -60,37 +75,47 @@ class Apriori private (
       .orderBy($"item")
       .as[(String, Long)].collect()
 
-    val singletons = l1.map(_._1)
+    val singletons = l1.map(_._1) // sorted
     var results = l1.map { case (i, f) => (Array(i), f) }.toSeq
+    var frontier: Seq[Array[String]] = singletons.map(Array(_)).toSeq
     var k = 2
-    var continue = singletons.length >= 2
     val sc = spark.sparkContext
 
-    while (continue && k <= math.min(maxLevel, singletons.length)) {
-      val candidates: Array[Array[String]] =
-        singletons.toSeq.combinations(k).map(_.toArray).toArray
-      val bc = sc.broadcast(candidates)
-      val counts: Array[(Int, Long)] = input
-        .as[Seq[String]]
-        .mapPartitions { it =>
-          val cands = bc.value
-          it.flatMap { txn =>
-            val set = txn.toSet
-            cands.indices.iterator.filter(i => cands(i).forall(set.contains))
-          }
-        }
-        .groupByKey(identity)
-        .count()
-        .filter(_._2 >= minCount)
-        .collect()
-      bc.destroy()
-      if (counts.isEmpty) continue = false
+    while (frontier.nonEmpty && k <= maxLevel) {
+      val candidates = genCandidates(frontier, singletons)
+      if (candidates.isEmpty) frontier = Nil
       else {
-        results ++= counts.map { case (i, f) => (candidates(i), f) }
+        val bc = sc.broadcast(candidates)
+        val counts: Array[(Int, Long)] = input
+          .as[Seq[String]]
+          .mapPartitions { it =>
+            val cands = bc.value
+            it.flatMap { txn =>
+              val set = txn.toSet
+              cands.indices.iterator.filter(i => cands(i).forall(set.contains))
+            }
+          }
+          .groupByKey(identity)
+          .count()
+          .filter(_._2 >= minCount)
+          .collect()
+        bc.destroy()
+        val frequent = counts.map { case (i, f) => (candidates(i), f) }
+        results ++= frequent
+        frontier = frequent.map(_._1).toSeq
         k += 1
       }
     }
     if (handlePersist) input.unpersist()
+    (results, n)
+  }
+
+  /** All frequent itemsets: `items array<string>, freq long`. */
+  def freqItemsets(dataset: Dataset[_]): DataFrame = {
+    val spark = dataset.sparkSession
+    import spark.implicits._
+    val input = dataset.select(col(itemsCol)).where(col(itemsCol).isNotNull)
+    val (results, _) = mineAll(spark, input)
     spark.createDataset(results).toDF("items", "freq")
   }
 
@@ -99,8 +124,8 @@ class Apriori private (
     val spark = dataset.sparkSession
     import spark.implicits._
     val input = dataset.select(col(itemsCol)).where(col(itemsCol).isNotNull)
-    val n = input.count()
-    val fi = freqItemsets(dataset)
+    val (results, n) = mineAll(spark, input) // single pass: count + itemsets
+    val fi = spark.createDataset(results).toDF("items", "freq")
 
     val k1 = fi.where(size($"items") === 1)
       .select($"items".getItem(0).as("item"), $"freq")

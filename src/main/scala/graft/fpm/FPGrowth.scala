@@ -281,12 +281,10 @@ class FPGrowthModel private[fpm] (
     freqItemsets.write.mode("overwrite").parquet(s"$path/freqItemsets")
     itemSupport.toSeq.toDF("item", "support")
       .write.mode("overwrite").parquet(s"$path/itemSupport")
-    val meta =
-      s"""{"numTransactions":$numTransactions,"minConfidence":$minConfidence,
-         |"itemsCol":"$itemsCol","predictionCol":"$predictionCol"}""".stripMargin
-      .replace("\n", "")
-    spark.createDataset(Seq(meta)).coalesce(1)
-      .write.mode("overwrite").text(s"$path/metadata")
+    // metadata as a one-row parquet: no hand-rolled JSON escaping/parsing
+    Seq((numTransactions, minConfidence, itemsCol, predictionCol))
+      .toDF("numTransactions", "minConfidence", "itemsCol", "predictionCol")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/metadata")
   }
 }
 
@@ -295,20 +293,14 @@ object FPGrowthModel {
   /** Load a model persisted by [[FPGrowthModel.save]]. */
   def load(spark: SparkSession, path: String): FPGrowthModel = {
     import spark.implicits._
-    val meta = spark.read.textFile(s"$path/metadata").head()
-    def field(name: String): String = {
-      val m = s""""$name":("[^"]*"|[^,}]*)""".r.findFirstMatchIn(meta)
-        .getOrElse(throw new IllegalArgumentException(s"bad metadata: $meta"))
-      m.group(1).stripPrefix("\"").stripSuffix("\"")
-    }
+    val meta = spark.read.parquet(s"$path/metadata")
+      .select("numTransactions", "minConfidence", "itemsCol", "predictionCol")
+      .as[(Long, Double, String, String)].head()
     val itemSupport = spark.read.parquet(s"$path/itemSupport")
       .as[(String, Double)].collect().toMap
     new FPGrowthModel(
       spark.read.parquet(s"$path/freqItemsets"),
       itemSupport,
-      field("numTransactions").toLong,
-      field("itemsCol"),
-      field("predictionCol"),
-      field("minConfidence").toDouble)
+      meta._1, meta._3, meta._4, meta._2)
   }
 }

@@ -86,29 +86,38 @@ object Dedup {
    * (expected collisions across a corpus of G distinct shingles are
    * G^2/2^65 — ~0 until G approaches billions).
    */
+  // One cached index per (input plan, params): the index feeds both the
+  // candidate and verify branches of a query AND repeated calls in the
+  // same session — memoizing here replaces an unbounded persist-per-call
+  // leak with one cached copy per distinct input.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDF: Long): DataFrame = {
-    val idx = docs.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("g"))
-      .select(col("doc"), xxhash64(col("g")).as("gram"))
-    if (maxShingleDF <= 0) idx
-    else {
-      val common = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .where(col("df") > maxShingleDF).select(col("gram"))
-      idx.join(broadcast(common), Seq("gram"), "left_anti")
-    }
+    val key =
+      s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$n|$maxShingleDF"
+    indexCache.computeIfAbsent(key, _ => {
+      val idx = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), n)).as("g"))
+        .select(col("doc"), xxhash64(col("g")).as("gram"))
+      val pruned =
+        if (maxShingleDF <= 0) idx
+        else {
+          val common = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+            .where(col("df") > maxShingleDF).select(col("gram"))
+          idx.join(broadcast(common), Seq("gram"), "left_anti")
+        }
+      pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
-  /** Exact Jaccard over the candidate pair set (d1 < d2 assumed). */
-  private def verifyJaccard(
-      cand: DataFrame, idx: DataFrame, threshold: Double): DataFrame = {
+  /** Attach sizes to intersection counts and threshold on exact Jaccard —
+    * the single shared scoring step for the exact and LSH-verified paths. */
+  private def jaccardScored(
+      inter: DataFrame, idx: DataFrame, threshold: Double): DataFrame = {
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(idx.select(col("doc").as("d1"), col("gram")), "d1")
-      .join(idx.select(col("doc").as("d2"), col("gram").as("gram2")), "d2")
-      .where(col("gram") === col("gram2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
@@ -116,6 +125,17 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over the candidate pair set (d1 < d2 assumed). */
+  private def verifyJaccard(
+      cand: DataFrame, idx: DataFrame, threshold: Double): DataFrame = {
+    val inter = cand
+      .join(idx.select(col("doc").as("d1"), col("gram")), "d1")
+      .join(idx.select(col("doc").as("d2"), col("gram").as("gram2")), "d2")
+      .where(col("gram") === col("gram2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    jaccardScored(inter, idx, threshold)
   }
 
   /**
@@ -129,20 +149,12 @@ object Dedup {
       n: Int = 5, threshold: Double = 0.7,
       maxShingleDF: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = idx.as("a")
       .join(idx.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    jaccardScored(inter, idx, threshold)
   }
 
   /**
@@ -159,7 +171,6 @@ object Dedup {
       threshold: Double = 0.7,
       maxShingleDF: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numHashes = bands * rowsPerBand
     val sigAggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("gram"))).as(s"h$i")

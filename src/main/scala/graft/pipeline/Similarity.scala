@@ -139,21 +139,27 @@ object Similarity {
       val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
       v.map(_ * inv)
     }
-    // Deterministic training sample: first `sampleSize` rows by id.
+    // Deterministic training sample: first `sampleSize` rows by id (any
+    // orderable id type — only the vectors are collected).
     val sample = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol)).limit(sampleSize)
-      .as[(Long, Seq[Double])].collect().map(r => unitVec(r._2.toArray))
+      .as[Seq[Double]].collect().map(v => unitVec(v.toArray))
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    // Never more centroids than sample vectors (tiny corpora degrade to
+    // fewer cells, worst case 1 = brute force within the single list).
+    val k2 = math.min(numCentroids, sample.length)
     val rng = new scala.util.Random(seed)
-    var centroids = rng.shuffle(sample.indices.toList).take(numCentroids)
+    var centroids = rng.shuffle(sample.indices.toList).take(k2)
       .map(sample(_)).toArray
+    val numCells = centroids.length
     for (_ <- 0 until iterations) {
-      val sums = Array.fill(numCentroids)(new Array[Double](centroids(0).length))
-      val counts = new Array[Int](numCentroids)
+      val sums = Array.fill(numCells)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](numCells)
       sample.foreach { v =>
         var best = 0; var bestDot = Double.MinValue
         var c = 0
-        while (c < numCentroids) {
+        while (c < numCells) {
           var d = 0.0; var i = 0
           while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
           if (d > bestDot) { bestDot = d; best = c }
@@ -163,7 +169,7 @@ object Similarity {
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(numCentroids)(c =>
+      centroids = Array.tabulate(numCells)(c =>
         if (counts(c) == 0) centroids(c) else unitVec(sums(c)))
     }
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)

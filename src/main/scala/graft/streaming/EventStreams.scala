@@ -22,7 +22,10 @@ object EventStreams {
 
   private def eventCols(df: DataFrame): DataFrame =
     df.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-      col("value"), timestamp_micros((col("ts") / 1000).cast("long")).as("event_time"))
+      col("value"),
+      // `div`, not `/`: Divide casts the ~1.7e18 Long to double (> 2^53)
+      // and can shift event_time by up to 1 us across a window boundary
+      timestamp_micros(expr("ts div 1000L")).as("event_time"))
 
   /** Batch twin: per-hour per-type counts + exact value sums. */
   def hourlyBatch(spark: SparkSession, dir: String): DataFrame =
