@@ -26,6 +26,12 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null ELEMENTS make the result null even when the array columns
+  // themselves are non-nullable — without this override the interpreted
+  // null is coerced to 0.0 and codegen emits an assignment to a
+  // false-literal isNull slot.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

@@ -86,17 +86,28 @@ object Dedup {
    * (expected collisions across a corpus of G distinct shingles are
    * G^2/2^65 — ~0 until G approaches billions).
    */
-  // One cached index per (input plan, params): the index feeds both the
-  // candidate and verify branches of a query AND repeated calls in the
-  // same session — memoizing here replaces an unbounded persist-per-call
-  // leak with one cached copy per distinct input.
+  // One cached index per (session, input plan, params): the index feeds
+  // both the candidate and verify branches of a query AND repeated calls
+  // in the same session — memoizing here replaces an unbounded
+  // persist-per-call leak with one cached copy per distinct input. The
+  // session id in the key prevents handing out DataFrames bound to a
+  // stopped SparkContext; [[clearCaches]] releases storage explicitly in
+  // long-lived sessions that sweep many corpora.
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Unpersist and drop every cached shingle index. */
+  def clearCaches(): Unit = {
+    indexCache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    indexCache.clear()
+  }
 
   private def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDF: Long): DataFrame = {
-    val key =
+    val key = s"${System.identityHashCode(docs.sparkSession.sparkContext)}|" +
       s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$n|$maxShingleDF"
     indexCache.computeIfAbsent(key, _ => {
       val idx = docs.select(col(idCol).as("doc"),
@@ -211,14 +222,17 @@ object Dedup {
   }
 
   private val simHashUdf = udf { (text: String) =>
-    // tokenize inside the UDF: one pass, no interpreted HOF column stage
-    if (text == null) 0L
-    else simHash(text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq)
+    // tokenize inside the UDF: one pass, no interpreted HOF column stage.
+    // Null text -> null hash (NOT 0L, which would equal the hash of empty
+    // text and declare every null doc a hamming-0 dup of contentless docs).
+    if (text == null) null
+    else java.lang.Long.valueOf(simHash(text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq))
   }
 
-  /** doc id + 64-bit simhash. */
+  /** doc id + 64-bit simhash (null text -> null, excluded from pairing). */
   def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), simHashUdf(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /**
    * Near-dup pairs with hamming(simhash) <= maxHamming (<= 15 supported):

@@ -186,11 +186,12 @@ object Similarity {
       cellsUdf(1)(col(vecCol)).getItem(0).as("cell"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(cellsUdf(nProbe)(col(vecCol))).as("cell")))
+    // No dedup needed: each corpus row lives in exactly one cell and a
+    // query's probed cells are distinct, so pairs are unique by construction.
     val scored = cb.join(qb, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
