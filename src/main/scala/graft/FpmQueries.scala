@@ -23,7 +23,7 @@ object FpmQueries {
   private val models = new ConcurrentHashMap[String, FPGrowthModel]()
 
   def model(spark: SparkSession, dir: String): FPGrowthModel =
-    models.computeIfAbsent(dir, _ =>
+    models.computeIfAbsent(Tables.cacheKey(spark, dir), _ =>
       new FPGrowth()
         .setMinSupport(MinSupport)
         .setMinConfidence(MinConfidence)
@@ -81,7 +81,7 @@ object FpmQueries {
    * Itemset arity capped at 3 for the brute-force oracle.
    */
   def supplierItemsets(spark: SparkSession, dir: String): DataFrame = {
-    val m = models.computeIfAbsent(dir + "#supplier", _ =>
+    val m = models.computeIfAbsent(Tables.cacheKey(spark, dir) + "#supplier", _ =>
       new FPGrowth()
         .setMinSupport(0.001)
         .setNumPartitions(spark.sparkContext.defaultParallelism)

@@ -13,8 +13,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   // The basket table feeds several queries + the model fit; build it once
-  // per sf dir and keep it cached (it is small: one row per order).
+  // per (context, sf dir) and keep it cached (it is small: one row per
+  // order). The context id in the key prevents a later session from
+  // receiving a DataFrame bound to a stopped SparkContext.
   private val basketCache = new ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def cacheKey(spark: SparkSession, dir: String): String =
+    s"${System.identityHashCode(spark.sparkContext)}|$dir"
 
   /**
    * order -> distinct part brands basket: `items: array<string>` sorted so
@@ -23,7 +28,7 @@ object Tables {
    * for the probe side beyond the final groupBy.
    */
   def orderBrandBaskets(spark: SparkSession, dir: String): DataFrame =
-    basketCache.computeIfAbsent(dir, _ => {
+    basketCache.computeIfAbsent(cacheKey(spark, dir), _ => {
       val li = load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
       val part = load(spark, dir, "part").select("p_partkey", "p_brand")
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
@@ -40,7 +45,7 @@ object Tables {
 
   /** order -> distinct suppliers basket (wider item domain than brands). */
   def orderSupplierBaskets(spark: SparkSession, dir: String): DataFrame =
-    basketCache.computeIfAbsent(dir + "#supplier", _ =>
+    basketCache.computeIfAbsent(cacheKey(spark, dir) + "#supplier", _ =>
       load(spark, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_suppkey").cast("string"))).as("items"))
