@@ -207,6 +207,42 @@ object PipelineQueries {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
+  def tfIdf(s: SparkSession, d: String): DataFrame =
+    TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+
+  val TfIdfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |n AS (SELECT count(*) AS c FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         tf.tf::DOUBLE * (((SELECT c FROM n) + 1)::DOUBLE / (df.df + 1)) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, rank::BIGINT AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Sketch aggregates (HLL distinct, approximate quantiles) — engine-
+    * specific estimators, no cross-engine oracle; tolerance spec instead. */
+  def sketches(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+
   // -------------------------------------------------------------- multimodal
 
   /** Binary frame sampling; frames decoded back to UTF-8 for the oracle

@@ -45,6 +45,8 @@ object SparkEntry {
     "q32_order_presence" -> ((s, d) => RelQueries.customerOrderPresence(s, d)),
     "q33_embedding_neardup" -> ((s, d) => PipelineQueries.embeddingNearDup(s, d)),
     "q34_ann_ivf" -> ((s, d) => PipelineQueries.annIvf(s, d)),
+    "q35_tfidf" -> ((s, d) => PipelineQueries.tfIdf(s, d)),
+    "q36_sketches" -> ((s, d) => PipelineQueries.sketches(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +85,7 @@ object SparkEntry {
     "q31_running_revenue" -> RelQueries.RunningRevenueSql,
     "q32_order_presence" -> RelQueries.CustomerOrderPresenceSql,
     "q33_embedding_neardup" -> PipelineQueries.EmbeddingNearDupSql,
+    "q35_tfidf" -> PipelineQueries.TfIdfSql,
+    // q36_sketches: approximate estimators are engine-specific (tolerance spec)
   )
 }

@@ -42,7 +42,10 @@ object GraftFunctions {
         val b = cast(exprs(1), "array<double>")
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
         Divide(ArrayDot(a, b), Multiply(Sqrt(ArrayDot(a, a)), Sqrt(ArrayDot(b, b))))
-      }))
+      }),
+    ("array_contains_all",
+      new ExpressionInfo(classOf[ArrayContainsAll].getName, "array_contains_all"),
+      (exprs: Seq[Expression]) => ArrayContainsAll(exprs(0), exprs(1))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -76,6 +76,54 @@ object TextStats {
   }
 
   /**
+   * TF-IDF over whitespace tokens, top-k terms per document.
+   *
+   * IDF is the RATIO form `(N + 1) / (df + 1)` rather than its log: exact
+   * integer-derived double division, so scores are bit-reproducible on any
+   * engine (log differs in the last ulp between libm implementations —
+   * fatal for a hash-compared oracle; monotonicity, and therefore ranking,
+   * is identical). Ties break by term asc.
+   */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * (lit((n + 1).toDouble) / (col("df") + 1)))
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * Compression-ratio quality proxy (deflate level 6): low ratio =
+   * repetitive/templated text. JVM Deflater output is deterministic for a
+   * fixed level but not SQL-expressible — spec-covered, no oracle.
+   */
+  val compressionRatio: Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null || text.isEmpty) 1.0
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val deflater = new java.util.zip.Deflater(6)
+        deflater.setInput(bytes)
+        deflater.finish()
+        val buf = new Array[Byte](bytes.length + 64)
+        var total = 0
+        while (!deflater.finished()) total += deflater.deflate(buf)
+        deflater.end()
+        total.toDouble / bytes.length
+      }
+    }
+    (c: Column) => f(c)
+  }
+
+  /**
    * Document fingerprints: normalized-md5 (cross-engine checkable) and the
    * codegen'd Karp-Rabin [[RollingHash]] (the fast native path).
    */

@@ -153,6 +153,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("sketch aggregates land within tolerance of exact values") {
+    import spark.implicits._
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val approx = graft.PipelineQueries.sketches(spark, sf)
+      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("compression ratio: repetitive text compresses, deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc " * 200),
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(2L), s"repetitive ${out(1L)} should compress better than varied ${out(2L)}")
+    val again = df.select(TextStats.compressionRatio($"text")).as[Double].collect()
+    assert(again.toSeq == Seq(out(1L), out(2L)))
+  }
+
   // -------------------------------------------------------------- multimodal
 
   test("stub decode features: fixed dim, normalized, deterministic") {
