@@ -25,4 +25,24 @@ object TextTransactions {
     lines.toDF("value")
       .select(array_distinct(split(col("value"), " ")).as("items"))
   }
+
+  /**
+   * CSV source: one transaction per row, items in `itemsField` delimited by
+   * `sep` (other columns pass through untouched). Header-based schema.
+   */
+  def fromCsv(
+      spark: SparkSession, path: String,
+      itemsField: String = "items", sep: String = " "): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .withColumn("items",
+        array_distinct(split(col(itemsField), java.util.regex.Pattern.quote(sep))))
+
+  /**
+   * JSON-lines source: each record carries an `itemsField` string array
+   * (deduplicated on ingest, same invariant as the text path).
+   */
+  def fromJson(
+      spark: SparkSession, path: String, itemsField: String = "items"): DataFrame =
+    spark.read.json(path)
+      .withColumn("items", array_distinct(col(itemsField).cast("array<string>")))
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.sources.TextTransactions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew utilities, bucketed-join plans, and non-text transaction sources. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .appName("operators-spec")
+    .getOrCreate()
+
+  test("saltedJoin equals the plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a uniform tail
+    val large = (Seq.fill(10000)(1L) ++ (2L to 500L)).map(k => (k, s"v$k"))
+      .toDF("k", "payload")
+    val small = (1L to 500L).map(k => (k, k * 10)).toDF("k", "dim")
+    val plain = large.join(small, "k")
+      .select($"k", $"payload", $"dim").as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+      .select($"k", $"payload", $"dim").as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1L) == 10000)
+  }
+
+  test("saltedCollectList equals direct collect_list (sorted)") {
+    import spark.implicits._
+    val df = Seq((1L, "c"), (1L, "a"), (1L, "b"), (2L, "z")).toDF("k", "v")
+    val direct = df.groupBy($"k").agg(array_sort(collect_list($"v")).as("v_list"))
+      .as[(Long, Seq[String])].collect().toMap
+    val salted = Skew.saltedCollectList(df, "k", "v", salts = 4)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed tables co-locate: join and agg plan without Exchange") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_b1")
+    spark.sql("DROP TABLE IF EXISTS graft_b2")
+    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b1")
+    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b2")
+    // disable auto-broadcast so the planner must pick the co-located
+    // bucketed join (at real scale neither side would broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 1000)
+      // bucketed grouping also avoids the shuffle
+      val agg = spark.table("graft_b1").groupBy($"k").agg(sum($"v"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("CSV and JSON transaction sources feed the miner like text does") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    Seq("I1 I2 I5", "I2 I4", "I2 I3", "I1 I3", "I4 I2 I5 I1").toDF("items_str")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    Seq("""{"items": ["I1","I2","I5"]}""", """{"items": ["I2","I4"]}""",
+      """{"items": ["I2","I3"]}""", """{"items": ["I1","I3"]}""",
+      """{"items": ["I4","I2","I5","I1"]}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/json")
+
+    val fromCsv = TextTransactions.fromCsv(spark, s"$tmp/csv", "items_str")
+    val fromJson = TextTransactions.fromJson(spark, s"$tmp/json")
+    def itemsets(df: org.apache.spark.sql.DataFrame) =
+      new graft.fpm.FPGrowth().setMinSupport(0.4).fit(df)
+        .freqItemsets.as[(Seq[String], Long)].collect()
+        .map { case (i, f) => i.toSet -> f }.toMap
+    val expected = itemsets(TextTransactions.fromLines(spark,
+      Seq("I1 I2 I5", "I2 I4", "I2 I3", "I1 I3", "I4 I2 I5 I1")))
+    assert(itemsets(fromCsv) == expected)
+    assert(itemsets(fromJson) == expected)
+    assert(expected(Set("I1", "I2", "I5")) == 2L)
+  }
+}
