@@ -151,6 +151,43 @@ object RelQueries {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** Hierarchical rollup totals with grouping indicators. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dec("l_quantity").cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+
+  val RollupCountsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       count(*) AS n,
+      |       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot: per-user value sums by event type (fixed column set). */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
+      .na.fill(0.0)
+
+  val EventPivotSql: String =
+    """SELECT user_id,
+      |  coalesce(cast(sum(cast(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE), 0.0) AS click,
+      |  coalesce(cast(sum(cast(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE), 0.0) AS error,
+      |  coalesce(cast(sum(cast(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS purchase,
+      |  coalesce(cast(sum(cast(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0) AS signup,
+      |  coalesce(cast(sum(cast(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DOUBLE), 0.0) AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Running per-supplier revenue: window frame over a unique sort key. */
   def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -47,6 +47,8 @@ object SparkEntry {
     "q34_ann_ivf" -> ((s, d) => PipelineQueries.annIvf(s, d)),
     "q35_tfidf" -> ((s, d) => PipelineQueries.tfIdf(s, d)),
     "q36_sketches" -> ((s, d) => PipelineQueries.sketches(s, d)),
+    "q37_rollup" -> ((s, d) => RelQueries.rollupCounts(s, d)),
+    "q38_event_pivot" -> ((s, d) => RelQueries.eventPivot(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +89,7 @@ object SparkEntry {
     "q33_embedding_neardup" -> PipelineQueries.EmbeddingNearDupSql,
     "q35_tfidf" -> PipelineQueries.TfIdfSql,
     // q36_sketches: approximate estimators are engine-specific (tolerance spec)
+    "q37_rollup" -> RelQueries.RollupCountsSql,
+    "q38_event_pivot" -> RelQueries.EventPivotSql,
   )
 }

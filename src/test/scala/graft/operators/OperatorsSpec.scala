@@ -48,22 +48,28 @@ class OperatorsSpec extends AnyFunSuite {
   test("bucketed tables co-locate: join and agg plan without Exchange") {
     import spark.implicits._
     val df = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "v")
-    spark.sql("DROP TABLE IF EXISTS graft_b1")
-    spark.sql("DROP TABLE IF EXISTS graft_b2")
-    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b1")
-    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b2")
+    // unique external locations: the suite may share a session whose
+    // warehouse dir (and leftovers in it) we don't control
+    val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val (t1, t2) = (s"graft_b1_${System.nanoTime()}", s"graft_b2_${System.nanoTime()}")
+    df.write.bucketBy(4, "k").sortBy("k").option("path", s"$base/b1").saveAsTable(t1)
+    df.write.bucketBy(4, "k").sortBy("k").option("path", s"$base/b2").saveAsTable(t2)
     // disable auto-broadcast so the planner must pick the co-located
     // bucketed join (at real scale neither side would broadcast anyway)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+      val joined = spark.table(t1).join(spark.table(t2), "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
       assert(joined.count() == 1000)
       // bucketed grouping also avoids the shuffle
-      val agg = spark.table("graft_b1").groupBy($"k").agg(sum($"v"))
+      val agg = spark.table(t1).groupBy($"k").agg(sum($"v"))
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
   }
 
   test("CSV and JSON transaction sources feed the miner like text does") {
