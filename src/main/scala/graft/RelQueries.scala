@@ -151,21 +151,24 @@ object RelQueries {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
-  /** Hierarchical rollup totals with grouping indicators. */
+  /** Hierarchical rollup totals. `gid` (grouping id) distinguishes subtotal
+    * rows from genuine NULL/'ALL' data values — the sentinel alone cannot. */
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        dec("l_quantity").cast("double").as("sum_qty"))
+        dec("l_quantity").cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-        col("n"), col("sum_qty"))
+        col("gid"), col("n"), col("sum_qty"))
 
   val RollupCountsSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
       |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
       |       count(*) AS n,
       |       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem
@@ -177,7 +180,8 @@ object RelQueries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
-      .na.fill(0.0)
+      // scoped fill: an unscoped na.fill would also rewrite a NULL group key
+      .na.fill(0.0, Seq("click", "error", "purchase", "signup", "view"))
 
   val EventPivotSql: String =
     """SELECT user_id,

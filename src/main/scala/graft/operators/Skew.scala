@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -11,25 +11,32 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  private val SaltCol = "__graft_salt"
+
+  /** Per-row salt in [0, salts): row-position based, NOT content based — a
+    * content hash would assign identical duplicate rows (the classic hot
+    * key shape) one salt and spread nothing. */
+  private def withSalt(df: DataFrame, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!df.columns.contains(SaltCol), s"input already has a $SaltCol column")
+    df.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salts.toLong)))
+  }
+
   /**
    * Salted equi-join of a skewed large side against a small side: the large
-   * side gets a per-row salt in [0, salts), the small side is replicated
-   * once per salt value, and the join key becomes (key, salt) — a hot key's
-   * rows spread over `salts` shuffle partitions instead of one.
-   *
-   * The salt is derived from a deterministic per-row hash of all large-side
-   * columns, which distributes rows regardless of key skew. Results equal
-   * the unsalted join exactly (spec-enforced).
+   * side gets a per-row salt, the small side is replicated once per salt
+   * value, and the join key becomes (key, salt) — a hot key's rows spread
+   * over `salts` shuffle partitions instead of one. Results equal the
+   * unsalted join exactly (spec-enforced).
    */
   def saltedJoin(
       large: DataFrame, small: DataFrame,
       key: String, salts: Int): DataFrame = {
-    require(salts > 0)
-    val saltCol = pmod(hash(large.columns.map(col).toSeq: _*), lit(salts))
-    val l = large.withColumn("_salt", saltCol)
+    require(!small.columns.contains(SaltCol), s"input already has a $SaltCol column")
+    val l = withSalt(large, salts)
     val s = small
-      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.join(s, Seq(key, "_salt")).drop("_salt")
+      .withColumn(SaltCol, explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(s, Seq(key, SaltCol)).drop(SaltCol)
   }
 
   /**
@@ -40,13 +47,10 @@ object Skew {
    * is the skew problem.
    */
   def saltedCollectList(
-      df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
-    salted
-      .groupBy(col(key), col("_salt"))
+      df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
+    withSalt(df, salts)
+      .groupBy(col(key), col(SaltCol))
       .agg(collect_list(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(array_sort(flatten(collect_list(col("_partial")))).as(s"${valueCol}_list"))
-  }
 }

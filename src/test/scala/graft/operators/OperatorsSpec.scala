@@ -56,6 +56,7 @@ class OperatorsSpec extends AnyFunSuite {
     df.write.bucketBy(4, "k").sortBy("k").option("path", s"$base/b2").saveAsTable(t2)
     // disable auto-broadcast so the planner must pick the co-located
     // bucketed join (at real scale neither side would broadcast anyway)
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table(t1).join(spark.table(t2), "k")
@@ -66,7 +67,7 @@ class OperatorsSpec extends AnyFunSuite {
       val agg = spark.table(t1).groupBy($"k").agg(sum($"v"))
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
       spark.sql(s"DROP TABLE IF EXISTS $t1")
       spark.sql(s"DROP TABLE IF EXISTS $t2")
     }
