@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL registration + semantics of the native expressions. */
@@ -31,6 +32,32 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(d == 11.0)
     assert(math.abs(c - 1.0) < 1e-15)
+  }
+
+  test("heavy-hitters sketch: guaranteed recall and bounded undercount") {
+    import spark.implicits._
+    // Zipf-ish stream: item i appears ~N/(i+1) times, shuffled, multi-partition
+    val rng = new scala.util.Random(5)
+    val stream = rng.shuffle(
+      (0 until 50).flatMap(i => Seq.fill(2000 / (i + 1))(s"item$i")))
+    val n = stream.size
+    val k = 10
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketch = stream.toDF("item").repartition(7)
+      .agg(HeavyHitters.heavy_hitters(col("item"), k).as("hh"))
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.min_count")
+      .as[(String, Long)].collect().toMap
+    assert(sketch.size <= k)
+    val bound = n.toDouble / (k + 1)
+    // every item with true frequency > n/(k+1) must survive
+    exact.collect { case (i, c) if c > bound => i }.foreach { i =>
+      assert(sketch.contains(i), s"guaranteed item $i missing")
+    }
+    // surviving counts undercount by at most n/(k+1), never overcount
+    sketch.foreach { case (i, c) =>
+      assert(c <= exact(i), s"$i overcounted: $c > ${exact(i)}")
+      assert(exact(i) - c <= bound, s"$i undercounted beyond bound")
+    }
   }
 
   test("extensions class registers the same functions") {
