@@ -73,6 +73,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned writes prune partitions at scan time") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .write.partitionBy("o_orderstatus").parquet(s"$tmp/orders")
+    val scan = spark.read.parquet(s"$tmp/orders")
+      .where($"o_orderstatus" === "F")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // only the F directory is read
+    val f = scan.count()
+    val all = spark.read.parquet(s"$tmp/orders").count()
+    assert(f > 0 && f < all)
+  }
+
   test("CSV and JSON transaction sources feed the miner like text does") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
