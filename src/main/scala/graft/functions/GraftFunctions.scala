@@ -45,7 +45,14 @@ object GraftFunctions {
       }),
     ("array_contains_all",
       new ExpressionInfo(classOf[ArrayContainsAll].getName, "array_contains_all"),
-      (exprs: Seq[Expression]) => ArrayContainsAll(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ArrayContainsAll(exprs(0), exprs(1))),
+    ("heavy_hitters",
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "usage: heavy_hitters(col, k) with literal k")
+        HeavyHittersAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

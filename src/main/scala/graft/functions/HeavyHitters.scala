@@ -42,20 +42,26 @@ case class HeavyHittersAgg(
     StructField("item", StringType, nullable = false),
     StructField("min_count", LongType, nullable = false))))
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters requires a string argument, got ${child.dataType}")
+    }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
   /** Decrement all counters by the amount that empties the smallest ones
-    * beyond capacity k (batch form of the classic decrement step). */
-  private def shrink(buf: mutable.HashMap[String, Long]): Unit = {
+    * beyond capacity k (batch form of the decrement, for merges). */
+  private def shrinkBatch(buf: mutable.HashMap[String, Long]): Unit = {
     if (buf.size > k) {
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val dec = counts(counts.length - k - 1) // (k+1)-th largest
-      val dead = buf.iterator.collect {
-        case (i, c) if c <= dec => i
-      }.toList
-      dead.foreach(buf.remove)
+      buf.filterInPlace((_, c) => c > dec)
       buf.mapValuesInPlace((_, c) => c - dec)
     }
   }
@@ -66,7 +72,13 @@ case class HeavyHittersAgg(
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
       buf.update(item, buf.getOrElse(item, 0L) + 1L)
-      shrink(buf)
+      if (buf.size > k) {
+        // classic per-row step: the just-inserted counter is 1, so the
+        // (k+1)-th-largest is 1 — decrement all by 1, drop the zeros.
+        // O(k), no sort/allocations on the scan hot path.
+        buf.filterInPlace((_, c) => c > 1L)
+        buf.mapValuesInPlace((_, c) => c - 1L)
+      }
     }
     buf
   }
@@ -75,7 +87,7 @@ case class HeavyHittersAgg(
       buf: mutable.HashMap[String, Long],
       other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     other.foreach { case (i, c) => buf.update(i, buf.getOrElse(i, 0L) + c) }
-    shrink(buf)
+    shrinkBatch(buf)
     buf
   }
 

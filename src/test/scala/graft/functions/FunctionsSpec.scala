@@ -60,6 +60,15 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters callable from SQL with literal k") {
+    import spark.implicits._
+    val out = Seq("a", "a", "a", "b", "a").toDF("s").createOrReplaceTempView("hh_in")
+    val rows = spark.sql(
+      "SELECT explode(heavy_hitters(s, 2)) AS e FROM hh_in")
+      .selectExpr("e.item", "e.min_count").as[(String, Long)].collect().toMap
+    assert(rows.contains("a") && rows("a") >= 2) // freq 4 > n/(k+1)=5/3
+  }
+
   test("extensions class registers the same functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")
