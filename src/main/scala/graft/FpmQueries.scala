@@ -22,6 +22,14 @@ object FpmQueries {
   // model-reuse shape; also what Verify/Bench want).
   private val models = new ConcurrentHashMap[String, FPGrowthModel]()
 
+  /** Unpersist and drop every memoized model (mirrors Tables/Dedup). */
+  def clearCaches(): Unit = {
+    models.values.forEach { m =>
+      try m.freqItemsets.unpersist() catch { case _: Throwable => }
+    }
+    models.clear()
+  }
+
   def model(spark: SparkSession, dir: String): FPGrowthModel =
     models.computeIfAbsent(Tables.cacheKey(spark, dir), _ =>
       new FPGrowth()

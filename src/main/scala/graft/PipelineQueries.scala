@@ -56,6 +56,40 @@ object PipelineQueries {
 
   val NgramJaccardSql: String = jaccardSql(0.5)
 
+  /** Stop-gram-pruned variant: shingles present in more than `maxShingleDF`
+    * docs are dropped BEFORE the self-join — the mechanism that bounds the
+    * inverted-index fan-out when a ubiquitous shingle would otherwise
+    * degenerate the join to n^2 (spec-proven on an adversarial corpus in
+    * DedupSpec). Jaccard is then over the surviving shingle sets, and the
+    * oracle applies the identical pruning. */
+  def ngramJaccardPruned(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      n = 5, threshold = 0.5, maxShingleDF = 2L)
+
+  /** [[GramCtes]] + df-based stop-gram pruning (df > 2 dropped), mirroring
+    * `Dedup.shingleIndex`'s pruning on the raw (unhashed) grams — exact
+    * because xxhash64 collisions across ~24k distinct shingles are ~0. */
+  private val PrunedGramCtes: String =
+    """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |      FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+4], ' ')
+      |                       for i in range(1, greatest(len(words) - 3, 1))]) AS grams
+      |      FROM w),
+      |ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |stop AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 2),
+      |ex AS (SELECT doc_id, gram FROM ex0 ANTI JOIN stop USING (gram)),
+      |sz AS (SELECT doc_id, count(*) AS s FROM ex GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  val NgramJaccardPrunedSql: String =
+    s"""WITH $PrunedGramCtes
+       |SELECT d1, d2, i::DOUBLE / (sa.s + sb.s - i) AS jaccard
+       |FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       |WHERE i::DOUBLE / (sa.s + sb.s - i) >= 0.5::DOUBLE""".stripMargin
+
   /** MinHash+LSH with exact verification: equals the exact pair set at the
     * declared threshold (recall for the planted j~0.99 dup pairs is
     * 1 - 1e-22 with b=8, r=4; precision exact by construction). */
@@ -134,10 +168,30 @@ object PipelineQueries {
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint_md5
       |FROM documents""".stripMargin
 
-  /** Codegen'd Karp-Rabin rolling hash — no SQL oracle; spec-covered. */
+  /** Codegen'd Karp-Rabin rolling hash (`h = h * B + byte mod 2^64`). */
   def fingerprintRolling(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprints(docs(s, d), "doc_id", "text")
       .select(col("doc_id"), col("fingerprint_rk"))
+
+  /** The same byte fold in DuckDB: HUGEINT accumulator reduced mod 2^64
+    * each step, reinterpreted as two's-complement BIGINT at the end.
+    * `ord(substr)` yields code points, == bytes because the fixture corpus
+    * is ASCII (spec-asserted in PipelineSpec). */
+  val FingerprintRollingSql: String =
+    """WITH n AS (SELECT doc_id,
+      |             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |        list_reduce(
+      |          list_prepend(0::HUGEINT,
+      |            list_transform(range(1, length(t) + 1),
+      |                           i -> ord(substr(t, i, 1))::HUGEINT)),
+      |          (h, c) -> (h * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |      FROM n)
+      |SELECT doc_id,
+      |  (CASE WHEN r >= 9223372036854775808::HUGEINT
+      |        THEN r - 18446744073709551616::HUGEINT ELSE r END)::BIGINT AS fingerprint_rk
+      |FROM h""".stripMargin
 
   // ------------------------------------------------------------- similarity
 
@@ -190,6 +244,14 @@ object PipelineQueries {
       |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
       |         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
       |      >= 0.42""".stripMargin
+
+  /** Same pair set as q33 from a grid-partitioned exact block join — no
+    * BroadcastNestedLoopJoin in the plan, quadratic work spread over
+    * blocks*(blocks+1)/2 bounded shuffle-join cells (see
+    * [[graft.pipeline.Similarity.gridNearDupPairs]] for why exact-grid, not
+    * LSH, is the scale path at this threshold). Same oracle as q33. */
+  def embeddingNearDupGrid(s: SparkSession, d: String): DataFrame =
+    Similarity.gridNearDupPairs(embs(s, d), "vec_id", "embedding", 0.42)
 
   /** Approximate ANN via random-hyperplane LSH — rows-only + recall spec. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
@@ -245,8 +307,11 @@ object PipelineQueries {
 
   // -------------------------------------------------------------- multimodal
 
-  /** Binary frame sampling; frames decoded back to UTF-8 for the oracle
-    * (payloads are manufactured from text — byte == char offsets). */
+  /** Binary frame sampling; frames decoded back to UTF-8 for the oracle.
+    * Spark slices the blob by BYTES while DuckDB `substr` counts CHARS —
+    * equivalent only because the fixture corpus is pure ASCII, which
+    * PipelineSpec asserts against the testdata (a non-ASCII fixture would
+    * need `substr(text::BLOB, ...)` on the oracle side). */
   def frameSamples(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.documentBlobs(s, d), width = 64, stride = 128)
       .select(col("media_id"), col("frame_no"),
@@ -258,7 +323,72 @@ object PipelineQueries {
       |FROM m, unnest(range(0, ((nbytes - 64) // 128) + 1)) AS t(frame_no)
       |WHERE nbytes >= 64""".stripMargin
 
-  /** Stub decode features — rows-only + spec. */
-  def mediaFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF()
+  /**
+   * Stub decode features, declared in a driver-comparable shape: the
+   * `array<float>` feature exploded to one `(media_id, dim_idx, cnt)` row
+   * per dimension, with the normalized float bucket recovered to its exact
+   * integer byte count (`round(value * nbytes)` is exact for any blob under
+   * 8 MiB: float32 relative error 2^-24 keeps the product within 0.5 of the
+   * true count). Round-tripping through the float feature keeps the
+   * mapPartitions decode path — the thing under test — in the plan.
+   */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.documentBlobs(s, d)
+    Multimodal.extractFeatures(media).toDF()
+      .join(media.select(col("media_id"), col("nbytes")), "media_id")
+      .select(col("media_id"),
+        posexplode(col("feature")).as(Seq("dim_idx", "value")),
+        col("nbytes"))
+      .select(col("media_id"), col("dim_idx").cast("long").as("dim_idx"),
+        round(col("value") * col("nbytes")).cast("long").as("cnt"))
+  }
+
+  /** The stub's 16-bucket byte histogram in DuckDB: bucket = byte % 16 =
+    * the byte's LOW HEX NIBBLE, read straight out of hex(blob); zero
+    * buckets restored by the dims cross join. */
+  val MediaFeaturesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, encode(text) AS blob FROM documents),
+      |b AS (SELECT media_id,
+      |        (strpos('0123456789ABCDEF', substr(hex(blob), i * 2, 1)) - 1)::BIGINT AS dim_idx
+      |      FROM m, unnest(range(1, octet_length(blob) + 1)) AS t(i)),
+      |c AS (SELECT media_id, dim_idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |dims AS (SELECT unnest(range(0, 16)) AS dim_idx)
+      |SELECT m.media_id, dims.dim_idx, coalesce(c.cnt, 0)::BIGINT AS cnt
+      |FROM m CROSS JOIN dims
+      |LEFT JOIN c ON c.media_id = m.media_id AND c.dim_idx = dims.dim_idx""".stripMargin
+
+  // ------------------------------------------------------------ heavy hitters
+
+  /**
+   * Exact heavy hitters in two passes, the Misra-Gries contract made
+   * oracle-checkable: pass 1 sketches candidates with `heavy_hitters(k)`
+   * (mergeable, <= k counters per partial — never an exact groupBy over the
+   * full item domain); pass 2 exact-counts ONLY the <= k candidates via a
+   * broadcast semi-join and keeps items with true freq > n/(k+1). MG
+   * guarantees every such item is in the candidate set, so the output
+   * equals the plain groupBy-HAVING oracle — while the wide scan stays one
+   * sketch pass + one filtered count at any scale. `cnt * (k+1) > n` is
+   * exact integer arithmetic (no float threshold).
+   */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 30): DataFrame = {
+    import graft.functions.HeavyHitters.heavy_hitters
+    val toks = docs(s, d).select(explode(Dedup.tokens(col("text"))).as("term"))
+    val sketch = toks.agg(
+      heavy_hitters(col("term"), k).as("hh"), count(lit(1)).as("n"))
+    val cand = sketch.select(explode(col("hh.item")).as("term"), col("n"))
+    toks.join(broadcast(cand), "term")
+      .groupBy(col("term"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1) > col("n"))
+      .select(col("term"), col("cnt"))
+  }
+
+  val HeavyHittersSql: String =
+    """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                              x -> x <> '')) AS term
+      |           FROM documents),
+      |n AS (SELECT count(*) AS total FROM w)
+      |SELECT term, count(*) AS cnt FROM w
+      |GROUP BY term
+      |HAVING count(*) * 31 > (SELECT total FROM n)""".stripMargin
 }

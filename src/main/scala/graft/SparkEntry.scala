@@ -24,6 +24,7 @@ object SparkEntry {
     "q11_event_stats" -> ((s, d) => RelQueries.eventStats(s, d)),
     "q12_dedup_exact" -> ((s, d) => PipelineQueries.dedupExact(s, d)),
     "q13_ngram_jaccard" -> ((s, d) => PipelineQueries.ngramJaccard(s, d)),
+    "q13b_jaccard_pruned" -> ((s, d) => PipelineQueries.ngramJaccardPruned(s, d)),
     "q14_minhash_lsh" -> ((s, d) => PipelineQueries.minHashLsh(s, d)),
     "q15_simhash_pairs" -> ((s, d) => PipelineQueries.simHashPairs(s, d)),
     "q16_text_quality" -> ((s, d) => PipelineQueries.quality(s, d)),
@@ -44,11 +45,13 @@ object SparkEntry {
     "q31_running_revenue" -> ((s, d) => RelQueries.runningRevenue(s, d)),
     "q32_order_presence" -> ((s, d) => RelQueries.customerOrderPresence(s, d)),
     "q33_embedding_neardup" -> ((s, d) => PipelineQueries.embeddingNearDup(s, d)),
+    "q33b_neardup_grid" -> ((s, d) => PipelineQueries.embeddingNearDupGrid(s, d)),
     "q34_ann_ivf" -> ((s, d) => PipelineQueries.annIvf(s, d)),
     "q35_tfidf" -> ((s, d) => PipelineQueries.tfIdf(s, d)),
     "q36_sketches" -> ((s, d) => PipelineQueries.sketches(s, d)),
     "q37_rollup" -> ((s, d) => RelQueries.rollupCounts(s, d)),
     "q38_event_pivot" -> ((s, d) => RelQueries.eventPivot(s, d)),
+    "q39_heavy_hitters" -> ((s, d) => PipelineQueries.heavyHitters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,18 +70,19 @@ object SparkEntry {
     "q11_event_stats" -> RelQueries.EventStatsSql,
     "q12_dedup_exact" -> PipelineQueries.DedupExactSql,
     "q13_ngram_jaccard" -> PipelineQueries.NgramJaccardSql,
+    "q13b_jaccard_pruned" -> PipelineQueries.NgramJaccardPrunedSql,
     "q14_minhash_lsh" -> PipelineQueries.MinHashLshSql,
     // q15_simhash_pairs: hash-function-defined, not SQL-expressible (spec-covered)
     "q16_text_quality" -> PipelineQueries.QualitySql,
     "q17_lang_id" -> PipelineQueries.LangIdSql,
     "q18_token_counts" -> PipelineQueries.TokenCountsSql,
     "q19_fingerprint_md5" -> PipelineQueries.FingerprintMd5Sql,
-    // q20_fingerprint_rolling: custom codegen expression (spec-covered)
+    "q20_fingerprint_rolling" -> PipelineQueries.FingerprintRollingSql,
     "q21_embedding_stats" -> PipelineQueries.EmbeddingStatsSql,
     "q22_cosine_topk" -> PipelineQueries.CosineTopKSql,
     // q23_ann_lsh: approximate by design (recall spec-covered)
     "q24_frame_samples" -> PipelineQueries.FrameSamplesSql,
-    // q25_media_features: stub decoder output (spec-covered)
+    "q25_media_features" -> PipelineQueries.MediaFeaturesSql,
     "q26_event_hourly" -> RelQueries.EventHourlySql,
     "q27_event_sessions" -> RelQueries.EventSessionsSql,
     "q28_json_props" -> RelQueries.JsonPropsSql,
@@ -87,9 +91,12 @@ object SparkEntry {
     "q31_running_revenue" -> RelQueries.RunningRevenueSql,
     "q32_order_presence" -> RelQueries.CustomerOrderPresenceSql,
     "q33_embedding_neardup" -> PipelineQueries.EmbeddingNearDupSql,
+    // q33b: exact grid-join path — identical pair set, identical oracle
+    "q33b_neardup_grid" -> PipelineQueries.EmbeddingNearDupSql,
     "q35_tfidf" -> PipelineQueries.TfIdfSql,
     // q36_sketches: approximate estimators are engine-specific (tolerance spec)
     "q37_rollup" -> RelQueries.RollupCountsSql,
     "q38_event_pivot" -> RelQueries.EventPivotSql,
+    "q39_heavy_hitters" -> PipelineQueries.HeavyHittersSql,
   )
 }

@@ -18,8 +18,21 @@ object Tables {
   // receiving a DataFrame bound to a stopped SparkContext.
   private val basketCache = new ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def cacheKey(spark: SparkSession, dir: String): String =
-    s"${System.identityHashCode(spark.sparkContext)}|$dir"
+  // applicationId + startTime, NOT identityHashCode: stable for the
+  // context's lifetime and never reused after GC (an identity hash can be
+  // recycled, handing a new session a DataFrame bound to a stopped context).
+  private[graft] def cacheKey(spark: SparkSession, dir: String): String = {
+    val sc = spark.sparkContext
+    s"${sc.applicationId}@${sc.startTime}|$dir"
+  }
+
+  /** Unpersist and drop every cached basket table (mirrors Dedup's). */
+  def clearCaches(): Unit = {
+    basketCache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    basketCache.clear()
+  }
 
   /**
    * order -> distinct part brands basket: `items: array<string>` sorted so

@@ -174,16 +174,19 @@ object FPGrowth {
       txn: Seq[String],
       rankOf: Map[String, Int],
       groupOf: Array[Int]): Iterator[(Int, Array[Int])] = {
-    val ranks = txn.iterator.flatMap(rankOf.get).toArray
-    java.util.Arrays.sort(ranks)
-    var i = 1
-    while (i < ranks.length) {
-      if (ranks(i) == ranks(i - 1)) {
+    // The uniqueness invariant holds on the RAW transaction — matching the
+    // reference, which validates before the frequency filter, so a
+    // duplicate of an INFREQUENT item (["a","a","z"] with "a" rare) is
+    // still an error rather than silently passing.
+    val seenItems = new java.util.HashSet[String](math.max(8, txn.size * 2))
+    txn.foreach { item =>
+      if (!seenItems.add(item)) {
         throw new IllegalArgumentException(
           s"Items in a transaction must be unique but got ${txn.mkString("[", ",", "]")}")
       }
-      i += 1
     }
+    val ranks = txn.iterator.flatMap(rankOf.get).toArray
+    java.util.Arrays.sort(ranks)
     if (ranks.isEmpty) Iterator.empty
     else {
       val out = mutable.ArrayBuffer.empty[(Int, Array[Int])]

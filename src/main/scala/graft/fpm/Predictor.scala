@@ -70,6 +70,9 @@ object Predictor {
           sort_array(collect_list(struct((-col("r_lift")).as("nl"), col("r_cons").as("c")))),
           s => s.getField("c"))), ", ").as(predictionCol))
     data.join(matches, keyCols, "left")
-      .withColumn(predictionCol, coalesce(col(predictionCol), lit("")))
+      // null baskets predict null (matching predict's UDF), not "": only
+      // non-null item arrays that matched no rule coalesce to empty.
+      .withColumn(predictionCol,
+        when(col(itemsCol).isNotNull, coalesce(col(predictionCol), lit(""))))
   }
 }

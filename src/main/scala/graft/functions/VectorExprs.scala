@@ -43,10 +43,14 @@ case class ArrayDot(left: Expression, right: Expression)
 
   // Null ELEMENTS propagate null (like Spark's arithmetic), checked inside
   // the loop — two well-predicted branches, still codegen'd and alloc-free.
+  // A LENGTH MISMATCH is also null, never a silently-truncated partial dot:
+  // ragged embeddings are corrupt input, and a plausible-looking partial
+  // product would poison every downstream similarity ranking.
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -63,13 +67,17 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
          |}
          |${ev.value} = $acc;

@@ -107,7 +107,9 @@ object Dedup {
   private def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDF: Long): DataFrame = {
-    val key = s"${System.identityHashCode(docs.sparkSession.sparkContext)}|" +
+    val sc = docs.sparkSession.sparkContext
+    // applicationId + startTime: stable, never GC-recycled (see Tables).
+    val key = s"${sc.applicationId}@${sc.startTime}|" +
       s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$n|$maxShingleDF"
     indexCache.computeIfAbsent(key, _ => {
       val idx = docs.select(col(idCol).as("doc"),

@@ -221,6 +221,100 @@ object Similarity {
       .select(col("v1"), col("v2"))
   }
 
+  /** Unit-normalize a vector column once per row (shared by the pair ops):
+    * id as `idAs`, normalized `array<double>` as `vecAs`. */
+  private def unitRows(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame = {
+    import graft.functions.VectorExprs.array_dot
+    df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("v"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("n"))
+      .select(col(idAs), transform(col("v"), x => x / col("n")).as(vecAs))
+  }
+
+  /**
+   * Exact embedding-cosine near-dup pairs via a GRID-PARTITIONED block
+   * join — the same pair set as [[cosineNearDupPairs]] but with a plan a
+   * 1000-executor cluster can run: no BroadcastNestedLoopJoin (no
+   * driver-side broadcast of the whole corpus), the inherent n^2 pair work
+   * spread over `blocks*(blocks+1)/2` independent tasks of bounded size
+   * `(n/blocks)^2`, each fed by a plain shuffle equi-join on block id.
+   *
+   * Why exact and not LSH here: with this corpus's threshold (0.42) the
+   * hyperplane collision probability of a qualifying pair
+   * (1 - acos(0.423)/pi = 0.639/plane) is statistically indistinguishable
+   * from the background just under the threshold (1 - acos(0.418)/pi =
+   * 0.638/plane), so banded candidates are either ~all pairs or miss true
+   * pairs — measured on this data, not assumed. LSH banding pays off only
+   * when the threshold leaves a real probability gap (cf. MinHash q14:
+   * jaccard 0.99 vs threshold 0.7); [[lshNearDupPairs]] covers that regime
+   * and its spec proves set-equality there. For loose cosine thresholds the
+   * honest scale path is distributing the exact quadratic work evenly —
+   * which this operator does.
+   *
+   * `blocks` sizes the grid: cells hold ~(n/blocks)^2 dot products; pick
+   * blocks ~ n/10k so a cell's probe side fits in an executor's memory.
+   */
+  def gridNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    import graft.functions.VectorExprs.array_dot
+    // Deterministic block id from a hash of the row id; grid cell (i, j)
+    // with i <= j owns the pairs between blocks i and j. Each a-row in
+    // block i replicates to cells (i, i..blocks-1); each b-row in block j
+    // to cells (0..j, j) — every unordered cross-block pair meets in
+    // exactly one cell and same-block pairs are ordered by id, so no
+    // dedup pass is needed. The equi-join key is the FULL cell (ci, cj):
+    // blocks*(blocks+1)/2 distinct keys spread the quadratic work evenly
+    // (a block-id-only key would collapse onto `blocks` reducers).
+    val a = unitRows(df, idCol, vecCol, "v1", "va")
+      .withColumn("ba", pmod(xxhash64(col("v1")), lit(blocks)).cast("int"))
+      .withColumn("cj", explode(sequence(col("ba"), lit(blocks - 1))))
+    val b = unitRows(df, idCol, vecCol, "v2", "vb")
+      .withColumn("bb", pmod(xxhash64(col("v2")), lit(blocks)).cast("int"))
+      .withColumn("ci", explode(sequence(lit(0), col("bb"))))
+    a.join(b,
+        col("ba") === col("ci") && col("cj") === col("bb") &&
+          (col("ba") =!= col("bb") || col("v1") < col("v2")))
+      .where(array_dot(col("va"), col("vb")) >= threshold)
+      .select(
+        least(col("v1"), col("v2")).as("v1"),
+        greatest(col("v1"), col("v2")).as("v2"))
+  }
+
+  /**
+   * Approximate near-dup pairs via random-hyperplane LSH banding + exact
+   * cosine verify. Candidates = pairs sharing any table's full sign
+   * pattern; per-pair recall for cosine c is
+   * `1 - (1 - (1 - acos(c)/pi)^numPlanes)^numTables` — near 1 only when c
+   * is well above the background (tight-dup regimes, c >= ~0.9). Precision
+   * is exact (every candidate is verified). For loose thresholds use
+   * [[gridNearDupPairs]] — see its scaladoc for the measured collision-gap
+   * argument.
+   */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int = 8, numTables: Int = 12, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorExprs.array_dot
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
+    val buckets = bucketsUdf(planes)
+    // ids-only candidate join (vectors re-attach after the distinct).
+    val banded = df
+      .select(col(idCol).as("id"), posexplode(buckets(col(vecCol))).as(Seq("table", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("v1"), col("b.id").as("v2"))
+      .distinct()
+    val ua = unitRows(df, idCol, vecCol, "v1", "va")
+    val ub = unitRows(df, idCol, vecCol, "v2", "vb")
+    cand.join(ua, "v1").join(ub, "v2")
+      .where(array_dot(col("va"), col("vb")) >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
   /** Embedding summary stats (norm etc.), all-double sequential math. */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)

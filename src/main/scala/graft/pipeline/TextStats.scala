@@ -86,13 +86,20 @@ object TextStats {
    */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // count() on a parquet source is metadata-only (row-group counts) — not
+    // a data scan; the single data pass below is the explode+groupBy.
     val n = docs.count()
     val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df via a window over term instead of a second aggregate + join: the
+    // explode+groupBy (the heavy pass over every token) runs ONCE, then one
+    // narrow exchange of the (doc, term, tf) rows by term. The old
+    // aggregate-then-join shape recomputed the full tf subtree on both join
+    // sides — 2x the heaviest scan at 100 TB.
+    val wTerm = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") * (lit((n + 1).toDouble) / (col("df") + 1)))
           .as("tfidf"))

@@ -128,4 +128,84 @@ object EventStreams {
         })
     sessions.toDF()
   }
+
+  /** Watermark-tracking state for [[sessionsClosedStream]]: only the OPEN
+    * session's events (bounded by the session itself, not the stream's
+    * lifetime) plus the count of sessions already closed for numbering. */
+  case class OpenSession(events: List[(Long, Long)], closedSoFar: Long)
+
+  /**
+   * Production sessionization: closed sessions emit on EVENT-TIME TIMEOUT
+   * and per-user state holds only the open session.
+   *
+   * Mechanics: events within `SessionGapUs` extend the open session; a
+   * batch's events that jump the gap close the prior session immediately
+   * (emitted that batch); otherwise the state times out once the watermark
+   * passes `last_event + gap` and the session closes then. State size is
+   * one open session per ACTIVE user — unlike [[sessionsStream]]'s
+   * keep-everything test mode, an idle user's state is freed at timeout,
+   * so a year-long stream holds state proportional to concurrent activity,
+   * not history. Late events beyond the watermark delay are dropped by the
+   * watermark (the standard streaming-correctness trade).
+   *
+   * Equality with [[sessionsBatch]] on a bounded replayed source is
+   * spec-enforced (StreamingSpec).
+   */
+  def sessionsClosedStream(
+      spark: SparkSession, dir: String, watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    import spark.implicits._
+    val schema = graft.Tables.load(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("ts"),
+        timestamp_micros(expr("ts div 1000L")).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts")).as[SessionEvent]
+
+    def close(userId: Long, no: Long, evs: List[(Long, Long)]): Session = {
+      val ts = evs.map(_._2)
+      Session(userId, no, evs.size.toLong, ts.min, ts.max)
+    }
+
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+          val prior = state.getOption.getOrElse(OpenSession(Nil, 0L))
+          if (!events.hasNext && state.hasTimedOut) {
+            // Watermark passed the open session's gap: close and free.
+            val out = close(userId, prior.closedSoFar + 1, prior.events)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            // Sort THIS BATCH's events (cross-batch order is guaranteed by
+            // the watermark: a batch only arrives after earlier sessions'
+            // horizon), then fold: gap jumps close sessions inline.
+            val batch = events.map(e => (e.event_id, e.ts)).toList
+              .sortBy { case (id, ts) => (ts, id) }
+            var open = prior.events
+            var closedSoFar = prior.closedSoFar
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            batch.foreach { case (id, ts) =>
+              if (open.nonEmpty && ts - open.head._2 > SessionGapUs) {
+                closedSoFar += 1
+                out += close(userId, closedSoFar, open.reverse)
+                open = Nil
+              }
+              open = (id, ts) :: open // head = latest event
+            }
+            if (open.nonEmpty) {
+              state.update(OpenSession(open, closedSoFar))
+              // Timeout once the watermark passes last-event + gap.
+              state.setTimeoutTimestamp(open.head._2 / 1000L + SessionGapUs / 1000L)
+            } else {
+              state.remove()
+            }
+            out.iterator
+          }
+        })
+    sessions.toDF()
+  }
 }
