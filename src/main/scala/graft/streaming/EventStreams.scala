@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -134,6 +134,12 @@ object EventStreams {
     * lifetime) plus the count of sessions already closed for numbering. */
   case class OpenSession(events: List[(Long, Long)], closedSoFar: Long)
 
+  /** [[SessionEvent]] plus the watermarked timestamp column — the
+    * event-time-timeout checker requires the watermark column to reach the
+    * stateful operator itself. */
+  case class WmEvent(
+      user_id: Long, event_id: Long, ts: Long, event_time: java.sql.Timestamp)
+
   /**
    * Production sessionization: closed sessions emit on EVENT-TIME TIMEOUT
    * and per-user state holds only the open session.
@@ -158,10 +164,23 @@ object EventStreams {
     val schema = graft.Tables.load(spark, dir, "events").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("ts"),
-        timestamp_micros(expr("ts div 1000L")).as("event_time"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("ts"))
+      .as[SessionEvent]
+    sessionsClosedFromEvents(stream, watermarkDelay)
+  }
+
+  /** [[sessionsClosedStream]]'s core over any streaming `ts`-in-micros
+    * event source (the spec drives it with a MemoryStream, batch by
+    * batch, to prove timeout emission against the batch twin). */
+  def sessionsClosedFromEvents(
+      events: Dataset[SessionEvent], watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stream = events
+      .withColumn("event_time", timestamp_micros(col("ts")))
       .withWatermark("event_time", watermarkDelay)
-      .select(col("user_id"), col("event_id"), col("ts")).as[SessionEvent]
+      .as[WmEvent]
 
     def close(userId: Long, no: Long, evs: List[(Long, Long)]): Session = {
       val ts = evs.map(_._2)
@@ -172,12 +191,18 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+        (userId: Long, events: Iterator[WmEvent], state: GroupState[OpenSession]) => {
           val prior = state.getOption.getOrElse(OpenSession(Nil, 0L))
           if (!events.hasNext && state.hasTimedOut) {
-            // Watermark passed the open session's gap: close and free.
+            // Watermark passed the open session's gap: close it and free
+            // the event list. The ordinal counter must survive (the output
+            // contract numbers a user's sessions across their lifetime), so
+            // state shrinks to a 8-byte counter rather than removing — a
+            // variant keyed by session start_us instead of ordinals could
+            // remove() outright. No new timeout: counter-only state is
+            // never woken again until the user's next event.
             val out = close(userId, prior.closedSoFar + 1, prior.events)
-            state.remove()
+            state.update(OpenSession(Nil, prior.closedSoFar + 1))
             Iterator.single(out)
           } else {
             // Sort THIS BATCH's events (cross-batch order is guaranteed by

@@ -58,6 +58,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(m.freqItemsets.count() == 7) // all non-empty subsets of {x,y,z}
   }
 
+  test("duplicate items are rejected even when the duplicate is infrequent") {
+    // The reference validates the RAW transaction, before the frequency
+    // filter: ["a","a","z"] must throw even though "a" (support 1/4) falls
+    // under minSupport and would be filtered out of the mining path.
+    val data = df(Seq(
+      Seq("z", "y"), Seq("z", "y"), Seq("z", "y"), Seq("a", "a", "z")))
+    // fit() materializes the mined itemsets, so the invariant fires there
+    val e = intercept[org.apache.spark.SparkException] {
+      new FPGrowth().setMinSupport(0.6).fit(data).freqItemsets.count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("unique")), s"unexpected failure: $e")
+  }
+
   test("Apriori on empty and degenerate inputs") {
     assert(new Apriori().setMinSupport(0.5).freqItemsets(df(Nil)).count() == 0)
     assert(new Apriori().setMinSupport(0.5).rules(df(Seq(Seq("a")))).count() == 0)

@@ -64,6 +64,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, "LSH+verify must equal the exact pair set here")
   }
 
+  test("stop-gram pruning bounds the inverted-index fan-out (adversarial corpus)") {
+    import spark.implicits._
+    // Every doc shares one ubiquitous 5-gram prefix; tails are unique.
+    // Unpruned, that single shingle fans the self-join out to all n(n-1)/2
+    // pairs; with maxShingleDF=10 the stop-gram is dropped and NO pair
+    // shares a surviving shingle.
+    val n = 100
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"common shared prefix gram words u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+    try {
+      // threshold ~0 => output pairs == candidate pairs (nothing filtered)
+      val unpruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.001, maxShingleDF = 0L).count()
+      val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.001, maxShingleDF = 10L).count()
+      assert(unpruned == n.toLong * (n - 1) / 2,
+        s"adversarial corpus must degenerate unpruned: $unpruned")
+      assert(pruned == 0L, s"pruning must drop the ubiquitous shingle: $pruned")
+    } finally Dedup.clearCaches() // don't leave adversarial indexes cached
+  }
+
   test("simhash: hamming small for near-identical, large for unrelated") {
     val a = "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq
     val b = a.updated(3, "foxx") // one token changed
@@ -121,6 +143,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("grid near-dup == brute-force near-dup, plan has no BNL join") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val bnl = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.42)
+      .as[(Long, Long)].collect().toSet
+    val grid = Similarity.gridNearDupPairs(e, "vec_id", "embedding", 0.42, blocks = 5)
+    val gridPairs = grid.as[(Long, Long)].collect().toSet
+    assert(gridPairs == bnl, "grid block join must be exact")
+    assert(gridPairs.forall { case (a, b) => a < b }, "pairs must be ordered")
+    val physical = grid.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "the grid path must be a shuffle equi-join, not a BNL")
+  }
+
+  test("LSH near-dup == exact pair set in the tight-dup regime it is built for") {
+    import spark.implicits._
+    // Planted high-cosine dups: base vectors plus copies with small noise.
+    // At cos >= ~0.99 vs threshold 0.95 the per-pair collision probability
+    // per table is (1 - acos(.99)/pi)^8 ~ 0.77, so 12 tables miss with
+    // prob ~2e-8 — THIS is the regime where banding beats brute force
+    // (contrast: gridNearDupPairs' scaladoc documents why the loose 0.42
+    // corpus threshold has no collision gap and needs the exact grid).
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val base = Array.fill(60)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val dups = (0 until 20).map { i =>
+      base(i).map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+    }
+    val rows = (base ++ dups).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.95,
+        numPlanes = 8, numTables = 12, seed = 42L)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size == 20, s"expected the 20 planted pairs, got ${exact.size}")
+    assert(lsh == exact)
+  }
+
   test("LSH ANN achieves >=50% recall@5 vs brute force on sf0.001") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sf, "embeddings")
@@ -151,6 +213,62 @@ class PipelineSpec extends AnyFunSuite {
     val exactPairs = exact.map { case (a, _, c) => (a, c) }
     val recall = (exactPairs intersect partial).size.toDouble / exactPairs.size
     assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("ArrayDot: ragged arrays yield null, never a truncated partial dot") {
+    import graft.functions.VectorExprs.array_dot
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),   // matched -> 11.0
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)) // ragged -> null
+    ).toDF("a", "b")
+    val got = df.select(array_dot($"a", $"b")).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0), "length mismatch must be null")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(array_dot($"a", $"b")).collect()
+      assert(interp(0).getDouble(0) == 11.0 && interp(1).isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("two-pass heavy hitters == exact groupBy-HAVING on skewed data") {
+    import graft.functions.HeavyHitters.heavy_hitters
+    import spark.implicits._
+    // Zipf-ish skew over 200 distinct items, k far below the domain size so
+    // the sketch genuinely evicts; MG guarantees the two-pass output still
+    // equals the exact filter.
+    val k = 8
+    val words = (0 until 20000).map { i =>
+      val r = ((i * 2654435761L) >>> 7) % 1000
+      if (r < 300) "alpha" else if (r < 520) "beta" else if (r < 680) "gamma"
+      else s"tail${r % 200}"
+    }
+    val toks = words.toDF("term")
+    val sketch = toks.agg(heavy_hitters(col("term"), k).as("hh"),
+      count(lit(1)).as("n"))
+    val cand = sketch.select(explode(col("hh.item")).as("term"), col("n"))
+    val got = toks.join(broadcast(cand), "term")
+      .groupBy(col("term"), col("n")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1) > col("n"))
+      .select($"term", $"cnt").as[(String, Long)].collect().toSet
+    val n = words.size.toLong
+    val expected = words.groupBy(identity).view
+      .mapValues(_.size.toLong).filter { case (_, c) => c * (k + 1) > n }
+      .toSet.map { (kv: (String, Long)) => kv }
+    assert(got == expected)
+    assert(got.nonEmpty, "skewed corpus must produce guaranteed survivors")
+  }
+
+  test("fixture corpus is pure ASCII (q24/q20 oracles count chars as bytes)") {
+    // The q24 frame oracle slices DuckDB CHARS against Spark BYTES, and the
+    // q20 oracle reads ord(code point) as a byte — both exact only while
+    // the fixture text is ASCII. Assert it so a fixture change fails loud.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = graft.Tables.load(spark, d, "documents")
+        .where(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0L, s"$d has $nonAscii non-ASCII documents")
+    }
   }
 
   test("sketch aggregates land within tolerance of exact values") {

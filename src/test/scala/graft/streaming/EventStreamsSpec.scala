@@ -48,4 +48,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("event-time-timeout sessionization == batch twin across multiple batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.SessionEvent
+
+    // Time-ordered thirds of the sf0.001 events (micros), split strictly
+    // between distinct timestamps so no batch carries events at or below
+    // the previous batch's watermark.
+    val evs = graft.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", org.apache.spark.sql.functions.expr("ts div 1000L").as("ts"))
+      .as[SessionEvent].collect().sortBy(e => (e.ts, e.event_id))
+    val cut1 = evs(evs.length / 3).ts
+    val cut2 = evs(2 * evs.length / 3).ts
+    val chunks = Seq(
+      evs.filter(_.ts <= cut1),
+      evs.filter(e => e.ts > cut1 && e.ts <= cut2),
+      evs.filter(_.ts > cut2))
+    assert(chunks.forall(_.nonEmpty))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionsClosedFromEvents(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("closed_sessions").start()
+    try {
+      chunks.foreach { c => source.addData(c.toSeq); q.processAllAvailable() }
+      // Two far-future probes: the first advances the watermark past every
+      // open session's gap; the second runs a batch in which those
+      // timeouts fire (watermark is computed from the PREVIOUS batch).
+      val far = evs.last.ts + EventStreams.SessionGapUs * 1000
+      source.addData(Seq(SessionEvent(-1L, -1L, far)))
+      q.processAllAvailable()
+      source.addData(Seq(SessionEvent(-1L, -2L, far + EventStreams.SessionGapUs * 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("closed_sessions")
+      .where($"user_id" >= 0) // drop the probe user's own sessions
+      .select("user_id", "session_no", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionsBatch(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"closed-session stream diverged: ${streamed.size} vs ${batch.size} sessions")
+    assert(batch.nonEmpty)
+  }
 }
