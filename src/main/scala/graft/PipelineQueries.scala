@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -391,4 +391,84 @@ object PipelineQueries {
       |SELECT term, count(*) AS cnt FROM w
       |GROUP BY term
       |HAVING count(*) * 31 > (SELECT total FROM n)""".stripMargin
+
+  // ---------------------------------------------------------------- curation
+
+  /** Transitive dup-cluster resolution over the exact jaccard-0.5 pair
+    * edges: every doc labeled with its component's min doc id (iterative
+    * min-label propagation; the oracle walks the same edges with a
+    * recursive CTE). */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Curation.dupClusters(docs(s, d), "doc_id",
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+        .select(col("d1"), col("d2")))
+
+  val DupClustersSql: String =
+    s"""WITH RECURSIVE $GramCtes,
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       |  WHERE i::DOUBLE / (sa.s + sb.s - i) >= 0.5::DOUBLE),
+       |e(a, b) AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node)
+       |SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""".stripMargin
+
+  /** Exact p05-p95 doc-length band (order-statistic thresholds from a
+    * value histogram — see [[Curation.quantileBand]]'s scale contract). */
+  def qualityBand(s: SparkSession, d: String): DataFrame =
+    Curation.quantileBand(docs(s, d), "doc_id", length(col("text")), 0.05, 0.95)
+      .select(col("doc_id"), col("m").as("n_chars"))
+
+  val QualityBandSql: String =
+    """WITH s AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents),
+      |n AS (SELECT count(*) AS c FROM s),
+      |h AS (SELECT n_chars AS v, count(*) AS cnt FROM s GROUP BY 1),
+      |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM h),
+      |lo AS (SELECT min(v) AS v FROM cum
+      |       WHERE cc >= (SELECT cast(ceil(0.05 * c) AS BIGINT) FROM n)),
+      |hi AS (SELECT min(v) AS v FROM cum
+      |       WHERE cc >= (SELECT cast(ceil(0.95 * c) AS BIGINT) FROM n))
+      |SELECT doc_id, n_chars FROM s
+      |WHERE n_chars BETWEEN (SELECT v FROM lo) AND (SELECT v FROM hi)""".stripMargin
+
+  /** Deterministic md5-gated stratified sampling: downsample English to
+    * 10%, keep 50% of everything else (corpus rebalancing). */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Curation.stratifiedSample(docs(s, d), "doc_id", "lang",
+      Map("en" -> 10), defaultPct = 50)
+
+  val StratifiedSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin
+
+  /** Offset-based sequence packing into 512-token chunks, sharded by
+    * language (each shard packs independently — the parallel unit). */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Curation.packSequences(docs(s, d), "doc_id", "text", "lang", budget = 512L)
+
+  val PackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT
+      |           AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    -- sum(BIGINT) is HUGEINT in DuckDB; pin the dtype for the compare
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, start_offset,
+      |       (start_offset // 512)::BIGINT AS chunk_id
+      |FROM o""".stripMargin
 }

@@ -52,6 +52,10 @@ object SparkEntry {
     "q37_rollup" -> ((s, d) => RelQueries.rollupCounts(s, d)),
     "q38_event_pivot" -> ((s, d) => RelQueries.eventPivot(s, d)),
     "q39_heavy_hitters" -> ((s, d) => PipelineQueries.heavyHitters(s, d)),
+    "q40_dup_clusters" -> ((s, d) => PipelineQueries.dupClusters(s, d)),
+    "q41_quality_band" -> ((s, d) => PipelineQueries.qualityBand(s, d)),
+    "q42_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
+    "q43_seq_packing" -> ((s, d) => PipelineQueries.packSequences(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,5 +102,9 @@ object SparkEntry {
     "q37_rollup" -> RelQueries.RollupCountsSql,
     "q38_event_pivot" -> RelQueries.EventPivotSql,
     "q39_heavy_hitters" -> PipelineQueries.HeavyHittersSql,
+    "q40_dup_clusters" -> PipelineQueries.DupClustersSql,
+    "q41_quality_band" -> PipelineQueries.QualityBandSql,
+    "q42_stratified_sample" -> PipelineQueries.StratifiedSampleSql,
+    "q43_seq_packing" -> PipelineQueries.PackSequencesSql,
   )
 }

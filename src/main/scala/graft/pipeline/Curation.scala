@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs after
+ * dedup/scoring: duplicate-cluster resolution, exact quantile-band
+ * filtering, deterministic stratified sampling, and sequence packing.
+ * Everything is DataFrame algebra with exact-integer semantics (each has a
+ * DuckDB oracle in [[graft.PipelineQueries]]).
+ */
+object Curation {
+
+  /**
+   * Connected components by iterative min-label propagation: every node
+   * starts labeled with its own id; each round takes the min of its own and
+   * its neighbors' labels; fixpoint = each node labeled with its
+   * component's minimum id.
+   *
+   * Scale shape: one shuffle join + partial-aggregated groupBy per round,
+   * and the number of rounds is the graph DIAMETER — for dedup graphs
+   * (near-clique clusters of copies) that is 2-3, so the 100 TB cost is a
+   * handful of joins over an edge list that is itself tiny relative to the
+   * corpus. For adversarially long path graphs the alternating
+   * large-star/small-star variant (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond") drops rounds to O(log n); the propagation loop
+   * below is the right trade for dup-resolution workloads. Convergence is
+   * detected (not assumed): the loop stops when a round changes no label,
+   * and `maxIter` bounds pathological inputs.
+   *
+   * Returns (node, cluster_id) for every node that appears in `edges`.
+   */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Duplicate-cluster resolution over near-dup pair edges: every doc mapped
+   * to its cluster's canonical (minimum) id; docs in no pair cluster to
+   * themselves. Downstream, `keep = (id == cluster_id)` dedupes
+   * transitively (a~b, b~c drops both b AND c even when a~c was never
+   * emitted as a pair — groupwise `keep` flags on raw pairs cannot do that).
+   */
+  def dupClusters(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      d1: String = "d1", d2: String = "d2"): DataFrame = {
+    val cc = connectedComponents(pairs, d1, d2)
+    docs.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /**
+   * Exact quantile-band filter: keep rows whose integer measure lies in
+   * [p_lo, p_hi], thresholds defined as the smallest value whose cumulative
+   * count reaches ceil(p * n) — exact order statistics, no approximate
+   * sketch in the cut.
+   *
+   * Scale shape: the full scan aggregates to a VALUE HISTOGRAM first; only
+   * that histogram (bounded by the measure's distinct-value count — for
+   * doc-length-like measures, thousands) is collected to compute the two
+   * thresholds, then the filter pushes back down as two literal
+   * comparisons. This is the same bounded-metadata-collect contract as the
+   * L1 frequent-items dictionary; no data-sized driver materialization.
+   */
+  def quantileBand(
+      df: DataFrame, idCol: String, measure: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val scored = df.select(col(idCol), measure.cast("long").as("m"))
+    val hist = scored.groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .orderBy(col("m")).collect()
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val loK = math.ceil(lo * n).toLong
+    val hiK = math.ceil(hi * n).toLong
+    var cum = 0L
+    var loV = Long.MaxValue
+    var hiV = Long.MaxValue
+    hist.foreach { r =>
+      cum += r.getLong(1)
+      if (cum >= loK && loV == Long.MaxValue) loV = r.getLong(0)
+      if (cum >= hiK && hiV == Long.MaxValue) hiV = r.getLong(0)
+    }
+    scored.where(col("m").between(loV, hiV))
+  }
+
+  /**
+   * Deterministic stratified sampling: a row is kept iff its md5-derived
+   * bucket (first 8 hex chars as an int, mod 100) falls under its stratum's
+   * per-cent rate. Hash-gated sampling is reproducible across runs/engines
+   * (no RNG state), stable under repartitioning, and exactly replayable —
+   * the properties corpus rebalancing needs (e.g. downsample the dominant
+   * language). Pure codegen'd scan, no shuffle.
+   */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.select(col(idCol), col(stratumCol), bucket.as("bucket"))
+      .where(col("bucket") < rate)
+  }
+
+  /**
+   * Sequence packing: concatenate documents into fixed-token-budget
+   * training chunks. Docs are ordered deterministically (by id) WITHIN a
+   * shard, each doc's start offset is the running token count before it,
+   * and its chunk is `start_offset div budget` — offset packing, where a
+   * doc belongs to the chunk its first token lands in.
+   *
+   * Scale shape: the window partitions by the shard column, so each shard
+   * packs independently in parallel — the standard way packing runs over a
+   * 100 TB corpus (shard = language, source, or a hash bucket sized to an
+   * executor). No global ordering is ever materialized.
+   */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String, shardCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(shardCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_offset div ${budget}L"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators: cluster resolution, band filter, sampling, packing. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("curation-spec")
+    .getOrCreate()
+
+  test("connected components: transitive closure over a chain + isolated pair") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 7-8,
+    // plus 5 as a doc with no edges at all.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (8L, 7L)).toDF("d1", "d2")
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Curation.dupClusters(docs, "doc_id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, // one transitive cluster
+      5L -> 5L, 6L -> 6L,                     // edge-free docs self-cluster
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: min label wins regardless of edge direction") {
+    import spark.implicits._
+    val edges = Seq((10L, 2L), (2L, 30L)).toDF("d1", "d2")
+    val got = Curation.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 2L -> 2L, 30L -> 2L))
+  }
+
+  test("quantile band: thresholds are exact order statistics") {
+    import spark.implicits._
+    // values 1..100, one row each: p05 cut at ceil(.05*100)=5th smallest=5,
+    // p95 at 95 -> band [5, 95], 91 rows.
+    val df = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val got = Curation.quantileBand(df, "doc_id", length(col("text")), 0.05, 0.95)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 91)
+    assert(got.head._2 == 5L && got.last._2 == 95L)
+  }
+
+  test("stratified sample: deterministic, respects per-stratum rates") {
+    import spark.implicits._
+    val df = (0 until 1000).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "lang")
+    val once = Curation.stratifiedSample(df, "doc_id", "lang", Map("en" -> 10), 50)
+      .as[(Long, String, Long)].collect().toSet
+    val twice = Curation.stratifiedSample(df, "doc_id", "lang", Map("en" -> 10), 50)
+      .as[(Long, String, Long)].collect().toSet
+    assert(once == twice, "hash-gated sampling must be replayable")
+    val byLang = once.groupBy(_._2).view.mapValues(_.size).toMap
+    // 500 docs per stratum; md5 buckets are near-uniform: en ~50, de ~250
+    assert(byLang("en") > 20 && byLang("en") < 90, s"en=${byLang("en")}")
+    assert(byLang("de") > 200 && byLang("de") < 300, s"de=${byLang("de")}")
+    assert(once.forall { case (_, l, b) => b < (if (l == "en") 10 else 50) })
+  }
+
+  test("sequence packing: offsets contiguous per shard, chunk = offset div budget") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "w " * 300), (2L, "a", "w " * 300), (3L, "a", "w " * 100),
+      (4L, "b", "w " * 600)).toDF("doc_id", "lang", "text")
+    val got = Curation.packSequences(df, "doc_id", "text", "lang", budget = 512L)
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 300L, 0L, 0L),    // starts chunk 0
+      (2L, 300L, 300L, 0L),  // first token at 300 < 512 -> chunk 0
+      (3L, 100L, 600L, 1L),  // starts at 600 -> chunk 1
+      (4L, 600L, 0L, 0L)))   // shard b packs independently from offset 0
+  }
+}
