@@ -51,6 +51,9 @@ object Curation {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize FULLY before dropping the previous labels:
+      // a partially-cached `next` would otherwise recompute missing
+      // partitions through an unpersisted (and ever-deepening) lineage.
       val changed = next.as("n")
         .join(labels.select(col("node"), col("label").as("old")), "node")
         .where(col("label") =!= col("old"))
@@ -61,6 +64,9 @@ object Curation {
       i += 1
     }
     sym.unpersist()
+    // The returned frame reads the final (small: one row per edge-connected
+    // node) persisted label table; a long-lived session sweeping many
+    // corpora can release it with .unpersist() once consumed.
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
