@@ -223,8 +223,12 @@ object EventStreams {
             }
             if (open.nonEmpty) {
               state.update(OpenSession(open, closedSoFar))
-              // Timeout once the watermark passes last-event + gap.
-              state.setTimeoutTimestamp(open.head._2 / 1000L + SessionGapUs / 1000L)
+              // Timeout once the watermark passes last-event + gap. Round
+              // the micros->millis conversion UP: truncating could fire the
+              // timeout ~1ms before last+gap, closing a session that a
+              // boundary event at exactly ts = last+gap (which the batch
+              // fold EXTENDS — its close test is strict >) should extend.
+              state.setTimeoutTimestamp((open.head._2 + SessionGapUs + 999L) / 1000L)
             } else {
               state.remove()
             }
