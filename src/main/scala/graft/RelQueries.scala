@@ -236,4 +236,36 @@ object RelQueries {
       |  count(*) FILTER (WHERE NOT EXISTS
       |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
       |FROM customer GROUP BY 1""".stripMargin
+
+  /** As-of attribution: every event joined to the user's most recent
+    * `purchase` event at-or-before its timestamp
+    * ([[graft.operators.AsOf.asOfJoin]] — one merge-window shuffle on
+    * user_id, never a per-key range cross product). A purchase attributes
+    * to itself (`<=`). Events before the user's first purchase coalesce to
+    * -1 (null-free output for the dtype-strict oracle compare). */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000L").as("tsu"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("ptsu"),
+        col("event_id").as("purchase_id"))
+    graft.operators.AsOf.asOfJoin(ev, purchases, Seq("user_id"),
+        col("tsu"), col("ptsu"), Seq("purchase_id", "ptsu"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("matched.purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("tsu") - col("matched.ptsu"), lit(-1L))
+          .as("us_since_purchase"))
+  }
+
+  val EventAttributionSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
+      |           FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ptsu, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |       coalesce(p.purchase_id, -1)::BIGINT AS purchase_id,
+      |       coalesce(e.tsu - p.ptsu, -1)::BIGINT AS us_since_purchase
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.tsu >= p.ptsu""".stripMargin
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "q41_quality_band" -> ((s, d) => PipelineQueries.qualityBand(s, d)),
     "q42_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
     "q43_seq_packing" -> ((s, d) => PipelineQueries.packSequences(s, d)),
+    "q44_asof_attribution" -> ((s, d) => RelQueries.eventAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +107,6 @@ object SparkEntry {
     "q41_quality_band" -> PipelineQueries.QualityBandSql,
     "q42_stratified_sample" -> PipelineQueries.StratifiedSampleSql,
     "q43_seq_packing" -> PipelineQueries.PackSequencesSql,
+    "q44_asof_attribution" -> RelQueries.EventAttributionSql,
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join: semantics, ties, outer rows, and a brute-force differential. */
+class AsOfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("asof-spec")
+    .getOrCreate()
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 100.0), (1L, 20L, 110.0), (1L, 30L, 120.0),
+      (2L, 15L, 200.0)).toDF("sym", "qt", "px")
+  }
+
+  test("asOfJoin picks the greatest right time <= left time, per key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 5L),  // before any quote -> null match
+      (1L, 10L), // exactly at a quote -> that quote (<= semantics)
+      (1L, 25L), // between quotes -> qt=20
+      (1L, 99L), // after all -> qt=30
+      (2L, 15L), // other key isolated
+      (2L, 16L)).toDF("sym", "tt")
+    val got = AsOf.asOfJoin(trades, quotes, Seq("sym"),
+        col("tt"), col("qt"), Seq("qt", "px"))
+      .select(col("sym"), col("tt"), col("matched.qt"), col("matched.px"))
+      .as[(Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 5L, None, None),
+      (1L, 10L, Some(10L), Some(100.0)),
+      (1L, 25L, Some(20L), Some(110.0)),
+      (1L, 99L, Some(30L), Some(120.0)),
+      (2L, 15L, Some(15L), Some(200.0)),
+      (2L, 16L, Some(15L), Some(200.0))))
+  }
+
+  test("tied right timestamps: the last tieBreak wins, deterministically") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("k", "rt", "rid")
+    val left = Seq((1L, 10L), (1L, 11L)).toDF("k", "lt")
+    val got = AsOf.asOfJoin(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rid"), tieBreak = Seq("rid"))
+      .select(col("k"), col("lt"), col("matched.rid"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 9L), (1L, 11L, 9L)))
+  }
+
+  test("differential vs brute-force argmax join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    // unique right times per key (matches the operator's tie contract)
+    val right = (for (k <- 0L to 4L; t <- 0 until 100 if rnd.nextBoolean())
+      yield (k, t.toLong, k * 1000 + t)).toDF("k", "rt", "rid")
+    val got = AsOf.asOfJoin(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rt", "rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    left.createOrReplaceTempView("l")
+    right.createOrReplaceTempView("r")
+    val want = spark.sql(
+      """SELECT lid, (SELECT max_by(rid, rt) FROM r
+        |             WHERE r.k = l.k AND r.rt <= l.lt) AS rid
+        |FROM l""".stripMargin)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+  }
+
+  test("plan has exactly one exchange (the window shuffle), no range join") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "lt")
+    val plan = AsOf.asOfJoin(left, quotes.withColumnRenamed("sym", "k"),
+      Seq("k"), col("lt"), col("qt"), Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range-join shape leaked:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
