@@ -258,6 +258,39 @@ object RelQueries {
           .as("us_since_purchase"))
   }
 
+  /** Interval join: for each `signup` event, how many events the same user
+    * produced in the following hour — window `(signup_ts, signup_ts + 1h]`
+    * expressed as the inclusive `[ts+1us, ts+1h]`
+    * ([[graft.operators.IntervalJoin.intervalJoin]], 1h buckets: every
+    * interval spans <= 2 cells, each qualifying pair meets exactly once,
+    * plain equi-join plan). Signups with a quiet hour keep n_follow = 0. */
+  def signupFollowups(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("tsu"))
+    val signups = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        expr("ts div 1000L + 1L").as("w_start"),
+        expr("ts div 1000L + 3600000000L").as("w_end"))
+    val matches = graft.operators.IntervalJoin.intervalJoin(
+        ev, signups, Seq("user_id"),
+        col("tsu"), col("w_start"), col("w_end"), bucketWidth = 3600000000L)
+      .groupBy(col("signup_id")).agg(count(lit(1)).as("n_follow"))
+    signups.join(matches, Seq("signup_id"), "left")
+      .select(col("signup_id"), col("user_id"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+  }
+
+  val SignupFollowupsSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      |s AS (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS st
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT s.signup_id, s.user_id, count(e.event_id)::BIGINT AS n_follow
+      |FROM s LEFT JOIN e
+      |  ON e.user_id = s.user_id
+      | AND e.tsu > s.st AND e.tsu <= s.st + 3600000000
+      |GROUP BY 1, 2""".stripMargin
+
   val EventAttributionSql: String =
     """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
       |           FROM events),

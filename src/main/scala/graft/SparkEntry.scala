@@ -57,6 +57,7 @@ object SparkEntry {
     "q42_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
     "q43_seq_packing" -> ((s, d) => PipelineQueries.packSequences(s, d)),
     "q44_asof_attribution" -> ((s, d) => RelQueries.eventAttribution(s, d)),
+    "q45_interval_join" -> ((s, d) => RelQueries.signupFollowups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +109,6 @@ object SparkEntry {
     "q42_stratified_sample" -> PipelineQueries.StratifiedSampleSql,
     "q43_seq_packing" -> PipelineQueries.PackSequencesSql,
     "q44_asof_attribution" -> RelQueries.EventAttributionSql,
+    "q45_interval_join" -> RelQueries.SignupFollowupsSql,
   )
 }

@@ -39,27 +39,28 @@ object Curation {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    var persisted = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("old"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted.select(col("node"), col("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      // Carry the previous label through the update join so convergence is
+      // a scan of the cached frame, not a second join per round.
       val next = labels.join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize FULLY before dropping the previous labels:
       // a partially-cached `next` would otherwise recompute missing
       // partitions through an unpersisted (and ever-deepening) lineage.
-      val changed = next.as("n")
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .where(col("label") =!= col("old"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.where(col("label") =!= col("old")).limit(1).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
     }
