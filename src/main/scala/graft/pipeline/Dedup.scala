@@ -111,19 +111,29 @@ object Dedup {
     // applicationId + startTime: stable, never GC-recycled (see Tables).
     val key = s"${sc.applicationId}@${sc.startTime}|" +
       s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$n|$maxShingleDF"
-    indexCache.computeIfAbsent(key, _ => {
-      val idx = docs.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), n)).as("g"))
-        .select(col("doc"), xxhash64(col("g")).as("gram"))
-      val pruned =
-        if (maxShingleDF <= 0) idx
-        else {
-          val common = idx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-            .where(col("df") > maxShingleDF).select(col("gram"))
-          idx.join(broadcast(common), Seq("gram"), "left_anti")
-        }
-      pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    // get + putIfAbsent, not computeIfAbsent: the pruned branch recurses
+    // into this method for the raw index, and a nested computeIfAbsent on
+    // the same map can deadlock on a shared bin.
+    val cached = indexCache.get(key)
+    if (cached != null) return cached
+    val built =
+      if (maxShingleDF <= 0) {
+        docs.select(col(idCol).as("doc"),
+            explode(shingles(col(textCol), n)).as("g"))
+          .select(col("doc"), xxhash64(col("g")).as("gram"))
+      } else {
+        // Derive pruning from the CACHED raw index: the shingle explode —
+        // the dominant full-corpus scan — runs once across the unpruned
+        // and every pruned variant, instead of once per threshold.
+        val raw = shingleIndex(docs, idCol, textCol, n, 0L)
+        val common = raw.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDF).select(col("gram"))
+        raw.join(broadcast(common), Seq("gram"), "left_anti")
+      }
+    val persisted =
+      built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = indexCache.putIfAbsent(key, persisted)
+    if (prev != null) { persisted.unpersist(); prev } else persisted
   }
 
   /** Attach sizes to intersection counts and threshold on exact Jaccard —
