@@ -56,7 +56,10 @@ object AsOf {
     val tie: Column =
       if (tieBreak.isEmpty) lit(0L) else struct(tieBreak.map(col): _*)
 
-    val rSide = right.select(
+    // A null right time never matches (`rt <= t` is null in SQL): drop the
+    // row, or NULLS FIRST ordering would make it an "earliest" fallback
+    // match for every left row.
+    val rSide = right.where(rightTime.isNotNull).select(
       keyCols.map(col) ++ Seq(
         rightTime.cast("long").as("__t"), lit(0).as("__side"),
         tie.as("__tie"), rp.as("__rp"),

@@ -44,6 +44,22 @@ class AsOfSpec extends AnyFunSuite {
       (2L, 16L, Some(15L), Some(200.0))))
   }
 
+  test("null timestamps never match (right rows dropped, left rows unmatched)") {
+    import spark.implicits._
+    val right = Seq((1L, Some(10L), 100L), (1L, None, 999L))
+      .toDF("k", "rt", "rid")
+    val left = Seq((1L, Some(5L)), (1L, Some(15L)), (1L, None))
+      .toDF("k", "lt")
+    val got = AsOf.asOfJoin(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rid"))
+      .select(col("lt"), col("matched.rid"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (Some(5L), None),         // before the only real right row
+      (Some(15L), Some(100L)),  // never rid=999 (null right time)
+      (None, None)))            // null left time matches nothing
+  }
+
   test("tied right timestamps: the last tieBreak wins, deterministically") {
     import spark.implicits._
     val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
