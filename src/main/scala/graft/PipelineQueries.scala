@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, Signals, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -455,6 +455,111 @@ object PipelineQueries {
     * language (each shard packs independently — the parallel unit). */
   def packSequences(s: SparkSession, d: String): DataFrame =
     Curation.packSequences(docs(s, d), "doc_id", "text", "lang", budget = 512L)
+
+  // ----------------------------------------------------------- signals (r3)
+
+  /** Gopher-style bigram repetition signals (top-/duplicate-n-gram
+    * fractions as exact count ratios). */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Signals.repetition(docs(s, d), "doc_id", "text", n = 2)
+
+  val RepetitionSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        [array_to_string(words[i:i+1], ' ')
+      |         for i in range(1, greatest(len(words), 1))] AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |c AS (SELECT doc_id, gram, count(*) AS cnt FROM ex GROUP BY 1, 2),
+      |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams, max(cnt)::BIGINT AS top_cnt,
+      |             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_cnt
+      |      FROM c GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+      |       coalesce(top_cnt, 0)::BIGINT AS top_cnt,
+      |       coalesce(dup_cnt, 0)::BIGINT AS dup_cnt,
+      |       top_cnt::DOUBLE / n_grams AS top_frac,
+      |       dup_cnt::DOUBLE / n_grams AS dup_frac
+      |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+
+  /** OOV rate vs the corpus top-20 vocabulary (freq desc, term asc). */
+  def oovRate(s: SparkSession, d: String): DataFrame =
+    Signals.oovRate(docs(s, d), "doc_id", "text", vocabSize = 20)
+
+  val OovRateSql: String =
+    """WITH t AS (SELECT doc_id,
+      |             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      |           FROM documents),
+      |v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      |      ORDER BY cnt DESC, term ASC LIMIT 20),
+      |a AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+      |             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |      FROM t LEFT JOIN v ON t.term = v.term GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_oov, n_oov::DOUBLE / n_tokens AS oov_frac FROM a""".stripMargin
+
+  /** Eval-split contamination: distinct 5-gram overlap of every training
+    * doc (doc_id % 10 <> 0) against the eval split (doc_id % 10 = 0). */
+  def contamination(s: SparkSession, d: String): DataFrame =
+    Signals.contamination(docs(s, d), "doc_id", "text", _ % 10 === 0, n = 5)
+
+  val ContaminationSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+4], ' ')
+      |                       for i in range(1, greatest(len(words) - 3, 1))]) AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, gram FROM ex WHERE doc_id % 10 <> 0),
+      |tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tr GROUP BY 1),
+      |hit AS (SELECT tr.doc_id, count(*)::BIGINT AS n_contam
+      |        FROM tr JOIN ev USING (gram) GROUP BY 1)
+      |SELECT tot.doc_id, n_grams, coalesce(n_contam, 0)::BIGINT AS n_contam,
+      |       coalesce(n_contam, 0)::DOUBLE / n_grams AS contam_frac
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
+
+  /** Incremental dedup: batch docs (doc_id % 5 = 4) flagged against the
+    * standing corpus (the rest) at 5-gram Jaccard >= 0.5. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame =
+    Signals.incrementalDedup(docs(s, d), "doc_id", "text", _ % 5 === 4,
+      n = 5, threshold = 0.5)
+
+  val IncrementalDedupSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+4], ' ')
+      |                       for i in range(1, greatest(len(words) - 3, 1))]) AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |sz AS (SELECT doc_id, count(*) AS s FROM ex GROUP BY 1),
+      |b AS (SELECT doc_id AS d1, gram FROM ex WHERE doc_id % 5 = 4),
+      |c AS (SELECT doc_id AS d2, gram FROM ex WHERE doc_id % 5 <> 4),
+      |inter AS (SELECT d1, d2, count(*) AS i FROM b JOIN c USING (gram) GROUP BY 1, 2),
+      |dup AS (SELECT d1, count(*)::BIGINT AS n_dups
+      |        FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+      |        WHERE i::DOUBLE / (sa.s + sb.s - i) >= 0.5::DOUBLE
+      |        GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_dups, 0)::BIGINT AS n_dups,
+      |       coalesce(n_dups, 0) = 0 AS keep
+      |FROM documents d LEFT JOIN dup ON d.doc_id = dup.d1
+      |WHERE d.doc_id % 5 = 4""".stripMargin
+
+  /** Square-root temperature resampling by language (c = 8 => rate_ppm =
+    * min(1e6, floor(8e6 / sqrt(|lang|)))). */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    Curation.temperatureSample(docs(s, d), "doc_id", "lang", c = 8.0)
+
+  val MixtureSampleSql: String =
+    """WITH s AS (SELECT lang, count(*) AS stratum_n FROM documents GROUP BY 1),
+      |b AS (SELECT doc_id, lang,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS ppm
+      |      FROM documents)
+      |SELECT b.doc_id, b.lang, s.stratum_n, b.ppm,
+      |       least(1000000, floor(8000000.0 / sqrt(stratum_n))::BIGINT) AS rate_ppm
+      |FROM b JOIN s USING (lang)
+      |WHERE ppm < least(1000000, floor(8000000.0 / sqrt(stratum_n))::BIGINT)""".stripMargin
 
   val PackSequencesSql: String =
     """WITH t AS (

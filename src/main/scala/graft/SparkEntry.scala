@@ -58,6 +58,11 @@ object SparkEntry {
     "q43_seq_packing" -> ((s, d) => PipelineQueries.packSequences(s, d)),
     "q44_asof_attribution" -> ((s, d) => RelQueries.eventAttribution(s, d)),
     "q45_interval_join" -> ((s, d) => RelQueries.signupFollowups(s, d)),
+    "q46_repetition" -> ((s, d) => PipelineQueries.repetition(s, d)),
+    "q47_oov_rate" -> ((s, d) => PipelineQueries.oovRate(s, d)),
+    "q48_contamination" -> ((s, d) => PipelineQueries.contamination(s, d)),
+    "q49_incremental_dedup" -> ((s, d) => PipelineQueries.incrementalDedup(s, d)),
+    "q50_mixture_sample" -> ((s, d) => PipelineQueries.mixtureSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +115,10 @@ object SparkEntry {
     "q43_seq_packing" -> PipelineQueries.PackSequencesSql,
     "q44_asof_attribution" -> RelQueries.EventAttributionSql,
     "q45_interval_join" -> RelQueries.SignupFollowupsSql,
+    "q46_repetition" -> PipelineQueries.RepetitionSql,
+    "q47_oov_rate" -> PipelineQueries.OovRateSql,
+    "q48_contamination" -> PipelineQueries.ContaminationSql,
+    "q49_incremental_dedup" -> PipelineQueries.IncrementalDedupSql,
+    "q50_mixture_sample" -> PipelineQueries.MixtureSampleSql,
   )
 }

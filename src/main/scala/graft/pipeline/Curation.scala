@@ -143,6 +143,36 @@ object Curation {
   }
 
   /**
+   * Square-root temperature resampling: keep each row with probability
+   * `min(1, c / sqrt(|stratum|))` — the standard language-rebalancing
+   * law (kept mass per stratum grows as sqrt of its size, so dominant
+   * strata are damped and small strata survive whole). Deterministic via
+   * the same md5 gate as [[stratifiedSample]], in parts-per-million.
+   *
+   * Cross-engine exactness: the rate is `floor(c*1e6 / sqrt(n))` — sqrt
+   * and double division are correctly-rounded IEEE ops on any engine, and
+   * no cross-stratum normalization (which would sum doubles in an
+   * engine-defined order) enters the cut.
+   *
+   * Scale shape: one tiny stratum-count aggregate broadcast back over the
+   * scan — no driver collect, no second pass.
+   */
+  def temperatureSample(
+      df: DataFrame, idCol: String, stratumCol: String, c: Double): DataFrame = {
+    val cnts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("stratum_n"))
+    val ppm =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    val rate = least(lit(1000000L),
+      floor(lit(c * 1e6) / sqrt(col("stratum_n"))).cast("long"))
+    df.select(col(idCol), col(stratumCol))
+      .join(broadcast(cnts), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol), col("stratum_n"),
+        ppm.as("ppm"), rate.as("rate_ppm"))
+      .where(col("ppm") < col("rate_ppm"))
+  }
+
+  /**
    * Sequence packing: concatenate documents into fixed-token-budget
    * training chunks. Docs are ordered deterministically (by id) WITHIN a
    * shard, each doc's start offset is the running token count before it,

@@ -104,7 +104,9 @@ object Dedup {
     indexCache.clear()
   }
 
-  private def shingleIndex(
+  // private[pipeline]: Signals (contamination / incremental dedup) reuses
+  // the one cached index instead of re-running the shingle explode.
+  private[pipeline] def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDF: Long): DataFrame = {
     val sc = docs.sparkSession.sparkContext
@@ -138,7 +140,7 @@ object Dedup {
 
   /** Attach sizes to intersection counts and threshold on exact Jaccard —
     * the single shared scoring step for the exact and LSH-verified paths. */
-  private def jaccardScored(
+  private[pipeline] def jaccardScored(
       inter: DataFrame, idx: DataFrame, threshold: Double): DataFrame = {
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     inter

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-quality signal operators a training-data pipeline runs between
+ * dedup and sampling: repetition scoring (the Gopher-style "fraction of
+ * n-gram occurrences in repeated n-grams" family), out-of-vocabulary rate
+ * against the corpus's own top-V vocabulary (the CCNet-style perplexity
+ * proxy without a model), and benchmark-contamination measurement
+ * (n-gram overlap between an eval split and every training document).
+ *
+ * All outputs are exact integer counts plus ratios of those counts, so
+ * every operator is DuckDB-oracle-checkable bit-for-bit. Scale shape per
+ * operator is documented inline; none is all-pairs, none collects data to
+ * the driver.
+ */
+object Signals {
+
+  /** Non-distinct word n-grams — unlike [[Dedup.shingleSet]] the multiset
+    * is kept: repetition metrics are ABOUT the repeats. */
+  private[pipeline] def ngramList(text: String, n: Int): Seq[String] = {
+    val words =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase.split(' ').filter(_.nonEmpty)
+    if (words.length < n) Seq.empty
+    else {
+      val out = new Array[String](words.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        out(i) = sb.toString; i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  /** One-pass UDF for the same reason as [[Dedup.shingles]]: the
+    * equivalent `transform(sequence)` HOF pipeline is interpreted and
+    * re-splits the text per gram. */
+  def ngrams(text: Column, n: Int): Column = {
+    val f = udf((t: String) => ngramList(t, n))
+    f(text)
+  }
+
+  /**
+   * Repetition signals over word n-grams (default bigrams), per document:
+   * total n-gram occurrences, the most frequent n-gram's count, the number
+   * of occurrences belonging to n-grams seen more than once, and the two
+   * ratios (Gopher's "top n-gram fraction" / "duplicate n-gram fraction"
+   * quality rules). Documents too short for an n-gram report zero counts
+   * and null fractions.
+   *
+   * Scale shape: explode -> two partial-aggregated groupBys keyed by
+   * (doc, gram) then doc — both map-side combinable, one shuffle each,
+   * no join wider than the (tiny) per-doc aggregate.
+   */
+  def repetition(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+    val cnts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val agg = cnts.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n_grams"),
+      max(col("cnt")).as("top_cnt"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        coalesce(col("dup_cnt"), lit(0L)).as("dup_cnt"),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_frac"),
+        (col("dup_cnt").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
+  /**
+   * Out-of-vocabulary rate: per document, the fraction of token
+   * occurrences not in the corpus's top-`vocabSize` vocabulary
+   * (frequency desc, term asc tie-break — a total order, so the cut is
+   * deterministic on any engine). A model-free fluency proxy: word-salad
+   * and boilerplate skew toward rare tails.
+   *
+   * Scale shape: one token explode feeding (a) a partial-aggregated term
+   * count whose top-V survives as a broadcast dictionary — the same
+   * bounded-metadata contract as the FP-Growth L1 dictionary — and (b) a
+   * broadcast-joined per-doc recount. Documents with zero tokens produce
+   * no row (they have no occurrences to rate).
+   */
+  def oovRate(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+  }
+
+  /**
+   * Benchmark contamination: for every training document (rows where
+   * `evalPred(id)` is false), the fraction of its distinct word n-grams
+   * that appear anywhere in the eval split (rows where it is true) — the
+   * standard n-gram-overlap decontamination check run before training.
+   *
+   * Scale shape: both sides come out of the ONE cached shingle index
+   * (shared with the Jaccard/MinHash dedup queries — the corpus-wide
+   * explode runs once per corpus, not once per consumer). The eval gram
+   * set is benchmark-sized, so it broadcasts; the training side never
+   * shuffles wider than its own per-doc counts. Training docs too short
+   * for an n-gram produce no row.
+   */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int = 5): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, n, maxShingleDF = 0L)
+    val ev = idx.where(evalPred(col("doc"))).select(col("gram")).distinct()
+    val tr = idx.where(!evalPred(col("doc")))
+    val tot = tr.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val hit = tr.join(broadcast(ev), Seq("gram"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_contam"))
+    tot.join(hit, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contam_frac"))
+  }
+
+  /**
+   * Incremental (batch-vs-corpus) near-dedup: for each document in the
+   * incoming batch (`batchPred(id)` true), count existing-corpus documents
+   * within `threshold` n-gram Jaccard and flag `keep` when there are none
+   * — the shape dedup takes in a continuously-ingesting pipeline, where
+   * re-deduping the full corpus per batch would be quadratic over time.
+   *
+   * Scale shape: the batch side of the inverted-index join is batch-sized;
+   * the corpus side is touched only where grams collide. Candidate
+   * generation and intersection counting are one join (as in
+   * [[Dedup.ngramJaccardPairs]]); `maxShingleDF` pruning composes if the
+   * corpus needs stop-gram bounding. Batch docs with no grams keep
+   * trivially (n_dups 0).
+   */
+  def incrementalDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      batchPred: Column => Column, n: Int = 5,
+      threshold: Double = 0.5, maxShingleDF: Long = 0L): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+    val b = idx.where(batchPred(col("doc"))).select(col("doc").as("d1"), col("gram"))
+    val c = idx.where(!batchPred(col("doc")))
+      .select(col("doc").as("d2"), col("gram").as("gram2"))
+    val inter = b.join(c, col("gram") === col("gram2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val dups = Dedup.jaccardScored(inter, idx, threshold)
+      .groupBy(col("d1")).agg(count(lit(1)).as("n_dups"))
+    docs.where(batchPred(col(idCol))).select(col(idCol))
+      .join(dups, col(idCol) === col("d1"), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Signal operators: repetition, OOV rate, contamination, incremental
+  * dedup, temperature sampling. */
+class SignalsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("signals-spec")
+    .getOrCreate()
+
+  test("repetition: hand-computed bigram counts, short docs zero out") {
+    import spark.implicits._
+    // "a a a b": bigrams (a a), (a a), (a b) -> n=3, top=2, dup=2
+    // "x y": one bigram -> n=1, top=1, dup=0
+    // "solo": too short -> 0s, null fractions
+    val df = Seq((1L, "a a a b"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Signals.repetition(df, "doc_id", "text", n = 2)
+      .select(col("doc_id"), col("n_grams"), col("top_cnt"), col("dup_cnt"),
+        col("top_frac"), col("dup_frac"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2L, Some(2.0 / 3), Some(2.0 / 3)),
+      (2L, 1L, 1L, 0L, Some(1.0), Some(0.0)),
+      (3L, 0L, 0L, 0L, None, None)))
+  }
+
+  test("oov rate: top-V cut by (freq desc, term asc), occurrences counted") {
+    import spark.implicits._
+    // freq: a=4, b=3, c=2, d=2, e=1. V=3 -> vocab {a, b, c}: the c/d tie
+    // at cnt=2 breaks toward 'c' (term asc).
+    val df = Seq(
+      (1L, "a a b c d"), (2L, "a a b b c d e")).toDF("doc_id", "text")
+    val got = Signals.oovRate(df, "doc_id", "text", vocabSize = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_frac"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, 0.2),          // d OOV
+      (2L, 7L, 2L, 2.0 / 7)))     // d, e OOV
+  }
+
+  test("contamination: planted eval overlap measured exactly") {
+    import spark.implicits._
+    // eval = ids % 10 == 0. Doc 11 shares its entire text with eval doc 10;
+    // doc 12 shares nothing. n=2 grams for a compact fixture.
+    val df = Seq(
+      (10L, "one two three four"),
+      (11L, "one two three five"),
+      (12L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Signals.contamination(df, "doc_id", "text", _ % 10 === 0, n = 2)
+      .select(col("doc_id"), col("n_grams"), col("n_contam"), col("contam_frac"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 11 grams: (one two)(two three)(three five): first two contaminated
+    assert(got.toSeq == Seq(
+      (11L, 3L, 2L, 2.0 / 3),
+      (12L, 3L, 0L, 0.0)))
+  }
+
+  test("incremental dedup: batch flagged against corpus only, not itself") {
+    import spark.implicits._
+    // batch = ids % 5 == 4. Doc 4 duplicates corpus doc 1; doc 9 duplicates
+    // batch doc 14 ONLY (batch-internal dup -> both keep; incremental dedup
+    // compares against the standing corpus, not within the batch).
+    val df = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "k l m n o p q r"),
+      (4L, "p q r s t u v w"),
+      (9L, "z y x w v u t s"),
+      (14L, "z y x w v u t s")).toDF("doc_id", "text")
+    val got = Signals.incrementalDedup(df, "doc_id", "text", _ % 5 === 4,
+        n = 5, threshold = 0.5)
+      .select(col("doc_id"), col("n_dups"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (4L, 1L, false), (9L, 0L, true), (14L, 0L, true)))
+  }
+
+  test("temperature sample: small strata survive whole, large are damped") {
+    import spark.implicits._
+    val df = ((0 until 1600).map(i => (i.toLong, "en")) ++
+      (1600 until 1610).map(i => (i.toLong, "rare"))).toDF("doc_id", "lang")
+    val got = Curation.temperatureSample(df, "doc_id", "lang", c = 8.0)
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+      .as[(Long, String, Long)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // rare: 8/sqrt(10) > 1 -> capped at 1e6 ppm, all 10 kept
+    assert(byLang("rare") == 10)
+    assert(got.filter(_._2 == "rare").forall(_._3 == 1000000L))
+    // en: 8/sqrt(1600) = 0.2 -> 200000 ppm, ~320 of 1600 expected
+    assert(got.filter(_._2 == "en").forall(_._3 == 200000L))
+    assert(byLang("en") > 230 && byLang("en") < 410, s"en=${byLang("en")}")
+    // deterministic replay
+    val again = Curation.temperatureSample(df, "doc_id", "lang", c = 8.0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+  }
+}
