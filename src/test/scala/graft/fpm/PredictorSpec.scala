@@ -40,4 +40,28 @@ class PredictorSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
     assert(viaUdf.values.exists(_.nonEmpty))
   }
+
+  test("generic fallback (>64-item rule vocab) == relational on synthetic rules") {
+    import spark.implicits._
+    // 80 distinct items forces the set-probe path (bitset handles <= 64);
+    // rules i => i+1 with lift descending by i, deterministic baskets.
+    val items = (0 until 80).map(i => f"it$i%02d")
+    val rules = items.init.zipWithIndex.map { case (it, i) =>
+      (Array(it), items(i + 1), (200 - i).toDouble)
+    }.toArray
+    val baskets = (0 until 200).map { b =>
+      (b.toLong, (0 until 80).filter(i => (b * 31 + i * 7) % 5 < 2).map(items))
+    }.toDF("l_orderkey", "items")
+    val viaUdf = Predictor.predict(
+        baskets, Predictor.sortRules(rules), "items", "prediction")
+      .select($"l_orderkey", $"prediction").as[(Long, String)].collect().toMap
+    val rulesDF = rules.toSeq
+      .map { case (a, c, l) => (a.toSeq, Seq(c), l) }
+      .toDF("antecedent", "consequent", "lift")
+    val viaRel = Predictor.predictRelational(
+        baskets, rulesDF, Seq("l_orderkey"), "items", "prediction")
+      .select($"l_orderkey", $"prediction").as[(Long, String)].collect().toMap
+    assert(viaUdf == viaRel)
+    assert(viaUdf.values.exists(_.nonEmpty))
+  }
 }
