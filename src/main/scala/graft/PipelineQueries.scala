@@ -419,6 +419,20 @@ object PipelineQueries {
        |SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""".stripMargin
 
+  /** q40's cluster resolution on the O(log n) alternating-star CC instead
+    * of min-label propagation — identical labels (same oracle), rounds
+    * independent of component diameter. */
+  def dupClustersLogN(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select(col("d1"), col("d2"))
+    val cc = Curation.connectedComponentsAlternating(pairs, "d1", "d2")
+    docs(s, d).select(col("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Exact p05-p95 doc-length band (order-statistic thresholds from a
     * value histogram — see [[Curation.quantileBand]]'s scale contract). */
   def qualityBand(s: SparkSession, d: String): DataFrame =

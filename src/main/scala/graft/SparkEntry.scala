@@ -53,6 +53,7 @@ object SparkEntry {
     "q38_event_pivot" -> ((s, d) => RelQueries.eventPivot(s, d)),
     "q39_heavy_hitters" -> ((s, d) => PipelineQueries.heavyHitters(s, d)),
     "q40_dup_clusters" -> ((s, d) => PipelineQueries.dupClusters(s, d)),
+    "q40b_dup_clusters_logn" -> ((s, d) => PipelineQueries.dupClustersLogN(s, d)),
     "q41_quality_band" -> ((s, d) => PipelineQueries.qualityBand(s, d)),
     "q42_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
     "q43_seq_packing" -> ((s, d) => PipelineQueries.packSequences(s, d)),
@@ -110,6 +111,8 @@ object SparkEntry {
     "q38_event_pivot" -> RelQueries.EventPivotSql,
     "q39_heavy_hitters" -> PipelineQueries.HeavyHittersSql,
     "q40_dup_clusters" -> PipelineQueries.DupClustersSql,
+    // q40b: alternating-star CC — identical labels, identical oracle
+    "q40b_dup_clusters_logn" -> PipelineQueries.DupClustersSql,
     "q41_quality_band" -> PipelineQueries.QualityBandSql,
     "q42_stratified_sample" -> PipelineQueries.StratifiedSampleSql,
     "q43_seq_packing" -> PipelineQueries.PackSequencesSql,

@@ -15,6 +15,28 @@ import org.apache.spark.storage.StorageLevel
 object Curation {
 
   /**
+   * Materialize one iteration round and CUT ITS LINEAGE — both the
+   * logical plan and the RDD dependency chain. The loop body references
+   * the previous round's frame more than once (update join +
+   * neighbor-min), so without truncation the logical plan DOUBLES per
+   * round (plan stringification OOMs long-chain graphs around round ~20),
+   * and even with a constant plan the RDD dependency graph deepens per
+   * round until task deserialization StackOverflows (~round 100). Eager
+   * `localCheckpoint` is the standard iterative-algorithm fix: it
+   * materializes the round and replaces the dependency chain with the
+   * stored blocks. [[release]] frees a finished round — checkpoint blocks
+   * are invisible to the cache manager, so `unpersist()` alone leaks one
+   * cached RDD per round.
+   */
+  private def materializeRound(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(df)
+  }
+
+  /**
    * Connected components by iterative min-label propagation: every node
    * starts labeled with its own id; each round takes the min of its own and
    * its neighbors' labels; fixpoint = each node labeled with its
@@ -50,15 +72,16 @@ object Curation {
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
       // Carry the previous label through the update join so convergence is
       // a scan of the cached frame, not a second join per round.
-      val next = labels.join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize FULLY before dropping the previous labels:
-      // a partially-cached `next` would otherwise recompute missing
-      // partitions through an unpersisted (and ever-deepening) lineage.
-      val changed = next.where(col("label") =!= col("old")).limit(1).count()
-      persisted.unpersist()
+      // Eager checkpoint = materialize FULLY before the previous labels
+      // are dropped (a partially-stored `next` would otherwise recompute
+      // missing partitions through released state) AND cut both lineages
+      // (see materializeRound).
+      val next = materializeRound(
+        labels.join(nbrMin, col("node") === col("a"), "left")
+          .select(col("node"), col("label").as("old"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+      val changed = next.where(col("label") =!= col("old")).count()
+      release(persisted)
       persisted = next
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
@@ -66,9 +89,84 @@ object Curation {
     }
     sym.unpersist()
     // The returned frame reads the final (small: one row per edge-connected
-    // node) persisted label table; a long-lived session sweeping many
-    // corpora can release it with .unpersist() once consumed.
+    // node) stored label table; a long-lived session sweeping many corpora
+    // can release it with GraftShims.unpersistCheckpoint once consumed.
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Connected components by alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+   * converges in O(log n) rounds with high probability on ANY graph —
+   * the scale path for adversarially long chains, where min-label
+   * propagation ([[connectedComponents]]) needs diameter rounds.
+   *
+   *  - large-star(u): link every strictly-larger neighbor of u to
+   *    m = min(N(u) ∪ u)
+   *  - small-star(u): over edges directed larger→smaller, link every
+   *    smaller neighbor of u (and u itself) to the minimum
+   *
+   * Both steps are one partial-aggregated groupBy (the per-node min) and
+   * one self-join per round — no neighborhood is ever collected into a
+   * single row, so hub nodes cost shuffle fan-out, not memory. Fixpoint
+   * is the star graph rooted at each component's minimum; detected by an
+   * anti-join emptiness + count-equality probe on the cached edge frame
+   * (subset + equal cardinality = set equality for distinct sets).
+   *
+   * Returns (node, cluster_id) for every node appearing in `edges` —
+   * output-identical to [[connectedComponents]] (spec-enforced).
+   */
+  def connectedComponentsAlternating(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("x").as("u"), col("y").as("v"))
+        .union(e.select(col("y").as("u"), col("x").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already flow larger -> smaller (x > y invariant below)
+      val mins = e.groupBy(col("x")).agg(min(col("y")).as("m"))
+      e.join(mins, "x").where(col("y") =!= col("m"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .union(mins.select(col("x"), col("m").as("y")))
+        .distinct()
+    }
+    val init = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("x"),
+        least(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x") =!= col("y"))
+      .distinct()
+    val nodes = init.select(col("x").as("node"))
+      .union(init.select(col("y").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+    var curCnt = cur.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // eager checkpoint: full materialization before cur is dropped +
+      // lineage truncation (plan and RDD — see materializeRound)
+      val next = materializeRound(smallStar(largeStar(cur)))
+      val nextCnt = next.count()
+      val fresh = next.join(cur, Seq("x", "y"), "left_anti").limit(1).count()
+      release(cur)
+      converged = fresh == 0 && nextCnt == curCnt
+      cur = next
+      curCnt = nextCnt
+      i += 1
+    }
+    // fixpoint edges are (node, root); roots appear only on the y side
+    val out = nodes
+      .join(cur.select(col("x").as("node"), col("y").as("root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+    nodes.unpersist()
+    out
   }
 
   /**

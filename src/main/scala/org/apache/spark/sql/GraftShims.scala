@@ -11,4 +11,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /**
+   * Release the block storage behind a `localCheckpoint`ed DataFrame.
+   * `Dataset.unpersist` only talks to the cache manager, which never
+   * learns about checkpoint RDDs — without this, an iterative loop that
+   * checkpoints per round leaks one cached RDD per round. Walks the plan
+   * for `LogicalRDD` leaves (what localCheckpoint produces) and unpersists
+   * their RDDs.
+   */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

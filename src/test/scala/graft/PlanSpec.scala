@@ -55,6 +55,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("oov rate: the vocab dictionary broadcasts, the token scan never shuffles by term") {
+    val p = plan("q47_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-V cut, no global sort
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("contamination: eval gram set broadcasts against the shared index") {
+    val p = plan("q48_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // reuses the cached shingle index
+  }
+
+  test("temperature sample: stratum counts broadcast, partial-aggregated") {
+    val p = plan("q50_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("repetition aggregates partially on both groupBys, no join wider than per-doc") {
+    val p = plan("q46_repetition")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._

@@ -37,6 +37,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(10L -> 2L, 2L -> 2L, 30L -> 2L))
   }
 
+  test("alternating CC == min-label CC on chains, stars, and a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).filter(p => p._1 != p._2)
+    val cases = Seq(
+      Seq((2L, 1L), (2L, 3L), (3L, 4L), (8L, 7L)),
+      // 150-node path: min-label needs ~150 rounds, alternating O(log n)
+      (1L until 150L).map(i => (i, i + 1)),
+      random)
+    cases.foreach { edgeSeq =>
+      val edges = edgeSeq.toDF("d1", "d2")
+      val viaProp = Curation.connectedComponents(edges, "d1", "d2", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Curation.connectedComponentsAlternating(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaProp, s"mismatch on ${edgeSeq.take(5)}...")
+    }
+  }
+
   test("quantile band: thresholds are exact order statistics") {
     import spark.implicits._
     // values 1..100, one row each: p05 cut at ceil(.05*100)=5th smallest=5,
