@@ -109,9 +109,9 @@ object Curation {
    * Both steps are one partial-aggregated groupBy (the per-node min) and
    * one self-join per round — no neighborhood is ever collected into a
    * single row, so hub nodes cost shuffle fan-out, not memory. Fixpoint
-   * is the star graph rooted at each component's minimum; detected by an
-   * anti-join emptiness + count-equality probe on the cached edge frame
-   * (subset + equal cardinality = set equality for distinct sets).
+   * is the star graph rooted at each component's minimum; detected by a
+   * (count, hash-sum) signature match between consecutive rounds,
+   * computed inside the single action that materializes each round.
    *
    * Returns (node, cluster_id) for every node appearing in `edges` —
    * output-identical to [[connectedComponents]] (spec-enforced).
@@ -124,9 +124,10 @@ object Curation {
         .union(e.select(col("y").as("u"), col("x").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
+      // no distinct here: duplicates don't affect smallStar's min and its
+      // final distinct dedupes — saves one shuffle per round
       sym.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("x"), col("m").as("y"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // edges already flow larger -> smaller (x > y invariant below)
@@ -136,37 +137,44 @@ object Curation {
         .union(mins.select(col("x"), col("m").as("y")))
         .distinct()
     }
+    // Distinct-set equality probe in ONE action: (count, sum of pair
+    // hashes). Equal signatures on distinct sets differ only on a 64-bit
+    // hash-sum collision (~2^-64 per round): a spurious EXTRA round is
+    // harmless, and a false convergence is negligible against hardware
+    // error rates. This replaces a per-round anti-join + count pair.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("x"), col("y")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val init = edges
       .select(greatest(col(srcCol), col(dstCol)).as("x"),
         least(col(srcCol), col(dstCol)).as("y"))
       .where(col("x") =!= col("y"))
       .distinct()
-    val nodes = init.select(col("x").as("node"))
-      .union(init.select(col("y").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
-    var curCnt = cur.count()
+    var curSig = signature(cur) // also materializes cur
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // eager checkpoint: full materialization before cur is dropped +
-      // lineage truncation (plan and RDD — see materializeRound)
-      val next = materializeRound(smallStar(largeStar(cur)))
-      val nextCnt = next.count()
-      val fresh = next.join(cur, Seq("x", "y"), "left_anti").limit(1).count()
+      // LAZY checkpoint + signature: the signature's full scan is the job
+      // that writes every checkpoint block, so one action per round both
+      // materializes `next` (fully, before cur is released) and probes
+      // convergence. Lineage truncation per materializeRound's contract.
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val nextSig = signature(next)
       release(cur)
-      converged = fresh == 0 && nextCnt == curCnt
+      converged = nextSig == curSig
       cur = next
-      curCnt = nextCnt
+      curSig = nextSig
       i += 1
     }
-    // fixpoint edges are (node, root); roots appear only on the y side
-    val out = nodes
+    // fixpoint edges are (node, root); roots appear only on the y side —
+    // nodes' lineage reads the source edges, independent of loop state
+    val nodes = init.select(col("x").as("node"))
+      .union(init.select(col("y").as("node"))).distinct()
+    nodes
       .join(cur.select(col("x").as("node"), col("y").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
-    nodes.unpersist()
-    out
   }
 
   /**
