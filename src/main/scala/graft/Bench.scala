@@ -30,7 +30,15 @@ object Bench {
       .groupBy("k").sum("r")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for isolating one query's time
+    // or failure (e.g. SPARK_GRAFT_ONLY=q40b_dup_clusters_logn).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         // noop sink, not count(): under a count, Catalyst's column pruning

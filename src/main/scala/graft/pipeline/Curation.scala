@@ -137,13 +137,19 @@ object Curation {
         .union(mins.select(col("x"), col("m").as("y")))
         .distinct()
     }
-    // Distinct-set equality probe in ONE action: (count, sum of pair
-    // hashes). Equal signatures on distinct sets differ only on a 64-bit
-    // hash-sum collision (~2^-64 per round): a spurious EXTRA round is
-    // harmless, and a false convergence is negligible against hardware
-    // error rates. This replaces a per-round anti-join + count pair.
+    // Distinct-set equality probe in ONE action: (count, XOR of pair
+    // hashes). XOR, not sum: ANSI mode (Spark 4 default) throws
+    // ARITHMETIC_OVERFLOW the moment a running sum of uniform 64-bit
+    // hashes leaves the Long range — i.e. on any non-toy edge set — while
+    // XOR is closed over 64 bits and equally order-insensitive. The sets
+    // are distinct() so XOR's duplicate-cancellation cannot fire. Equal
+    // signatures on distinct sets differ only on a 64-bit collision
+    // (~2^-64 per round): a spurious EXTRA round is harmless, and a false
+    // convergence is negligible against hardware error rates. This
+    // replaces a per-round anti-join + count pair.
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("x"), col("y")))).head()
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("x"), col("y")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val init = edges

@@ -40,8 +40,12 @@ class CurationSpec extends AnyFunSuite {
   test("alternating CC == min-label CC on chains, stars, and a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val random = (0 until 300).map(_ =>
-      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).filter(p => p._1 != p._2)
+    // 5000 edges: large enough that a per-round sum of uniform 64-bit
+    // pair-hashes would overflow Long (the ANSI ARITHMETIC_OVERFLOW that
+    // killed q40b in the round-3 bench) — the convergence signature must
+    // stay overflow-free (bit_xor) at any edge count.
+    val random = (0 until 5000).map(_ =>
+      (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong)).filter(p => p._1 != p._2)
     val cases = Seq(
       Seq((2L, 1L), (2L, 3L), (3L, 4L), (8L, 7L)),
       // 150-node path: min-label needs ~150 rounds, alternating O(log n)
