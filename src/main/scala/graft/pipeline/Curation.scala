@@ -174,10 +174,17 @@ object Curation {
       curSig = nextSig
       i += 1
     }
-    // fixpoint edges are (node, root); roots appear only on the y side —
-    // nodes' lineage reads the source edges, independent of loop state
-    val nodes = init.select(col("x").as("node"))
-      .union(init.select(col("y").as("node"))).distinct()
+    // Fixpoint edges form a star per component: every non-root node has
+    // exactly the edge (node, root) and each root (of a size>=2
+    // component) appears on the y side, so cur's two sides together cover
+    // every node that ever appeared in an edge. Deriving nodes from the
+    // CHECKPOINTED cur — not from init — matters: init's persisted blocks
+    // were released in round 1, so reading init here would recompute the
+    // entire upstream edge-generation pipeline (for dup-clusters, the
+    // full shingle-index self-join) twice more, after the algorithm
+    // already finished.
+    val nodes = cur.select(col("x").as("node"))
+      .union(cur.select(col("y").as("node"))).distinct()
     nodes
       .join(cur.select(col("x").as("node"), col("y").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))

@@ -64,4 +64,25 @@ class PredictorSpec extends AnyFunSuite {
     assert(viaUdf == viaRel)
     assert(viaUdf.values.exists(_.nonEmpty))
   }
+
+  test("null baskets predict null in BOTH paths; empty baskets predict empty string") {
+    import spark.implicits._
+    val rules = Array((Array("a"), "b", 2.0))
+    val baskets = Seq(
+      (1L, Seq("a")),          // fires the rule
+      (2L, Seq.empty[String]), // matches nothing -> ""
+      (3L, null)               // null basket -> null prediction, NOT ""
+    ).toDF("l_orderkey", "items")
+    val rulesDF = Seq((Seq("a"), Seq("b"), 2.0))
+      .toDF("antecedent", "consequent", "lift")
+    val viaUdf = Predictor.predict(
+        baskets, Predictor.sortRules(rules), "items", "prediction")
+      .select($"l_orderkey", $"prediction").as[(Long, String)].collect().toMap
+    val viaRel = Predictor.predictRelational(
+        baskets, rulesDF, Seq("l_orderkey"), "items", "prediction")
+      .select($"l_orderkey", $"prediction").as[(Long, String)].collect().toMap
+    val expected = Map(1L -> "b", 2L -> "", 3L -> (null: String))
+    assert(viaUdf == expected)
+    assert(viaRel == expected)
+  }
 }
