@@ -533,6 +533,13 @@ object PipelineQueries {
       |       coalesce(n_contam, 0)::DOUBLE / n_grams AS contam_frac
       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
 
+  /** q48's overlap measurement with the broadcast-sketch prefilter: the
+    * Bloom filter bounds what the training side ships to the verify join.
+    * Row-identical to q48 (no false negatives + exact verify) — same
+    * oracle. */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame =
+    Signals.contaminationBloom(docs(s, d), "doc_id", "text", _ % 10 === 0, n = 5)
+
   /** Incremental dedup: batch docs (doc_id % 5 = 4) flagged against the
     * standing corpus (the rest) at 5-gram Jaccard >= 0.5. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame =
@@ -590,4 +597,42 @@ object PipelineQueries {
       |SELECT doc_id, lang, n_tokens, start_offset,
       |       (start_offset // 512)::BIGINT AS chunk_id
       |FROM o""".stripMargin
+
+  /** Exact per-language p50/p90 whitespace-token counts (grouped order
+    * statistics over the value histogram — [[Curation.groupedQuantiles]]'s
+    * scale contract). */
+  def langTokenPercentiles(s: SparkSession, d: String): DataFrame =
+    Curation.groupedQuantiles(docs(s, d), "lang",
+      size(filter(split(col("text"), " "), w => w =!= "")),
+      Seq("p50_tokens" -> 0.5, "p90_tokens" -> 0.9))
+
+  val LangTokenPercentilesSql: String =
+    """WITH s AS (SELECT lang,
+      |             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS v
+      |           FROM documents),
+      |h AS (SELECT lang, v, count(*) AS cnt FROM s GROUP BY 1, 2),
+      |c AS (SELECT lang, v,
+      |        sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cc,
+      |        sum(cnt) OVER (PARTITION BY lang) AS n
+      |      FROM h)
+      |SELECT lang,
+      |  min(CASE WHEN cc >= cast(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50_tokens,
+      |  min(CASE WHEN cc >= cast(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90_tokens
+      |FROM c GROUP BY lang""".stripMargin
+
+  /** Corpus bigram LM: adjacent-pair counts and conditional probability,
+    * pairs with cnt >= 5. */
+  def bigramModel(s: SparkSession, d: String): DataFrame =
+    Signals.bigramModel(docs(s, d), "text", minCount = 5L)
+
+  val BigramModelSql: String =
+    """WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+      |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |t AS (SELECT w1, sum(cnt)::BIGINT AS w1_cnt FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, cnt, w1_cnt, cnt::DOUBLE / w1_cnt AS cond_p
+      |FROM c JOIN t ON c.w1 = t.w1
+      |WHERE cnt >= 5""".stripMargin
 }

@@ -301,4 +301,42 @@ object RelQueries {
       |       coalesce(e.tsu - p.ptsu, -1)::BIGINT AS us_since_purchase
       |FROM e ASOF LEFT JOIN p
       |  ON e.user_id = p.user_id AND e.tsu >= p.ptsu""".stripMargin
+
+  /**
+   * Per-group top-k (top 3 customers per nation by lifetime revenue) —
+   * the window-rank idiom. Orders aggregate to one row per customer
+   * FIRST (map-side partial sums), so the window's shuffle moves a
+   * customer-sized frame, never raw orders; the customer dim joins
+   * broadcast. Ordering is fully deterministic: revenue is an exact
+   * decimal sum (bit-identical across engines) with the unique custkey
+   * as tie-break.
+   */
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    val w = Window.partitionBy(col("nationkey"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+    rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("nationkey"), col("rk"), col("c_custkey").as("custkey"),
+        col("revenue"))
+  }
+
+  val TopCustomersPerNationSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT c_nationkey::BIGINT AS nationkey, c_custkey AS custkey, revenue,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY revenue DESC, c_custkey ASC) AS rk
+      |  FROM rev JOIN customer ON o_custkey = c_custkey)
+      |SELECT nationkey, rk::BIGINT AS rk, custkey, revenue
+      |FROM r WHERE rk <= 3""".stripMargin
 }

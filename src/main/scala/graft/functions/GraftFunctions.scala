@@ -52,6 +52,15 @@ object GraftFunctions {
         require(exprs.length == 2 && exprs(1).foldable,
           "usage: heavy_hitters(col, k) with literal k")
         HeavyHittersAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("bloom_agg",
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "usage: bloom_agg(keys, numBits, numHashes) with literal sizes")
+        BloomFilterAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Register on a live session. */

@@ -241,6 +241,42 @@ object Curation {
   }
 
   /**
+   * Exact per-group order-statistic quantiles, fully distributed (no
+   * driver histogram, unlike [[quantileBand]]'s global form): for each
+   * group, each requested `p` maps to the smallest value whose cumulative
+   * count reaches `ceil(p * n)` — the same exact definition as
+   * [[quantileBand]], per group.
+   *
+   * Scale shape: the raw rows reduce to a value HISTOGRAM per group in
+   * one partial-aggregated shuffle (histogram size = distinct measure
+   * values, independent of row count), then one window pass over the
+   * histogram computes cumulative and total counts, and a final pivoting
+   * aggregate emits one row per group. No per-group sort of raw rows, no
+   * approximate percentile: a 100 TB corpus with bounded-cardinality
+   * measures (lengths, token counts) shuffles only its histogram.
+   *
+   * Returns one row per group: (groupCol, <one long column per quantile>).
+   */
+  def groupedQuantiles(
+      df: DataFrame, groupCol: String, measure: Column,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val h = df.select(col(groupCol).as("g"), measure.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"))
+    // one exchange on g serves both window frames and the final groupBy
+    val cum = h.select(col("g"), col("v"),
+      sum(col("cnt")).over(wOrd).as("cc"),
+      sum(col("cnt")).over(wAll).as("n"))
+    val aggs = quantiles.map { case (name, p) =>
+      min(when(col("cc") >= ceil(col("n") * p).cast("long"), col("v"))).as(name)
+    }
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /**
    * Deterministic stratified sampling: a row is kept iff its md5-derived
    * bucket (first 8 hex chars as an int, mod 100) falls under its stratum's
    * per-cent rate. Hash-gated sampling is reproducible across runs/engines

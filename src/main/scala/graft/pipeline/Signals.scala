@@ -140,6 +140,76 @@ object Signals {
   }
 
   /**
+   * Bigram language-model table: for every adjacent lowercase word pair
+   * across the corpus, its count and the conditional probability
+   * `p(w2 | w1) = cnt(w1 w2) / cnt(w1 ·)`, restricted to pairs seen at
+   * least `minCount` times — the classic count-based LM used for
+   * perplexity-proxy quality scoring and corpus drift checks.
+   *
+   * Scale shape: pairs are generated shuffle-free inside the scan (slice
+   * + zip of the token array, no posexplode self-join), then ONE
+   * partial-aggregated shuffle reduces the corpus to the bigram table;
+   * the `w1` marginal is re-aggregated from that already-reduced table
+   * (vocabulary-sized, not corpus-sized) and joined back broadcast. The
+   * probability is a ratio of exact counts, so cross-engine
+   * bit-reproducible.
+   */
+  def bigramModel(
+      docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val len = greatest(size(col("ws")) - 1, lit(0))
+    val pairs = docs.select(words.as("ws"))
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), len), slice(col("ws"), lit(2), len))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val cnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
+    cnt.where(col("cnt") >= minCount)
+      .join(broadcast(tot), Seq("w1"))
+      .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
+        (col("cnt").cast("double") / col("w1_cnt")).as("cond_p"))
+  }
+
+  /**
+   * [[contamination]] with a Bloom-filter prefilter on the training side
+   * — the shape that survives when the eval gram set is too large to
+   * broadcast exactly. The filter is built by a mergeable one-pass
+   * aggregate ([[graft.functions.BloomFilterAgg]]: fixed `numBits/8`
+   * bytes per partial, OR-merged), so only a fixed-size sketch ever
+   * reaches the driver; the training side drops every gram the filter
+   * rejects BEFORE the verify join, shipping `true-hits + fp-rate * n`
+   * rows instead of all n. Bloom filters have no false negatives and the
+   * verify join is exact, so the output is row-identical to
+   * [[contamination]] (spec-enforced, same oracle).
+   */
+  def contaminationBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int = 5,
+      numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    import graft.functions.Bloom
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, n, maxShingleDF = 0L)
+    val ev = idx.where(evalPred(col("doc"))).select(col("gram")).distinct()
+    val bytes = ev.agg(Bloom.bloom_agg(col("gram"), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    val bc = docs.sparkSession.sparkContext.broadcast(Bloom.fromBytes(bytes))
+    // UDF, not per-row expression: the probe reads the broadcast word
+    // array directly — no per-row filter deserialization.
+    val mightContain = udf { g: Long => Bloom.mightContain(bc.value, numHashes, g) }
+    val tr = idx.where(!evalPred(col("doc")))
+    val tot = tr.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val hit = tr.where(mightContain(col("gram")))
+      .join(ev, Seq("gram")) // exact verify: Bloom false positives die here
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_contam"))
+    tot.join(hit, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contam_frac"))
+  }
+
+  /**
    * Incremental (batch-vs-corpus) near-dedup: for each document in the
    * incoming batch (`batchPred(id)` true), count existing-corpus documents
    * within `threshold` n-gram Jaccard and flag `keep` when there are none

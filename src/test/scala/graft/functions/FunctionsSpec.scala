@@ -69,6 +69,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.contains("a") && rows("a") >= 2) // freq 4 > n/(k+1)=5/3
   }
 
+  test("bloom filter: zero false negatives, bounded false positives, OR-mergeable") {
+    import spark.implicits._
+    val numBits = 1 << 16
+    val numHashes = 5
+    val rng = new scala.util.Random(11)
+    val inserted = Array.fill(2000)(rng.nextLong())
+    val absent = Array.fill(2000)(rng.nextLong()).filterNot(inserted.toSet)
+    // multi-partition build exercises partial (update) + final (merge) paths
+    val bytes = inserted.toSeq.toDF("k").repartition(7)
+      .agg(Bloom.bloom_agg(col("k"), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    val words = Bloom.fromBytes(bytes)
+    assert(words.length == numBits / 64)
+    inserted.foreach { k =>
+      assert(Bloom.mightContain(words, numHashes, k), s"false negative on $k")
+    }
+    // n/m ~ 0.03 at 5 hashes -> fp rate ~ (1 - e^-0.15)^5 ~ 5e-5
+    val fps = absent.count(Bloom.mightContain(words, numHashes, _))
+    assert(fps <= 5, s"$fps false positives out of ${absent.length}")
+    // distributed OR-merge == single-partition build, bit for bit
+    val single = inserted.toSeq.toDF("k").coalesce(1)
+      .agg(Bloom.bloom_agg(col("k"), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes, single))
+  }
+
+  test("bloom_agg callable from SQL with literal sizes") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("bf_in")
+    val bytes = spark.sql("SELECT bloom_agg(k, 64, 3) FROM bf_in")
+      .head().getAs[Array[Byte]](0)
+    val words = Bloom.fromBytes(bytes)
+    assert(Seq(1L, 2L, 3L).forall(Bloom.mightContain(words, 3, _)))
+  }
+
   test("extensions class registers the same functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")

@@ -72,6 +72,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got.head._2 == 5L && got.last._2 == 95L)
   }
 
+  test("grouped quantiles: exact per-group order statistics, matches global form") {
+    import spark.implicits._
+    // group A: values 1..100 -> p50 = 50, p90 = 90; group B: all equal 7
+    val df = ((1 to 100).map(i => ("A", i)) ++ (1 to 10).map(_ => ("B", 7)))
+      .toDF("grp", "v")
+    val got = Curation.groupedQuantiles(df, "grp", col("v"),
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, a, b) => g -> (a, b) }.toMap
+    assert(got == Map("A" -> (50L, 90L), "B" -> (7L, 7L)))
+  }
+
   test("stratified sample: deterministic, respects per-stratum rates") {
     import spark.implicits._
     val df = (0 until 1000).map { i =>

@@ -65,6 +65,35 @@ class SignalsSpec extends AnyFunSuite {
       (12L, 3L, 0L, 0.0)))
   }
 
+  test("bigram model: hand-computed pair counts and conditional probabilities") {
+    import spark.implicits._
+    // corpus: "a b a b c" + "a b" -> pairs: (a b)x3? no: doc1 pairs
+    // (a b)(b a)(a b)(b c), doc2 (a b) => (a b):3, (b a):1, (b c):1
+    val df = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Signals.bigramModel(df, "text", minCount = 1L)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map { case (w1, w2, c, t, p) => ((w1, w2), (c, t, p)) }.toMap
+    assert(got == Map(
+      ("a", "b") -> (3L, 3L, 1.0),
+      ("b", "a") -> (1L, 2L, 0.5),
+      ("b", "c") -> (1L, 2L, 0.5)))
+    // minCount filters pairs but NOT the marginal they divide by
+    val filtered = Signals.bigramModel(df, "text", minCount = 2L)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(filtered.toSeq == Seq(("a", "b", 3L, 3L, 1.0)))
+  }
+
+  test("bloom-prefiltered contamination == exact contamination on sf0.001") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Signals.contamination(docs, "doc_id", "text", _ % 10 === 0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bloom = Signals.contaminationBloom(docs, "doc_id", "text", _ % 10 === 0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3 > 0L), "fixture should contain planted overlap")
+  }
+
   test("incremental dedup: batch flagged against corpus only, not itself") {
     import spark.implicits._
     // batch = ids % 5 == 4. Doc 4 duplicates corpus doc 1; doc 9 duplicates
