@@ -620,6 +620,49 @@ object PipelineQueries {
       |  min(CASE WHEN cc >= cast(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90_tokens
       |FROM c GROUP BY lang""".stripMargin
 
+  /** Repeated 8-token spans per document (exact-substring dedup signal). */
+  def repeatedSpans(s: SparkSession, d: String): DataFrame =
+    Signals.repeatedSpans(docs(s, d), "doc_id", "text", w = 8)
+
+  val RepeatedSpansSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([array_to_string(words[i:i+7], ' ')
+      |                       for i in range(1, greatest(len(words) - 6, 1))]) AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |d AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM ex)
+      |SELECT doc_id, count(*)::BIGINT AS n_spans,
+      |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+      |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS repeated_frac
+      |FROM d GROUP BY doc_id""".stripMargin
+
+  /** Vocab build (top 40 by frequency) + in-order token-id encoding,
+    * OOV = -1. Declared output joins the id array to a string: the
+    * driver comparator cannot sort rows by an array-typed cell (the q25
+    * lesson), and the stringify keeps the whole build-encode-reassemble
+    * plan — the thing under test — intact. */
+  def tokenIds(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenIds(docs(s, d), "doc_id", "text", vocabSize = 40)
+      .select(col("doc_id"),
+        array_join(col("ids"), " ").as("ids_str"),
+        size(col("ids")).cast("long").as("n_ids"))
+
+  val TokenIdsSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |t AS (SELECT doc_id, words[i] AS term, i AS pos
+      |      FROM w, unnest(range(1, len(words) + 1)) AS u(i)),
+      |v AS (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS tid
+      |      FROM t GROUP BY term
+      |      QUALIFY tid < 40)
+      |SELECT doc_id,
+      |       array_to_string(list(coalesce(tid, -1)::BIGINT ORDER BY pos), ' ') AS ids_str,
+      |       count(*)::BIGINT AS n_ids
+      |FROM t LEFT JOIN v USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   /** Corpus bigram LM: adjacent-pair counts and conditional probability,
     * pairs with cnt >= 5. */
   def bigramModel(s: SparkSession, d: String): DataFrame =

@@ -140,6 +140,33 @@ object Signals {
   }
 
   /**
+   * Repeated-span analysis (the exact-substring dedup signal of Lee et
+   * al., "Deduplicating Training Data Makes Language Models Better",
+   * restricted to fixed-width token windows): for every document, how
+   * many of its distinct `w`-token spans occur in at least one OTHER
+   * document — long verbatim overlaps that near-dup scoring at the
+   * whole-document level misses.
+   *
+   * Scale shape: the span index comes out of the shared shingle cache
+   * (one corpus explode for all span/dedup consumers); corpus-wide span
+   * frequency is a window count over the span key — ONE shuffle on span,
+   * one on doc, never a self-join (the n² pair structure is irrelevant
+   * here: only each span's document frequency matters). Docs shorter
+   * than `w` tokens produce no row.
+   */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, w, maxShingleDF = 0L)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    idx.withColumn("df", count(lit(1)).over(wg))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .select(col("doc").as(idCol), col("n_spans"), col("n_repeated"),
+        (col("n_repeated").cast("double") / col("n_spans")).as("repeated_frac"))
+  }
+
+  /**
    * Bigram language-model table: for every adjacent lowercase word pair
    * across the corpus, its count and the conditional probability
    * `p(w2 | w1) = cnt(w1 w2) / cnt(w1 ·)`, restricted to pairs seen at

@@ -108,6 +108,38 @@ object TextStats {
   }
 
   /**
+   * Frequency-ranked vocabulary build + token-id encoding — the final
+   * tokenize step of a training-data pipeline, with a count-based vocab
+   * standing in for a learned BPE merge table: id = dense rank by
+   * (count desc, term asc) over the top `vocabSize` terms, OOV encoded
+   * as -1, each document emitted as its in-order id array.
+   *
+   * Scale shape: the corpus reduces to (term, count) in one
+   * partial-aggregated shuffle; the RANKING window runs on that already
+   * vocabulary-sized table (the same bounded-metadata boundary as the
+   * mining L1 dictionary — never on corpus rows), and the encode side is
+   * a broadcast join of the vocab against the positional explode, with
+   * per-doc reassembly ordered by position.
+   */
+  def tokenIds(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol),
+      posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+    val wRank = Window.orderBy(col("cnt").desc, col("term").asc)
+    val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tid", row_number().over(wRank).cast("long") - 1L)
+      .where(col("tid") < vocabSize)
+      .select(col("term"), col("tid"))
+    t.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), coalesce(col("tid"), lit(-1L)).as("tid")))),
+        s => s.getField("tid")).as("ids"))
+  }
+
+  /**
    * Compression-ratio quality proxy (deflate level 6): low ratio =
    * repetitive/templated text. JVM Deflater output is deterministic for a
    * fixed level but not SQL-expressible — spec-covered, no oracle.

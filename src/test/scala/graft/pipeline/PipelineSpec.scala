@@ -284,6 +284,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("token ids: frequency-ranked vocab, in-order encode, OOV as -1") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=1 -> rank (cnt desc, term asc): a=0, b=1, c=2;
+    // vocabSize=2 drops c -> OOV -1
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextStats.tokenIds(df, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(1L -> Seq(0L, 0L, 1L), 2L -> Seq(1L, -1L)))
+  }
+
   test("compression ratio: repetitive text compresses, deterministic") {
     import spark.implicits._
     val df = Seq(

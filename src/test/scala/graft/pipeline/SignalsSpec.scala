@@ -65,6 +65,23 @@ class SignalsSpec extends AnyFunSuite {
       (12L, 3L, 0L, 0.0)))
   }
 
+  test("repeated spans: cross-doc windows flagged, within-doc repeats are not") {
+    import spark.implicits._
+    // docs 1/2 share the span "a b c"; doc 3 repeats its own span twice
+    // (distinct-per-doc -> df stays 1 -> NOT flagged); doc 4 is too short.
+    val df = Seq(
+      (1L, "a b c x"), // spans: (a b c)(b c x) -> 1 of 2 repeated
+      (2L, "a b c y"),
+      (3L, "p q r p q r p q"), // spans incl (p q r)... all unique to doc 3
+      (4L, "z z")).toDF("doc_id", "text")
+    val got = Signals.repeatedSpans(df, "doc_id", "text", w = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)))
+    assert(got(3L)._2 == 0L, "within-doc repetition must not count")
+    assert(!got.contains(4L), "docs shorter than w produce no row")
+  }
+
   test("bigram model: hand-computed pair counts and conditional probabilities") {
     import spark.implicits._
     // corpus: "a b a b c" + "a b" -> pairs: (a b)x3? no: doc1 pairs
