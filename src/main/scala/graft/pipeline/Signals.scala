@@ -191,9 +191,13 @@ object Signals {
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
     val cnt = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
-    cnt.where(col("cnt") >= minCount)
-      .join(broadcast(tot), Seq("w1"))
+    // w1 marginal as a WINDOW over the aggregated table, not a second
+    // groupBy + join: referencing `cnt` twice would re-run the corpus
+    // scan + pair generation (the q35 double-aggregate lesson). One
+    // aggregate subtree, one vocabulary-sized window exchange on w1.
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    cnt.withColumn("w1_cnt", sum(col("cnt")).over(wTot))
+      .where(col("cnt") >= minCount)
       .select(col("w1"), col("w2"), col("cnt"), col("w1_cnt"),
         (col("cnt").cast("double") / col("w1_cnt")).as("cond_p"))
   }

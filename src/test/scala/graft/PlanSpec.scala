@@ -81,6 +81,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  private def shuffleCount(p: String): Int =
+    "- Exchange \\(".r.findAllIn(p).size // BroadcastExchange prints separately
+
+  test("per-nation top-k: rank limit pushed below the window exchange, dims broadcast") {
+    val p = plan("q51_top_per_nation")
+    // WindowGroupLimit caps each map partition at k rows BEFORE the
+    // window's shuffle — the property that makes window top-k viable at scale
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouped quantiles: histogram + window + pivot in exactly two shuffles") {
+    val p = plan("q52_lang_percentiles")
+    assert(shuffleCount(p) == 2, p)
+    assert(p.contains("partial_count"), p)
+    // final per-group aggregate reuses the window's partitioning by g
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bigram model: ONE corpus scan (marginal is a window, not a rejoin)") {
+    val p = plan("q53_bigram_model")
+    // tree lines only — each node also reprints as a "(N) ..." detail header
+    assert("- Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("- Generate".r.findAllIn(p).size == 1, p)
+    assert(shuffleCount(p) == 2, p)
+  }
+
+  test("repeated spans: shared shingle cache, window on span, no self-join") {
+    val p = plan("q54_repeated_spans")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(shuffleCount(p) == 2, p)
+  }
+
+  test("bloom contamination: cached index feeds both sides, joins broadcast") {
+    val p = plan("q48b_contamination_bloom")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._
