@@ -327,6 +327,33 @@ object RelQueries {
         col("revenue"))
   }
 
+  /**
+   * Z-order clustering keys for orders over (custkey, order-day), 10 bits
+   * each — the layout key [[graft.operators.Layout.zorderBy]]
+   * range-partitions by so file min/max envelopes stay tight in BOTH
+   * dimensions (multi-dimensional scan pruning). Declared as the key
+   * computation (pure codegen'd bit algebra, oracle-checkable); the
+   * partition/sort/write step's locality property is spec-enforced.
+   */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        graft.operators.Layout.mortonKey(
+          col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400"),
+          bits = 10).as("zkey"))
+
+  val ZorderKeysSql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |             o_custkey & 1023 AS xb,
+      |             (epoch(o_orderdate)::BIGINT // 86400) & 1023 AS yb
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |  (SELECT sum(((xb >> i) & 1) * (1::BIGINT << (2 * i)) +
+      |              ((yb >> i) & 1) * (1::BIGINT << (2 * i + 1)))
+      |   FROM generate_series(0, 9) AS t(i))::BIGINT AS zkey
+      |FROM o""".stripMargin
+
   val TopCustomersPerNationSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout utilities: Z-order (Morton) clustering keys for
+ * multi-dimensional scan pruning.
+ *
+ * At 100 TB, a table laid out by one column prunes scans on that column
+ * only; interleaving the bits of two (or more) dimension keys and
+ * range-partitioning by the interleaved key gives every file a tight
+ * min/max envelope in EVERY interleaved dimension, so predicate pushdown
+ * on any of them skips most files. This is the standard lakehouse
+ * OPTIMIZE ZORDER BY move, expressed as plain column algebra: the key is
+ * codegen'd integer bit math (no UDF), and the layout step is
+ * `repartitionByRange(zkey) + sortWithinPartitions(zkey) + write`.
+ */
+object Layout {
+
+  /**
+   * Morton key of two dimensions, `bits` bits each: x's bit i lands at
+   * output bit 2i, y's at 2i+1. Inputs are masked to `bits` bits first
+   * (callers bucket raw values into [0, 2^bits) — rank, day number,
+   * hash-mod — since z-locality is only meaningful over bounded bucket
+   * spaces). A literal fold of shift/and/or terms: stays inside
+   * whole-stage codegen, constant-folds where inputs do.
+   */
+  def mortonKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /**
+   * Cluster `df` for multi-dimensional pruning: range-partition into
+   * `numFiles` splits by the Morton key of the two dimension columns and
+   * sort within each split, so a downstream per-partition write produces
+   * files whose min/max envelopes are tight in both dimensions.
+   * (The locality guarantee — every split's per-dimension spread shrinks
+   * as splits grow — is spec-enforced in OperatorsSpec.)
+   */
+  def zorderBy(
+      df: DataFrame, x: Column, y: Column, bits: Int,
+      numFiles: Int): DataFrame = {
+    val keyed = df.withColumn("__graft_zkey", mortonKey(x, y, bits))
+    keyed.repartitionByRange(numFiles, col("__graft_zkey"))
+      .sortWithinPartitions(col("__graft_zkey"))
+  }
+}

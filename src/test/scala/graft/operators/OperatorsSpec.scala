@@ -93,6 +93,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned == 1)
   }
 
+  test("morton key matches a bit-by-bit reference; interleave is a bijection") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(500)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y"), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 10), s"($x,$y)") }
+    // bijective over the grid -> distinct inputs keep distinct keys
+    assert(got.map(_._3).distinct.length == pts.distinct.length)
+  }
+
+  test("zorderBy: per-split spread shrinks in BOTH dimensions vs 1-D sorting") {
+    import spark.implicits._
+    // Full 64x64 grid, shuffled, 16 range splits by z-key. Aligned equal
+    // runs of the z-curve are exact 16x16 tiles; sampled range boundaries
+    // straddle a few quadrant edges, so assert the aggregate property:
+    // average per-split spread stays tile-sized in BOTH dimensions, while
+    // a 1-D sort by x leaves y's spread at the full range in every split.
+    val rnd = new scala.util.Random(9)
+    val grid = rnd.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toVector)
+    def spreads(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .select("sx", "sy").as[(Long, Long)].collect().toSeq
+    val z = spreads(Layout.zorderBy(grid.toDF("x", "y"), col("x"), col("y"),
+      bits = 6, numFiles = 16))
+    val oneD = spreads(grid.toDF("x", "y").repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    assert(z.nonEmpty && oneD.nonEmpty)
+    def avg(s: Seq[Long]): Double = s.sum.toDouble / s.size
+    assert(avg(z.map(_._1)) <= 32.0, s"x spreads: $z")
+    assert(avg(z.map(_._2)) <= 32.0, s"y spreads: $z")
+    assert(z.count { case (sx, sy) => sx <= 16 && sy <= 16 } >= z.size / 2, s"$z")
+    // the 1-D layout cannot bound the second dimension
+    assert(avg(oneD.map(_._2)) >= 48.0, s"1-D y spreads: $oneD")
+  }
+
   test("CSV and JSON transaction sources feed the miner like text does") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
