@@ -34,6 +34,15 @@ object Bench {
     // or failure (e.g. SPARK_GRAFT_ONLY=q40b_dup_clusters_logn).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        // fail hard: a typo'd filter must not print a passing 0-second run
+        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(",")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

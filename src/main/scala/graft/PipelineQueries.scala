@@ -609,7 +609,8 @@ object PipelineQueries {
   val LangTokenPercentilesSql: String =
     """WITH s AS (SELECT lang,
       |             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS v
-      |           FROM documents),
+      |           FROM documents
+      |           WHERE text IS NOT NULL),
       |h AS (SELECT lang, v, count(*) AS cnt FROM s GROUP BY 1, 2),
       |c AS (SELECT lang, v,
       |        sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cc,

@@ -20,7 +20,13 @@ import org.apache.spark.sql.types._
  * while the big side ships only `true-matches + fp-rate * n` rows.
  * (Spark's own runtime row-level filtering makes the same move
  * automatically for equi-joins; doing it explicitly keeps the filter
- * reusable across queries and composable with non-equi verify logic.)
+ * reusable across queries and composable with non-equi verify logic.
+ * Spark also ships `df.stat.bloomFilter` — not reused here because it
+ * builds via a driver-side `treeAggregate` outside Catalyst: no SQL
+ * surface, no partial/final aggregation inside a plan, and no use as a
+ * grouped aggregate. This expression is registrable (`bloom_agg` in
+ * [[GraftFunctions]]), plans like any other aggregate, and its probe is
+ * a zero-copy word-array test against the broadcast.)
  *
  * Bit positions follow the standard double-hashing scheme
  * (Kirsch & Mitzenmacher, "Less Hashing, Same Performance"):

@@ -48,8 +48,14 @@ object Layout {
   def zorderBy(
       df: DataFrame, x: Column, y: Column, bits: Int,
       numFiles: Int): DataFrame = {
-    val keyed = df.withColumn("__graft_zkey", mortonKey(x, y, bits))
-    keyed.repartitionByRange(numFiles, col("__graft_zkey"))
-      .sortWithinPartitions(col("__graft_zkey"))
+    val zCol = "__graft_zkey"
+    require(!df.columns.contains(zCol), s"input already has a $zCol column")
+    // the key column is dropped again: partition placement and intra-
+    // partition order survive the projection, and a downstream write must
+    // not grow an undocumented layout column
+    df.withColumn(zCol, mortonKey(x, y, bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
   }
 }

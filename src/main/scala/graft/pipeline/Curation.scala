@@ -227,8 +227,13 @@ object Curation {
     val hist = scored.groupBy(col("m")).agg(count(lit(1)).as("c"))
       .orderBy(col("m")).collect()
     val n = hist.iterator.map(_.getLong(1)).sum
-    val loK = math.ceil(lo * n).toLong
-    val hiK = math.ceil(hi * n).toLong
+    // exact decimal ceil — double `lo * n` drifts above the true rational
+    // for many (p, n) pairs (e.g. 100 * 0.07 -> 7.000000000000001), and
+    // DuckDB's `0.05` oracle literal is DECIMAL, already exact
+    def ceilK(p: Double): Long =
+      (BigDecimal(p.toString) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    val loK = ceilK(lo)
+    val hiK = ceilK(hi)
     var cum = 0L
     var loV = Long.MaxValue
     var hiV = Long.MaxValue
@@ -261,7 +266,12 @@ object Curation {
       df: DataFrame, groupCol: String, measure: Column,
       quantiles: Seq[(String, Double)]): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
+    // Null measures are excluded outright: Spark windows sort NULLS FIRST
+    // and DuckDB NULLS LAST, so letting them into the histogram silently
+    // shifts every cumulative count on one engine but not the other (and
+    // "the p50 of the null documents" is not a meaningful statistic).
     val h = df.select(col(groupCol).as("g"), measure.cast("long").as("v"))
+      .where(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
     val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("g"))
@@ -270,7 +280,13 @@ object Curation {
       sum(col("cnt")).over(wOrd).as("cc"),
       sum(col("cnt")).over(wAll).as("n"))
     val aggs = quantiles.map { case (name, p) =>
-      min(when(col("cc") >= ceil(col("n") * p).cast("long"), col("v"))).as(name)
+      // EXACT decimal threshold, not ceil(n * p) in doubles: 100 * 0.07
+      // is 7.000000000000001 in IEEE, whose ceil is the WRONG order
+      // statistic (8th instead of 7th). A decimal literal multiplies
+      // exactly — which is also what DuckDB does natively, since its
+      // `0.07` literal parses as DECIMAL, not DOUBLE.
+      val pDec = lit(new java.math.BigDecimal(p.toString))
+      min(when(col("cc") >= ceil(col("n") * pDec).cast("long"), col("v"))).as(name)
     }
     cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("g", groupCol)

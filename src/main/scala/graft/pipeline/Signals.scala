@@ -220,7 +220,13 @@ object Signals {
       numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
     import graft.functions.Bloom
     val idx = Dedup.shingleIndex(docs, idCol, textCol, n, maxShingleDF = 0L)
+    // Persisted: the distinct eval-gram set feeds BOTH the bloom build
+    // (materialized eagerly by the head() action below) and the verify
+    // join — without the persist the eval-side distinct shuffle runs
+    // twice. Stays cached for the session like the shingle index itself;
+    // a sweeping session can unpersist it once consumed.
     val ev = idx.where(evalPred(col("doc"))).select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bytes = ev.agg(Bloom.bloom_agg(col("gram"), numBits, numHashes))
       .head().getAs[Array[Byte]](0)
     val bc = docs.sparkSession.sparkContext.broadcast(Bloom.fromBytes(bytes))

@@ -120,6 +120,13 @@ object TextStats {
    * mining L1 dictionary — never on corpus rows), and the encode side is
    * a broadcast join of the vocab against the positional explode, with
    * per-doc reassembly ordered by position.
+   *
+   * The corpus IS scanned twice (vocab-build pass + encode pass) — the
+   * deliberate side of a trade, same as [[graft.pipeline.Signals.oovRate]]:
+   * the alternative (attach counts via a window over term) would shuffle
+   * every token row by term, and at 100 TB a second columnar scan is far
+   * cheaper than a corpus-wide shuffle. Callers doing both vocab-build
+   * and encode repeatedly should persist the tokenized frame.
    */
   def tokenIds(
       docs: DataFrame, idCol: String, textCol: String,

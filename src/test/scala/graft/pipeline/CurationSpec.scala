@@ -84,6 +84,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map("A" -> (50L, 90L), "B" -> (7L, 7L)))
   }
 
+  test("grouped quantiles: decimal-exact thresholds, null measures excluded") {
+    import spark.implicits._
+    // 100 * 0.07 = 7.000000000000001 in IEEE double -> ceil 8 -> the
+    // WRONG (8th) order statistic; the decimal path must return the 7th.
+    val df = (1 to 100).map(i => ("A", i)).toDF("grp", "v")
+    val got = Curation.groupedQuantiles(df, "grp", col("v"), Seq("p07" -> 0.07))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 7L))
+    // null measures must not shift cumulative counts (Spark sorts nulls
+    // first, DuckDB last — excluded on both sides instead)
+    val withNulls = ((1 to 10).map(i => ("B", Some(i))) ++
+      Seq.fill(5)(("B", None: Option[Int]))).toDF("grp", "v")
+    val got2 = Curation.groupedQuantiles(withNulls, "grp", col("v"), Seq("p50" -> 0.5))
+      .as[(String, Long)].collect().toMap
+    assert(got2 == Map("B" -> 5L)) // ceil(0.5*10)=5th of the 10 non-null
+  }
+
   test("stratified sample: deterministic, respects per-stratum rates") {
     import spark.implicits._
     val df = (0 until 1000).map { i =>
