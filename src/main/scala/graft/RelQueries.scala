@@ -328,6 +328,34 @@ object RelQueries {
   }
 
   /**
+   * Latest-state compaction (the CDC / changelog-upsert primitive): keep
+   * each user's most recent event, ties on timestamp broken by the
+   * unique event id. Plans with the same `WindowGroupLimit` rank-limit
+   * pushdown as [[topCustomersPerNation]] — each map partition forwards
+   * at most one row per user into the shuffle, so compacting a 100 TB
+   * changelog moves ~|keys| rows, not |events|.
+   */
+  def latestEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000L").as("tsu"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("tsu"), col("event_type"))
+  }
+
+  val LatestEventsSql: String =
+    """SELECT user_id, event_id, tsu, event_type FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /**
    * Z-order clustering keys for orders over (custkey, order-day), 10 bits
    * each — the layout key [[graft.operators.Layout.zorderBy]]
    * range-partitions by so file min/max envelopes stay tight in BOTH

@@ -59,4 +59,44 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(kept.length == 3)
     assert(Set(1L, 2L, 4L).intersect(kept.map(_._1).toSet).size == 1)
   }
+
+  test("streaming contamination gate: zero false negatives vs the batch check") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Bloom
+
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch-built filter over the eval split's grams (the q48 predicate)
+    val evGrams = docs.where($"doc_id" % 10 === 0)
+      .select(explode(graft.pipeline.Dedup.shingles($"text", 5)).as("g"))
+      .select(xxhash64($"g").as("gram")).distinct()
+    val words = Bloom.fromBytes(
+      evGrams.agg(Bloom.bloom_agg($"gram", 1 << 20, 5)).head().getAs[Array[Byte]](0))
+
+    // stream the training split through the gate
+    val train = docs.where($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DocStreams.contaminationGateStream(
+        source.toDS().toDF("doc_id", "text"), "text", words, 5, 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("contam_gate").start()
+    try {
+      source.addData(train.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = spark.table("contam_gate")
+      .where($"maybe_contaminated").select($"doc_id").as[Long].collect().toSet
+    // ground truth from the exact batch operator
+    val truth = graft.pipeline.Signals.contamination(docs, "doc_id", "text", _ % 10 === 0)
+      .where($"n_contam" > 0).select($"doc_id").as[Long].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted overlap")
+    // one-sided error: every truly contaminated doc MUST be flagged...
+    assert(truth.subsetOf(flagged), s"missed: ${truth.diff(flagged).take(5)}")
+    // ...and the fp overshoot stays sketch-small (documented trade)
+    assert(flagged.size <= truth.size + 25, s"${flagged.size} vs ${truth.size}")
+  }
 }
