@@ -328,6 +328,36 @@ object RelQueries {
   }
 
   /**
+   * Cohort retention: users grouped by their first active week, counted
+   * per (cohort week, weeks-since-cohort offset) — the standard
+   * retention triangle. All integer arithmetic on microsecond epochs.
+   *
+   * Scale shape: ONE event scan — events reduce to distinct (user, week)
+   * pairs (partial-aggregated), the per-user first week attaches as a
+   * WINDOW min (a cohort groupBy + self-join would scan events twice —
+   * the q35/q53 lesson), and the final (cohort, offset) aggregate moves
+   * one row per active user-week, not per event.
+   */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"))
+      .distinct()
+    weeks
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val RetentionCohortsSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |c AS (SELECT week, min(week) OVER (PARTITION BY user_id) AS cohort_week FROM weeks)
+      |SELECT cohort_week, week - cohort_week AS offset_weeks, count(*)::BIGINT AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /**
    * Latest-state compaction (the CDC / changelog-upsert primitive): keep
    * each user's most recent event, ties on timestamp broken by the
    * unique event id. Plans with the same `WindowGroupLimit` rank-limit

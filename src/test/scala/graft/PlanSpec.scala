@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("retention cohorts: one event scan (cohort min is a window, not a rejoin)") {
+    val p = plan("q58_retention_cohorts")
+    assert("- Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._
