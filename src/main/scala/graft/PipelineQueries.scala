@@ -598,6 +598,66 @@ object PipelineQueries {
       |       (start_offset // 512)::BIGINT AS chunk_id
       |FROM o""".stripMargin
 
+  /**
+   * End-to-end curation pipeline in ONE declared query — the composition
+   * a real corpus run executes: exact dedup -> p05-p95 length band
+   * (thresholds over the SURVIVORS) -> deterministic stratified sample
+   * (en 10%, else 50%) -> 512-token sequence packing per language.
+   * Every stage is the already-oracle-checked operator (q12/q41/q42/q43);
+   * this query proves they COMPOSE — stage filters chain as semi-joins on
+   * doc_id (each stage's verdict is id-shaped, so no stage re-derives
+   * another's columns), and the oracle replays the same four stages as
+   * one CTE chain.
+   */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val keepers = Dedup.exact(all, "doc_id", "text")
+      .where(col("keep")).select(col("doc_id"))
+    val surv = all.join(keepers, Seq("doc_id"), "left_semi")
+    val band = Curation.quantileBand(surv, "doc_id", length(col("text")), 0.05, 0.95)
+      .select(col("doc_id"))
+    val banded = surv.join(band, Seq("doc_id"), "left_semi")
+    val sampled = Curation.stratifiedSample(banded, "doc_id", "lang",
+        Map("en" -> 10), defaultPct = 50)
+      .select(col("doc_id"))
+    val fin = banded.join(sampled, Seq("doc_id"), "left_semi")
+    Curation.packSequences(fin, "doc_id", "text", "lang", budget = 512L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_offset"), col("chunk_id"))
+  }
+
+  val CurationPipelineSql: String =
+    """WITH f AS (SELECT doc_id, lang, text,
+      |             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |           FROM documents),
+      |k AS (SELECT doc_id, lang, text FROM f
+      |      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+      |s AS (SELECT doc_id, lang, text, length(text)::BIGINT AS n_chars FROM k),
+      |n AS (SELECT count(*) AS c FROM s),
+      |h AS (SELECT n_chars AS v, count(*) AS cnt FROM s GROUP BY 1),
+      |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM h),
+      |lo AS (SELECT min(v) AS v FROM cum
+      |       WHERE cc >= (SELECT cast(ceil(0.05 * c) AS BIGINT) FROM n)),
+      |hi AS (SELECT min(v) AS v FROM cum
+      |       WHERE cc >= (SELECT cast(ceil(0.95 * c) AS BIGINT) FROM n)),
+      |b AS (SELECT doc_id, lang, text FROM s
+      |      WHERE n_chars BETWEEN (SELECT v FROM lo) AND (SELECT v FROM hi)),
+      |p AS (SELECT doc_id, lang, text FROM b
+      |      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      |            < CASE WHEN lang = 'en' THEN 10 ELSE 50 END),
+      |t AS (SELECT doc_id, lang,
+      |        len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT
+      |          AS n_tokens
+      |      FROM p),
+      |o AS (SELECT doc_id, lang, n_tokens,
+      |        coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |          AS start_offset
+      |      FROM t)
+      |SELECT doc_id, lang, n_tokens, start_offset,
+      |       (start_offset // 512)::BIGINT AS chunk_id
+      |FROM o""".stripMargin
+
   /** Exact per-language p50/p90 whitespace-token counts (grouped order
     * statistics over the value histogram — [[Curation.groupedQuantiles]]'s
     * scale contract). */
