@@ -53,6 +53,25 @@ object GraftFunctions {
           "usage: heavy_hitters(col, k) with literal k")
         HeavyHittersAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       }),
+    ("morton_key",
+      new ExpressionInfo(classOf[ArrayDot].getName, "morton_key"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3 && exprs(2).foldable,
+          "usage: morton_key(x, y, bits) with literal bits")
+        val bits = exprs(2).eval().asInstanceOf[Number].intValue()
+        require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Literal, ShiftLeft, ShiftRight}
+        def masked(e: Expression) =
+          BitwiseAnd(cast(e, "bigint"), Literal((1L << bits) - 1))
+        val (x, y) = (masked(exprs(0)), masked(exprs(1)))
+        // identical fold to graft.operators.Layout.mortonKey (spec-pinned)
+        (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+          BitwiseOr(BitwiseOr(acc,
+            ShiftLeft(BitwiseAnd(ShiftRight(x, Literal(i)), Literal(1L)), Literal(2 * i))),
+            ShiftLeft(BitwiseAnd(ShiftRight(y, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+        }
+      }),
     ("bloom_agg",
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (exprs: Seq[Expression]) => {

@@ -104,6 +104,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L).forall(Bloom.mightContain(words, 3, _)))
   }
 
+  test("morton_key callable from SQL, identical to the Column-API fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    pts.toDF("x", "y").createOrReplaceTempView("mk_in")
+    def toMap(a: Array[(Long, Long, Long)]) =
+      a.map { case (x, y, z) => (x, y) -> z }.toMap
+    val viaSql = toMap(spark.sql("SELECT x, y, morton_key(x, y, 10) AS z FROM mk_in")
+      .as[(Long, Long, Long)].collect())
+    val viaApi = toMap(pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.mortonKey(col("x"), col("y"), 10).as("z"))
+      .as[(Long, Long, Long)].collect())
+    assert(viaSql == viaApi)
+  }
+
   test("extensions class registers the same functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")

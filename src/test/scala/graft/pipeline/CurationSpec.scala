@@ -101,6 +101,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got2 == Map("B" -> 5L)) // ceil(0.5*10)=5th of the 10 non-null
   }
 
+  test("grouped quantiles: differential fuzz vs brute-force order statistics") {
+    import spark.implicits._
+    // many (p, n) pairs in one Spark job; brute force = the definition:
+    // smallest value whose 1-based sorted rank reaches ceil(p * n) exactly
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 40).flatMap { g =>
+      val n = 1 + rnd.nextInt(300)
+      (0 until n).map(_ => (s"g$g", rnd.nextInt(50)))
+    }
+    val ps = Seq("q01" -> 0.01, "q07" -> 0.07, "q33" -> 0.33, "q50" -> 0.5,
+      "q90" -> 0.9, "q99" -> 0.99)
+    val got = Curation.groupedQuantiles(data.toDF("grp", "v"), "grp", col("v"), ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getLong(i + 1))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2.toLong).sorted
+      ps.zipWithIndex.foreach { case ((_, p), i) =>
+        val k = (BigDecimal(p.toString) * sorted.length)
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        val expected = sorted(math.max(k, 1) - 1)
+        assert(got(g)(i) == expected, s"group $g p=$p n=${sorted.length}")
+      }
+    }
+  }
+
   test("stratified sample: deterministic, respects per-stratum rates") {
     import spark.implicits._
     val df = (0 until 1000).map { i =>
