@@ -440,7 +440,8 @@ object PipelineQueries {
       .select(col("doc_id"), col("m").as("n_chars"))
 
   val QualityBandSql: String =
-    """WITH s AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents),
+    """WITH s AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+      |           WHERE text IS NOT NULL),
       |n AS (SELECT count(*) AS c FROM s),
       |h AS (SELECT n_chars AS v, count(*) AS cnt FROM s GROUP BY 1),
       |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM h),
@@ -613,7 +614,12 @@ object PipelineQueries {
     val all = docs(s, d)
     val keepers = Dedup.exact(all, "doc_id", "text")
       .where(col("keep")).select(col("doc_id"))
+    // Persisted: quantileBand's driver histogram materializes this
+    // subtree eagerly, and the band/sample/pack branches each reference
+    // it again — without the persist the corpus-wide fingerprint window
+    // re-runs per branch (the q48b ev-persist precedent).
     val surv = all.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val band = Curation.quantileBand(surv, "doc_id", length(col("text")), 0.05, 0.95)
       .select(col("doc_id"))
     val banded = surv.join(band, Seq("doc_id"), "left_semi")

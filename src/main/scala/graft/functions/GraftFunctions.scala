@@ -54,18 +54,22 @@ object GraftFunctions {
         HeavyHittersAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       }),
     ("morton_key",
-      new ExpressionInfo(classOf[ArrayDot].getName, "morton_key"),
+      new ExpressionInfo(graft.operators.Layout.getClass.getName, "morton_key"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3 && exprs(2).foldable,
           "usage: morton_key(x, y, bits) with literal bits")
         val bits = exprs(2).eval().asInstanceOf[Number].intValue()
         require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+        // Catalyst nodes built directly: a Column-API delegation via the
+        // shims arrives UNRESOLVED in the registry path (ColumnNode
+        // wrappers fail codegen), so the fold is mirrored from
+        // graft.operators.Layout.mortonKey — equality is spec-pinned
+        // (FunctionsSpec "identical to the Column-API fold").
         import org.apache.spark.sql.catalyst.expressions.{
           BitwiseAnd, BitwiseOr, Literal, ShiftLeft, ShiftRight}
         def masked(e: Expression) =
           BitwiseAnd(cast(e, "bigint"), Literal((1L << bits) - 1))
         val (x, y) = (masked(exprs(0)), masked(exprs(1)))
-        // identical fold to graft.operators.Layout.mortonKey (spec-pinned)
         (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
           BitwiseOr(BitwiseOr(acc,
             ShiftLeft(BitwiseAnd(ShiftRight(x, Literal(i)), Literal(1L)), Literal(2 * i))),

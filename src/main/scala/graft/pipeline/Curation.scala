@@ -223,7 +223,11 @@ object Curation {
   def quantileBand(
       df: DataFrame, idCol: String, measure: Column,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    // null measures excluded, mirroring groupedQuantiles: Spark sorts
+    // them first, DuckDB last, and a null histogram row would NPE the
+    // driver threshold walk below
     val scored = df.select(col(idCol), measure.cast("long").as("m"))
+      .where(col("m").isNotNull)
     val hist = scored.groupBy(col("m")).agg(count(lit(1)).as("c"))
       .orderBy(col("m")).collect()
     val n = hist.iterator.map(_.getLong(1)).sum

@@ -130,7 +130,7 @@ class PlanSpec extends AnyFunSuite {
   test("retention cohorts: one event scan (cohort min is a window, not a rejoin)") {
     val p = plan("q58_retention_cohorts")
     assert("- Scan parquet".r.findAllIn(p).size == 1, p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
