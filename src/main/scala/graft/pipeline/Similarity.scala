@@ -90,7 +90,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 6, numTables: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // dim 1 fallback keeps an EMPTY corpus planning through (every frame
+    // downstream is empty with the right schema) instead of throwing on
+    // head-of-nothing — the dry-shard case a pipeline must survive
+    val dim = corpus.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
     val buckets = bucketsUdf(planes)
     def withBuckets(df: DataFrame, side: String): DataFrame = df
@@ -145,7 +149,10 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol)).limit(sampleSize)
       .as[Seq[Double]].collect().map(v => unitVec(v.toArray))
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    // An empty corpus has nothing to train centroids on; brute force over
+    // the same empty corpus yields the identical (empty) result schema
+    // instead of throwing — pipelines must survive a dry shard.
+    if (sample.isEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     // Never more centroids than sample vectors (tiny corpora degrade to
     // fewer cells, worst case 1 = brute force within the single list).
     val k2 = math.min(numCentroids, sample.length)
@@ -296,7 +303,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 12, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorExprs.array_dot
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // dim 1 fallback: empty input plans through to an empty result (see lshTopK)
+    val dim = df.select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
     val buckets = bucketsUdf(planes)
     // ids-only candidate join (vectors re-attach after the distinct).
