@@ -18,14 +18,17 @@ class EmptyCorpusSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS); read as Long like the mains
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .appName("empty-corpus-spec")
     .getOrCreate()
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf").toString
     val src = "/root/testdata/sf0.001"
-    // real schemas, zero rows
-    Seq("documents", "embeddings").foreach { t =>
+    // real schemas, zero rows — the full warehouse
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
@@ -52,6 +55,20 @@ class EmptyCorpusSpec extends AnyFunSuite {
       try {
         val n = graft.SparkEntry.queries(name)(spark, emptyDir).count()
         assert(n == 0L, s"$name returned $n rows from an empty corpus")
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every remaining query executes on an empty warehouse without throwing") {
+    val rest = graft.SparkEntry.queries.keySet -- docQueries
+    val failures = rest.toSeq.sorted.flatMap { name =>
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, emptyDir).count()
+        assert(n == 0L, s"$name returned $n rows from an empty warehouse")
         None
       } catch {
         case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
