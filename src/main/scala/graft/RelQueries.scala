@@ -117,6 +117,48 @@ object RelQueries {
       |  cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /**
+   * Hopping (sliding) windows via Spark's native `window()` generator:
+   * 30-minute windows every 10 minutes, so each event lands in exactly 3
+   * overlapping windows. The replication factor is window/slide — fixed
+   * at plan time, applied in the scan projection (a generator, no
+   * shuffle) — and the aggregate is partial-combined per (window, type).
+   */
+  def eventHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(window(expr("timestamp_micros(ts div 1000)"),
+        "30 minutes", "10 minutes").as("w"), col("event_type"))
+      .groupBy(unix_micros(col("w.start")).as("w_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  val EventHoppingSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events)
+      |SELECT (tsu // 600000000) * 600000000 - k.i * 600000000 AS w_start_us,
+      |       event_type, count(*)::BIGINT AS n
+      |FROM e, generate_series(0, 2) AS k(i)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Cube over order status x priority (every grouping set + grouping id). */
+  def statusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dec("o_totalprice").cast("double").as("sum_price"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("gid"), col("n"), col("sum_price"))
+
+  val StatusCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+      |       count(*) AS n,
+      |       cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
   /** 30-min-gap sessionization (batch twin of flatMapGroupsWithState). */
   def eventSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.sessionsBatch(spark, dir)
