@@ -55,6 +55,24 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /**
+   * Streaming twin of the hopping-window counts (q60): 30-minute windows
+   * sliding every 10, watermarked — each window closes and emits once the
+   * watermark passes its end, so state is bounded by window/slide x the
+   * active key set, not the stream's lifetime.
+   */
+  def hoppingStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    eventCols(stream)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"))
+  }
+
   /** Batch twin of sessionization: 30-min-gap sessions via window funcs. */
   def sessionsBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -37,6 +37,17 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("hopping-window streaming aggregation == batch hopping counts (q60)") {
+    import spark.implicits._
+    runToMemory(EventStreams.hoppingStream(spark, sf), "hopping", "complete")
+    val streamed = spark.table("hopping")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.RelQueries.eventHopping(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window sessionization") {
     import spark.implicits._
     runToMemory(EventStreams.sessionsStream(spark, sf), "sessions")
