@@ -159,6 +159,46 @@ object RelQueries {
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /**
+   * Frequent event paths: order-sensitive 3-gram sequences of event
+   * types per user (ordered by time, unique event id as tie-break),
+   * counted corpus-wide, paths seen >= 5 times — the sequence-pattern
+   * complement to the engine's (order-free) itemset mining.
+   *
+   * Scale shape: each user's ordered type sequence is one
+   * `collect_list` group — bounded by per-user activity, the same
+   * per-group memory boundary sessionization already assumes — and the
+   * 3-grams are sliced out of the array shuffle-free (the q53 slice+zip
+   * shape); path counting partial-aggregates on a path-string key.
+   */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        struct(expr("ts div 1000L").as("tsu"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(col("e"))),
+        s => s.getField("event_type")).as("seq"))
+    val len = greatest(size(col("seq")) - 2, lit(0))
+    seqs
+      .select(explode(arrays_zip(
+        slice(col("seq"), lit(1), len),
+        slice(col("seq"), lit(2), len),
+        slice(col("seq"), lit(3), len))).as("g"))
+      .select(concat_ws(">", col("g.0"), col("g.1"), col("g.2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 5)
+  }
+
+  val EventPathsSql: String =
+    """WITH s AS (SELECT user_id,
+      |             list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS path
+      |      FROM s, unnest(range(1, greatest(len(seq) - 1, 1))) AS t(i))
+      |SELECT path, count(*)::BIGINT AS cnt
+      |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
   /** 30-min-gap sessionization (batch twin of flatMapGroupsWithState). */
   def eventSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.sessionsBatch(spark, dir)
