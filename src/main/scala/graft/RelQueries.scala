@@ -126,19 +126,28 @@ object RelQueries {
    */
   def eventHopping(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
+      // null timestamps are excluded EXPLICITLY (Spark's window generator
+      // silently drops them; the oracle must agree instead of emitting a
+      // NULL-window group)
+      .where(col("ts").isNotNull)
       .select(window(expr("timestamp_micros(ts div 1000)"),
         "30 minutes", "10 minutes").as("w"), col("event_type"))
       .groupBy(unix_micros(col("w.start")).as("w_start_us"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
   val EventHoppingSql: String =
-    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events)
+    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events
+      |           WHERE ts IS NOT NULL)
       |SELECT (tsu // 600000000) * 600000000 - k.i * 600000000 AS w_start_us,
       |       event_type, count(*)::BIGINT AS n
       |FROM e, generate_series(0, 2) AS k(i)
       |GROUP BY 1, 2""".stripMargin
 
-  /** Cube over order status x priority (every grouping set + grouping id). */
+  /** Cube over order status x priority (every grouping set + grouping id).
+    * Known engine divergence ON EMPTY INPUT only: SQL-standard CUBE emits
+    * the grand-total grouping-set row (count 0) for an empty table, while
+    * Spark's cube emits no rows; the oracle matches on any non-empty
+    * input (EmptyCorpusSpec pins the Spark behavior). */
   def statusCube(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -173,18 +182,18 @@ object RelQueries {
    */
   def eventPaths(spark: SparkSession, dir: String): DataFrame = {
     val seqs = Tables.load(spark, dir, "events")
+      // null types/timestamps excluded on BOTH engines: concat_ws skips
+      // null fields (collapsing a 3-gram to a shorter path) where SQL
+      // `||` nulls the whole path — neither is a useful "pattern"
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
       .select(col("user_id"),
         struct(expr("ts div 1000L").as("tsu"), col("event_id"),
           col("event_type")).as("e"))
       .groupBy(col("user_id"))
       .agg(transform(array_sort(collect_list(col("e"))),
         s => s.getField("event_type")).as("seq"))
-    val len = greatest(size(col("seq")) - 2, lit(0))
     seqs
-      .select(explode(arrays_zip(
-        slice(col("seq"), lit(1), len),
-        slice(col("seq"), lit(2), len),
-        slice(col("seq"), lit(3), len))).as("g"))
+      .select(explode(graft.pipeline.Signals.sliceNgrams(col("seq"), 3)).as("g"))
       .select(concat_ws(">", col("g.0"), col("g.1"), col("g.2")).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 5)
@@ -193,7 +202,9 @@ object RelQueries {
   val EventPathsSql: String =
     """WITH s AS (SELECT user_id,
       |             list(event_type ORDER BY epoch_us(ts), event_id) AS seq
-      |           FROM events GROUP BY 1),
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |           GROUP BY 1),
       |g AS (SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS path
       |      FROM s, unnest(range(1, greatest(len(seq) - 1, 1))) AS t(i))
       |SELECT path, count(*)::BIGINT AS cnt

@@ -167,6 +167,18 @@ object Signals {
   }
 
   /**
+   * Sliding n-grams of an array column, generated shuffle-free inside
+   * the scan: n aligned slices zipped positionally. `greatest(..., 0)`
+   * guards the slice length — ANSI mode throws on negative lengths for
+   * arrays shorter than n (which instead produce zero n-grams). Fields
+   * of the zipped struct are positional ("0".."n-1").
+   */
+  private[graft] def sliceNgrams(arr: Column, n: Int): Column = {
+    val len = greatest(size(arr) - (n - 1), lit(0))
+    arrays_zip((1 to n).map(k => slice(arr, lit(k), len)): _*)
+  }
+
+  /**
    * Bigram language-model table: for every adjacent lowercase word pair
    * across the corpus, its count and the conditional probability
    * `p(w2 | w1) = cnt(w1 w2) / cnt(w1 ·)`, restricted to pairs seen at
@@ -184,10 +196,8 @@ object Signals {
   def bigramModel(
       docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val len = greatest(size(col("ws")) - 1, lit(0))
     val pairs = docs.select(words.as("ws"))
-      .select(explode(arrays_zip(
-        slice(col("ws"), lit(1), len), slice(col("ws"), lit(2), len))).as("bg"))
+      .select(explode(sliceNgrams(col("ws"), 2)).as("bg"))
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
     val cnt = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))

@@ -38,13 +38,17 @@ object EventStreams {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Shared file-source recipe: schema from the batch table, directory
+    * source narrowed to events.parquet. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Streaming version: file source + watermark + 1h tumbling window. */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.load(spark, dir, "events").schema
-    // The file source wants a directory; select just events.parquet from it.
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    eventCols(stream)
+    eventCols(eventStream(spark, dir))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(
@@ -62,10 +66,7 @@ object EventStreams {
    * active key set, not the stream's lifetime.
    */
   def hoppingStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.load(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    eventCols(stream)
+    eventCols(eventStream(spark, dir))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "30 minutes", "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -109,9 +110,7 @@ object EventStreams {
    */
   def sessionsStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = graft.Tables.load(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventStream(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("ts")).as[SessionEvent]
 
     def flush(userId: Long, evs: List[(Long, Long)]): Iterator[Session] = {
@@ -179,9 +178,7 @@ object EventStreams {
       spark: SparkSession, dir: String, watermarkDelay: String = "0 seconds")
       : DataFrame = {
     import spark.implicits._
-    val schema = graft.Tables.load(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventStream(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000L").as("ts"))
       .as[SessionEvent]
     sessionsClosedFromEvents(stream, watermarkDelay)

@@ -24,6 +24,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
     .getOrCreate()
 
   private lazy val emptyDir: String = {
+    // Builder configs are ignored when another suite created the shared
+    // session first (one JVM, getOrCreate); set the nanos conf at runtime
+    // so the events.parquet read below works regardless of suite order.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf").toString
     val src = "/root/testdata/sf0.001"
     // real schemas, zero rows — the full warehouse
@@ -50,11 +54,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q50_mixture_sample", "q52_lang_percentiles", "q53_bigram_model",
     "q54_repeated_spans", "q55_token_ids", "q59_curation_pipeline")
 
-  test("every document query executes on an empty corpus without throwing") {
-    val failures = docQueries.flatMap { name =>
+  private def assertAllEmpty(names: Seq[String]): Unit = {
+    val failures = names.flatMap { name =>
       try {
         val n = graft.SparkEntry.queries(name)(spark, emptyDir).count()
-        assert(n == 0L, s"$name returned $n rows from an empty corpus")
+        assert(n == 0L, s"$name returned $n rows from empty input")
         None
       } catch {
         case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
@@ -63,17 +67,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every document query executes on an empty corpus without throwing") {
+    assertAllEmpty(docQueries)
+  }
+
   test("every remaining query executes on an empty warehouse without throwing") {
-    val rest = graft.SparkEntry.queries.keySet -- docQueries
-    val failures = rest.toSeq.sorted.flatMap { name =>
-      try {
-        val n = graft.SparkEntry.queries(name)(spark, emptyDir).count()
-        assert(n == 0L, s"$name returned $n rows from an empty warehouse")
-        None
-      } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
-      }
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    assertAllEmpty((graft.SparkEntry.queries.keySet -- docQueries).toSeq.sorted)
   }
 }
