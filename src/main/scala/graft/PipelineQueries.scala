@@ -99,9 +99,54 @@ object PipelineQueries {
 
   val MinHashLshSql: String = jaccardSql(0.7)
 
-  /** SimHash near-dup pairs — not SQL-expressible; rows-only + spec. */
+  /** SimHash near-dup pairs, hamming <= 3 via 4x16-bit bands.
+    * bit_count is int32; the compare is dtype-strict -> long. */
   def simHashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /**
+   * Full DuckDB replay of the simhash: per-token Karp-Rabin hash in
+   * HUGEINT mod-2^64 arithmetic (the q20 formulation), finalized by the
+   * same odd-constant multiply — decomposed into 32-bit halves because
+   * rk * C approaches 2^128 and would overflow INT128 — wrapped to
+   * signed, bit votes per position via DuckDB's arithmetic `>>` (bit b
+   * of `(x >> b) & 1` is fill-independent), and brute-force pair
+   * hamming. Spark's 16-bit banding is pigeonhole-complete for
+   * hamming <= 3, so the banded and brute-force pair sets are EQUAL —
+   * which is what makes an exact oracle possible at all.
+   */
+  val SimHashPairsSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |rk AS (SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(0::HUGEINT,
+      |             list_transform(range(1, length(tok) + 1),
+      |                            i -> ord(substr(tok, i, 1))::HUGEINT)),
+      |           (h, c) -> (h * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |       FROM t),
+      |th AS (SELECT doc_id,
+      |         (((r // 4294967296) * 2135587861 + (r % 4294967296) * 2654435769) * 4294967296
+      |          + (r % 4294967296) * 2135587861) % 18446744073709551616::HUGEINT AS u
+      |       FROM rk),
+      |ts AS (SELECT doc_id,
+      |         (CASE WHEN u >= 9223372036854775808::HUGEINT
+      |               THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS h
+      |       FROM th),
+      |bits AS (
+      |  SELECT g.doc_id, g.i AS bit,
+      |         CASE WHEN coalesce(sum(CASE WHEN (ts.h >> g.i) & 1 = 1 THEN 1 ELSE -1 END), 0) > 0
+      |              THEN 1 ELSE 0 END AS bv
+      |  FROM (SELECT doc_id, i FROM d, generate_series(0, 63) AS b(i)) g
+      |  LEFT JOIN ts ON ts.doc_id = g.doc_id
+      |  GROUP BY 1, 2),
+      |ham AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |          sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END)::BIGINT AS hamming
+      |        FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2)
+      |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
   // ------------------------------------------------------------- text stats
 
