@@ -1,6 +1,6 @@
 package graft
 
-import graft.fpm.{AssociationRules, FPGrowth, FPGrowthModel, Predictor}
+import graft.fpm.{Apriori, AssociationRules, FPGrowth, FPGrowthModel, Predictor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,34 @@ object FpmQueries {
       Predictor.sortRules(rules), "items", "prediction")
       .select(col("l_orderkey"), col("prediction"))
   }
+
+  /**
+   * q: level-wise Apriori over the same baskets and support as q03 — the
+   * reference's fourth algorithm variant (`apriori/Apriori.scala:20-48`),
+   * distributed rewrite ([[graft.fpm.Apriori]]). Identical itemsets from a
+   * different algorithm: a cross-algorithm differential under the q03
+   * oracle's hash gate. maxLevel 3 = the declared arity cap, so the level
+   * loop stops exactly where the oracle's brute-force enumeration does.
+   */
+  def aprioriItemsets(spark: SparkSession, dir: String): DataFrame =
+    new Apriori()
+      .setMinSupport(MinSupport)
+      .setMaxLevel(3)
+      .freqItemsets(Tables.orderBrandBaskets(spark, dir))
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+
+  /**
+   * q: the fully relational twin of q05 — broadcast rule table probed by
+   * the codegen'd `array_contains_all` subset test instead of a driver-
+   * collected UDF table ([[graft.fpm.Predictor.predictRelational]]).
+   * Byte-identical output to q05 (PredictorSpec equality), same oracle.
+   */
+  def predictRelational(spark: SparkSession, dir: String): DataFrame =
+    Predictor.predictRelational(
+      Tables.orderBrandBaskets(spark, dir),
+      model(spark, dir).associationRules.where(size(col("antecedent")) <= 2),
+      Seq("l_orderkey"), "items", "prediction")
+      .select(col("l_orderkey"), col("prediction"))
 
   /**
    * q: FP-Growth over the (wider, deeper) order->supplier basket domain —

@@ -16,6 +16,7 @@ object SparkEntry {
     "q03_freq_itemsets" -> ((s, d) => FpmQueries.freqItemsets(s, d)),
     "q04_assoc_rules" -> ((s, d) => FpmQueries.assocRules(s, d)),
     "q05_predict" -> ((s, d) => FpmQueries.predict(s, d)),
+    "q05b_predict_relational" -> ((s, d) => FpmQueries.predictRelational(s, d)),
     "q06_pricing_summary" -> ((s, d) => RelQueries.pricingSummary(s, d)),
     "q07_nation_revenue" -> ((s, d) => RelQueries.nationRevenue(s, d)),
     "q08_top_orders" -> ((s, d) => RelQueries.topOrders(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q60_event_hopping" -> ((s, d) => RelQueries.eventHopping(s, d)),
     "q61_status_cube" -> ((s, d) => RelQueries.statusCube(s, d)),
     "q62_event_paths" -> ((s, d) => RelQueries.eventPaths(s, d)),
+    "q63_apriori_itemsets" -> ((s, d) => FpmQueries.aprioriItemsets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +89,8 @@ object SparkEntry {
     "q03_freq_itemsets" -> FpmQueries.FreqItemsetsSql,
     "q04_assoc_rules" -> FpmQueries.AssocRulesSql,
     "q05_predict" -> FpmQueries.PredictSql,
+    // q05b: relational twin of q05 — identical rows, identical oracle
+    "q05b_predict_relational" -> FpmQueries.PredictSql,
     "q06_pricing_summary" -> RelQueries.PricingSummarySql,
     "q07_nation_revenue" -> RelQueries.NationRevenueSql,
     "q08_top_orders" -> RelQueries.TopOrdersSql,
@@ -121,6 +125,10 @@ object SparkEntry {
     "q33_embedding_neardup" -> PipelineQueries.EmbeddingNearDupSql,
     // q33b: exact grid-join path — identical pair set, identical oracle
     "q33b_neardup_grid" -> PipelineQueries.EmbeddingNearDupSql,
+    // q34: declared at nProbe = numCentroids — provably brute force
+    // (PipelineSpec full-probe equivalence), so the q22 oracle is exact;
+    // the approximate nProbe < numCentroids regime stays spec-covered
+    "q34_ann_ivf" -> PipelineQueries.CosineTopKSql,
     "q35_tfidf" -> PipelineQueries.TfIdfSql,
     // q36_sketches: approximate estimators are engine-specific (tolerance spec)
     "q37_rollup" -> RelQueries.RollupCountsSql,
@@ -153,5 +161,8 @@ object SparkEntry {
     "q60_event_hopping" -> RelQueries.EventHoppingSql,
     "q61_status_cube" -> RelQueries.StatusCubeSql,
     "q62_event_paths" -> RelQueries.EventPathsSql,
+    // q63: Apriori — same itemsets as q03 from a different algorithm
+    // (cross-algorithm differential under the same oracle)
+    "q63_apriori_itemsets" -> FpmQueries.FreqItemsetsSql,
   )
 }

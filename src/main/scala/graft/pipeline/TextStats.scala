@@ -108,6 +108,19 @@ object TextStats {
   }
 
   /**
+   * Top-`vocabSize` terms by (count desc, term asc). Plans as
+   * `TakeOrderedAndProject` over the partial-aggregated term counts —
+   * bounded per-partition heaps, so the corpus-vocabulary-sized term table
+   * is never globally sorted and never flows through an unpartitioned
+   * window (the [[graft.pipeline.Signals.oovRate]] shape).
+   */
+  def topTerms(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+
+  /**
    * Frequency-ranked vocabulary build + token-id encoding — the final
    * tokenize step of a training-data pipeline, with a count-based vocab
    * standing in for a learned BPE merge table: id = dense rank by
@@ -115,11 +128,14 @@ object TextStats {
    * as -1, each document emitted as its in-order id array.
    *
    * Scale shape: the corpus reduces to (term, count) in one
-   * partial-aggregated shuffle; the RANKING window runs on that already
-   * vocabulary-sized table (the same bounded-metadata boundary as the
-   * mining L1 dictionary — never on corpus rows), and the encode side is
-   * a broadcast join of the vocab against the positional explode, with
-   * per-doc reassembly ordered by position.
+   * partial-aggregated shuffle; the top-`vocabSize` cut is a
+   * [[topTerms]] `orderBy(...).limit(...)` — `TakeOrderedAndProject`,
+   * bounded per-partition heaps, NEVER a global sort or an unpartitioned
+   * window over the corpus-vocabulary-sized term table — and ids are
+   * assigned on the driver over the ≤`vocabSize` collected rows (the same
+   * bounded-metadata boundary as the mining L1 dictionary). The encode
+   * side is a broadcast join of the vocab against the positional explode,
+   * with per-doc reassembly ordered by position.
    *
    * The corpus IS scanned twice (vocab-build pass + encode pass) — the
    * deliberate side of a trade, same as [[graft.pipeline.Signals.oovRate]]:
@@ -131,14 +147,19 @@ object TextStats {
   def tokenIds(
       docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val t = docs.select(col(idCol),
       posexplode(toks(col(textCol))).as(Seq("pos", "term")))
-    val wRank = Window.orderBy(col("cnt").desc, col("term").asc)
-    val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("tid", row_number().over(wRank).cast("long") - 1L)
-      .where(col("tid") < vocabSize)
-      .select(col("term"), col("tid"))
+    // (cnt desc, term asc) is a total order, so the collected rows arrive
+    // fully ranked; the defensive driver re-sort costs O(V log V) on ≤V rows
+    // and pins the id assignment to the declared order, not to collect().
+    val vocab = topTerms(docs, textCol, vocabSize).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (term, cnt) => (-cnt, term) }
+      .iterator.zipWithIndex
+      .map { case ((term, _), i) => (term, i.toLong) }
+      .toSeq.toDF("term", "tid")
     t.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(transform(

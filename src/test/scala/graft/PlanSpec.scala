@@ -134,6 +134,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("relational predict: rules broadcast, basket side probed without a shuffle") {
+    val p = plan("q05b_predict_relational")
+    // the subset-probe theta-join broadcasts the (small, lift-filtered)
+    // rule table; the basket side — the 100 TB side — is scanned in place
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no Exchange between the probe join and the cached basket scan
+    assert(
+      """BroadcastNestedLoopJoin Inner BuildRight[^\n]*\n\s*:- Filter[^\n]*\n\s*:  \+- InMemoryTableScan"""
+        .r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("token-id vocab: top-V cut is TakeOrderedAndProject, encode has no global window") {
+    import graft.pipeline.TextStats
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    // the vocab-build subquery: bounded per-partition heaps, never a
+    // global sort or an unpartitioned row_number over ALL distinct terms
+    val vp = TextStats.topTerms(docs, "text", 40)
+      .queryExecution.explainString(FormattedMode)
+    assert(vp.contains("TakeOrderedAndProject"), vp)
+    assert(!vp.contains("Window"), vp)
+    // the declared q55 plan: broadcast vocab probe, zero Window operators
+    val p = plan("q55_token_ids")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._
