@@ -51,25 +51,24 @@ object PipelineQueries {
        |FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
        |WHERE i::DOUBLE / (sa.s + sb.s - i) >= ${threshold}::DOUBLE""".stripMargin
 
+  /** Flagship n-gram Jaccard dedup, declared WITH stop-gram pruning
+    * (`maxShingleDF = 2`): shingles present in more than that many docs are
+    * dropped BEFORE the inverted-index self-join — the mechanism that
+    * bounds the join fan-out when a ubiquitous shingle would otherwise
+    * degenerate it to n^2 (spec-proven on an adversarial corpus in
+    * PipelineSpec). Jaccard is then over the surviving shingle sets and
+    * the oracle applies the identical pruning, so the declared flagship
+    * config IS the 100 TB config — the unpruned exact path
+    * (`maxShingleDF = 0`) remains available and spec-covered, but is not
+    * what ships as the text-dedup query. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
-
-  val NgramJaccardSql: String = jaccardSql(0.5)
-
-  /** Stop-gram-pruned variant: shingles present in more than `maxShingleDF`
-    * docs are dropped BEFORE the self-join — the mechanism that bounds the
-    * inverted-index fan-out when a ubiquitous shingle would otherwise
-    * degenerate the join to n^2 (spec-proven on an adversarial corpus in
-    * DedupSpec). Jaccard is then over the surviving shingle sets, and the
-    * oracle applies the identical pruning. */
-  def ngramJaccardPruned(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
       n = 5, threshold = 0.5, maxShingleDF = 2L)
 
   /** [[GramCtes]] + df-based stop-gram pruning (df > 2 dropped), mirroring
     * `Dedup.shingleIndex`'s pruning on the raw (unhashed) grams — exact
     * because xxhash64 collisions across ~24k distinct shingles are ~0. */
-  private val PrunedGramCtes: String =
+  private[graft] val PrunedGramCtes: String =
     """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
       |      FROM documents),
       |g AS (SELECT doc_id,
@@ -84,7 +83,7 @@ object PipelineQueries {
       |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
-  val NgramJaccardPrunedSql: String =
+  val NgramJaccardSql: String =
     s"""WITH $PrunedGramCtes
        |SELECT d1, d2, i::DOUBLE / (sa.s + sb.s - i) AS jaccard
        |FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id

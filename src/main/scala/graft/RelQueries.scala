@@ -494,6 +494,62 @@ object RelQueries {
           expr("unix_timestamp(o_orderdate) div 86400"),
           bits = 10).as("zkey"))
 
+  /**
+   * The z-order WRITE path, driver-checked end to end: [[zorderKeys]]'s
+   * dimensions are clustered with [[graft.operators.Layout.zorderBy]]
+   * (range-partition by morton key + sort within partitions), written as
+   * parquet, and read back with the per-row `_metadata.file_path` to
+   * recover what each FILE actually contains. The layout contract is then
+   * asserted as data: per-file zkey intervals are pairwise disjoint (the
+   * property that makes file-level min/max pruning work — a zkey predicate
+   * touches exactly the files whose interval it intersects), the file
+   * count respects the requested split count, and no row was lost or
+   * duplicated by the partition/sort/write round trip.
+   *
+   * Scale shape: the write is ONE range shuffle (the same distributed sort
+   * every lakehouse OPTIMIZE ZORDER runs); the envelope check aggregates
+   * one row PER FILE — bounded metadata (~100k rows at 100 TB), so the
+   * ordered window over file envelopes never sees data rows. The grouped
+   * final aggregate (instead of a bare `.agg`) makes the query yield zero
+   * rows on a zero-row warehouse rather than a single all-null row.
+   */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("o_day"))
+    val numFiles = 8
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.operators.Layout
+      .zorderBy(o, col("o_custkey"), col("o_day"), bits = 10, numFiles = numFiles)
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+      .select(
+        col("_metadata.file_path").as("file"),
+        graft.operators.Layout.mortonKey(col("o_custkey"), col("o_day"), 10).as("zkey"))
+    val env = back.groupBy(col("file"))
+      .agg(min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"),
+        count(lit(1)).as("cnt"))
+    val wz = Window.orderBy(col("zmin"), col("file")) // one row per file: metadata-sized
+    env.withColumn("prev_zmax", lag(col("zmax"), 1).over(wz))
+      .groupBy(lit(1).as("one"))
+      .agg(
+        sum(col("cnt")).as("total_rows"),
+        coalesce(bool_and(col("prev_zmax") < col("zmin")), lit(true))
+          .as("files_disjoint"),
+        (count(lit(1)) <= numFiles).as("file_count_ok"))
+      .drop("one")
+  }
+
+  /** The write-path contract as an oracle: rows survive the round trip and
+    * the layout properties hold (Spark computes them from real file
+    * envelopes; the oracle pins them to `true`). */
+  val ZorderLayoutSql: String =
+    """SELECT count(*)::BIGINT AS total_rows,
+      |       true AS files_disjoint,
+      |       true AS file_count_ok
+      |FROM orders""".stripMargin
+
   val ZorderKeysSql: String =
     """WITH o AS (SELECT o_orderkey,
       |             o_custkey & 1023 AS xb,

@@ -25,7 +25,6 @@ object SparkEntry {
     "q11_event_stats" -> ((s, d) => RelQueries.eventStats(s, d)),
     "q12_dedup_exact" -> ((s, d) => PipelineQueries.dedupExact(s, d)),
     "q13_ngram_jaccard" -> ((s, d) => PipelineQueries.ngramJaccard(s, d)),
-    "q13b_jaccard_pruned" -> ((s, d) => PipelineQueries.ngramJaccardPruned(s, d)),
     "q14_minhash_lsh" -> ((s, d) => PipelineQueries.minHashLsh(s, d)),
     "q15_simhash_pairs" -> ((s, d) => PipelineQueries.simHashPairs(s, d)),
     "q16_text_quality" -> ((s, d) => PipelineQueries.quality(s, d)),
@@ -79,6 +78,7 @@ object SparkEntry {
     "q61_status_cube" -> ((s, d) => RelQueries.statusCube(s, d)),
     "q62_event_paths" -> ((s, d) => RelQueries.eventPaths(s, d)),
     "q63_apriori_itemsets" -> ((s, d) => FpmQueries.aprioriItemsets(s, d)),
+    "q64_zorder_layout" -> ((s, d) => RelQueries.zorderLayout(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,8 +98,9 @@ object SparkEntry {
     "q10_word_count" -> RelQueries.WordCountSql,
     "q11_event_stats" -> RelQueries.EventStatsSql,
     "q12_dedup_exact" -> PipelineQueries.DedupExactSql,
+    // q13 ships stop-gram-pruned (maxShingleDF=2) — the scale-safe config;
+    // the oracle applies the identical pruning
     "q13_ngram_jaccard" -> PipelineQueries.NgramJaccardSql,
-    "q13b_jaccard_pruned" -> PipelineQueries.NgramJaccardPrunedSql,
     "q14_minhash_lsh" -> PipelineQueries.MinHashLshSql,
     // q15: the full simhash IS DuckDB-expressible — token Karp-Rabin in
     // HUGEINT mod-2^64, bit votes, brute-force hamming (banding is
@@ -164,5 +165,8 @@ object SparkEntry {
     // q63: Apriori — same itemsets as q03 from a different algorithm
     // (cross-algorithm differential under the same oracle)
     "q63_apriori_itemsets" -> FpmQueries.FreqItemsetsSql,
+    // q64: layout contract booleans computed from real file envelopes on
+    // the Spark side; the oracle pins row preservation + properties true
+    "q64_zorder_layout" -> RelQueries.ZorderLayoutSql,
   )
 }

@@ -41,7 +41,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
 
   // every declared query whose only inputs are documents/embeddings
   private val docQueries = Seq(
-    "q12_dedup_exact", "q13_ngram_jaccard", "q13b_jaccard_pruned",
+    "q12_dedup_exact", "q13_ngram_jaccard",
     "q14_minhash_lsh", "q15_simhash_pairs", "q16_text_quality",
     "q17_lang_id", "q18_token_counts", "q19_fingerprint_md5",
     "q20_fingerprint_rolling", "q21_embedding_stats", "q22_cosine_topk",
