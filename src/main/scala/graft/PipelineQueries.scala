@@ -297,12 +297,36 @@ object PipelineQueries {
   def embeddingNearDupGrid(s: SparkSession, d: String): DataFrame =
     Similarity.gridNearDupPairs(embs(s, d), "vec_id", "embedding", 0.42)
 
-  /** Approximate ANN via random-hyperplane LSH — rows-only + recall spec. */
+  /** Approximate ANN via random-hyperplane LSH, declared as its accuracy
+    * CONTRACT (the q64 pattern): recall of the LSH top-5 against the
+    * in-Spark exact top-5 (q22's brute-force path), emitted as a boolean
+    * vs the spec's 0.7 floor so the driver hash-checks it; the oracle
+    * pins `true` and cross-checks the query count. Both top-k sides run
+    * in one job — the exact side is the same scan q22 already declares. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.lshTopK(e, e.where(col("vec_id") < 100), "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    val q = e.where(col("vec_id") < 100)
+    // 5 planes x 24 tables: measured recall 0.82-0.87 on the sf0.001/0.01
+    // corpora — a real margin over the declared 0.7 floor (the default
+    // 6x16 config sits at ~0.59 on this data)
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+        numPlanes = 5, numTables = 24)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // grouped (not bare) agg + HAVING on the oracle: BOTH sides yield zero
+    // rows on an empty corpus, one row otherwise
+    exact.join(lsh.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(lit(1).as("one"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.7).as("recall_ok"))
+      .drop("one")
   }
+
+  val AnnLshSql: String =
+    """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 100 HAVING count(*) > 0""".stripMargin
 
   /** IVF-bucketed ANN (coarse quantizer + probed inverted lists), declared
     * at `nProbe = numCentroids` — every probe list is searched, which is
@@ -344,15 +368,40 @@ object PipelineQueries {
       |SELECT doc_id, term, tf, df, tfidf, rank::BIGINT AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** Sketch aggregates (HLL distinct, approximate quantiles) — engine-
-    * specific estimators, no cross-engine oracle; tolerance spec instead. */
+  /** Sketch aggregates (HLL distinct, approximate quantiles). The
+    * estimates themselves are engine-specific, so the query declares the
+    * tolerance CONTRACT as data: exact counterparts computed in the same
+    * pass, plus booleans asserting each estimate within its declared
+    * tolerance — HLL at rsd 0.05 must land within 15% (3 sigma) of the
+    * exact distinct count; percentile_approx at accuracy 1000 (rank error
+    * <= 0.1%) must land inside the 10x-slack exact-quantile window
+    * (p50 in [q49, q51], p99 in [q98, max]). The oracle cross-checks the
+    * exact count and pins the booleans true. */
   def sketches(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50e"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99e"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.98))").as("bounds"),
+        max(col("l_extendedprice")).as("pmax"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.15)
+          .as("parts_within_tol"),
+        col("p50e").between(col("bounds").getItem(0), col("bounds").getItem(1))
+          .as("p50_within_tol"),
+        (col("p99e") >= col("bounds").getItem(2) && col("p99e") <= col("pmax"))
+          .as("p99_within_tol"))
+
+  val SketchesSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |       true AS parts_within_tol, true AS p50_within_tol,
+      |       true AS p99_within_tol
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   // -------------------------------------------------------------- multimodal
 

@@ -421,6 +421,34 @@ object RelQueries {
   }
 
   /**
+   * q: per-segment order revenue routed through the SALTED join
+   * ([[graft.operators.Skew.saltedJoin]]) — the skew machinery declared
+   * against a DuckDB oracle. Each orders row gets a salt in [0, 8), the
+   * customer side is replicated once per salt value, and the join key
+   * becomes (custkey, salt): a pathologically hot customer spreads over 8
+   * shuffle partitions instead of one. The salt is dropped before the
+   * aggregate, so the result equals the plain join by construction —
+   * which is exactly what the plain-SQL oracle checks.
+   */
+  def saltedSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(o, c, "custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  val SaltedSegmentsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /**
    * Cohort retention: users grouped by their first active week, counted
    * per (cohort week, weeks-since-cohort offset) — the standard
    * retention triangle. All integer arithmetic on microsecond epochs.
@@ -519,7 +547,11 @@ object RelQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         expr("unix_timestamp(o_orderdate) div 86400").as("o_day"))
     val numFiles = 8
-    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // fixed per-SF path under target/ (NOT a fresh temp dir): repeated
+    // Verify/Bench/Plans runs overwrite one directory instead of
+    // accumulating a parquet copy of orders per invocation
+    val out = s"target/graft-zorder/${new java.io.File(dir).getName}" +
+      s"-${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.operators.Layout
       .zorderBy(o, col("o_custkey"), col("o_day"), bits = 10, numFiles = numFiles)
       .write.mode("overwrite").parquet(out)
@@ -543,12 +575,13 @@ object RelQueries {
 
   /** The write-path contract as an oracle: rows survive the round trip and
     * the layout properties hold (Spark computes them from real file
-    * envelopes; the oracle pins them to `true`). */
+    * envelopes; the oracle pins them to `true`). HAVING matches the Spark
+    * side's grouped aggregate: BOTH yield zero rows on an empty warehouse. */
   val ZorderLayoutSql: String =
     """SELECT count(*)::BIGINT AS total_rows,
       |       true AS files_disjoint,
       |       true AS file_count_ok
-      |FROM orders""".stripMargin
+      |FROM orders HAVING count(*) > 0""".stripMargin
 
   val ZorderKeysSql: String =
     """WITH o AS (SELECT o_orderkey,

@@ -79,6 +79,7 @@ object SparkEntry {
     "q62_event_paths" -> ((s, d) => RelQueries.eventPaths(s, d)),
     "q63_apriori_itemsets" -> ((s, d) => FpmQueries.aprioriItemsets(s, d)),
     "q64_zorder_layout" -> ((s, d) => RelQueries.zorderLayout(s, d)),
+    "q65_salted_segments" -> ((s, d) => RelQueries.saltedSegments(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,7 +114,10 @@ object SparkEntry {
     "q20_fingerprint_rolling" -> PipelineQueries.FingerprintRollingSql,
     "q21_embedding_stats" -> PipelineQueries.EmbeddingStatsSql,
     "q22_cosine_topk" -> PipelineQueries.CosineTopKSql,
-    // q23_ann_lsh: approximate by design (recall spec-covered)
+    // q23: LSH is approximate by design, so the declared row is its
+    // accuracy contract — recall vs the in-Spark exact top-k as a
+    // boolean the oracle pins true (the q64 pattern)
+    "q23_ann_lsh" -> PipelineQueries.AnnLshSql,
     "q24_frame_samples" -> PipelineQueries.FrameSamplesSql,
     "q25_media_features" -> PipelineQueries.MediaFeaturesSql,
     "q26_event_hourly" -> RelQueries.EventHourlySql,
@@ -131,7 +135,10 @@ object SparkEntry {
     // the approximate nProbe < numCentroids regime stays spec-covered
     "q34_ann_ivf" -> PipelineQueries.CosineTopKSql,
     "q35_tfidf" -> PipelineQueries.TfIdfSql,
-    // q36_sketches: approximate estimators are engine-specific (tolerance spec)
+    // q36: estimates are engine-specific, so the row carries the exact
+    // distinct count (cross-checked) plus within-tolerance booleans the
+    // oracle pins true
+    "q36_sketches" -> PipelineQueries.SketchesSql,
     "q37_rollup" -> RelQueries.RollupCountsSql,
     "q38_event_pivot" -> RelQueries.EventPivotSql,
     "q39_heavy_hitters" -> PipelineQueries.HeavyHittersSql,
@@ -168,5 +175,8 @@ object SparkEntry {
     // q64: layout contract booleans computed from real file envelopes on
     // the Spark side; the oracle pins row preservation + properties true
     "q64_zorder_layout" -> RelQueries.ZorderLayoutSql,
+    // q65: the salted-join path — equal to the plain join by construction,
+    // so the oracle is the plain SQL join
+    "q65_salted_segments" -> RelQueries.SaltedSegmentsSql,
   )
 }

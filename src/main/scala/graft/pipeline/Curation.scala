@@ -28,12 +28,38 @@ object Curation {
    * are invisible to the cache manager, so `unpersist()` alone leaks one
    * cached RDD per round.
    */
+  // Every checkpoint this object creates is registered here; intra-loop
+  // rounds deregister as [[release]] frees them, so what remains is
+  // exactly the storage behind RETURNED frames — [[clearCheckpoints]] is
+  // the sweep contract a long-lived session calls between corpora.
+  private val liveCheckpoints = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+
+  private def track(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftShims.checkpointRDDs(df).foreach(liveCheckpoints.add)
+    df
+  }
+
   private def materializeRound(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    track(df.localCheckpoint(eager = true))
 
   private def release(df: DataFrame): Unit = {
     df.unpersist()
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(df)
+    val rdds = org.apache.spark.sql.GraftShims.checkpointRDDs(df)
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.foreach(liveCheckpoints.remove)
+  }
+
+  /**
+   * Release the checkpoint blocks still held by frames RETURNED from this
+   * object's iterative operators (intra-loop rounds free themselves).
+   * Spec-enforced: repeated cluster runs followed by a sweep leave zero
+   * net storage growth. Safe anytime — an already-consumed frame loses
+   * only its stored blocks (a re-run would recompute them).
+   */
+  def clearCheckpoints(): Unit = {
+    liveCheckpoints.forEach(r => r.unpersist(blocking = false))
+    liveCheckpoints.clear()
   }
 
   /**
@@ -90,7 +116,8 @@ object Curation {
     sym.unpersist()
     // The returned frame reads the final (small: one row per edge-connected
     // node) stored label table; a long-lived session sweeping many corpora
-    // can release it with GraftShims.unpersistCheckpoint once consumed.
+    // releases it with [[clearCheckpoints]] once consumed (spec-enforced
+    // zero-net-growth contract).
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -166,7 +193,7 @@ object Curation {
       // that writes every checkpoint block, so one action per round both
       // materializes `next` (fully, before cur is released) and probes
       // convergence. Lineage truncation per materializeRound's contract.
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val next = track(smallStar(largeStar(cur)).localCheckpoint(eager = false))
       val nextSig = signature(next)
       release(cur)
       converged = nextSig == curSig

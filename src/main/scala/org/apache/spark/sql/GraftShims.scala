@@ -21,9 +21,12 @@ object GraftShims {
    * their RDDs.
    */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ =>
+    checkpointRDDs(df).foreach(_.unpersist(blocking = false))
+
+  /** The `LogicalRDD` leaves' RDDs behind a (local)checkpointed frame —
+    * what a caller must track to release its storage later. */
+  def checkpointRDDs(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 }

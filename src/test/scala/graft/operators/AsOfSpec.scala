@@ -95,6 +95,66 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bucketed == plain on a single hot key (every bucket width)") {
+    import spark.implicits._
+    // ONE key owning every row — the shape that serializes the plain
+    // variant into a single window task; random times so matches cross
+    // bucket boundaries, including buckets with no right rows.
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(300)(i =>
+      (7L, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "lt", "lid")
+    val right = Seq.tabulate(60)(i =>
+      (7L, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "rt", "rid")
+    val plain = AsOf.asOfJoin(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rt", "rid"), tieBreak = Seq("rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // widths: smaller than gaps (forces multi-bucket carry chains), mid,
+    // and wider than the whole range (degenerates to the plain shape)
+    for (width <- Seq(7L, 100L, 5000L)) {
+      val bucketed = AsOf.asOfJoinBucketed(left, right, Seq("k"),
+          col("lt"), col("rt"), Seq("rt", "rid"), tieBreak = Seq("rid"),
+          bucketSeconds = width)
+        .select(col("lid"), col("matched.rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(bucketed == plain, s"width=$width diverged")
+    }
+  }
+
+  test("bucketed == plain on multi-key data with ties and null times") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(3).toLong, if (i % 17 == 0) None else Some(rnd.nextInt(200).toLong), i.toLong))
+      .toDF("k", "lt", "lid")
+    // duplicate right times per key exercise the tieBreak contract
+    val right = Seq.tabulate(50)(i =>
+      (rnd.nextInt(3).toLong,
+        if (i % 13 == 0) None else Some(rnd.nextInt(50).toLong * 4), i.toLong))
+      .toDF("k", "rt", "rid")
+    val plain = AsOf.asOfJoin(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rt", "rid"), tieBreak = Seq("rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    val bucketed = AsOf.asOfJoinBucketed(left, right, Seq("k"),
+        col("lt"), col("rt"), Seq("rt", "rid"), tieBreak = Seq("rid"),
+        bucketSeconds = 16L)
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(bucketed == plain)
+  }
+
+  test("bucketed merge window partitions by (key, bucket), not key alone") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "lt")
+    val plan = AsOf.asOfJoinBucketed(left, quotes.withColumnRenamed("sym", "k"),
+        Seq("k"), col("lt"), col("qt"), Seq("px"), bucketSeconds = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range-join shape leaked:\n$plan")
+    // the final merge window's exchange keys include the bucket column
+    assert("hashpartitioning\\(k#\\d+L?, __bkt".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("plan has exactly one exchange (the window shuffle), no range join") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")

