@@ -371,31 +371,39 @@ object PipelineQueries {
   /** Sketch aggregates (HLL distinct, approximate quantiles). The
     * estimates themselves are engine-specific, so the query declares the
     * tolerance CONTRACT as data: exact counterparts computed in the same
-    * pass, plus booleans asserting each estimate within its declared
+    * job, plus booleans asserting each estimate within its declared
     * tolerance — HLL at rsd 0.05 must land within 15% (3 sigma) of the
     * exact distinct count; percentile_approx at accuracy 1000 (rank error
     * <= 0.1%) must land inside the 10x-slack exact-quantile window
     * (p50 in [q49, q51], p99 in [q98, max]). The oracle cross-checks the
-    * exact count and pins the booleans true. */
-  def sketches(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
+    * exact count and pins the booleans true.
+    *
+    * The exact side is itself scale-safe: distinct count is the shuffle
+    * path, and the quantile windows come from the histogram-based
+    * [[graft.pipeline.Curation.groupedQuantiles]] (shuffles only
+    * (group, value) histogram cells) over integer CENTS — exact for the
+    * DECIMAL(x,2) price domain — NOT Spark's `percentile`, which buffers
+    * every raw value per group in executor memory. */
+  def sketches(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+    val cents = (col("l_extendedprice") * 100).cast("long")
+    val main = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50e"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99e"),
-        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.98))").as("bounds"),
-        max(col("l_extendedprice")).as("pmax"))
+        percentile_approx(cents, lit(0.5), lit(1000)).as("p50e"),
+        percentile_approx(cents, lit(0.99), lit(1000)).as("p99e"))
+    val bounds = graft.pipeline.Curation.groupedQuantiles(li, "l_returnflag", cents,
+      Seq(("q49", 0.49), ("q51", 0.51), ("q98", 0.98), ("q100", 1.0)))
+    main.join(broadcast(bounds), "l_returnflag")
       .select(
         col("l_returnflag"),
         col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.15)
           .as("parts_within_tol"),
-        col("p50e").between(col("bounds").getItem(0), col("bounds").getItem(1))
-          .as("p50_within_tol"),
-        (col("p99e") >= col("bounds").getItem(2) && col("p99e") <= col("pmax"))
-          .as("p99_within_tol"))
+        col("p50e").between(col("q49"), col("q51")).as("p50_within_tol"),
+        col("p99e").between(col("q98"), col("q100")).as("p99_within_tol"))
+  }
 
   val SketchesSql: String =
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,

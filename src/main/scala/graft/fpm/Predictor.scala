@@ -152,15 +152,14 @@ object Predictor {
             1L << index(cons), cons, lift)
         } :+ ((0L, 0L, null: String, 0.0)))
           .toDF("r_ant_mask", "r_cons_bit", "r_cons", "r_lift"))
-        val dict = map_from_arrays(
-          typedLit(vocab.keys.toArray),
-          typedLit(vocab.keys.toArray.map(i => 1L << index(i))))
         // items outside the rule vocab fold to 0 (they cannot affect any
         // rule); a null basket folds to a null mask, which matches only
         // the sentinel (real-rule conditions evaluate null -> no match).
+        // Native codegen'd fold — NOT the `aggregate` HOF, whose
+        // CodegenFallback evicts the whole probe from codegen.
         data.withColumn("__mask",
-            aggregate(col(itemsCol), lit(0L),
-              (acc, it) => acc.bitwiseOR(coalesce(try_element_at(dict, it), lit(0L)))))
+            graft.functions.ItemBitMask.item_bit_mask(col(itemsCol),
+              vocab.map { case (it, i) => it -> (1L << i) }.toMap))
           .join(r,
             col("r_cons").isNull ||
               ((col("__mask").bitwiseAND(col("r_ant_mask")) === col("r_ant_mask")) &&

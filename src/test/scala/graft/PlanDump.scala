@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Throwaway: dump a query's formatted plan. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("plan-dump").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
+    // collect() executes THIS DataFrame's QueryExecution, so the AQE plan
+    // printed below is the final one with codegen annotations
+    if (args.contains("--exec")) df.collect()
+    println(df.queryExecution.explainString(FormattedMode))
+  }
+}
