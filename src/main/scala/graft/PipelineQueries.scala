@@ -851,4 +851,34 @@ object PipelineQueries {
       |SELECT c.w1, c.w2, cnt, w1_cnt, cnt::DOUBLE / w1_cnt AS cond_p
       |FROM c JOIN t ON c.w1 = t.w1
       |WHERE cnt >= 5""".stripMargin
+
+  /** Per-doc quality score under the corpus bigram LM (CCNet-style LM
+    * filter): known-bigram coverage and exact fixed-point sum of
+    * conditional probabilities ([[graft.pipeline.Signals.lmScore]]). */
+  def lmDocScore(s: SparkSession, d: String): DataFrame =
+    Signals.lmScore(docs(s, d), "doc_id", "text", minCount = 5L)
+
+  val LmDocScoreSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+      |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |t AS (SELECT w1, sum(cnt)::BIGINT AS w1_cnt FROM c GROUP BY 1),
+      |lm AS (SELECT c.w1, c.w2, cnt::DOUBLE / w1_cnt AS cond_p
+      |       FROM c JOIN t ON c.w1 = t.w1 WHERE cnt >= 5),
+      |j AS (SELECT b.doc_id, b.w1, lm.cond_p
+      |      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |               count(cond_p)::BIGINT AS n_known,
+      |               coalesce(sum(floor(cond_p * 1e12)::BIGINT), 0) AS s
+      |        FROM j GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+      |       coalesce(n_known, 0)::BIGINT AS n_known,
+      |       CASE WHEN coalesce(n_bigrams, 0) > 0
+      |            THEN n_known::DOUBLE / n_bigrams ELSE 0.0 END AS known_rate,
+      |       coalesce(s, 0)::BIGINT AS sum_condp_e12
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "q63_apriori_itemsets" -> ((s, d) => FpmQueries.aprioriItemsets(s, d)),
     "q64_zorder_layout" -> ((s, d) => RelQueries.zorderLayout(s, d)),
     "q65_salted_segments" -> ((s, d) => RelQueries.saltedSegments(s, d)),
+    "q66_lm_doc_score" -> ((s, d) => PipelineQueries.lmDocScore(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +179,8 @@ object SparkEntry {
     // q65: the salted-join path — equal to the plain join by construction,
     // so the oracle is the plain SQL join
     "q65_salted_segments" -> RelQueries.SaltedSegmentsSql,
+    // q66: LM doc scoring in cross-engine-exact arithmetic (counts, a
+    // count ratio, and a floor-fixed-point BIGINT sum — no libm logs)
+    "q66_lm_doc_score" -> PipelineQueries.LmDocScoreSql,
   )
 }

@@ -213,6 +213,55 @@ object Signals {
   }
 
   /**
+   * Per-document quality score under the corpus bigram LM
+   * ([[bigramModel]]) — the CCNet-style LM-filter signal family: how much
+   * of a document the corpus model recognizes, and how probable its
+   * transitions are. Deliberately NOT log-perplexity: `log` differs in
+   * final ulps across engines/libms, so the score is expressed in
+   * cross-engine-EXACT arithmetic instead —
+   *
+   *  - `n_bigrams` / `n_known`: occurrence counts (known = the LM has the
+   *    pair at `minCount` support);
+   *  - `known_rate`: their ratio (a direct IEEE division of counts);
+   *  - `sum_condp_e12`: sum of the conditional probabilities in 1e-12
+   *    fixed point (`floor(p * 1e12)` per occurrence — floor has no
+   *    rounding ties — summed as exact BIGINTs, order-independent).
+   *
+   * Scale shape: the LM is vocabulary-sized after the minCount prune ->
+   * broadcast; doc bigrams are generated shuffle-free inside the scan
+   * (slice + zip, no self-join); ONE aggregation by doc id. The corpus is
+   * scanned twice (LM build + scoring) — at 100 TB the model is built
+   * once and amortized over many scoring runs, the estimator/model shape.
+   * Low-scoring docs are what a curation pass drops as gibberish /
+   * boilerplate / wrong-language.
+   */
+  def lmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val lm = broadcast(bigramModel(docs, textCol, minCount)
+      .select(col("w1"), col("w2"), col("cond_p")))
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    // explode_outer: a doc with < 2 tokens yields one null-bigram row, so
+    // it still scores (0, 0, 0.0, 0) instead of vanishing
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode_outer(sliceNgrams(words, 2)).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    pairs.join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        count(col("cond_p")).as("n_known"),
+        coalesce(sum(floor(col("cond_p") * lit(1e12)).cast("long")), lit(0L))
+          .as("sum_condp_e12"))
+      .withColumn("known_rate",
+        when(col("n_bigrams") > 0,
+          col("n_known").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        col("known_rate"), col("sum_condp_e12"))
+  }
+
+  /**
    * [[contamination]] with a Bloom-filter prefilter on the training side
    * — the shape that survives when the eval gram set is too large to
    * broadcast exactly. The filter is built by a mergeable one-pass

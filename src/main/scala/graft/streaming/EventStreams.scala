@@ -74,6 +74,35 @@ object EventStreams {
         col("event_type"), col("n"))
   }
 
+  /**
+   * Stream-stream INNER join — the Structured Streaming join surface the
+   * module was missing: signup events joined with the same user's
+   * follow-up events in the following hour, the streaming twin of q45's
+   * interval-join pair generation (spec-enforced set equality with the
+   * batch pairs). Both sides are watermarked and the join condition
+   * time-bounds `f_time` to `(s_time, s_time + 1h]`, so each side's
+   * buffered rows are evicted once the OTHER side's watermark clears the
+   * bound — state stays proportional to one join-window of traffic, not
+   * the stream's lifetime (the stream-stream join contract). Inner join
+   * emits pairs as they match (append mode, no watermark wait).
+   */
+  def followupsStream(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventCols(eventStream(spark, dir))
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("event_time").as("s_time"))
+      .withWatermark("s_time", "1 hour")
+    val follows = eventCols(eventStream(spark, dir))
+      .select(col("user_id").as("f_user"), col("event_id").as("follow_id"),
+        col("event_time").as("f_time"))
+      .withWatermark("f_time", "2 hours")
+    signups.join(follows,
+      col("s_user") === col("f_user") &&
+        col("f_time") > col("s_time") &&
+        col("f_time") <= col("s_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("follow_id"))
+  }
+
   /** Batch twin of sessionization: 30-min-gap sessions via window funcs. */
   def sessionsBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

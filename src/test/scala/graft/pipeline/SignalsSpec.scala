@@ -149,4 +149,24 @@ class SignalsSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(again == got.map(_._1).toSet)
   }
+
+  test("LM doc score: hand-computed coverage and fixed-point probability sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b x"),     // (a,b) (b,x)
+      (3L, "z"),         // no bigrams
+      (4L, "")           // no tokens
+    ).toDF("doc_id", "text")
+    // corpus counts: (a,b)=3, (b,a)=1, (b,c)=1, (b,x)=1; w1 marginals
+    // a=3, b=3; minCount=2 keeps only (a,b) with cond_p = 3/3 = 1.0
+    val got = Signals.lmScore(docs, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 0.5, 2000000000000L)),
+      2L -> ((2L, 1L, 0.5, 1000000000000L)),
+      3L -> ((0L, 0L, 0.0, 0L)),
+      4L -> ((0L, 0L, 0.0, 0L))))
+  }
 }

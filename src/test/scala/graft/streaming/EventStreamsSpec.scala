@@ -48,6 +48,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join == batch interval-join pairs (q45 pre-agg)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    runToMemory(EventStreams.followupsStream(spark, sf), "followups")
+    val streamed = spark.table("followups")
+      .as[(Long, Long)].collect().toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id".as("follow_id"), expr("ts div 1000L").as("tsu"))
+    val batch = graft.Tables.load(spark, sf, "events")
+      .where($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), expr("ts div 1000L").as("st"))
+      .join(ev, Seq("user_id"))
+      .where($"tsu" > $"st" && $"tsu" <= $"st" + 3600000000L)
+      .select($"signup_id", $"follow_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window sessionization") {
     import spark.implicits._
     runToMemory(EventStreams.sessionsStream(spark, sf), "sessions")
