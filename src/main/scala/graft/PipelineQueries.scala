@@ -324,9 +324,14 @@ object PipelineQueries {
       .drop("one")
   }
 
+  // n_queries on the Spark side counts queries with >= 1 exact neighbor —
+  // equal to the plain query count only when the corpus has >= 2 vectors
+  // (a corpus of one has no self-excluded neighbors at all), hence the
+  // second HAVING guard for the degenerate warehouse.
   val AnnLshSql: String =
     """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
-      |FROM embeddings WHERE vec_id < 100 HAVING count(*) > 0""".stripMargin
+      |FROM embeddings WHERE vec_id < 100
+      |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
 
   /** IVF-bucketed ANN (coarse quantizer + probed inverted lists), declared
     * at `nProbe = numCentroids` — every probe list is searched, which is

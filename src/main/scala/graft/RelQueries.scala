@@ -547,30 +547,41 @@ object RelQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         expr("unix_timestamp(o_orderdate) div 86400").as("o_day"))
     val numFiles = 8
-    // fixed per-SF path under target/ (NOT a fresh temp dir): repeated
-    // Verify/Bench/Plans runs overwrite one directory instead of
-    // accumulating a parquet copy of orders per invocation
-    val out = s"target/graft-zorder/${new java.io.File(dir).getName}" +
-      s"-${java.lang.Integer.toHexString(dir.hashCode)}"
-    graft.operators.Layout
-      .zorderBy(o, col("o_custkey"), col("o_day"), bits = 10, numFiles = numFiles)
-      .write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out)
-      .select(
-        col("_metadata.file_path").as("file"),
-        graft.operators.Layout.mortonKey(col("o_custkey"), col("o_day"), 10).as("zkey"))
-    val env = back.groupBy(col("file"))
-      .agg(min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"),
-        count(lit(1)).as("cnt"))
-    val wz = Window.orderBy(col("zmin"), col("file")) // one row per file: metadata-sized
-    env.withColumn("prev_zmax", lag(col("zmax"), 1).over(wz))
-      .groupBy(lit(1).as("one"))
-      .agg(
-        sum(col("cnt")).as("total_rows"),
-        coalesce(bool_and(col("prev_zmax") < col("zmin")), lit(true))
-          .as("files_disjoint"),
-        (count(lit(1)) <= numFiles).as("file_count_ok"))
-      .drop("one")
+    // Unique per-invocation temp dir (concurrent Bench/Verify/test runs
+    // never race on one overwrite path), DELETED after the eager
+    // read-back below — repeated runs accumulate nothing. The contract
+    // row is computed eagerly (the write is eager anyway) so the
+    // directory's lifetime ends inside this call.
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      graft.operators.Layout
+        .zorderBy(o, col("o_custkey"), col("o_day"), bits = 10, numFiles = numFiles)
+        .write.mode("overwrite").parquet(out.toString)
+      val back = spark.read.parquet(out.toString)
+        .select(
+          col("_metadata.file_path").as("file"),
+          graft.operators.Layout.mortonKey(col("o_custkey"), col("o_day"), 10).as("zkey"))
+      val env = back.groupBy(col("file"))
+        .agg(min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"),
+          count(lit(1)).as("cnt"))
+      val wz = Window.orderBy(col("zmin"), col("file")) // one row per file: metadata-sized
+      val contract = env.withColumn("prev_zmax", lag(col("zmax"), 1).over(wz))
+        .groupBy(lit(1).as("one"))
+        .agg(
+          sum(col("cnt")).as("total_rows"),
+          coalesce(bool_and(col("prev_zmax") < col("zmin")), lit(true))
+            .as("files_disjoint"),
+          (count(lit(1)) <= numFiles).as("file_count_ok"))
+        .drop("one")
+        .collect() // zero rows on an empty warehouse, one otherwise
+      import spark.implicits._
+      contract.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+        .toDF("total_rows", "files_disjoint", "file_count_ok")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** The write-path contract as an oracle: rows survive the round trip and

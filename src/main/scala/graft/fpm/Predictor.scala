@@ -14,6 +14,25 @@ import scala.collection.mutable
  */
 object Predictor {
 
+  /** Insertion-ordered (item -> bit index) over every antecedent item and
+    * consequent a rule table references — the shared vocabulary BOTH
+    * probe paths ([[predict]]'s UDF and [[predictRelational]]) key their
+    * <= 64-item bitset fast path on; one definition keeps the two paths'
+    * encodings byte-identical (spec-enforced equality depends on it). */
+  private def ruleVocab(
+      rules: Iterable[(Seq[String], String)]): mutable.LinkedHashMap[String, Int] = {
+    val vocab = mutable.LinkedHashMap.empty[String, Int]
+    rules.foreach { case (ant, cons) =>
+      ant.foreach(a => vocab.getOrElseUpdate(a, vocab.size))
+      vocab.getOrElseUpdate(cons, vocab.size)
+    }
+    vocab
+  }
+
+  /** OR of the vocab bits of `items` (every item must be in the vocab). */
+  private def maskOf(items: Seq[String], index: collection.Map[String, Int]): Long =
+    items.foldLeft(0L)((m, a) => m | (1L << index(a)))
+
   /**
    * Rules must be pre-sorted by (lift desc, consequent asc).
    *
@@ -32,18 +51,12 @@ object Predictor {
       rules: Array[(Array[String], String, Double)],
       itemsCol: String,
       predictionCol: String): DataFrame = {
-    val vocab = mutable.LinkedHashMap.empty[String, Int]
-    rules.foreach { case (ant, cons, _) =>
-      ant.foreach(a => vocab.getOrElseUpdate(a, vocab.size))
-      vocab.getOrElseUpdate(cons, vocab.size)
-    }
+    val vocab = ruleVocab(rules.map { case (ant, cons, _) => (ant.toSeq, cons) })
     val predictUDF =
       if (vocab.size <= 64) {
         val index = vocab.toMap
-        val antMasks = rules.map { case (ant, _, _) =>
-          ant.foldLeft(0L)((m, a) => m | (1L << index(a)))
-        }
-        val consBits = rules.map { case (_, cons, _) => 1L << index(cons) }
+        val antMasks = rules.map { case (ant, _, _) => maskOf(ant.toSeq, index) }
+        val consBits = rules.map { case (_, cons, _) => maskOf(Seq(cons), index) }
         val conses = rules.map(_._2)
         val bc = data.sparkSession.sparkContext
           .broadcast((index, antMasks, consBits, conses))
@@ -99,7 +112,11 @@ object Predictor {
    * rows flow through — no restore-rows re-join, no second scan of the
    * big side) feeding a single per-key ordered aggregation ((lift desc, consequent
    * asc), `array_distinct` keeps first occurrences = best-lift per
-   * consequent). `keyCols` must uniquely key the input rows.
+   * consequent). `keyCols` MUST uniquely key the input rows — this is
+   * load-bearing, not advisory: the one-pass groupBy collapses key
+   * duplicates into a single row with arbitrary non-key values (the old
+   * restore-rows join merely duplicated predictions). Callers own the
+   * invariant; checking it would cost the pass this rewrite removed.
    *
    * Probe encodings, mirroring [[predict]]'s two paths:
    *  - rule vocab <= 64: one O(|items|) dictionary fold precomputes a
@@ -130,11 +147,7 @@ object Predictor {
         col("consequent").getItem(0).cast("string"), col("lift").cast("double"))
       .collect()
       .map(r => (r.getSeq[String](0), r.getString(1), r.getDouble(2)))
-    val vocab = mutable.LinkedHashMap.empty[String, Int]
-    ruleRows.foreach { case (ant, cons, _) =>
-      ant.foreach(a => vocab.getOrElseUpdate(a, vocab.size))
-      vocab.getOrElseUpdate(cons, vocab.size)
-    }
+    val vocab = ruleVocab(ruleRows.map { case (ant, cons, _) => (ant, cons) })
 
     // The probe is an INNER broadcast join (codegen-eligible — Spark's
     // outer BroadcastNestedLoopJoin falls out of whole-stage codegen and
@@ -148,8 +161,7 @@ object Predictor {
       if (vocab.size <= 64) {
         val index = vocab.toMap
         val r = broadcast((ruleRows.toSeq.map { case (ant, cons, lift) =>
-          (ant.foldLeft(0L)((m, a) => m | (1L << index(a))),
-            1L << index(cons), cons, lift)
+          (maskOf(ant, index), maskOf(Seq(cons), index), cons, lift)
         } :+ ((0L, 0L, null: String, 0.0)))
           .toDF("r_ant_mask", "r_cons_bit", "r_cons", "r_lift"))
         // items outside the rule vocab fold to 0 (they cannot affect any

@@ -32,8 +32,14 @@ object Curation {
   // rounds deregister as [[release]] frees them, so what remains is
   // exactly the storage behind RETURNED frames — [[clearCheckpoints]] is
   // the sweep contract a long-lived session calls between corpora.
-  private val liveCheckpoints = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+  // WEAK references: a frame the caller has already dropped stays
+  // reclaimable by Spark's GC-based ContextCleaner (whose own weak map
+  // this registry must not defeat); the sweep covers what is still
+  // strongly held.
+  private val liveCheckpoints: java.util.Set[org.apache.spark.rdd.RDD[_]] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]()))
 
   private def track(df: DataFrame): DataFrame = {
     org.apache.spark.sql.GraftShims.checkpointRDDs(df).foreach(liveCheckpoints.add)
@@ -54,10 +60,15 @@ object Curation {
    * Release the checkpoint blocks still held by frames RETURNED from this
    * object's iterative operators (intra-loop rounds free themselves).
    * Spec-enforced: repeated cluster runs followed by a sweep leave zero
-   * net storage growth. Safe anytime — an already-consumed frame loses
-   * only its stored blocks (a re-run would recompute them).
+   * net storage growth.
+   *
+   * Call it AFTER the returned frames are consumed: `localCheckpoint`
+   * truncates lineage, so a swept frame cannot be recomputed — reading it
+   * again throws rather than re-running the pipeline. Don't sweep
+   * concurrently with an in-flight clustering run either (its current
+   * round is registered here and would be yanked mid-job).
    */
-  def clearCheckpoints(): Unit = {
+  def clearCheckpoints(): Unit = liveCheckpoints.synchronized {
     liveCheckpoints.forEach(r => r.unpersist(blocking = false))
     liveCheckpoints.clear()
   }

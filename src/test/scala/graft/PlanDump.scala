@@ -12,7 +12,8 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("plan-dump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
+    val pos = args.filterNot(_.startsWith("--")) // flags are not positionals
+    val df = SparkEntry.queries(pos(0))(spark, pos.lift(1).getOrElse("/root/testdata/sf0.001"))
     // collect() executes THIS DataFrame's QueryExecution, so the AQE plan
     // printed below is the final one with codegen annotations
     if (args.contains("--exec")) df.collect()

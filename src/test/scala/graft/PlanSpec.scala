@@ -170,6 +170,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sketches: exact side is histogram + distinct, never a raw-value buffer") {
+    val p = plan("q36_sketches")
+    // the exact quantile bounds come from the histogram window path
+    // (grouped cells), NOT Spark's `percentile`, which buffers every raw
+    // value per group in executor memory — a 100 TB OOM in a contract row
+    assert(!p.contains("percentile(") && !p.contains("Percentile("), p)
+    assert(p.contains("percentile_approx"), p) // the estimate under test
+    assert(p.contains("Window"), p)            // histogram cumulative pass
+    assert(p.contains("BroadcastHashJoin"), p) // group-sized bounds join
+  }
+
+  test("LM doc score: vocabulary-sized LM broadcasts, partial-aggregated scoring") {
+    val p = plan("q66_lm_doc_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._

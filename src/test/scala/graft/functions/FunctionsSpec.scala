@@ -120,6 +120,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("item_bit_mask: dictionary fold, unknown/null items, null array, codegen == interpreted") {
+    import spark.implicits._
+    import ItemBitMask.item_bit_mask
+    val dict = Map("a" -> 1L, "b" -> 2L, "c" -> 4L)
+    val df = Seq(
+      (1L, Seq("a", "c")),          // 1 | 4
+      (2L, Seq("a", "a", "zz")),    // duplicate + unknown -> 1
+      (3L, Seq.empty[String]),      // 0
+      (4L, null),                   // null array -> null mask
+      (5L, Seq("a", null, "b"))     // null element skipped -> 1 | 2
+    ).toDF("id", "items")
+    def run(codegen: Boolean): Map[Long, Option[Long]] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select($"id", item_bit_mask($"items", dict).as("m"))
+        .as[(Long, Option[Long])].collect().toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val expected = Map(1L -> Some(5L), 2L -> Some(1L), 3L -> Some(0L),
+      4L -> None, 5L -> Some(3L))
+    assert(run(codegen = true) == expected)
+    assert(run(codegen = false) == expected)
+  }
+
   test("extensions class registers the same functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")

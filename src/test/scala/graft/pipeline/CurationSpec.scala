@@ -160,22 +160,29 @@ class CurationSpec extends AnyFunSuite {
   test("repeated CC runs + clearCheckpoints leave zero net storage growth") {
     import spark.implicits._
     val sc = spark.sparkContext
-    def run(): Unit = {
+    // returned frames are kept strongly referenced until after the sweep:
+    // the registry is intentionally WEAK (dropped frames stay reclaimable
+    // by the ContextCleaner), so the deterministic-sweep contract is over
+    // frames the caller still holds
+    def run(): Seq[org.apache.spark.sql.DataFrame] = {
       val rnd = new scala.util.Random(3)
       val edges = Seq.tabulate(200)(_ =>
         (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("d1", "d2")
-      Curation.connectedComponents(edges, "d1", "d2").count()
-      Curation.connectedComponentsAlternating(edges, "d1", "d2").count()
+      val a = Curation.connectedComponents(edges, "d1", "d2")
+      val b = Curation.connectedComponentsAlternating(edges, "d1", "d2")
+      a.count(); b.count()
+      Seq(a, b)
     }
     // first run + sweep establishes the baseline (shared session caches
     // from other suites persist across — only GROWTH is the leak signal)
-    run()
+    val warm = run()
     Curation.clearCheckpoints()
     val base = sc.getPersistentRDDs.keySet
-    (1 to 3).foreach(_ => run())
+    val frames = (1 to 3).flatMap(_ => run())
     Curation.clearCheckpoints()
     val leaked = sc.getPersistentRDDs.keySet -- base
     assert(leaked.isEmpty,
       s"${leaked.size} persistent RDDs leaked after sweep: ${leaked.take(5)}")
+    assert(warm.size + frames.size == 8) // keeps the frames live past the sweep
   }
 }
