@@ -857,6 +857,21 @@ object PipelineQueries {
       |FROM c JOIN t ON c.w1 = t.w1
       |WHERE cnt >= 5""".stripMargin
 
+  /** PII detection + redaction over every document — pure codegen'd scan
+    * ([[graft.pipeline.TextStats.piiRedact]]); the full redacted text is
+    * hash-checked, so the two engines' regex semantics must agree byte
+    * for byte (they do, for the shared pattern subset). */
+  def piiRedaction(s: SparkSession, d: String): DataFrame =
+    TextStats.piiRedact(docs(s, d), "doc_id", "text")
+
+  val PiiRedactionSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextStats.EmailRe}'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text, '${TextStats.PhoneRe}'))::BIGINT AS n_phones,
+       |  regexp_replace(regexp_replace(text, '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+       |                 '${TextStats.PhoneRe}', '<PHONE>', 'g') AS redacted
+       |FROM documents""".stripMargin
+
   /** Per-doc quality score under the corpus bigram LM (CCNet-style LM
     * filter): known-bigram coverage and exact fixed-point sum of
     * conditional probabilities ([[graft.pipeline.Signals.lmScore]]). */

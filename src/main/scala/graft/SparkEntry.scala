@@ -81,6 +81,7 @@ object SparkEntry {
     "q64_zorder_layout" -> ((s, d) => RelQueries.zorderLayout(s, d)),
     "q65_salted_segments" -> ((s, d) => RelQueries.saltedSegments(s, d)),
     "q66_lm_doc_score" -> ((s, d) => PipelineQueries.lmDocScore(s, d)),
+    "q67_pii_redaction" -> ((s, d) => PipelineQueries.piiRedaction(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +183,8 @@ object SparkEntry {
     // q66: LM doc scoring in cross-engine-exact arithmetic (counts, a
     // count ratio, and a floor-fixed-point BIGINT sum — no libm logs)
     "q66_lm_doc_score" -> PipelineQueries.LmDocScoreSql,
+    // q67: full redacted text hash-checked — Java regex and RE2 agree on
+    // the shared pattern subset (char classes + repeats only)
+    "q67_pii_redaction" -> PipelineQueries.PiiRedactionSql,
   )
 }

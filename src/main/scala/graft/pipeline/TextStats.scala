@@ -200,4 +200,31 @@ object TextStats {
       Dedup.fingerprint(col(textCol)).as("fingerprint_md5"),
       RollingHash.rolling_hash(
         regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("fingerprint_rk"))
+
+  /** Email pattern shared by the Spark query and the DuckDB oracle — only
+    * constructs whose semantics are identical between Java regex and RE2
+    * (char classes, bounded/unbounded repeats; no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN phone shape (same cross-engine-safe construct set). */
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /**
+   * PII detection + redaction — the pre-training curation step that must
+   * run over EVERY byte of a corpus, so it has to stay a pure
+   * codegen'd projection: per-doc match counts and the text with emails
+   * then phone numbers replaced by placeholder tags. No shuffle, no UDF;
+   * at 100 TB this is scan-bound, exactly as it should be. Replacement
+   * order (emails first) is fixed so both engines produce identical text
+   * when patterns could overlap.
+   */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("redacted"))
+  }
 }

@@ -150,6 +150,23 @@ class SignalsSpec extends AnyFunSuite {
     assert(again == got.map(_._1).toSet)
   }
 
+  test("PII redaction: planted emails/phones counted and replaced, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to alice.smith+x@corp-mail.co.uk or call 555-123-4567 now"),
+      (2L, "two mails a@b.io c@d.org and numbers 111-222-3333 444-555-6666"),
+      (3L, "no pii here, just text with @ and 12-34 fragments"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.piiRedact(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 1L, "write to <EMAIL> or call <PHONE> now")))
+    assert(got(2L) == ((2L, 2L, "two mails <EMAIL> <EMAIL> and numbers <PHONE> <PHONE>")))
+    assert(got(3L) == ((0L, 0L, "no pii here, just text with @ and 12-34 fragments")))
+    assert(got(4L) == ((0L, 0L, "")))
+  }
+
   test("LM doc score: hand-computed coverage and fixed-point probability sums") {
     import spark.implicits._
     val docs = Seq(
