@@ -857,6 +857,26 @@ object PipelineQueries {
       |FROM c JOIN t ON c.w1 = t.w1
       |WHERE cnt >= 5""".stripMargin
 
+  /** Int8 scalar quantization of every embedding (per-vector scale) —
+    * pure projection, element-exact cross-engine (floor-half-up, clamp;
+    * see [[graft.pipeline.Similarity.quantizeEmbeddings]]). */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
+
+  val EmbeddingQuantizeSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e)
+      |SELECT vec_id, scale,
+      |  array_to_string(list_transform(v, x ->
+      |    CASE WHEN scale > 0
+      |         THEN least(greatest(floor(x / scale + 0.5)::BIGINT, -127), 127)
+      |         ELSE 0 END), ',') AS qvec
+      |FROM s""".stripMargin
+
   /** PII detection + redaction over every document — pure codegen'd scan
     * ([[graft.pipeline.TextStats.piiRedact]]); the full redacted text is
     * hash-checked, so the two engines' regex semantics must agree byte

@@ -82,6 +82,7 @@ object SparkEntry {
     "q65_salted_segments" -> ((s, d) => RelQueries.saltedSegments(s, d)),
     "q66_lm_doc_score" -> ((s, d) => PipelineQueries.lmDocScore(s, d)),
     "q67_pii_redaction" -> ((s, d) => PipelineQueries.piiRedaction(s, d)),
+    "q68_embedding_quantize" -> ((s, d) => PipelineQueries.embeddingQuantize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +187,8 @@ object SparkEntry {
     // q67: full redacted text hash-checked — Java regex and RE2 agree on
     // the shared pattern subset (char classes + repeats only)
     "q67_pii_redaction" -> PipelineQueries.PiiRedactionSql,
+    // q68: every quantized element hash-checked (floor-half-up has no
+    // rounding-tie ambiguity; divisions are IEEE-deterministic)
+    "q68_embedding_quantize" -> PipelineQueries.EmbeddingQuantizeSql,
   )
 }

@@ -324,6 +324,30 @@ object Similarity {
       .select(col("v1"), col("v2"))
   }
 
+  /**
+   * Scalar int8 quantization with a per-vector scale — the standard
+   * storage/transport compression for embedding corpora (4x smaller than
+   * float32 before an ANN index even starts): `scale = max|x| / 127`,
+   * `q_i = clamp(floor(x_i / scale + 0.5), -127, 127)` (floor(x + 0.5)
+   * = half-up rounding with NO tie ambiguity across engines, unlike
+   * round()). All-zero vectors quantize to zeros with scale 0. Pure
+   * per-row projection — scan-bound at any corpus size. The quantized
+   * vector is emitted comma-joined so the driver hash-checks every
+   * element.
+   */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = (aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0).as("scale")
+    df.select(col(idCol), scale, v.as("v"))
+      .select(col(idCol), col("scale"),
+        array_join(
+          transform(col("v"), x =>
+            when(col("scale") > 0,
+              least(greatest(floor(x / col("scale") + 0.5), lit(-127L)), lit(127L)))
+              .otherwise(lit(0L))),
+          ",").as("qvec"))
+  }
+
   /** Embedding summary stats (norm etc.), all-double sequential math. */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)

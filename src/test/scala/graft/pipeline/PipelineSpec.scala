@@ -271,6 +271,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding quantization: formula-exact, all-zero vectors, clamp bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)), // all-zero -> scale 0, zeros (no div-by-zero)
+      (3L, Seq(3.0f))        // single max element -> exactly 127
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeEmbeddings(df, "vec_id", "embedding")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference = the same double formula, element for element
+    def q(xs: Seq[Float]): (Double, String) = {
+      val v = xs.map(_.toDouble)
+      val scale = v.map(math.abs).foldLeft(0.0)(math.max) / 127.0
+      val qs = v.map(x =>
+        if (scale > 0) math.min(127L, math.max(-127L, math.floor(x / scale + 0.5).toLong))
+        else 0L)
+      (scale, qs.mkString(","))
+    }
+    assert(got(1L) == q(Seq(0.5f, -1.0f, 0.25f)))
+    assert(got(2L) == ((0.0, "0,0")))
+    assert(got(3L) == ((3.0 / 127.0, "127")))
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     import spark.implicits._
     val li = graft.Tables.load(spark, sf, "lineitem")
