@@ -577,6 +577,23 @@ object PipelineQueries {
       |SELECT doc_id, lang, bucket FROM b
       |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin
 
+  /** Deterministic train/val/test split (2% val, 2% test) — md5-bucket
+    * assignment, reproducible and growth-stable
+    * ([[graft.pipeline.Curation.datasetSplit]]). */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    Curation.datasetSplit(docs(s, d), "doc_id", valPct = 2, testPct = 2)
+
+  val DatasetSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 2 THEN 'val'
+      |            WHEN bucket < 4 THEN 'test'
+      |            ELSE 'train' END AS split
+      |FROM b""".stripMargin
+
   /** Offset-based sequence packing into 512-token chunks, sharded by
     * language (each shard packs independently — the parallel unit). */
   def packSequences(s: SparkSession, d: String): DataFrame =

@@ -83,6 +83,7 @@ object SparkEntry {
     "q66_lm_doc_score" -> ((s, d) => PipelineQueries.lmDocScore(s, d)),
     "q67_pii_redaction" -> ((s, d) => PipelineQueries.piiRedaction(s, d)),
     "q68_embedding_quantize" -> ((s, d) => PipelineQueries.embeddingQuantize(s, d)),
+    "q69_dataset_split" -> ((s, d) => PipelineQueries.datasetSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,5 +191,7 @@ object SparkEntry {
     // q68: every quantized element hash-checked (floor-half-up has no
     // rounding-tie ambiguity; divisions are IEEE-deterministic)
     "q68_embedding_quantize" -> PipelineQueries.EmbeddingQuantizeSql,
+    // q69: md5-bucket split — the same cross-engine-exact gate as q42/q50
+    "q69_dataset_split" -> PipelineQueries.DatasetSplitSql,
   )
 }

@@ -356,6 +356,33 @@ object Curation {
   }
 
   /**
+   * Deterministic train/validation/test assignment: every row gets
+   * exactly one split label from its md5 bucket — the partition every
+   * training pipeline needs, with the properties random splits lack at
+   * scale: reproducible across runs/engines/partitionings (no RNG
+   * state), stable under corpus growth (a document's split never changes
+   * when others are added), disjoint and complete by construction. A
+   * keyed salt isolates independent experiments (different salt ->
+   * statistically independent assignment). Pure codegen'd scan.
+   *
+   * `valPct` and `testPct` are integer percents; the remainder is train.
+   */
+  def datasetSplit(
+      df: DataFrame, idCol: String,
+      valPct: Int = 1, testPct: Int = 1, salt: String = ""): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"invalid split percents ($valPct, $testPct)")
+    val bucket =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long") % 100
+    df.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < valPct, lit("val"))
+          .when(col("bucket") < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+  }
+
+  /**
    * Square-root temperature resampling: keep each row with probability
    * `min(1, c / sqrt(|stratum|))` — the standard language-rebalancing
    * law (kept mass per stratum grows as sqrt of its size, so dominant

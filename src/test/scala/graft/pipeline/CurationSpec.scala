@@ -157,6 +157,28 @@ class CurationSpec extends AnyFunSuite {
       (4L, 600L, 0L, 0L)))   // shard b packs independently from offset 0
   }
 
+  test("dataset split: disjoint+complete, growth-stable, salt-keyed") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Curation.datasetSplit(docs, "doc_id", valPct = 10, testPct = 10)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 1000 && got.map(_._1).distinct.length == 1000)
+    val bySplit = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("val") > 50 && bySplit("val") < 150, bySplit)   // ~100 expected
+    assert(bySplit("test") > 50 && bySplit("test") < 150, bySplit)
+    // growth stability: a document's split never changes as the corpus grows
+    val full = got.map(r => r._1 -> r._3).toMap
+    val half = Curation.datasetSplit(
+        docs.where($"doc_id" <= 500), "doc_id", valPct = 10, testPct = 10)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(half.forall { case (k, v) => full(k) == v })
+    // a different salt keys an independent experiment
+    val salted = Curation.datasetSplit(docs, "doc_id", 10, 10, salt = "exp2")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(salted != full)
+  }
+
   test("repeated CC runs + clearCheckpoints leave zero net storage growth") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -53,7 +53,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q48_contamination", "q48b_contamination_bloom", "q49_incremental_dedup",
     "q50_mixture_sample", "q52_lang_percentiles", "q53_bigram_model",
     "q54_repeated_spans", "q55_token_ids", "q59_curation_pipeline",
-    "q66_lm_doc_score", "q67_pii_redaction", "q68_embedding_quantize")
+    "q66_lm_doc_score", "q67_pii_redaction", "q68_embedding_quantize",
+    "q69_dataset_split")
 
   private def assertAllEmpty(names: Seq[String]): Unit = {
     val failures = names.flatMap { name =>
