@@ -118,6 +118,78 @@ object RelQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /**
+   * Trailing-window anomaly detection over hourly event volumes: each
+   * (event_type, hour) count is z-scored against the PRECEDING 24 hours
+   * of the same type (`ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING` — the
+   * current hour never smooths its own baseline), flagging |z| >= 3 —
+   * the standard volume-spike / pipeline-drift monitor.
+   *
+   * Cross-engine exactness without a tolerance band: mean and variance
+   * come from explicit integer sums (`sum(c)`, `sum(c*c)` — exact
+   * BIGINTs) with single IEEE divisions, and `sqrt` is CORRECTLY ROUNDED
+   * by IEEE 754 (unlike log/exp, which differ across libms), so the
+   * z-score doubles hash-match DuckDB bit for bit. Hours with a
+   * degenerate baseline (< 2 prior rows or zero variance) emit null z.
+   *
+   * Scale shape: the corpus reduces to (type, hour) cells in one
+   * partial-aggregated shuffle; the window runs over CELLS (bounded by
+   * types x hours — metadata, not events), partitioned by type.
+   */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
+    anomalyScores(graft.streaming.EventStreams.hourlyBatch(spark, dir)
+      .select(col("event_type"), col("hour_bucket"), col("n")))
+
+  /** Core of [[eventAnomalies]] over any (event_type, hour_bucket, n)
+    * frame — separated so fixtures can exercise the arithmetic. */
+  def anomalyScores(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(-24, -1)
+    val stats = hourly
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+    val mean = col("s1").cast("double") / col("n_prior")
+    val variance = col("s2").cast("double") / col("n_prior") - mean * mean
+    stats
+      .withColumn("mean_prior", when(col("n_prior") >= 2, mean))
+      .withColumn("z",
+        when(col("n_prior") >= 2 && variance > 0,
+          (col("n") - mean) / sqrt(variance)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= 3.0, lit(false)))
+      .select(col("event_type"), col("hour_bucket"), col("n"),
+        col("mean_prior"), col("z"), col("is_anomaly"))
+  }
+
+  val EventAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      |         count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, hour_bucket, n,
+      |    count(n) OVER w AS n_prior,
+      |    sum(n) OVER w AS s1,
+      |    sum(n * n) OVER w AS s2
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour_bucket, n,
+      |  CASE WHEN n_prior >= 2 THEN s1::DOUBLE / n_prior END AS mean_prior,
+      |  CASE WHEN n_prior >= 2
+      |        AND (s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior)) > 0
+      |       THEN (n - s1::DOUBLE / n_prior)
+      |            / sqrt(s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior))
+      |  END AS z,
+      |  coalesce(abs(
+      |    CASE WHEN n_prior >= 2
+      |          AND (s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior)) > 0
+      |         THEN (n - s1::DOUBLE / n_prior)
+      |              / sqrt(s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior))
+      |    END) >= 3.0, false) AS is_anomaly
+      |FROM stats""".stripMargin
+
+  /**
    * Hopping (sliding) windows via Spark's native `window()` generator:
    * 30-minute windows every 10 minutes, so each event lands in exactly 3
    * overlapping windows. The replication factor is window/slide — fixed

@@ -84,6 +84,7 @@ object SparkEntry {
     "q67_pii_redaction" -> ((s, d) => PipelineQueries.piiRedaction(s, d)),
     "q68_embedding_quantize" -> ((s, d) => PipelineQueries.embeddingQuantize(s, d)),
     "q69_dataset_split" -> ((s, d) => PipelineQueries.datasetSplit(s, d)),
+    "q70_event_anomalies" -> ((s, d) => RelQueries.eventAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,5 +194,8 @@ object SparkEntry {
     "q68_embedding_quantize" -> PipelineQueries.EmbeddingQuantizeSql,
     // q69: md5-bucket split — the same cross-engine-exact gate as q42/q50
     "q69_dataset_split" -> PipelineQueries.DatasetSplitSql,
+    // q70: z-scores hash-exactly cross-engine — integer window sums,
+    // IEEE divisions, and sqrt (correctly rounded by IEEE 754, unlike log)
+    "q70_event_anomalies" -> RelQueries.EventAnomaliesSql,
   )
 }
