@@ -885,7 +885,9 @@ object PipelineQueries {
       |             list_transform(embedding, x -> x::DOUBLE) AS v
       |           FROM embeddings),
       |s AS (SELECT vec_id, v,
-      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |        -- coalesce: list_max([]) is NULL where Spark's aggregate
+      |        -- seed gives 0.0 — align the zero-length-vector degenerate
+      |        coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
       |      FROM e)
       |SELECT vec_id, scale,
       |  array_to_string(list_transform(v, x ->

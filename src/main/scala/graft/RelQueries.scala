@@ -161,6 +161,9 @@ object RelQueries {
         col("mean_prior"), col("z"), col("is_anomaly"))
   }
 
+  // layered CTEs keep ONE copy of the mean/variance/z expressions (like
+  // the Scala plan), so a future threshold/floor edit cannot leave a
+  // silently divergent duplicate
   val EventAnomaliesSql: String =
     """WITH hourly AS (
       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
@@ -173,21 +176,21 @@ object RelQueries {
       |    sum(n * n) OVER w AS s2
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
-      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-      |SELECT event_type, hour_bucket, n,
-      |  CASE WHEN n_prior >= 2 THEN s1::DOUBLE / n_prior END AS mean_prior,
-      |  CASE WHEN n_prior >= 2
-      |        AND (s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior)) > 0
-      |       THEN (n - s1::DOUBLE / n_prior)
-      |            / sqrt(s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior))
-      |  END AS z,
-      |  coalesce(abs(
-      |    CASE WHEN n_prior >= 2
-      |          AND (s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior)) > 0
-      |         THEN (n - s1::DOUBLE / n_prior)
-      |              / sqrt(s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior))
-      |    END) >= 3.0, false) AS is_anomaly
-      |FROM stats""".stripMargin
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |calc AS (
+      |  SELECT event_type, hour_bucket, n, n_prior,
+      |    s1::DOUBLE / n_prior AS mean,
+      |    s2::DOUBLE / n_prior - (s1::DOUBLE / n_prior) * (s1::DOUBLE / n_prior) AS variance
+      |  FROM stats),
+      |scored AS (
+      |  SELECT event_type, hour_bucket, n,
+      |    CASE WHEN n_prior >= 2 THEN mean END AS mean_prior,
+      |    CASE WHEN n_prior >= 2 AND variance > 0
+      |         THEN (n - mean) / sqrt(variance) END AS z
+      |  FROM calc)
+      |SELECT event_type, hour_bucket, n, mean_prior, z,
+      |       coalesce(abs(z) >= 3.0, false) AS is_anomaly
+      |FROM scored""".stripMargin
 
   /**
    * Hopping (sliding) windows via Spark's native `window()` generator:

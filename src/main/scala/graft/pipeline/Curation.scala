@@ -335,6 +335,19 @@ object Curation {
   }
 
   /**
+   * The audited cross-engine md5 gate shared by every deterministic
+   * sampler/splitter: first 8 md5 hex chars of the (stringified, salted)
+   * id as an integer, mod `mod`. Must stay byte-for-byte equivalent to
+   * the DuckDB idiom `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT %
+   * mod` — one definition so a tweak cannot desynchronize one oracle.
+   */
+  private def md5Bucket(idCol: String, mod: Long, salt: String = ""): Column = {
+    val key = if (salt.isEmpty) col(idCol).cast("string")
+      else concat(col(idCol).cast("string"), lit(salt))
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % mod
+  }
+
+  /**
    * Deterministic stratified sampling: a row is kept iff its md5-derived
    * bucket (first 8 hex chars as an int, mod 100) falls under its stratum's
    * per-cent rate. Hash-gated sampling is reproducible across runs/engines
@@ -345,9 +358,7 @@ object Curation {
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
-    val bucket =
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+    val bucket = md5Bucket(idCol, 100L)
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (s, r)) =>
       when(col(stratumCol) === s, lit(r)).otherwise(acc)
     }
@@ -372,9 +383,7 @@ object Curation {
       valPct: Int = 1, testPct: Int = 1, salt: String = ""): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"invalid split percents ($valPct, $testPct)")
-    val bucket =
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10)
-        .cast("long") % 100
+    val bucket = md5Bucket(idCol, 100L, salt)
     df.select(col(idCol), bucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < valPct, lit("val"))
@@ -400,9 +409,7 @@ object Curation {
   def temperatureSample(
       df: DataFrame, idCol: String, stratumCol: String, c: Double): DataFrame = {
     val cnts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("stratum_n"))
-    val ppm =
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000000L
+    val ppm = md5Bucket(idCol, 1000000L)
     val rate = least(lit(1000000L),
       floor(lit(c * 1e6) / sqrt(col("stratum_n"))).cast("long"))
     df.select(col(idCol), col(stratumCol))

@@ -217,6 +217,12 @@ object TextStats {
    * at 100 TB this is scan-bound, exactly as it should be. Replacement
    * order (emails first) is fixed so both engines produce identical text
    * when patterns could overlap.
+   *
+   * Counts are RAW-TEXT detections, not tag tallies: a phone-shaped run
+   * swallowed by an email match (e.g. `555-123-4567@x.io`) counts in
+   * `n_phones` but redacts as part of the `<EMAIL>` tag — the counts
+   * answer "how much PII did the scanner see", not "how many tags were
+   * emitted".
    */
   def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -280,16 +280,11 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     val got = Similarity.quantizeEmbeddings(df, "vec_id", "embedding")
       .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    // reference = the same double formula, element for element
-    def q(xs: Seq[Float]): (Double, String) = {
-      val v = xs.map(_.toDouble)
-      val scale = v.map(math.abs).foldLeft(0.0)(math.max) / 127.0
-      val qs = v.map(x =>
-        if (scale > 0) math.min(127L, math.max(-127L, math.floor(x / scale + 0.5).toLong))
-        else 0L)
-      (scale, qs.mkString(","))
-    }
-    assert(got(1L) == q(Seq(0.5f, -1.0f, 0.25f)))
+    // hand-derived literals, NOT a re-run of the production formula:
+    // scale = 1/127; 0.5/scale evaluates to exactly 64.0 after the +0.5
+    // (IEEE double, verified), -1.0 -> floor(-126.5) = -127 (half-up,
+    // not half-away), 0.25 -> floor(32.25) = 32
+    assert(got(1L) == ((1.0 / 127.0, "64,-127,32")))
     assert(got(2L) == ((0.0, "0,0")))
     assert(got(3L) == ((3.0 / 127.0, "127")))
   }
