@@ -940,4 +940,47 @@ object PipelineQueries {
       |            THEN n_known::DOUBLE / n_bigrams ELSE 0.0 END AS known_rate,
       |       coalesce(s, 0)::BIGINT AS sum_condp_e12
       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Sliding-window chunking into 64-token windows with stride 48 (16
+    * tokens of overlap) — training-sequence prep for long documents;
+    * every chunk's full text is hash-checked
+    * ([[graft.pipeline.Curation.chunkDocuments]]). */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Curation.chunkDocuments(docs(s, d), "doc_id", "text",
+      window = 64, stride = 48)
+
+  val DocChunksSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents)
+      |SELECT doc_id,
+      |       ((i - 1) // 48)::BIGINT AS chunk_idx,
+      |       len(ws[i : i + 63])::BIGINT AS n_tokens,
+      |       array_to_string(ws[i : i + 63], ' ') AS chunk_text
+      |FROM w, unnest(range(1, len(ws) + 1, 48)) AS t(i)""".stripMargin
+
+  /** Semantic dedup at the exact-bucket limit: identical int8 embedding
+    * codes collide; per row the bucket's canonical keeper, size, and dup
+    * flag ([[graft.pipeline.Dedup.semanticDedup]]). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(embs(s, d), "vec_id", "embedding")
+
+  val SemanticDedupSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id,
+      |        md5(array_to_string(list_transform(v, x ->
+      |          CASE WHEN scale > 0
+      |               THEN least(greatest(floor(x / scale + 0.5)::BIGINT, -127), 127)
+      |               ELSE 0 END), ',')) AS qhash
+      |      FROM s)
+      |SELECT vec_id, qhash,
+      |       count(*) OVER (PARTITION BY qhash) AS bucket_size,
+      |       min(vec_id) OVER (PARTITION BY qhash) AS rep_id,
+      |       vec_id <> min(vec_id) OVER (PARTITION BY qhash) AS is_dup
+      |FROM q""".stripMargin
 }

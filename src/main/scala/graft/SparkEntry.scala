@@ -85,6 +85,8 @@ object SparkEntry {
     "q68_embedding_quantize" -> ((s, d) => PipelineQueries.embeddingQuantize(s, d)),
     "q69_dataset_split" -> ((s, d) => PipelineQueries.datasetSplit(s, d)),
     "q70_event_anomalies" -> ((s, d) => RelQueries.eventAnomalies(s, d)),
+    "q71_doc_chunks" -> ((s, d) => PipelineQueries.docChunks(s, d)),
+    "q72_semantic_dedup" -> ((s, d) => PipelineQueries.semanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,5 +199,11 @@ object SparkEntry {
     // q70: z-scores hash-exactly cross-engine — integer window sums,
     // IEEE divisions, and sqrt (correctly rounded by IEEE 754, unlike log)
     "q70_event_anomalies" -> RelQueries.EventAnomaliesSql,
+    // q71: every chunk's full text hash-checked — slice boundaries and
+    // tokenization must agree token-for-token across engines
+    "q71_doc_chunks" -> PipelineQueries.DocChunksSql,
+    // q72: int8 codes are floor-half-up exact (q68), md5 hex agrees
+    // cross-engine (q12/q19), so bucket membership is hash-exact
+    "q72_semantic_dedup" -> PipelineQueries.SemanticDedupSql,
   )
 }

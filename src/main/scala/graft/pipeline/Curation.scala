@@ -443,4 +443,37 @@ object Curation {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", expr(s"start_offset div ${budget}L"))
   }
+
+  /**
+   * Sliding-window chunking: split each document into overlapping token
+   * windows of `window` tokens advancing by `stride` (stride < window
+   * preserves `window - stride` tokens of cross-boundary context) — the
+   * other half of sequence prep next to [[packSequences]]: packing
+   * concatenates short docs up to a budget, chunking splits long docs
+   * down to one. Windows start at token 1, 1+stride, 1+2*stride, ... up
+   * to the document length; the final window is short if the tail has
+   * fewer than `window` tokens. Empty documents produce no chunks.
+   *
+   * Scale shape: a pure per-row generate (explode of the start
+   * positions) — no shuffle, no state, scan-bound at any corpus size;
+   * output volume is ~ total tokens x (window / stride).
+   */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"invalid chunking ($window, $stride)")
+    // Filter BEFORE building the start sequence: sequence(1, 0) throws,
+    // and Generate never reorders above the Filter.
+    docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("ws"), col("start"), lit(window))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("ws"), col("start"), lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -273,4 +273,26 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Semantic dedup over quantized embedding codes (SemDeDup-style, at
+   * its exact-bucket limit): two vectors collide iff their per-vector
+   * int8 codes ([[Similarity.quantizeEmbeddings]]) are identical —
+   * scale-invariant up to quantization, so near-parallel vectors of
+   * different norms land in one bucket. Same output contract as [[exact]]
+   * text dedup: every row keeps its bucket's canonical representative
+   * (min id), bucket size, and a dup flag.
+   *
+   * Scale shape: the 128-float vector is collapsed to one 16-byte md5 of
+   * its code BEFORE the shuffle, so the single window exchange moves
+   * fixed-width keys, not embeddings — the identical layout to [[exact]].
+   */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("qhash"))
+    Similarity.quantizeEmbeddings(embs, idCol, vecCol)
+      .select(col(idCol), md5(col("qvec")).as("qhash"))
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .withColumn("rep_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("rep_id"))
+  }
 }

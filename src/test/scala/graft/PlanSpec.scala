@@ -154,6 +154,21 @@ class PlanSpec extends AnyFunSuite {
       .r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("doc chunking: pure scan + generate, zero shuffles") {
+    val p = plan("q71_doc_chunks")
+    assert(shuffleCount(p) == 0, p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("semantic dedup: one fixed-width-key shuffle, md5 computed below it") {
+    val p = plan("q72_semantic_dedup")
+    assert(shuffleCount(p) == 1, p)
+    // the embedding is collapsed to qhash BEFORE the exchange: the window
+    // reads only (vec_id, qhash), never the float vector
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("token-id vocab: top-V cut is TakeOrderedAndProject, encode has no global window") {
     import graft.pipeline.TextStats
     import org.apache.spark.sql.functions.col

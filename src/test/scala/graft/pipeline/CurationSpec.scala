@@ -157,6 +157,40 @@ class CurationSpec extends AnyFunSuite {
       (4L, 600L, 0L, 0L)))   // shard b packs independently from offset 0
   }
 
+  test("chunking: stride windows, short tail, sub-window doc, empty doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"),                            // shorter than one window
+      (3L, "   ")                             // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(df, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),   // overlap of window-stride = 1 token
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 1L, "t10"),           // short tail window
+      (2L, 0L, 2L, "a b")))
+  }
+
+  test("chunking with stride == window partitions every doc exactly") {
+    import spark.implicits._
+    val docs = Seq.tabulate(20) { i =>
+      (i.toLong, Seq.tabulate(i * 3 + 1)(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text", window = 7, stride = 7)
+      .as[(Long, Long, Long, String)].collect()
+    // non-overlapping chunks reassemble each document verbatim
+    val rebuilt = got.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._4).mkString(" ")).toMap
+    val expect = docs.as[(Long, String)].collect().toMap
+    assert(rebuilt == expect)
+    // and token counts sum to the doc length
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(sums == expect.view.mapValues(_.split(' ').count(_.nonEmpty).toLong).toMap)
+  }
+
   test("dataset split: disjoint+complete, growth-stable, salt-keyed") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")

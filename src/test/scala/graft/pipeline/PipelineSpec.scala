@@ -289,6 +289,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((3.0 / 127.0, "127")))
   }
 
+  test("semantic dedup: scale-invariant buckets, zero vectors, min-id keeper") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(1.0f, -2.0f, 0.5f)),   // 2x vector 1 -> identical int8 code
+      (3L, Seq(0.5f, 1.0f, 0.25f)),   // different direction -> own bucket
+      (4L, Seq(0.0f, 0.0f, 0.0f)),    // zero vectors bucket together
+      (5L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 1L, false)) && got(2L) == ((2L, 1L, true)))
+    assert(got(3L) == ((1L, 3L, false)))
+    assert(got(4L) == ((2L, 4L, false)) && got(5L) == ((2L, 4L, true)))
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     import spark.implicits._
     val li = graft.Tables.load(spark, sf, "lineitem")
