@@ -237,7 +237,69 @@ object PipelineQueries {
       |        THEN r - 18446744073709551616::HUGEINT ELSE r END)::BIGINT AS fingerprint_rk
       |FROM h""".stripMargin
 
-  // ------------------------------------------------------------- similarity
+  /** Winnowing fingerprint sketches (MOSS): per doc, the selected
+    * (gram position, Karp-Rabin hash) pairs from 4-gram-hash windows
+    * over 3-token grams ([[graft.functions.Winnow]]) — every selected
+    * fingerprint hash-checked. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow(
+          Dedup.tokens(col("text")), k = 3, w = 4)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.hash").as("fp"))
+
+  /** The identical selection in DuckDB list algebra: per doc the 3-token
+    * gram hashes (same HUGEINT-mod-2^64 fold as q20, converted to SIGNED
+    * BIGINT so min-ordering matches Spark longs), then per window of 4
+    * the rightmost minimum via list_position over the reversed slice.
+    * Single copy of the sketch CTEs — q73 and q74 both compose it. */
+  private val WinnowSketchCte: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(
+      |          list_transform(range(1, len(ws) - 3 + 2), j ->
+      |            list_reduce(
+      |              list_prepend(0::HUGEINT,
+      |                list_transform(
+      |                  range(1, length(array_to_string(ws[j : j + 2], ' ')) + 1),
+      |                  i -> ord(substr(array_to_string(ws[j : j + 2], ' '), i, 1))::HUGEINT)),
+      |              (h, c) -> (h * 1000000007 + c)
+      |                        % 18446744073709551616::HUGEINT)),
+      |          r -> (CASE WHEN r >= 9223372036854775808::HUGEINT
+      |                     THEN r - 18446744073709551616::HUGEINT
+      |                     ELSE r END)::BIGINT) AS hs
+      |      FROM w WHERE len(ws) >= 3),
+      |sel AS (SELECT doc_id,
+      |          t.j + len(hs[t.j : t.j + least(4, len(hs)) - 1])
+      |              - list_position(
+      |                  list_reverse(hs[t.j : t.j + least(4, len(hs)) - 1]),
+      |                  list_min(hs[t.j : t.j + least(4, len(hs)) - 1])) AS pos,
+      |          hs
+      |        FROM g, unnest(range(1, len(hs) - least(4, len(hs)) + 2)) AS t(j))""".stripMargin
+
+  val WinnowFingerprintsSql: String =
+    WinnowSketchCte +
+      "\nSELECT DISTINCT doc_id, pos::BIGINT AS pos, hs[pos] AS fp FROM sel"
+
+  /** Winnow-sketch near-dup pairs: docs sharing >= 2 selected
+    * fingerprints after dropping fingerprints in > 4 docs
+    * ([[graft.pipeline.Dedup.winnowPairs]]). */
+  def winnowNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(docs(s, d), "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, maxDF = 4L)
+
+  val WinnowNeardupSql: String =
+    WinnowSketchCte + """,
+      |fps AS (SELECT DISTINCT doc_id, hs[pos] AS fp FROM sel),
+      |kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 4),
+      |pf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp))
+      |SELECT d1, d2, shared FROM (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS shared
+      |  FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |WHERE shared >= 2""".stripMargin
 
   def embeddingStats(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingStats(embs(s, d), "vec_id", "embedding")

@@ -87,6 +87,8 @@ object SparkEntry {
     "q70_event_anomalies" -> ((s, d) => RelQueries.eventAnomalies(s, d)),
     "q71_doc_chunks" -> ((s, d) => PipelineQueries.docChunks(s, d)),
     "q72_semantic_dedup" -> ((s, d) => PipelineQueries.semanticDedup(s, d)),
+    "q73_winnow_fingerprints" -> ((s, d) => PipelineQueries.winnowFingerprints(s, d)),
+    "q74_winnow_neardup" -> ((s, d) => PipelineQueries.winnowNeardup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +207,12 @@ object SparkEntry {
     // q72: int8 codes are floor-half-up exact (q68), md5 hex agrees
     // cross-engine (q12/q19), so bucket membership is hash-exact
     "q72_semantic_dedup" -> PipelineQueries.SemanticDedupSql,
+    // q73: winnowing selection is deterministic given the gram hashes;
+    // both engines order mins over SIGNED 64-bit values (DuckDB converts
+    // the HUGEINT fold to BIGINT before comparing) with rightmost ties
+    "q73_winnow_fingerprints" -> PipelineQueries.WinnowFingerprintsSql,
+    // q74: shared-fingerprint counts are exact integers over the same
+    // sketch both engines select identically (q73)
+    "q74_winnow_neardup" -> PipelineQueries.WinnowNeardupSql,
   )
 }

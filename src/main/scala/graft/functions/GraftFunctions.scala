@@ -76,6 +76,15 @@ object GraftFunctions {
             ShiftLeft(BitwiseAnd(ShiftRight(y, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
         }
       }),
+    ("winnow",
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "usage: winnow(tokens, k, w) with literal k, w")
+        Winnow(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("bloom_agg",
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (exprs: Seq[Expression]) => {

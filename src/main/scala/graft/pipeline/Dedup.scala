@@ -295,4 +295,36 @@ object Dedup {
       .withColumn("rep_id", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("rep_id"))
   }
+
+  /**
+   * Winnow-sketch near-dup candidates: pairs of docs sharing at least
+   * `minShared` selected winnowing fingerprints ([[graft.functions.Winnow]]).
+   * The containment-robust complement to gram-set Jaccard (q13): a copied
+   * passage of >= w+k-1 tokens GUARANTEES a shared fingerprint wherever
+   * it sits in either doc, while the join runs over the winnowed sketch
+   * (~1/ mean-gap the size of the full gram set), not every gram.
+   * Fingerprints present in more than `maxDF` docs are dropped first —
+   * the same boilerplate-stop-gram prune as q13's `maxShingleDF`, which
+   * caps the self-join's per-key fan-out at `maxDF`^2.
+   */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDF: Long): DataFrame = {
+    val sk = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Winnow.winnow(tokens(col(textCol)), k, w)).as("s"))
+      .select(col("doc"), col("s.hash").as("fp"))
+      .distinct()
+    val pruned = if (maxDF > 0) {
+      val common = sk.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDF).select(col("fp"))
+      sk.join(broadcast(common), Seq("fp"), "left_anti")
+    } else sk
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

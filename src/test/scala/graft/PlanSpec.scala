@@ -154,6 +154,16 @@ class PlanSpec extends AnyFunSuite {
       .r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("winnow fingerprints: zero shuffles, winnow inside whole-stage codegen") {
+    val p = plan("q73_winnow_fingerprints")
+    assert(shuffleCount(p) == 0, p)
+    assert(p.contains("Generate"), p)
+    // the expression itself is codegen'd (static-call body, not
+    // CodegenFallback): the project feeding the generate keeps its span
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("winnow"), p)
+  }
+
   test("doc chunking: pure scan + generate, zero shuffles") {
     val p = plan("q71_doc_chunks")
     assert(shuffleCount(p) == 0, p)

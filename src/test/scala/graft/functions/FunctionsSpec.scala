@@ -143,6 +143,70 @@ class FunctionsSpec extends AnyFunSuite {
     assert(run(codegen = false) == expected)
   }
 
+  test("winnow == brute-force per-window rightmost argmin on random docs") {
+    // independent reference: hash every k-gram, then literally enumerate
+    // windows and take each one's min with rightmost tie-break
+    def reference(tokens: Seq[String], k: Int, w: Int): Seq[(Long, Long)] = {
+      val hs = tokens.sliding(k).filter(_.length == k)
+        .map(g => RollingHash.hashString(g.mkString(" "))).toArray
+      if (hs.isEmpty) return Seq.empty
+      val ww = math.min(w, hs.length)
+      (0 to hs.length - ww).map { s =>
+        val best = (s until s + ww).maxBy(q => (-BigInt(hs(q)), q))
+        ((best + 1).toLong, hs(best))
+      }.distinct
+    }
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 60) {
+      // tiny vocab forces hash ties; lengths cover empty/sub-k/sub-w/long
+      val n = rng.nextInt(30)
+      val tokens = Seq.fill(n)("t" + rng.nextInt(4))
+      val got = graft.functions.WinnowAlg.select(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        3, 4)
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      assert(gotPairs == reference(tokens, 3, 4), s"trial $trial tokens=$tokens")
+    }
+  }
+
+  test("winnow guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    def fps(text: String): Set[Long] = {
+      val toks = text.split(' ').filter(_.nonEmpty).toSeq
+      val arr = graft.functions.WinnowAlg.select(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        3, 4)
+      (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getLong(1)).toSet
+    }
+    // w + k - 1 = 6 shared tokens embedded at different offsets in
+    // otherwise-disjoint documents (SIGMOD'03 theorem 1)
+    val shared = "the quick brown fox jumps high"
+    val a = fps(s"alpha beta $shared gamma delta epsilon")
+    val b = fps(s"one two three four $shared five")
+    assert(a.intersect(b).nonEmpty)
+  }
+
+  test("winnow callable from SQL, codegen == interpreted, degenerate sizes") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT inline(winnow(array('a','b','c','a','b','c','a','b'), 3, 4))""")
+      .as[(Long, Long)].collect().toSeq
+    // same tokens through the Column API (interpreted eval path)
+    val viaApi = Seq(Seq("a", "b", "c", "a", "b", "c", "a", "b")).toDF("ws")
+      .select(org.apache.spark.sql.functions.explode(
+        Winnow.winnow(col("ws"), 3, 4)).as("fp"))
+      .select("fp.pos", "fp.hash").as[(Long, Long)].collect().toSeq
+    assert(got == viaApi && got.nonEmpty)
+    // fewer grams than w -> one window; fewer tokens than k -> empty
+    assert(spark.sql("SELECT size(winnow(array('x','y','z'), 3, 4)) AS n")
+      .as[Int].head() == 1)
+    assert(spark.sql("SELECT size(winnow(array('x','y'), 3, 4)) AS n")
+      .as[Int].head() == 0)
+  }
+
   test("extensions class registers the same functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")

@@ -306,6 +306,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 4L, false)) && got(5L) == ((2L, 4L, true)))
   }
 
+  test("winnow pairs: planted copied passage found, boilerplate pruned") {
+    import spark.implicits._
+    val passage = "records show the quarterly totals rose across every region again"
+    // 12 tokens: long enough that every filler pair is GUARANTEED >= 2
+    // distinct shared selections (interior windows span > w grams)
+    val boiler =
+      "click here to subscribe to our newsletter for updates delivered every week"
+    val docs = Seq(
+      (1L, s"intro words before $passage and a different tail here"),
+      (2L, s"$passage trailing content that shares nothing else at all"),
+      (3L, "completely unrelated text about gardens ponds and stone paths"),
+      (4L, s"first filler $boiler"), (5L, s"second filler $boiler"),
+      (6L, s"third filler $boiler"), (7L, s"fourth filler $boiler"),
+      (8L, s"fifth filler $boiler"), (9L, s"sixth filler $boiler")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxDF = 4L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // the 10-token copied passage (> w+k-1 = 6) must pair 1-2 ...
+    assert(got.contains((1L, 2L)), got)
+    // ... and 3 pairs with nobody
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), got)
+    // boilerplate fingerprints live in 6 docs > maxDF=4: pruned, so the
+    // filler docs produce NO pairs despite their shared tail
+    assert(!got.exists(p => p._1 >= 4L), got)
+    // unpruned control: the same corpus WITH maxDF off does pair them
+    val unpruned = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2L, maxDF = 0L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(unpruned.exists(p => p._1 >= 4L), unpruned)
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     import spark.implicits._
     val li = graft.Tables.load(spark, sf, "lineitem")
