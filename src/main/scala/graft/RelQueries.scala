@@ -426,6 +426,29 @@ object RelQueries {
           .as("us_since_purchase"))
   }
 
+  /** q44's attribution through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
+    * `SparkPlan` merge) instead of the composed merge window: identical
+    * rows against the identical DuckDB `ASOF LEFT JOIN` oracle, a
+    * cross-implementation differential for the whole planner-extension
+    * stack. Ties on (user, time) resolve to the greatest purchase_id —
+    * deterministic regardless of the oracle's tie choice because purchase
+    * timestamps are unique per user in this corpus (hash-checked). */
+  def eventAttributionNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000L").as("tsu"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsu").as("ptsu"),
+        col("event_id").as("purchase_id"))
+    graft.plans.AsOfJoinNative.asOfJoin(
+        ev, purchases, "user_id", "p_user", "tsu", "ptsu", "purchase_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("tsu") - col("ptsu"), lit(-1L))
+          .as("us_since_purchase"))
+  }
+
   /** Interval join: for each `signup` event, how many events the same user
     * produced in the following hour — window `(signup_ts, signup_ts + 1h]`
     * expressed as the inclusive `[ts+1us, ts+1h]`

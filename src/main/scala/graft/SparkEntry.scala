@@ -89,6 +89,7 @@ object SparkEntry {
     "q72_semantic_dedup" -> ((s, d) => PipelineQueries.semanticDedup(s, d)),
     "q73_winnow_fingerprints" -> ((s, d) => PipelineQueries.winnowFingerprints(s, d)),
     "q74_winnow_neardup" -> ((s, d) => PipelineQueries.winnowNeardup(s, d)),
+    "q75_asof_native" -> ((s, d) => RelQueries.eventAttributionNative(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -214,5 +215,8 @@ object SparkEntry {
     // q74: shared-fingerprint counts are exact integers over the same
     // sketch both engines select identically (q73)
     "q74_winnow_neardup" -> PipelineQueries.WinnowNeardupSql,
+    // q75: q44 through the native AsOfJoinExec — same rows, same oracle
+    // (cross-implementation differential, like q63 vs q03)
+    "q75_asof_native" -> RelQueries.EventAttributionSql,
   )
 }

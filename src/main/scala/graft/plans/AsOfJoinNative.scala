@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/**
+ * As-of join as a REAL planner extension — the full custom-operator stack
+ * Spark offers when composition isn't wanted: a logical node, a planner
+ * `Strategy`, and a physical `SparkPlan` whose `doExecute` merges the two
+ * sorted sides in one pass. Semantically identical to the merge-window
+ * composition in [[graft.operators.AsOf.asOfJoin]] (spec-enforced equality,
+ * and q75 runs it against q44's exact DuckDB `ASOF LEFT JOIN` oracle);
+ * the physical shape is the same ONE hash exchange per side plus a
+ * per-partition sort — but the merge needs no window-function state
+ * machine, touches each row exactly once with O(1) carried state (the
+ * single latest right row), and never materializes the unioned
+ * double-width rows the window variant carries through its sort.
+ *
+ * The node carries its key/time/tie columns as ordinary expressions, so
+ * the optimizer treats it like any binary operator: `DeduplicateRelations`
+ * re-ids a self-joined right side (exactly q75's shape — both sides
+ * derive from `events`) and rewrites them, and column pruning drops
+ * unused child outputs THROUGH the join (the exec re-binds to whatever
+ * the pruned child emits — spec-pinned by the "prunes" test). Keys,
+ * times, and the tie column are LongType by contract (validated at the
+ * API), which keeps the merge loop primitive (`getLong`) — no per-row
+ * ordering objects.
+ *
+ * Right rows with a null key or time never match (SQL `<=` semantics);
+ * left rows with a null key or time emit with a null right side. Among
+ * right rows tied on (key, time), the greatest `tie` value wins — the
+ * sort makes that the last of the run, mirroring the composed variant's
+ * `last(...)` over its `__tie`-ordered window.
+ */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
+  * `spark.experimental.extraStrategies` (live sessions). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime, p.rightTie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // One hash exchange per side, co-partitioned on the key — the same
+  // contract SortMergeJoinExec declares; EnsureRequirements inserts the
+  // exchanges and the per-partition sorts below.
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftKey)),
+    ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  // Left rows pass through in their sorted order, on their partitioning —
+  // declare both so downstream operators skip redundant exchanges/sorts.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def ordinal(e: Expression, attrs: Seq[Attribute]): Int =
+    BindReferences.bindReference(e, attrs).asInstanceOf[BoundReference].ordinal
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val outAttrs = output
+    val lk = ordinal(leftKey, lAttrs)
+    val lt = ordinal(leftTime, lAttrs)
+    val rk = ordinal(rightKey, rAttrs)
+    val rt = ordinal(rightTime, rAttrs)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val nullRight = new GenericInternalRow(rAttrs.length)
+      val joined = new JoinedRow
+      // bind against the NULLABLE output attrs (not the children's): the
+      // right side of an unmatched row is all null, and a non-nullable
+      // BoundReference would skip the null check and read zeros
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      new Iterator[InternalRow] {
+        // lookahead = next unconsumed right row; curMatch = latest
+        // consumed right row of curKey (copied: unsafe rows are reused)
+        private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+        private var curKey = 0L
+        private var curMatch: InternalRow = null
+        private def advance(): Unit =
+          rHead = if (rIt.hasNext) rIt.next() else null
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          if (l.isNullAt(lk) || l.isNullAt(lt)) {
+            // null key/time: no match; right pointer untouched (left null
+            // keys sort first, so no right rows are skipped past)
+            proj(joined(l, nullRight))
+          } else {
+            val lKey = l.getLong(lk)
+            val lTime = l.getLong(lt)
+            if (curMatch != null && curKey != lKey) curMatch = null
+            var scan = true
+            while (scan && rHead != null) {
+              if (rHead.isNullAt(rk)) advance() // null keys never match
+              else {
+                val rKey = rHead.getLong(rk)
+                if (rKey < lKey) advance() // left is past this key for good
+                else if (rKey > lKey) scan = false
+                else if (rHead.isNullAt(rt)) advance() // null time: no match
+                else if (rHead.getLong(rt) <= lTime) {
+                  curMatch = rHead.copy(); curKey = rKey; advance()
+                } else scan = false
+              }
+            }
+            val m = if (curMatch != null && curKey == lKey) curMatch else nullRight
+            proj(joined(l, m))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API over the native operator. */
+object AsOfJoinNative {
+
+  /**
+   * Native as-of join: every left row + the right row with the greatest
+   * `rightTime <= leftTime` within `leftKey == rightKey` (nulls on no
+   * match; ties on time resolved toward the greatest `rightTie`). All
+   * five named columns must be LongType on their respective sides.
+   * Right columns are returned as-is — alias before joining if names
+   * collide with the left side.
+   */
+  def asOfJoin(
+      leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    GraftShims.addStrategy(spark, AsOfJoinStrategy)
+    def attr(df: DataFrame, name: String, side: String): Attribute = {
+      val plan = df.queryExecution.analyzed
+      val a = plan.output.find(_.name == name)
+      require(a.isDefined,
+        s"$side column '$name' not found in ${df.columns.mkString(",")}")
+      require(a.get.dataType == LongType,
+        s"$side column '$name' must be LongType, got ${a.get.dataType}")
+      a.get
+    }
+    val plan = AsOfJoinPlan(
+      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      attr(leftDf, leftKey, "left"), attr(leftDf, leftTime, "left"),
+      attr(rightDf, rightKey, "right"), attr(rightDf, rightTime, "right"),
+      attr(rightDf, rightTie, "right"))
+    GraftShims.ofRows(spark, plan)
+  }
+}

@@ -12,6 +12,22 @@ object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom logical plan as a DataFrame (Spark 4 moved
+    * `Dataset.ofRows` behind the classic implementation). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a LIVE session (the
+    * `spark.sql.extensions` config path only applies at session build). */
+  def addStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s)) {
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    }
+  }
+
   /**
    * Release the block storage behind a `localCheckpoint`ed DataFrame.
    * `Dataset.unpersist` only talks to the cache manager, which never

@@ -155,6 +155,98 @@ class AsOfSpec extends AnyFunSuite {
     assert("hashpartitioning\\(k#\\d+L?, __bkt".r.findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("native exec: semantics on the quotes fixture match the composed path") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L), (2L, 15L), (2L, 16L))
+      .toDF("sym", "tt")
+    val q = quotes.withColumnRenamed("sym", "qsym")
+      .withColumn("qid", col("qt")) // unique per key: the tie column
+    val got = graft.plans.AsOfJoinNative.asOfJoin(
+        trades, q, "sym", "qsym", "tt", "qt", "qid")
+      .select(col("sym"), col("tt"), col("qt"), col("px"))
+      .as[(Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 5L, None, None),
+      (1L, 10L, Some(10L), Some(100.0)),
+      (1L, 25L, Some(20L), Some(110.0)),
+      (1L, 99L, Some(30L), Some(120.0)),
+      (2L, 15L, Some(15L), Some(200.0)),
+      (2L, 16L, Some(15L), Some(200.0))))
+  }
+
+  test("native exec == composed window on random data with ties and null times") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = Seq.tabulate(500)(i =>
+      (rnd.nextInt(6).toLong,
+        if (i % 19 == 0) None else Some(rnd.nextInt(300).toLong), i.toLong))
+      .toDF("k", "lt", "lid").repartition(7) // odd partitioning on purpose
+    // duplicate right times per key exercise the tie contract; null times dropped
+    val right = Seq.tabulate(120)(i =>
+      (rnd.nextInt(6).toLong,
+        if (i % 13 == 0) None else Some(rnd.nextInt(60).toLong * 5), i.toLong))
+      .toDF("rk", "rt", "rid").repartition(3)
+    val composed = AsOf.asOfJoin(left, right.withColumnRenamed("rk", "k"),
+        Seq("k"), col("lt"), col("rt"), Seq("rid"), tieBreak = Seq("rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    val native = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native == composed)
+  }
+
+  test("native exec: self-derived sides (DeduplicateRelations) and empty right") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, 7L), (1L, 20L, 8L), (2L, 5L, 9L))
+      .toDF("k", "t", "v")
+    // both sides derive from the SAME frame — the analyzer must re-id the
+    // right side without breaking the ordinal bindings
+    val got = graft.plans.AsOfJoinNative.asOfJoin(
+        base, base.select(col("k").as("rk"), col("t").as("rt"), col("v").as("rv")),
+        "k", "rk", "t", "rt", "rv")
+      .select(col("k"), col("t"), col("rv"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, 10L, Some(7L)), (1L, 20L, Some(8L)), (2L, 5L, Some(9L))))
+    val emptyRight = base.where(col("v") < 0)
+      .select(col("k").as("rk"), col("t").as("rt"), col("v").as("rv"))
+    val outer = graft.plans.AsOfJoinNative.asOfJoin(
+        base, emptyRight, "k", "rk", "t", "rt", "rv")
+      .select(col("k"), col("rv")).as[(Long, Option[Long])].collect()
+    assert(outer.length == 3 && outer.forall(_._2.isEmpty))
+  }
+
+  test("native exec plans as AsOfJoinExec with one exchange and sort per side") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "lt")
+    val q = quotes.withColumnRenamed("sym", "qsym").withColumn("qid", col("qt"))
+    val plan = graft.plans.AsOfJoinNative.asOfJoin(
+        left, q, "k", "qsym", "lt", "qt", "qid")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // exec prints minus the Exec suffix
+    assert(!plan.contains("NestedLoop") && !plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("native exec: column pruning reaches through the custom node") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "lt")
+    val right = Seq((1L, 3L, 9L, "payload", 1.5))
+      .toDF("rk", "rt", "rid", "junk", "extra")
+      .withColumn("rtie", col("rid"))
+    val j = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rtie")
+      .select("k", "lt", "rid") // junk/extra unused downstream
+    val plan = j.queryExecution.executedPlan.toString
+    // the unused right payload never enters the exchange
+    assert(!plan.contains("junk#") && !plan.contains("extra#"), plan)
+    assert(j.as[(Long, Long, Option[Long])].collect().toSeq ==
+      Seq((1L, 5L, Some(9L))))
+  }
+
   test("plan has exactly one exchange (the window shuffle), no range join") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")
