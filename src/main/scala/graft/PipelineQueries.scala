@@ -290,16 +290,49 @@ object PipelineQueries {
     Dedup.winnowPairs(docs(s, d), "doc_id", "text",
       k = 3, w = 4, minShared = 2L, maxDF = 4L)
 
-  val WinnowNeardupSql: String =
+  private val WinnowPairsCte: String =
     WinnowSketchCte + """,
       |fps AS (SELECT DISTINCT doc_id, hs[pos] AS fp FROM sel),
       |kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 4),
-      |pf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp))
-      |SELECT d1, d2, shared FROM (
+      |pf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp)),
+      |pairs AS (SELECT d1, d2, shared FROM (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS shared
       |  FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
-      |WHERE shared >= 2""".stripMargin
+      |WHERE shared >= 2)""".stripMargin
+
+  val WinnowNeardupSql: String =
+    WinnowPairsCte + "\nSELECT d1, d2, shared FROM pairs"
+
+  /** Cross-source duplication leakage: the winnow near-dup pairs (q74)
+    * rolled up to an unordered source-pair matrix — the pre-mixing
+    * diagnostic that tells a corpus builder which sources feed each
+    * other duplicated content (exact cross-source dups are zero in this
+    * corpus, so the near-dup signal is the informative one). */
+  def sourceLeakage(s: SparkSession, d: String): DataFrame =
+    sourceLeakageOf(docs(s, d))
+
+  private[graft] def sourceLeakageOf(ds: DataFrame): DataFrame = {
+    val pairs = Dedup.winnowPairs(ds, "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, maxDF = 4L).select(col("d1"), col("d2"))
+    val srcs = ds.select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(srcs.as("sb"), col("d2") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("src1"),
+        greatest(col("sa.source"), col("sb.source")).as("src2"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(count(lit(1)).as("ndup_pairs"))
+  }
+
+  val SourceLeakageSql: String =
+    WinnowPairsCte + """
+      |SELECT least(da.source, db.source) AS src1,
+      |       greatest(da.source, db.source) AS src2,
+      |       count(*)::BIGINT AS ndup_pairs
+      |FROM pairs JOIN documents da ON pairs.d1 = da.doc_id
+      |           JOIN documents db ON pairs.d2 = db.doc_id
+      |GROUP BY 1, 2""".stripMargin
 
   def embeddingStats(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingStats(embs(s, d), "vec_id", "embedding")

@@ -90,6 +90,7 @@ object SparkEntry {
     "q73_winnow_fingerprints" -> ((s, d) => PipelineQueries.winnowFingerprints(s, d)),
     "q74_winnow_neardup" -> ((s, d) => PipelineQueries.winnowNeardup(s, d)),
     "q75_asof_native" -> ((s, d) => RelQueries.eventAttributionNative(s, d)),
+    "q76_source_leakage" -> ((s, d) => PipelineQueries.sourceLeakage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,5 +219,8 @@ object SparkEntry {
     // q75: q44 through the native AsOfJoinExec — same rows, same oracle
     // (cross-implementation differential, like q63 vs q03)
     "q75_asof_native" -> RelQueries.EventAttributionSql,
+    // q76: integer rollup of q74's pair set through two doc->source
+    // lookups — exact wherever q74 is
+    "q76_source_leakage" -> PipelineQueries.SourceLeakageSql,
   )
 }

@@ -338,6 +338,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(unpruned.exists(p => p._1 >= 4L), unpruned)
   }
 
+  test("source leakage: planted cross-source passage rolls up to its pair") {
+    import spark.implicits._
+    val passage = "records show the quarterly totals rose across every region again"
+    val docs = Seq(
+      (1L, "a", s"intro words before $passage and a different tail here"),
+      (2L, "b", s"$passage trailing content that shares nothing else at all"),
+      (3L, "c", "completely unrelated text about gardens ponds and stone paths"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.PipelineQueries.sourceLeakageOf(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L)))
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     import spark.implicits._
     val li = graft.Tables.load(spark, sf, "lineitem")
