@@ -32,6 +32,7 @@ import org.apache.spark.sql.types._
  * shuffle and no state — the 100 TB shape of sketch extraction.
  */
 case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0, s"winnow needs positive gram size and window, got ($k, $w)")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -82,11 +83,15 @@ object WinnowAlg {
       var t = 0
       while (t < k) {
         if (t > 0) h = h * RollingHash.Base + (' '.toInt & 0xffL)
-        val bytes = tokens.getUTF8String(j + t).getBytes
-        var b = 0
-        while (b < bytes.length) {
-          h = h * RollingHash.Base + (bytes(b) & 0xffL)
-          b += 1
+        // null elements hash as empty (SQL arrays may carry nulls even
+        // though the tokenizer never produces them)
+        if (!tokens.isNullAt(j + t)) {
+          val bytes = tokens.getUTF8String(j + t).getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h = h * RollingHash.Base + (bytes(b) & 0xffL)
+            b += 1
+          }
         }
         t += 1
       }

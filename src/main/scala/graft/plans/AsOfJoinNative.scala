@@ -175,6 +175,14 @@ object AsOfJoinNative {
       leftTime: String, rightTime: String, rightTie: String): DataFrame = {
     val spark = leftDf.sparkSession
     GraftShims.addStrategy(spark, AsOfJoinStrategy)
+    // A shared attribute means the same frame on both sides: after the
+    // analyzer re-ids the right child, this node's right-side expressions
+    // would dangle. Alias the right side first (cheap, and q75 shows the
+    // pattern) — failing here beats a bind error at execution.
+    val shared = leftDf.queryExecution.analyzed.outputSet
+      .intersect(rightDf.queryExecution.analyzed.outputSet)
+    require(shared.isEmpty,
+      s"right side shares attributes with left ($shared); alias right columns first")
     def attr(df: DataFrame, name: String, side: String): Attribute = {
       val plan = df.queryExecution.analyzed
       val a = plan.output.find(_.name == name)

@@ -205,6 +205,10 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Int].head() == 1)
     assert(spark.sql("SELECT size(winnow(array('x','y'), 3, 4)) AS n")
       .as[Int].head() == 0)
+    // null array elements hash as empty tokens, never NPE
+    assert(spark.sql(
+      "SELECT size(winnow(array('x', CAST(NULL AS STRING), 'y', 'z'), 3, 4)) AS n")
+      .as[Int].head() >= 1)
   }
 
   test("extensions class registers the same functions") {
