@@ -281,4 +281,75 @@ object EventStreams {
         })
     sessions.toDF()
   }
+
+  case class AttrEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
+  case class LastPurchase(pts: Long, purchase_id: Long)
+  case class AttributedEvent(
+      event_id: Long, user_id: Long, event_type: String,
+      purchase_id: Long, us_since_purchase: Long)
+
+  /**
+   * Streaming as-of enrichment — the streaming twin of q44/q75: every
+   * event carries its user's most recent purchase at-or-before it (a
+   * purchase attributes to itself). Per-user state is ONE row — the
+   * latest purchase seen — so a year-long stream holds O(active users)
+   * fixed-width state, the bounded-state property that makes streaming
+   * feature enrichment viable where a stream-stream join would buffer a
+   * full join window of traffic per side.
+   *
+   * Ordering contract: events are processed in event-time order WITHIN a
+   * batch (sorted here; purchases at a timestamp apply before any event
+   * at that timestamp emits, ties among simultaneous purchases resolve
+   * to the greatest event id — q75's tie rule), and batches must arrive
+   * in event-time order for cross-batch matches (the file-source and
+   * ordered MemoryStream specs both satisfy this; a production deployment
+   * with late data would pair this with a watermark-delayed replay, the
+   * same trade [[sessionsClosedStream]] documents for its late events).
+   */
+  def attributionFromEvents(events: Dataset[AttrEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[AttrEvent], state: GroupState[LastPurchase]) => {
+          var last = state.getOption.orNull
+          val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
+          val out = new scala.collection.mutable.ArrayBuffer[AttributedEvent](sorted.length)
+          var i = 0
+          while (i < sorted.length) {
+            val t = sorted(i).ts
+            var j = i
+            while (j < sorted.length && sorted(j).ts == t) {
+              val e = sorted(j)
+              if (e.event_type == "purchase" &&
+                  (last == null || t > last.pts ||
+                    (t == last.pts && e.event_id > last.purchase_id))) {
+                last = LastPurchase(t, e.event_id)
+              }
+              j += 1
+            }
+            while (i < j) {
+              val e = sorted(i)
+              if (last == null) out += AttributedEvent(e.event_id, uid, e.event_type, -1L, -1L)
+              else out += AttributedEvent(e.event_id, uid, e.event_type,
+                last.purchase_id, e.ts - last.pts)
+              i += 1
+            }
+          }
+          if (last != null) state.update(last)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** File-source wrapper over [[attributionFromEvents]]. */
+  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    attributionFromEvents(
+      eventStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000L").as("ts"), col("event_type"))
+        .as[AttrEvent])
+  }
 }

@@ -125,4 +125,55 @@ class EventStreamsSpec extends AnyFunSuite {
       s"closed-session stream diverged: ${streamed.size} vs ${batch.size} sessions")
     assert(batch.nonEmpty)
   }
+
+  test("streaming as-of enrichment == batch attribution (q44), file source") {
+    import spark.implicits._
+    runToMemory(EventStreams.attributionStream(spark, sf), "attr")
+    val streamed = spark.table("attr")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val batch = graft.RelQueries.eventAttribution(spark, sf)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._4 >= 0)) // real matches present, not all -1
+  }
+
+  test("streaming as-of enrichment == batch across multiple ordered batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.AttrEvent
+    // thirds split between distinct timestamps: cross-batch matches must
+    // come from the O(1) per-user LastPurchase state, not batch locality
+    val evs = graft.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.expr("ts div 1000L").as("ts"), $"event_type")
+      .as[AttrEvent].collect().sortBy(e => (e.ts, e.event_id))
+    val cut1 = evs(evs.length / 3).ts
+    val cut2 = evs(2 * evs.length / 3).ts
+    val chunks = Seq(
+      evs.filter(_.ts <= cut1),
+      evs.filter(e => e.ts > cut1 && e.ts <= cut2),
+      evs.filter(_.ts > cut2))
+    assert(chunks.forall(_.nonEmpty))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[AttrEvent]
+    val q = EventStreams.attributionFromEvents(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_batches").start()
+    try chunks.foreach { c => source.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("attr_batches")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val batch = graft.RelQueries.eventAttribution(spark, sf)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // matches that REQUIRE carried state: an event in a later chunk whose
+    // attributed purchase happened in an earlier chunk
+    val purchaseTs = evs.filter(_.event_type == "purchase")
+      .map(e => e.event_id -> e.ts).toMap
+    val crossBatch = spark.table("attr_batches")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .filter(r => r._4 >= 0 && purchaseTs.get(r._4).exists(_ <= cut1))
+      .filter { r => val e = evs.find(_.event_id == r._1).get; e.ts > cut1 }
+    assert(crossBatch.nonEmpty, "no cross-batch attributions exercised")
+  }
 }
