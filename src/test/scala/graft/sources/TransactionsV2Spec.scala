@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 transaction reader: fromText equality at every split size. */
+class TransactionsV2Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("transactions-v2-spec")
+    .getOrCreate()
+
+  private def writeFixture(lines: Seq[String], trailingNewline: Boolean): String = {
+    val f = Files.createTempFile("graft-txn", ".txt")
+    val body = lines.mkString("\n") + (if (trailingNewline) "\n" else "")
+    Files.writeString(f, body)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def itemsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import spark.implicits._
+    df.as[Seq[String]].collect().toSeq.sortBy(_.mkString(""))
+  }
+
+  test("v2 source == fromText on messy lines (dups, empties, no trailing \\n)") {
+    val lines = Seq(
+      "milk bread milk eggs",  // in-line duplicate
+      "a  b",                  // double space -> empty token survives dedup
+      "",                      // empty transaction
+      " lead trail ",          // leading/trailing space
+      "solo")
+    val path = writeFixture(lines, trailingNewline = false)
+    val v2 = spark.read.format(classOf[TransactionsV2].getName).load(path)
+    assert(itemsOf(v2) == itemsOf(TextTransactions.fromText(spark, path)))
+  }
+
+  test("short name registration: format(\"graft-transactions\")") {
+    val path = writeFixture(Seq("x y z", "y x"), trailingNewline = true)
+    val v2 = spark.read.format("graft-transactions").load(path)
+    assert(itemsOf(v2) == Seq(Seq("x", "y", "z"), Seq("y", "x")))
+  }
+
+  test("byte-range splits: every line emitted exactly once at any split size") {
+    val rnd = new scala.util.Random(31)
+    val lines = Seq.tabulate(300) { i =>
+      Seq.fill(1 + rnd.nextInt(8))("item" + rnd.nextInt(20)).mkString(" ")
+    }
+    val path = writeFixture(lines, trailingNewline = rnd.nextBoolean())
+    val whole = itemsOf(TextTransactions.fromText(spark, path))
+    // 16 bytes is far below the mean line length: most ranges start and
+    // end mid-line, exercising the skip-first/read-past-end contract
+    for (split <- Seq(16L, 64L, 1L << 20)) {
+      val v2 = spark.read.format("graft-transactions")
+        .option("maxSplitBytes", split.toString).load(path)
+      assert(itemsOf(v2) == whole, s"split=$split diverged")
+      if (split == 16L) {
+        assert(v2.rdd.getNumPartitions > 10, "tiny splits should fan out")
+      }
+    }
+  }
+
+  test("the fpm estimator runs end-to-end on the v2 source") {
+    val lines = Seq("a b c", "a b", "a c", "b c", "a b c d")
+    val path = writeFixture(lines, trailingNewline = true)
+    val df = spark.read.format("graft-transactions").load(path)
+    val model = new graft.fpm.FPGrowth().setMinSupport(0.4).setMinConfidence(0.5)
+      .fit(df)
+    assert(model.freqItemsets.count() > 0)
+  }
+}
