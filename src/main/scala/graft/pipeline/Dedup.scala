@@ -310,11 +310,7 @@ object Dedup {
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long, maxDF: Long): DataFrame = {
-    val sk = docs
-      .select(col(idCol).as("doc"),
-        explode(graft.functions.Winnow.winnow(tokens(col(textCol)), k, w)).as("s"))
-      .select(col("doc"), col("s.hash").as("fp"))
-      .distinct()
+    val sk = winnowSketch(docs, idCol, textCol, k, w)
     val pruned = if (maxDF > 0) {
       val common = sk.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .where(col("df") > maxDF).select(col("fp"))
@@ -326,5 +322,26 @@ object Dedup {
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
+
+  /** The distinct (doc, fingerprint) winnow sketch, cached per
+    * (session, input plan, params) like [[shingleIndex]]: q74 and q76
+    * both consume it, so the corpus scan + distinct runs once. */
+  private def winnowSketch(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val key = s"${sc.applicationId}@${sc.startTime}|winnow|" +
+      s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$k|$w"
+    val cached = indexCache.get(key)
+    if (cached != null) return cached
+    val built = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Winnow.winnow(tokens(col(textCol)), k, w)).as("s"))
+      .select(col("doc"), col("s.hash").as("fp"))
+      .distinct()
+    val persisted =
+      built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = indexCache.putIfAbsent(key, persisted)
+    if (prev != null) { persisted.unpersist(); prev } else persisted
   }
 }
