@@ -305,7 +305,9 @@ object Dedup {
    * (~1/ mean-gap the size of the full gram set), not every gram.
    * Fingerprints present in more than `maxDF` docs are dropped first —
    * the same boilerplate-stop-gram prune as q13's `maxShingleDF`, which
-   * caps the self-join's per-key fan-out at `maxDF`^2.
+   * caps the self-join's per-key fan-out at `maxDF`^2. `maxDF <= 0`
+   * DISABLES pruning entirely (q13's convention), it does not mean
+   * "drop everything".
    */
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,

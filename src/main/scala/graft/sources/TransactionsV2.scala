@@ -102,37 +102,55 @@ class TransactionsTable(path: String, maxSplitBytes: Long)
           .sessionState.newHadoopConf()
         val p = new Path(path)
         val fs = p.getFileSystem(conf)
-        val files: Seq[FileStatus] =
-          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
-          else Seq(fs.getFileStatus(p))
-        val confMap = TransactionsV2.confToMap(conf)
+        // globStatus handles literal paths too (a non-glob matches itself)
+        // — fromText accepts globs, so this source must as well
+        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+        require(matched.nonEmpty, s"graft-transactions: no files match $path")
+        val files: Seq[FileStatus] = matched.toSeq.flatMap { m =>
+          if (m.isDirectory) fs.listStatus(m.getPath).toSeq.filter(_.isFile)
+          else Seq(m)
+        }.filter { f =>
+          // same data-file convention as Spark's file index: '_' and '.'
+          // prefixed names (markers, staging, hidden) are not data
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
         files.flatMap { f =>
           val len = f.getLen
           val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
           (0L until n).map { i =>
             TransactionRange(f.getPath.toString, i * maxSplitBytes,
-              math.min((i + 1) * maxSplitBytes, len), confMap)
+              math.min((i + 1) * maxSplitBytes, len))
           }
         }.toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-            new TransactionRangeReader(partition.asInstanceOf[TransactionRange])
-        }
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // ONE conf copy, held by the factory — not one per InputPartition
+        // (a 1 TB file is ~8000 ranges; per-range maps would multiply the
+        // driver-side payload by the split count)
+        val confMap = TransactionsV2.confToMap(
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+        new TransactionReaderFactory(confMap)
+      }
     }
 }
 
-/** One byte range of one file; carries the flattened Hadoop conf. */
-case class TransactionRange(
-    file: String, start: Long, end: Long, conf: Map[String, String])
+/** One byte range of one file. */
+case class TransactionRange(file: String, start: Long, end: Long)
   extends InputPartition
 
-class TransactionRangeReader(range: TransactionRange)
+/** Carries the single flattened-conf copy to executors. */
+class TransactionReaderFactory(conf: Map[String, String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TransactionRangeReader(partition.asInstanceOf[TransactionRange], conf)
+}
+
+class TransactionRangeReader(range: TransactionRange, conf: Map[String, String])
   extends PartitionReader[InternalRow] {
 
-  private val hConf = TransactionsV2.mapToConf(range.conf)
+  private val hConf = TransactionsV2.mapToConf(conf)
   private val p = new Path(range.file)
   private val in = p.getFileSystem(hConf).open(p)
   private val reader = {

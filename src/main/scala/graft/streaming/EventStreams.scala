@@ -301,10 +301,15 @@ object EventStreams {
    * batch (sorted here; purchases at a timestamp apply before any event
    * at that timestamp emits, ties among simultaneous purchases resolve
    * to the greatest event id — q75's tie rule), and batches must arrive
-   * in event-time order for cross-batch matches (the file-source and
-   * ordered MemoryStream specs both satisfy this; a production deployment
-   * with late data would pair this with a watermark-delayed replay, the
-   * same trade [[sessionsClosedStream]] documents for its late events).
+   * in event-time order for cross-batch matches. One sharper edge of
+   * that contract: a (user, timestamp) TIE GROUP must not straddle a
+   * batch boundary — an event emitted in batch N cannot see a
+   * same-timestamp purchase arriving in batch N+1, where the batch twin
+   * (`tsu >= ptsu`) would attribute it. Cut batches between distinct
+   * timestamps (the specs do) or accept boundary-tie divergence; a
+   * production deployment with late data would pair this with a
+   * watermark-delayed replay, the same trade [[sessionsClosedStream]]
+   * documents for its late events.
    */
   def attributionFromEvents(events: Dataset[AttrEvent]): DataFrame = {
     import events.sparkSession.implicits._

@@ -65,6 +65,22 @@ class TransactionsV2Spec extends AnyFunSuite {
     }
   }
 
+  test("glob paths and hidden/marker files behave like the composed read") {
+    val dir = Files.createTempDirectory("graft-txn-dir")
+    Files.writeString(dir.resolve("a.txt"), "p q\n")
+    Files.writeString(dir.resolve("b.txt"), "r s\n")
+    // marker/hidden files that Spark's file index skips — so must we
+    Files.writeString(dir.resolve("_SUCCESS"), "not data\n")
+    Files.writeString(dir.resolve(".staging"), "also not data\n")
+    dir.toFile.listFiles().foreach(_.deleteOnExit()); dir.toFile.deleteOnExit()
+    val fromDir = spark.read.format("graft-transactions").load(dir.toString)
+    assert(itemsOf(fromDir) ==
+      itemsOf(TextTransactions.fromText(spark, dir.toString)))
+    val fromGlob = spark.read.format("graft-transactions")
+      .load(dir.toString + "/*.txt")
+    assert(itemsOf(fromGlob) == itemsOf(fromDir))
+  }
+
   test("the fpm estimator runs end-to-end on the v2 source") {
     val lines = Seq("a b c", "a b", "a c", "b c", "a b c d")
     val path = writeFixture(lines, trailingNewline = true)
