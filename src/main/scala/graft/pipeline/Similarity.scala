@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,29 +130,32 @@ object Similarity {
    * (spec-enforced); smaller probes trade recall for touching only
    * `nProbe/numCentroids` of the corpus — the IVF scale contract.
    */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4,
-      iterations: Int = 5, sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
-    import corpus.sparkSession.implicits._
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    v.foreach(x => n += x * x)
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
 
-    def unitVec(v: Array[Double]): Array[Double] = {
-      var n = 0.0
-      v.foreach(x => n += x * x)
-      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-      v.map(_ * inv)
-    }
+  /**
+   * Train the IVF coarse quantizer: driver k-means (cosine metric, unit
+   * centroids) over a deterministic bounded sample — the trainable half
+   * of [[ivfTopK]], exposed so an index can be built ONCE and reused
+   * across query batches (see [[saveIvfIndex]]/[[loadIvfIndex]]).
+   * Returns an empty array on an empty corpus.
+   */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, iterations: Int = 5,
+      sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Double]] = {
+    import corpus.sparkSession.implicits._
     // Deterministic training sample: first `sampleSize` rows by id (any
     // orderable id type — only the vectors are collected).
     val sample = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol)).limit(sampleSize)
       .as[Seq[Double]].collect().map(v => unitVec(v.toArray))
-    // An empty corpus has nothing to train centroids on; brute force over
-    // the same empty corpus yields the identical (empty) result schema
-    // instead of throwing — pipelines must survive a dry shard.
-    if (sample.isEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    if (sample.isEmpty) return Array.empty
     // Never more centroids than sample vectors (tiny corpora degrade to
     // fewer cells, worst case 1 = brute force within the single list).
     val k2 = math.min(numCentroids, sample.length)
@@ -179,6 +182,52 @@ object Similarity {
       centroids = Array.tabulate(numCells)(c =>
         if (counts(c) == 0) centroids(c) else unitVec(sums(c)))
     }
+    centroids
+  }
+
+  /** Persist a trained IVF quantizer as (cell, centroid) parquet — the
+    * index artifact a production deployment trains once and ships to
+    * every query job (doubles round-trip bit-exactly through parquet,
+    * so loaded assignments are IDENTICAL — spec-pinned). */
+  def saveIvfIndex(
+      spark: SparkSession, centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveIvfIndex]] artifact back into probe-ready form. */
+  def loadIvfIndex(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .select(col("centroid"))
+      .as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 5, sampleSize: Int = 2048, seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(
+      corpus, idCol, vecCol, numCentroids, iterations, sampleSize, seed)
+    // An empty corpus has nothing to train centroids on; brute force over
+    // the same empty corpus yields the identical (empty) result schema
+    // instead of throwing — pipelines must survive a dry shard.
+    if (centroids.isEmpty) return bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** The probe half of [[ivfTopK]]: assign + search with a given (trained
+    * or loaded) quantizer. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKWithCentroids needs a trained index")
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>

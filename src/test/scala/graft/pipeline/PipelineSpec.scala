@@ -195,6 +195,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF index save/load round-trips bit-exactly; loaded == trained results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val embs = graft.Tables.load(spark, sf, "embeddings")
+    val trained = Similarity.trainIvfCentroids(embs, "vec_id", "embedding",
+      numCentroids = 8)
+    assert(trained.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    try {
+      Similarity.saveIvfIndex(spark, trained, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      // doubles survive parquet bit-exactly, cell order preserved
+      assert(loaded.length == trained.length)
+      assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+      val qs = embs.orderBy(col("vec_id")).limit(20)
+      val a = Similarity.ivfTopKWithCentroids(embs, qs, "vec_id", "embedding",
+          k = 5, trained, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val b = Similarity.ivfTopKWithCentroids(embs, qs, "vec_id", "embedding",
+          k = 5, loaded, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(a == b && a.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IVF with full probing == brute force; partial probing keeps recall") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sf, "embeddings")
