@@ -219,6 +219,43 @@ class AsOfSpec extends AnyFunSuite {
     assert(outer.length == 3 && outer.forall(_._2.isEmpty))
   }
 
+  test("native exec survives AQE coalescing: both shuffles stay co-partitioned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val left = Seq.tabulate(2000)(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = Seq.tabulate(400)(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val expected = AsOf.asOfJoin(left, right.withColumnRenamed("rk", "k"),
+        Seq("k"), col("lt"), col("rt"), Seq("rid"), tieBreak = Seq("rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // both extremes: aggressive coalescing (collapse to ~1 partition) and
+    // fine-grained (keep many tiny partitions) — zipPartitions requires
+    // the runtime to coalesce BOTH sides identically in each regime
+    val keys = Seq("spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      for ((advisory, minSize) <- Seq(("64m", "1m"), ("1024", "256"))) {
+        spark.conf.set(keys(0), "true")
+        spark.conf.set(keys(1), advisory)
+        spark.conf.set(keys(2), minSize)
+        val got = graft.plans.AsOfJoinNative.asOfJoin(
+            left, right, "k", "rk", "lt", "rt", "rid")
+          .select(col("lid"), col("rid"))
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got == expected, s"advisory=$advisory diverged")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native exec plans as AsOfJoinExec with one exchange and sort per side") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")
