@@ -334,6 +334,38 @@ object PipelineQueries {
       |           JOIN documents db ON pairs.d2 = db.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Corpus card: the one-row datasheet a corpus release ships with —
+    * volume (docs/tokens/chars), diversity (languages/sources), and
+    * exact-duplication rate, in ONE scan (multi-distinct aggregate;
+    * all-integer, hash-exact). Zero rows on an empty corpus — the q64
+    * degenerate-parity convention. */
+  def corpusCard(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(lit(1).as("one")) // zero groups on empty input
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(Dedup.tokens(col("text")))).cast("long"), lit(0L))
+          .as("n_tokens"),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(Dedup.fingerprint(col("text"))))
+          .as("n_exact_dups"))
+      .drop("one")
+
+  val CorpusCardSql: String =
+    """SELECT
+      |  count(*)::BIGINT AS n_docs,
+      |  coalesce(sum(len(list_filter(
+      |    string_split(lower(text), ' '), x -> x <> ''))), 0)::BIGINT AS n_tokens,
+      |  coalesce(sum(length(text)), 0)::BIGINT AS n_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs,
+      |  count(DISTINCT source)::BIGINT AS n_sources,
+      |  (count(*) - count(DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))))::BIGINT
+      |    AS n_exact_dups
+      |FROM documents HAVING count(*) > 0""".stripMargin
+
   def embeddingStats(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingStats(embs(s, d), "vec_id", "embedding")
 

@@ -91,6 +91,7 @@ object SparkEntry {
     "q74_winnow_neardup" -> ((s, d) => PipelineQueries.winnowNeardup(s, d)),
     "q75_asof_native" -> ((s, d) => RelQueries.eventAttributionNative(s, d)),
     "q76_source_leakage" -> ((s, d) => PipelineQueries.sourceLeakage(s, d)),
+    "q77_corpus_card" -> ((s, d) => PipelineQueries.corpusCard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,5 +223,8 @@ object SparkEntry {
     // q76: integer rollup of q74's pair set through two doc->source
     // lookups — exact wherever q74 is
     "q76_source_leakage" -> PipelineQueries.SourceLeakageSql,
+    // q77: all-integer aggregates (counts, exact distinct counts, token
+    // sums) — engine-order-independent, hash-exact
+    "q77_corpus_card" -> PipelineQueries.CorpusCardSql,
   )
 }
