@@ -363,8 +363,15 @@ object RelQueries {
   /** Running per-supplier revenue: window frame over a unique sort key. */
   def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // l_extendedprice as FINAL tiebreaker: the synthetic data can carry
+    // duplicate (orderkey, linenumber) rows (sf0.1 has one), and without
+    // it the tied rows' intermediate running sums are engine- and
+    // run-order-dependent. With it the order is value-total: rows still
+    // tied are fully identical, and identical rows' prefix sums are
+    // order-indifferent by construction.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -379,7 +386,7 @@ object RelQueries {
     """SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
       |  cast(sum(cast(l_extendedprice AS DECIMAL(18,4)))
       |         OVER (PARTITION BY l_suppkey
-      |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
       |FROM lineitem""".stripMargin
 
