@@ -344,8 +344,12 @@ object PipelineQueries {
       .groupBy(lit(1).as("one")) // zero groups on empty input
       .agg(
         count(lit(1)).as("n_docs"),
-        coalesce(sum(size(Dedup.tokens(col("text")))).cast("long"), lit(0L))
-          .as("n_tokens"),
+        // greatest(size, 0): size(NULL) is -1 under legacy sizeOfNull and
+        // NULL under ANSI — both collapse to 0, matching the oracle's
+        // sum-skips-NULL either way (no NULL text in the corpus today,
+        // but the datasheet must not depend on that or on the ANSI flag)
+        coalesce(sum(greatest(size(Dedup.tokens(col("text"))), lit(0)))
+          .cast("long"), lit(0L)).as("n_tokens"),
         coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("n_chars"),
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("source")).as("n_sources"),

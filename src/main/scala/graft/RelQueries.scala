@@ -363,12 +363,14 @@ object RelQueries {
   /** Running per-supplier revenue: window frame over a unique sort key. */
   def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // l_extendedprice as FINAL tiebreaker: the synthetic data can carry
-    // duplicate (orderkey, linenumber) rows (sf0.1 has one), and without
-    // it the tied rows' intermediate running sums are engine- and
-    // run-order-dependent. With it the order is value-total: rows still
-    // tied are fully identical, and identical rows' prefix sums are
-    // order-indifferent by construction.
+    // l_extendedprice as FINAL tiebreaker: (l_orderkey, l_linenumber) is
+    // NOT a key of the synthetic lineitem (sf0.1 duplicates the pair on
+    // ~143k of 600k rows; exactly one tie group on the full old ordering
+    // key also differs in price), so without it the tied rows'
+    // intermediate running sums are engine- and run-order-dependent.
+    // With it the order is value-total: rows still tied are fully
+    // identical, and identical rows' prefix sums are order-indifferent
+    // by construction.
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
         col("l_linenumber").asc, col("l_extendedprice").asc)

@@ -120,16 +120,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /**
-   * IVF (inverted-file) ANN: a coarse k-means quantizer trained
-   * driver-side on a bounded sample (seeded Lloyd iterations over
-   * unit-normalized vectors), corpus rows assigned to their nearest
-   * centroid's inverted list, queries probing the `nProbe` nearest lists,
-   * exact cosine re-rank inside the probed lists. With
-   * `nProbe == numCentroids` this degenerates to exact brute force
-   * (spec-enforced); smaller probes trade recall for touching only
-   * `nProbe/numCentroids` of the corpus — the IVF scale contract.
-   */
   private def unitVec(v: Array[Double]): Array[Double] = {
     var n = 0.0
     v.foreach(x => n += x * x)
@@ -207,6 +197,16 @@ object Similarity {
       .as[Seq[Double]].collect().map(_.toArray)
   }
 
+  /**
+   * IVF (inverted-file) ANN: a coarse k-means quantizer trained
+   * driver-side on a bounded sample (seeded Lloyd iterations over
+   * unit-normalized vectors), corpus rows assigned to their nearest
+   * centroid's inverted list, queries probing the `nProbe` nearest lists,
+   * exact cosine re-rank inside the probed lists. With
+   * `nProbe == numCentroids` this degenerates to exact brute force
+   * (spec-enforced); smaller probes trade recall for touching only
+   * `nProbe/numCentroids` of the corpus — the IVF scale contract.
+   */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

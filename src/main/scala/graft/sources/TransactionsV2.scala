@@ -106,14 +106,18 @@ class TransactionsTable(path: String, maxSplitBytes: Long)
         // — fromText accepts globs, so this source must as well
         val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
         require(matched.nonEmpty, s"graft-transactions: no files match $path")
-        val files: Seq[FileStatus] = matched.toSeq.flatMap { m =>
-          if (m.isDirectory) fs.listStatus(m.getPath).toSeq.filter(_.isFile)
-          else Seq(m)
-        }.filter { f =>
-          // same data-file convention as Spark's file index: '_' and '.'
-          // prefixed names (markers, staging, hidden) are not data
+        // Spark's file-index convention: '_'/'.'-prefixed names (markers,
+        // staging, hidden) are skipped when EXPANDING a directory, but a
+        // path the user named explicitly (literal or glob match) is read
+        // as-is — load("/logs/_part0") must not silently return nothing.
+        def isData(f: FileStatus): Boolean = {
           val n = f.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
+        }
+        val files: Seq[FileStatus] = matched.toSeq.flatMap { m =>
+          if (m.isDirectory) {
+            fs.listStatus(m.getPath).toSeq.filter(s => s.isFile && isData(s))
+          } else Seq(m)
         }
         files.flatMap { f =>
           val len = f.getLen

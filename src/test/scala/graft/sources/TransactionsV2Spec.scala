@@ -79,6 +79,11 @@ class TransactionsV2Spec extends AnyFunSuite {
     val fromGlob = spark.read.format("graft-transactions")
       .load(dir.toString + "/*.txt")
     assert(itemsOf(fromGlob) == itemsOf(fromDir))
+    // a marker file the user names EXPLICITLY is read as-is — the hidden
+    // filter applies only when expanding a directory
+    val explicitMarker = spark.read.format("graft-transactions")
+      .load(dir.resolve("_SUCCESS").toString)
+    assert(itemsOf(explicitMarker) == Seq(Seq("not", "data")))
   }
 
   test("the fpm estimator runs end-to-end on the v2 source") {
