@@ -154,6 +154,31 @@ class PlanSpec extends AnyFunSuite {
       .r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("suite-wide sweep: no cartesian product; BNL only where declared") {
+    // the only declared nested-loop shapes: the broadcast rule-probe
+    // (q05/q05b — bounded rule table broadcast, big side streamed),
+    // q33's intentionally-exact all-pairs (scale twin q33b is the
+    // declared path), q22's exact brute-force baseline (bounded query
+    // set broadcast, corpus streamed), and q23 whose recall-contract row
+    // embeds q22's exact reference. Everything else must plan without
+    // either.
+    val bnlAllowed = Set("q05_predict", "q05b_predict_relational",
+      "q33_embedding_neardup", "q22_cosine_topk", "q23_ann_lsh")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, dir).queryExecution.executedPlan.toString
+          val cart = p.contains("CartesianProduct")
+          val bnl = p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name)
+          if (cart || bnl) Some(s"$name: cartesian=$cart unexpected-bnl=$bnl")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name: plan construction failed: ${e.getMessage}")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("winnow fingerprints: zero shuffles, winnow inside whole-stage codegen") {
     val p = plan("q73_winnow_fingerprints")
     assert(shuffleCount(p) == 0, p)
