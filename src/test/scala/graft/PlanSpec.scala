@@ -103,11 +103,39 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bigram model: ONE corpus scan (marginal is a window, not a rejoin)") {
-    val p = plan("q53_bigram_model")
+    // the BUILD plan (what actually runs when the keyed cache first
+    // materializes the LM): one scan, one generate, two exchanges
+    import graft.pipeline.Signals
+    val docs = Tables.load(spark, dir, "documents")
+    val p = Signals.buildBigramModel(docs, "text", 5L)
+      .queryExecution.explainString(FormattedMode)
     // tree lines only — each node also reprints as a "(N) ..." detail header
     assert("- Scan parquet".r.findAllIn(p).size == 1, p)
     assert("- Generate".r.findAllIn(p).size == 1, p)
     assert(shuffleCount(p) == 2, p)
+    // the DECLARED q53 reads the keyed cache — the corpus scan runs once
+    // per session across the LM table and every scoring consumer (q66)
+    val pd = plan("q53_bigram_model")
+    assert(pd.contains("InMemoryTableScan"), pd)
+  }
+
+  test("LM doc score: large-LM regime joins shuffled, never broadcast") {
+    import graft.pipeline.Signals
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      // kill Spark's own stats-driven broadcast so the plan shows what
+      // the gate decided, not what AQE would rescue at this tiny SF
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Signals.lmScore(docs, "doc_id", "text", minCount = 5L,
+          broadcastMaxRows = 0L) // force the above-threshold regime
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // keys of the shuffled probe: the (w1, w2) pair
+      assert(p.contains("w1"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("repeated spans: shared shingle cache, window on span, no self-join") {
