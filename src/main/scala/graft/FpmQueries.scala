@@ -53,6 +53,44 @@ object FpmQueries {
       .where(col("freq") >= minCount)
   }
 
+  /**
+   * q: item frequencies through the REAL DataSource V2 connector
+   * ([[graft.sources.TransactionsV2]]) — the driver-checked row for the
+   * connector's split planner. The canonical baskets are round-tripped
+   * through the reference's transaction-text format (one line per basket,
+   * single-space-separated items), read back with
+   * `spark.read.format("graft-transactions")` at a 64 KiB split size —
+   * small enough that every range boundary lands mid-line at sf0.01+, so
+   * the LineRecordReader skip/overshoot contract is what's under test —
+   * and reduced to the per-item frequency table. Items are distinct and
+   * space-free within a basket, so the text round trip is lossless and
+   * the oracle is the plain parquet-side frequency count.
+   *
+   * The fixture directory is unique per invocation and deleted after the
+   * eager aggregate (the q64 temp-dir discipline); only the item-domain-
+   * sized frequency table (~25 brands at any SF) is collected.
+   */
+  def v2ItemFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-v2-tx")
+    try {
+      Tables.orderBrandBaskets(spark, dir)
+        .select(array_join(col("items"), " ").as("value"))
+        .write.mode("overwrite").text(out.toString)
+      val freq = spark.read.format("graft-transactions")
+        .option("maxSplitBytes", 64L * 1024)
+        .load(out.toString)
+        .select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .collect() // item-domain-sized: bounded metadata, never corpus rows
+      freq.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "cnt")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** q: full FP-Growth, declared at itemset arity <= 3 (oracle-exact cap). */
   def freqItemsets(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).freqItemsets
@@ -236,6 +274,14 @@ object FpmQueries {
   val BasketsSql: String =
     s"""WITH $BasketCte
        |SELECT l_orderkey, array_to_string(items, ',') AS items_str FROM baskets""".stripMargin
+
+  /** The connector round trip is lossless (distinct, space-free items),
+    * so the oracle is the straight parquet-side item frequency. */
+  val V2ItemFreqSql: String =
+    s"""WITH $BasketCte
+       |SELECT item, count(*)::BIGINT AS cnt
+       |FROM (SELECT unnest(items) AS item FROM baskets)
+       |GROUP BY item""".stripMargin
 
   def l1Sql(minSupport: Double = 0.05): String =
     s"""WITH $BasketCte,

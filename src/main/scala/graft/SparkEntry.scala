@@ -92,6 +92,7 @@ object SparkEntry {
     "q75_asof_native" -> ((s, d) => RelQueries.eventAttributionNative(s, d)),
     "q76_source_leakage" -> ((s, d) => PipelineQueries.sourceLeakage(s, d)),
     "q77_corpus_card" -> ((s, d) => PipelineQueries.corpusCard(s, d)),
+    "q78_v2_item_freq" -> ((s, d) => FpmQueries.v2ItemFreq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,5 +227,9 @@ object SparkEntry {
     // q77: all-integer aggregates (counts, exact distinct counts, token
     // sums) — engine-order-independent, hash-exact
     "q77_corpus_card" -> PipelineQueries.CorpusCardSql,
+    // q78: baskets round-tripped through the DSv2 connector's text format
+    // and split planner (64 KiB ranges), reduced to item frequencies —
+    // lossless round trip, so the oracle counts straight from parquet
+    "q78_v2_item_freq" -> FpmQueries.V2ItemFreqSql,
   )
 }

@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.hadoop.io.Text
+import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -24,9 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * per line, single-space-separated items, first-occurrence-deduplicated —
  * byte-identical rows to [[TextTransactions.fromText]]'s composed read
  * (spec-enforced), but with the connector owning the 100 TB concern the
- * composition delegates: SPLIT PLANNING. Each file is planned as
- * byte-range partitions of `maxSplitBytes` (default 128 MiB), so one
- * giant transaction log parallelizes across a cluster instead of
+ * composition delegates: SPLIT PLANNING. Each uncompressed file is
+ * planned as byte-range partitions of `maxSplitBytes` (default 128 MiB),
+ * so one giant transaction log parallelizes across a cluster instead of
  * serializing into one task.
  *
  * Range reading follows Hadoop's LineRecordReader contract exactly: a
@@ -36,9 +37,23 @@ import org.apache.spark.unsafe.types.UTF8String
  * emitted by exactly one range regardless of where split boundaries land
  * (spec-checked at 16-byte splits, far below any line length).
  *
- * The driver's Hadoop configuration travels to executors as a plain
- * string map (captured at planning time), so fs settings apply without
- * depending on Spark's private SerializableConfiguration.
+ * Compressed logs (`.gz`/`.bz2`/`.deflate` — anything the Hadoop
+ * `CompressionCodecFactory` resolves by extension) are planned as ONE
+ * whole-file range and the reader wraps the stream in the codec's
+ * decompressor: chopping a compressed byte stream at arbitrary offsets
+ * would silently emit garbage rows, which is exactly what the composed
+ * `spark.read.textFile` path never does. Parallelism for compressed
+ * inputs comes from the file count, as everywhere in Hadoop-land.
+ *
+ * Several paths load in one call — `load(p1, p2)` or one comma-separated
+ * `path` string (the reference's train+test pair) — and each path may be
+ * a literal, a glob, or a directory.
+ *
+ * The initiating session's Hadoop configuration is captured ONCE when the
+ * table is resolved ([[TransactionsV2.getTable]] runs on the session that
+ * called `load`) and travels to planning and executors as a plain string
+ * map — never re-resolved through `SparkSession.active`, which in a
+ * multi-session application can be a DIFFERENT session by planning time.
  */
 class TransactionsV2 extends TableProvider with DataSourceRegister {
 
@@ -53,13 +68,17 @@ class TransactionsV2 extends TableProvider with DataSourceRegister {
     // properties carry the reader options in their ORIGINAL case — wrap
     // back into the case-insensitive view options are defined to have
     val opts = new CaseInsensitiveStringMap(properties)
-    val path = opts.get("path")
-    require(path != null && path.nonEmpty,
-      "graft-transactions requires a path: spark.read.format(...).load(path)")
+    val paths = TransactionsV2.resolvePaths(opts)
+    require(paths.nonEmpty,
+      "graft-transactions requires a path: spark.read.format(...).load(path, ...)")
     val split = Option(opts.get("maxsplitbytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     require(split > 0, s"maxSplitBytes must be positive, got $split")
-    new TransactionsTable(path, split)
+    // Resolution runs on the thread of the session that called load():
+    // capture ITS Hadoop conf here, once, for planning and executors.
+    val confMap = TransactionsV2.confToMap(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new TransactionsTable(paths, split, confMap)
   }
 }
 
@@ -67,6 +86,19 @@ object TransactionsV2 {
   val Schema: StructType = StructType(Seq(
     StructField("items", ArrayType(StringType, containsNull = false),
       nullable = false)))
+
+  /** All load paths: DataFrameReader encodes `load(p1, p2, ...)` as a
+    * JSON-array `paths` option and a single `load(p)` as `path`; a single
+    * `path` may itself be comma-separated (train+test in one read). */
+  private[sources] def resolvePaths(opts: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(opts.get("paths")).toSeq.flatMap { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val single = Option(opts.get("path")).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    multi ++ single
+  }
 
   /** The session Hadoop conf flattened for executor-side rebuild. */
   private[sources] def confToMap(conf: Configuration): Map[String, String] = {
@@ -83,10 +115,11 @@ object TransactionsV2 {
   }
 }
 
-class TransactionsTable(path: String, maxSplitBytes: Long)
+class TransactionsTable(
+    paths: Seq[String], maxSplitBytes: Long, confMap: Map[String, String])
   extends Table with SupportsRead {
 
-  override def name(): String = s"graft-transactions:$path"
+  override def name(): String = s"graft-transactions:${paths.mkString(",")}"
   override def schema(): StructType = TransactionsV2.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -98,49 +131,57 @@ class TransactionsTable(path: String, maxSplitBytes: Long)
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val conf = org.apache.spark.sql.SparkSession.active
-          .sessionState.newHadoopConf()
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        // globStatus handles literal paths too (a non-glob matches itself)
-        // — fromText accepts globs, so this source must as well
-        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
-        require(matched.nonEmpty, s"graft-transactions: no files match $path")
-        // Spark's file-index convention: '_'/'.'-prefixed names (markers,
-        // staging, hidden) are skipped when EXPANDING a directory, but a
-        // path the user named explicitly (literal or glob match) is read
-        // as-is — load("/logs/_part0") must not silently return nothing.
-        def isData(f: FileStatus): Boolean = {
-          val n = f.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        val files: Seq[FileStatus] = matched.toSeq.flatMap { m =>
-          if (m.isDirectory) {
-            fs.listStatus(m.getPath).toSeq.filter(s => s.isFile && isData(s))
-          } else Seq(m)
+        val conf = TransactionsV2.mapToConf(confMap)
+        val codecs = new CompressionCodecFactory(conf)
+        val files: Seq[FileStatus] = paths.flatMap { path =>
+          val p = new Path(path)
+          val fs = p.getFileSystem(conf)
+          // globStatus handles literal paths too (a non-glob matches
+          // itself) — fromText accepts globs, so this source must as well
+          val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+          require(matched.nonEmpty, s"graft-transactions: no files match $path")
+          // Spark's file-index convention: '_'/'.'-prefixed names (markers,
+          // staging, hidden) are skipped when EXPANDING a directory, but a
+          // path the user named explicitly (literal or glob match) is read
+          // as-is — load("/logs/_part0") must not silently return nothing.
+          def isData(f: FileStatus): Boolean = {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          matched.toSeq.flatMap { m =>
+            if (m.isDirectory) {
+              fs.listStatus(m.getPath).toSeq.filter(s => s.isFile && isData(s))
+            } else Seq(m)
+          }
         }
         files.flatMap { f =>
           val len = f.getLen
-          val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
-          (0L until n).map { i =>
-            TransactionRange(f.getPath.toString, i * maxSplitBytes,
-              math.min((i + 1) * maxSplitBytes, len))
+          if (codecs.getCodec(f.getPath) != null) {
+            // Compressed: byte offsets index the COMPRESSED stream, so
+            // mid-file ranges are meaningless — one whole-file range,
+            // decompressed by the reader. Long.MaxValue end: "read to
+            // EOF" (decompressed positions never compare past it).
+            Seq(TransactionRange(f.getPath.toString, 0L, Long.MaxValue))
+          } else {
+            val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+            (0L until n).map { i =>
+              TransactionRange(f.getPath.toString, i * maxSplitBytes,
+                math.min((i + 1) * maxSplitBytes, len))
+            }
           }
         }.toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory = {
+      override def createReaderFactory(): PartitionReaderFactory =
         // ONE conf copy, held by the factory — not one per InputPartition
         // (a 1 TB file is ~8000 ranges; per-range maps would multiply the
         // driver-side payload by the split count)
-        val confMap = TransactionsV2.confToMap(
-          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
         new TransactionReaderFactory(confMap)
-      }
     }
 }
 
-/** One byte range of one file. */
+/** One byte range of one file (whole file, end = Long.MaxValue, when the
+  * file is compressed — offsets would index the compressed stream). */
 case class TransactionRange(file: String, start: Long, end: Long)
   extends InputPartition
 
@@ -158,8 +199,15 @@ class TransactionRangeReader(range: TransactionRange, conf: Map[String, String])
   private val p = new Path(range.file)
   private val in = p.getFileSystem(hConf).open(p)
   private val reader = {
-    if (range.start != 0) in.seek(range.start)
-    new LineReader(in)
+    val codec = new CompressionCodecFactory(hConf).getCodec(p)
+    if (codec != null) {
+      // planInputPartitions planned codec files as one whole-file range
+      assert(range.start == 0, s"compressed file split mid-stream: $range")
+      new LineReader(codec.createInputStream(in))
+    } else {
+      if (range.start != 0) in.seek(range.start)
+      new LineReader(in)
+    }
   }
   private val text = new Text()
   // Hadoop contract: a mid-file range discards its first (possibly

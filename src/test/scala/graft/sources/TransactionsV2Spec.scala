@@ -86,6 +86,32 @@ class TransactionsV2Spec extends AnyFunSuite {
     assert(itemsOf(explicitMarker) == Seq(Seq("not", "data")))
   }
 
+  test("gzip input: one whole-file range, decompressed — equals the composed read") {
+    val lines = Seq.tabulate(200)(i => s"item$i common item${i % 7}")
+    val f = Files.createTempFile("graft-txn", ".txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    f.toFile.deleteOnExit()
+    // a split size far below the compressed length must NOT chop the
+    // stream: codec files plan as exactly one range
+    val v2 = spark.read.format("graft-transactions")
+      .option("maxSplitBytes", "64").load(f.toString)
+    assert(v2.rdd.getNumPartitions == 1, "compressed file must not split")
+    assert(itemsOf(v2) == itemsOf(TextTransactions.fromText(spark, f.toString)))
+  }
+
+  test("multi-path load and comma-separated path read the train+test pair") {
+    val a = writeFixture(Seq("a b", "b c"), trailingNewline = true)
+    val b = writeFixture(Seq("c d"), trailingNewline = true)
+    val expected = itemsOf(TextTransactions.fromText(spark, a)) ++
+      itemsOf(TextTransactions.fromText(spark, b))
+    val multi = spark.read.format("graft-transactions").load(a, b)
+    assert(itemsOf(multi).sortBy(_.mkString("")) == expected.sortBy(_.mkString("")))
+    val comma = spark.read.format("graft-transactions").load(s"$a,$b")
+    assert(itemsOf(comma).sortBy(_.mkString("")) == expected.sortBy(_.mkString("")))
+  }
+
   test("the fpm estimator runs end-to-end on the v2 source") {
     val lines = Seq("a b c", "a b", "a c", "b c", "a b c d")
     val path = writeFixture(lines, trailingNewline = true)
