@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{
+  DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * As-of join as a REAL planner extension — the full custom-operator stack
@@ -31,24 +32,29 @@ import org.apache.spark.sql.types.LongType
  * derive from `events`) and rewrites them, and column pruning drops
  * unused child outputs THROUGH the join (the exec re-binds to whatever
  * the pruned child emits — spec-pinned by the "prunes" test). Keys,
- * times, and the tie column are LongType by contract (validated at the
- * API), which keeps the merge loop primitive (`getLong`) — no per-row
- * ordering objects.
+ * times, and the tie column are from the ORDERED-PRIMITIVE family —
+ * long/int/timestamp/timestamp_ntz/date (validated at the API; left and
+ * right must agree per role) — every one of which Catalyst stores as a
+ * primitive int or long, so the merge loop stays primitive (`getLong`/
+ * `getInt`-backed accessors) with no per-row ordering objects.
  *
  * Right rows with a null key or time never match (SQL `<=` semantics);
- * left rows with a null key or time emit with a null right side. Among
- * right rows tied on (key, time), the greatest `tie` value wins — the
- * sort makes that the last of the run, mirroring the composed variant's
- * `last(...)` over its `__tie`-ordered window.
+ * unmatched left rows emit with a null right side under the default
+ * LEFT-OUTER semantics, or are dropped under INNER (`inner = true`).
+ * Among right rows tied on (key, time), the greatest `tie` value wins —
+ * the sort makes that the last of the run, mirroring the composed
+ * variant's `last(...)` over its `__tie`-ordered window.
  */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    isInner: Boolean)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -62,7 +68,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKey, p.leftTime, p.rightKey, p.rightTime, p.rightTie) :: Nil
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime, p.rightTie,
+        p.isInner) :: Nil
     case _ => Nil
   }
 }
@@ -70,11 +77,13 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    isInner: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   // One hash exchange per side, co-partitioned on the key — the same
   // contract SortMergeJoinExec declares; EnsureRequirements inserts the
@@ -96,6 +105,17 @@ case class AsOfJoinExec(
   private def ordinal(e: Expression, attrs: Seq[Attribute]): Int =
     BindReferences.bindReference(e, attrs).asInstanceOf[BoundReference].ordinal
 
+  // Every ordered-primitive type reads as a long without boxing: int-backed
+  // types (int, date = days) widen losslessly; long-backed types (long,
+  // timestamp/_ntz = micros) read directly. Monomorphic two-way dispatch —
+  // the JIT inlines it in the merge loop.
+  private def longGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+    case other =>
+      throw new IllegalStateException(s"unsupported as-of column type $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lAttrs = left.output
     val rAttrs = right.output
@@ -104,12 +124,19 @@ case class AsOfJoinExec(
     val lt = ordinal(leftTime, lAttrs)
     val rk = ordinal(rightKey, rAttrs)
     val rt = ordinal(rightTime, rAttrs)
+    val keyOf = longGetter(leftKey.dataType)
+    val timeOf = longGetter(leftTime.dataType)
+    val rKeyOf = longGetter(rightKey.dataType)
+    val rTimeOf = longGetter(rightTime.dataType)
+    val inner = isInner
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullRight = new GenericInternalRow(rAttrs.length)
       val joined = new JoinedRow
       // bind against the NULLABLE output attrs (not the children's): the
-      // right side of an unmatched row is all null, and a non-nullable
-      // BoundReference would skip the null check and read zeros
+      // right side of an unmatched outer row is all null, and a
+      // non-nullable BoundReference would skip the null check and read
+      // zeros (inner output never carries the null row, so its tighter
+      // nullability is safe there)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       new Iterator[InternalRow] {
         // lookahead = next unconsumed right row; curMatch = latest
@@ -117,37 +144,51 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
         private var curKey = 0L
         private var curMatch: InternalRow = null
+        private var pending: InternalRow = null
         private def advance(): Unit =
           rHead = if (rIt.hasNext) rIt.next() else null
 
-        override def hasNext: Boolean = lIt.hasNext
+        // null under outer = emit with null right; null under inner = drop
+        private def matchFor(l: InternalRow): InternalRow = {
+          if (l.isNullAt(lk) || l.isNullAt(lt)) return null
+          val lKey = keyOf(l, lk)
+          val lTime = timeOf(l, lt)
+          if (curMatch != null && curKey != lKey) curMatch = null
+          var scan = true
+          while (scan && rHead != null) {
+            if (rHead.isNullAt(rk)) advance() // null keys never match
+            else {
+              val rKey = rKeyOf(rHead, rk)
+              if (rKey < lKey) advance() // left is past this key for good
+              else if (rKey > lKey) scan = false
+              else if (rHead.isNullAt(rt)) advance() // null time: no match
+              else if (rTimeOf(rHead, rt) <= lTime) {
+                curMatch = rHead.copy(); curKey = rKey; advance()
+              } else scan = false
+            }
+          }
+          if (curMatch != null && curKey == lKey) curMatch else null
+        }
+
+        private def computeNext(): InternalRow = {
+          while (lIt.hasNext) {
+            val l = lIt.next()
+            val m = matchFor(l)
+            if (m != null) return proj(joined(l, m))
+            if (!inner) return proj(joined(l, nullRight))
+            // inner + no match: skip this left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) pending = computeNext()
+          pending != null
+        }
 
         override def next(): InternalRow = {
-          val l = lIt.next()
-          if (l.isNullAt(lk) || l.isNullAt(lt)) {
-            // null key/time: no match; right pointer untouched (left null
-            // keys sort first, so no right rows are skipped past)
-            proj(joined(l, nullRight))
-          } else {
-            val lKey = l.getLong(lk)
-            val lTime = l.getLong(lt)
-            if (curMatch != null && curKey != lKey) curMatch = null
-            var scan = true
-            while (scan && rHead != null) {
-              if (rHead.isNullAt(rk)) advance() // null keys never match
-              else {
-                val rKey = rHead.getLong(rk)
-                if (rKey < lKey) advance() // left is past this key for good
-                else if (rKey > lKey) scan = false
-                else if (rHead.isNullAt(rt)) advance() // null time: no match
-                else if (rHead.getLong(rt) <= lTime) {
-                  curMatch = rHead.copy(); curKey = rKey; advance()
-                } else scan = false
-              }
-            }
-            val m = if (curMatch != null && curKey == lKey) curMatch else nullRight
-            proj(joined(l, m))
-          }
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          val r = pending; pending = null; r
         }
       }
     }
@@ -161,18 +202,26 @@ case class AsOfJoinExec(
 /** Column-level API over the native operator. */
 object AsOfJoinNative {
 
+  private val OrderedPrimitives: Set[DataType] = Set(
+    LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+
   /**
    * Native as-of join: every left row + the right row with the greatest
-   * `rightTime <= leftTime` within `leftKey == rightKey` (nulls on no
-   * match; ties on time resolved toward the greatest `rightTie`). All
-   * five named columns must be LongType on their respective sides.
-   * Right columns are returned as-is — alias before joining if names
-   * collide with the left side.
+   * `rightTime <= leftTime` within `leftKey == rightKey` (ties on time
+   * resolved toward the greatest `rightTie`). With `inner = false` (the
+   * default) unmatched left rows emit with a null right side; with
+   * `inner = true` they are dropped. All five named columns must be from
+   * the ordered-primitive family — long, int, timestamp, timestamp_ntz,
+   * or date — and the two key columns (and the two time columns) must
+   * agree on their type across sides, so the primitive comparison is
+   * like-for-like. Right columns are returned as-is — alias before
+   * joining if names collide with the left side.
    */
   def asOfJoin(
       leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String, rightTie: String): DataFrame = {
+      leftTime: String, rightTime: String, rightTie: String,
+      inner: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     GraftShims.addStrategy(spark, AsOfJoinStrategy)
     // A shared attribute means the same frame on both sides: after the
@@ -188,15 +237,22 @@ object AsOfJoinNative {
       val a = plan.output.find(_.name == name)
       require(a.isDefined,
         s"$side column '$name' not found in ${df.columns.mkString(",")}")
-      require(a.get.dataType == LongType,
-        s"$side column '$name' must be LongType, got ${a.get.dataType}")
+      require(OrderedPrimitives(a.get.dataType),
+        s"$side column '$name' must be long/int/timestamp/timestamp_ntz/date, " +
+          s"got ${a.get.dataType}")
       a.get
     }
+    val lKey = attr(leftDf, leftKey, "left")
+    val lTime = attr(leftDf, leftTime, "left")
+    val rKey = attr(rightDf, rightKey, "right")
+    val rTime = attr(rightDf, rightTime, "right")
+    require(lKey.dataType == rKey.dataType,
+      s"key types differ across sides: ${lKey.dataType} vs ${rKey.dataType}")
+    require(lTime.dataType == rTime.dataType,
+      s"time types differ across sides: ${lTime.dataType} vs ${rTime.dataType}")
     val plan = AsOfJoinPlan(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
-      attr(leftDf, leftKey, "left"), attr(leftDf, leftTime, "left"),
-      attr(rightDf, rightKey, "right"), attr(rightDf, rightTime, "right"),
-      attr(rightDf, rightTie, "right"))
+      lKey, lTime, rKey, rTime, attr(rightDf, rightTie, "right"), inner)
     GraftShims.ofRows(spark, plan)
   }
 }

@@ -256,6 +256,60 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("native exec: ordered-primitive key/time matrix × inner/outer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // base data in longs; each type case casts key/time to the type under
+    // test on BOTH sides and must reproduce the long-typed outer result
+    val leftL = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val rightL = Seq.tabulate(80)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong * 2, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val expectedOuter = graft.plans.AsOfJoinNative.asOfJoin(
+        leftL, rightL, "k", "rk", "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    val expectedInner = expectedOuter.collect { case (l, Some(r)) => l -> r }
+    // int keys+times; timestamp times (micros preserve the long order);
+    // date times (day granularity) with int keys
+    val casts: Seq[(String, String)] = Seq(
+      ("int", "int"),
+      ("long", "timestamp"),
+      ("int", "date"))
+    for ((kt, tt) <- casts) {
+      def conv(df: org.apache.spark.sql.DataFrame, k: String, t: String) = df
+        .withColumn(k, col(k).cast(kt))
+        .withColumn(t,
+          if (tt == "timestamp") col(t).cast("timestamp")
+          else if (tt == "date") date_add(lit("2020-01-01").cast("date"), col(t).cast("int"))
+          else col(t).cast(tt))
+      val l = conv(leftL, "k", "lt")
+      val r = conv(rightL, "rk", "rt")
+      val outer = graft.plans.AsOfJoinNative.asOfJoin(
+          l, r, "k", "rk", "lt", "rt", "rid")
+        .select(col("lid"), col("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(outer == expectedOuter, s"outer keyType=$kt timeType=$tt diverged")
+      val inner = graft.plans.AsOfJoinNative.asOfJoin(
+          l, r, "k", "rk", "lt", "rt", "rid", inner = true)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Long)].collect().toMap
+      assert(inner == expectedInner, s"inner keyType=$kt timeType=$tt diverged")
+    }
+  }
+
+  test("native exec: mismatched key types across sides are rejected at the API") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "lt")
+    val r = Seq((1, 2L, 3L)).toDF("rk", "rt", "rid") // int key vs long key
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOfJoin(l, r, "k", "rk", "lt", "rt", "rid")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("native exec plans as AsOfJoinExec with one exchange and sort per side") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")
