@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Signals, Similarity, TextStats}
+import graft.pipeline.{Bpe, Curation, Dedup, Multimodal, Signals, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1101,6 +1101,63 @@ object PipelineQueries {
       |            THEN n_known::DOUBLE / n_bigrams ELSE 0.0 END AS known_rate,
       |       coalesce(s, 0)::BIGINT AS sum_condp_e12
       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** BPE tokenizer training over the corpus — 20 merge rounds, pairs
+    * below 2 occurrences never merged ([[graft.pipeline.Bpe.trainMerges]]).
+    * The argmax each round is total-ordered (count desc, then
+    * lexicographic pair), so the merge sequence is deterministic and the
+    * oracle — the same rounds unrolled in DuckDB list/string algebra —
+    * must pick IDENTICAL merges for all 20 steps to hash-match. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    Bpe.trainMerges(docs(s, d), "text", numMerges = 20, minPairCount = 2L)
+
+  /**
+   * The trainer unrolled: each round re-derives pair counts from the
+   * current vocabulary state, takes the same total-ordered argmax, and
+   * applies the merge. Words are encoded as `;;`-delimited symbol
+   * strings (`;` never appears in the corpus, and every symbol keeps a
+   * `;;` boundary on both sides), so one `replace` of `;lhs;;rhs;` with
+   * `;lhsrhs;` IS the greedy left-to-right merge: DuckDB's replace scans
+   * left to right over non-overlapping matches, consuming one `;` from
+   * each neighbouring boundary and restoring it — adjacent merge sites
+   * stay matchable, exactly like the Spark-side scan.
+   */
+  def bpeMergesSql(numMerges: Int = 20, minPairCount: Long = 2L): String = {
+    // Every per-round state CTE is MATERIALIZED: each round references the
+    // previous state twice (pair counts + merge application), so DuckDB's
+    // default CTE inlining would expand the chain exponentially — 2^20
+    // re-scans of `documents` exhausts file handles before it exhausts
+    // patience. Materialization evaluates each round exactly once, which
+    // is also what the Spark side does (per-round persist).
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+      |  SELECT ';;' || array_to_string(string_split(word, ''), ';;') || ';;' AS symstr,
+      |         count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+    for (i <- 1 to numMerges) {
+      sb ++= s""",
+      |p$i AS (
+      |  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, sum(cnt)::BIGINT AS c
+      |  FROM (SELECT list_filter(string_split(symstr, ';;'), x -> x <> '') AS syms, cnt
+      |        FROM v${i - 1}),
+      |       unnest(range(1, len(syms))) AS t(j)
+      |  GROUP BY 1, 2),
+      |m$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i WHERE c >= $minPairCount
+      |        ORDER BY c DESC, lhs, rhs LIMIT 1),
+      |v$i AS MATERIALIZED (
+      |  SELECT CASE WHEN m.lhs IS NULL THEN v.symstr
+      |              ELSE replace(v.symstr, ';' || m.lhs || ';;' || m.rhs || ';',
+      |                           ';' || m.lhs || m.rhs || ';') END AS symstr,
+      |         v.cnt
+      |  FROM v${i - 1} v LEFT JOIN m$i m ON true)""".stripMargin
+    }
+    sb ++= (1 to numMerges).map(i =>
+      s"\nSELECT ${i}::BIGINT AS step, lhs, rhs, c AS pair_cnt FROM m$i")
+      .mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
 
   /** Sliding-window chunking into 64-token windows with stride 48 (16
     * tokens of overlap) — training-sequence prep for long documents;

@@ -93,6 +93,7 @@ object SparkEntry {
     "q76_source_leakage" -> ((s, d) => PipelineQueries.sourceLeakage(s, d)),
     "q77_corpus_card" -> ((s, d) => PipelineQueries.corpusCard(s, d)),
     "q78_v2_item_freq" -> ((s, d) => FpmQueries.v2ItemFreq(s, d)),
+    "q79_bpe_merges" -> ((s, d) => PipelineQueries.bpeMerges(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,5 +232,9 @@ object SparkEntry {
     // and split planner (64 KiB ranges), reduced to item frequencies —
     // lossless round trip, so the oracle counts straight from parquet
     "q78_v2_item_freq" -> FpmQueries.V2ItemFreqSql,
+    // q79: BPE tokenizer training — 20 unrolled merge rounds in DuckDB
+    // list/string algebra; the total-ordered argmax (count desc, then
+    // lexicographic pair) makes the merge sequence engine-independent
+    "q79_bpe_merges" -> PipelineQueries.bpeMergesSql(),
   )
 }

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer: greedy merge semantics, deterministic argmax, early stop. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("bpe-spec")
+    .getOrCreate()
+
+  test("mergePair: greedy left-to-right, non-overlapping, adjacent sites") {
+    assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergePair(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.mergePair(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "ab", "y"))
+    assert(Bpe.mergePair(Seq("a"), "a", "b") == Seq("a"))
+    assert(Bpe.mergePair(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("hand-computed merges on a tiny corpus") {
+    import spark.implicits._
+    // "low" x3, "lower" x2: pair counts round 1 — (l,o)=5, (o,w)=5,
+    // (w,e)=2, (e,r)=2; tie on 5 broken lexicographically -> (l,o)
+    val docs = Seq("low low lower", "low lower").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 3, minPairCount = 2L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges(0) == ((1L, "l", "o", 5L)))
+    // round 2: (lo,w)=5 dominates
+    assert(merges(1) == ((2L, "lo", "w", 5L)))
+    // round 3: (w,e)=0 now (w fused); remaining pairs: (low,e)=2, (e,r)=2
+    // -> lexicographic tie-break picks (e,r)
+    assert(merges(2) == ((3L, "e", "r", 2L)))
+  }
+
+  test("early stop: merging exhausts qualifying pairs below numMerges") {
+    import spark.implicits._
+    val docs = Seq("ab ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 10, minPairCount = 2L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // one merge (a,b)=2; afterwards every word is a single symbol
+    assert(merges == Seq((1L, "a", "b", 2L)))
+  }
+
+  test("empty corpus trains zero merges without throwing") {
+    import spark.implicits._
+    val docs = Seq.empty[String].toDF("text")
+    assert(Bpe.trainMerges(docs, "text", numMerges = 5).count() == 0L)
+  }
+}
