@@ -34,6 +34,19 @@ object Bench {
       .groupBy("k").sum("r")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // One BNLJ-probe pass: q05b's generated 88M-iteration probe loop pays
+    // a one-time JIT/OSR cost that otherwise lands on whichever timed run
+    // records it (BENCH_NOTES round 6: 6-9 s recorded vs 1.0-1.3 s
+    // steady, swinging totals by ~8 s on one query's draw). Running the
+    // SAME plan shape at sf0.001 exercises the identical generated
+    // whole-stage-codegen structure — ~0.9M probe iterations, enough for
+    // OSR/C2 — untimed, the once-per-executor-lifetime cost a real
+    // cluster never pays per query. The fit/caches this warms belong to
+    // the sf0.001 dir, so the timed sfDir queries still materialize (and
+    // record) their own caches exactly as before.
+    try FpmQueries.predictRelational(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     // Optional comma-separated query filter for isolating one query's time
     // or failure (e.g. SPARK_GRAFT_ONLY=q40b_dup_clusters_logn).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

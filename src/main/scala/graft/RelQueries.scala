@@ -119,10 +119,17 @@ object RelQueries {
 
   /**
    * Trailing-window anomaly detection over hourly event volumes: each
-   * (event_type, hour) count is z-scored against the PRECEDING 24 hours
-   * of the same type (`ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING` — the
-   * current hour never smooths its own baseline), flagging |z| >= 3 —
-   * the standard volume-spike / pipeline-drift monitor.
+   * (event_type, hour) count is z-scored against the preceding 24
+   * OBSERVED hours of the same type (`ROWS BETWEEN 24 PRECEDING AND 1
+   * PRECEDING` over the non-empty hour cells — the current hour never
+   * smooths its own baseline), flagging |z| >= 3 — the standard
+   * volume-spike / pipeline-drift monitor. Hours with zero events
+   * produce no cell, so for a SPARSE event type the 24-row baseline can
+   * span more than 24 wall-clock hours; a deployment monitoring
+   * wall-clock recency rather than traffic-shape recency should densify
+   * the per-type hour range (generate missing hours with n = 0) before
+   * windowing — kept observed-hours here because a zero-filled baseline
+   * drags the mean toward 0 and flags every busy hour of a bursty type.
    *
    * Cross-engine exactness without a tolerance band: mean and variance
    * come from explicit integer sums (`sum(c)`, `sum(c*c)` — exact
