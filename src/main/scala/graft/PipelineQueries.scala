@@ -1122,16 +1122,22 @@ object PipelineQueries {
    * each neighbouring boundary and restoring it — adjacent merge sites
    * stay matchable, exactly like the Spark-side scan.
    */
-  def bpeMergesSql(numMerges: Int = 20, minPairCount: Long = 2L): String = {
-    // Every per-round state CTE is MATERIALIZED: each round references the
-    // previous state twice (pair counts + merge application), so DuckDB's
-    // default CTE inlining would expand the chain exponentially — 2^20
-    // re-scans of `documents` exhausts file handles before it exhausts
-    // patience. Materialization evaluates each round exactly once, which
-    // is also what the Spark side does (per-round persist).
+  /** The unrolled training rounds as a WITH-body shared by the q79 merge
+    * table and the q80 encoder: `v{i}` is the word dictionary's
+    * symbolization after merge `i` (the original `word` carried through
+    * so the encoder can join doc tokens against the FINAL state), `m{i}`
+    * the round-`i` argmax. Every per-round state CTE is MATERIALIZED:
+    * each round references the previous state twice (pair counts + merge
+    * application), so DuckDB's default CTE inlining would expand the
+    * chain exponentially — 2^20 re-scans of `documents` exhausts file
+    * handles before it exhausts patience. Materialization evaluates each
+    * round exactly once, which is also what the Spark side does (one
+    * persisted dictionary, re-symbolized per round). */
+  private def bpeRoundCtes(numMerges: Int, minPairCount: Long): String = {
     val sb = new StringBuilder
     sb ++= """WITH v0 AS MATERIALIZED (
-      |  SELECT ';;' || array_to_string(string_split(word, ''), ';;') || ';;' AS symstr,
+      |  SELECT word,
+      |         ';;' || array_to_string(string_split(word, ''), ';;') || ';;' AS symstr,
       |         count(*)::BIGINT AS cnt
       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
       |        FROM documents)
@@ -1147,17 +1153,47 @@ object PipelineQueries {
       |m$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i WHERE c >= $minPairCount
       |        ORDER BY c DESC, lhs, rhs LIMIT 1),
       |v$i AS MATERIALIZED (
-      |  SELECT CASE WHEN m.lhs IS NULL THEN v.symstr
+      |  SELECT v.word,
+      |         CASE WHEN m.lhs IS NULL THEN v.symstr
       |              ELSE replace(v.symstr, ';' || m.lhs || ';;' || m.rhs || ';',
       |                           ';' || m.lhs || m.rhs || ';') END AS symstr,
       |         v.cnt
       |  FROM v${i - 1} v LEFT JOIN m$i m ON true)""".stripMargin
     }
-    sb ++= (1 to numMerges).map(i =>
-      s"\nSELECT ${i}::BIGINT AS step, lhs, rhs, c AS pair_cnt FROM m$i")
-      .mkString("", "\nUNION ALL", "")
     sb.toString
   }
+
+  def bpeMergesSql(numMerges: Int = 20, minPairCount: Long = 2L): String =
+    bpeRoundCtes(numMerges, minPairCount) +
+      (1 to numMerges).map(i =>
+        s"\nSELECT ${i}::BIGINT AS step, lhs, rhs, c AS pair_cnt FROM m$i")
+        .mkString("", "\nUNION ALL", "")
+
+  /** q: every document encoded under the trained 20-merge tokenizer
+    * ([[graft.pipeline.Bpe.encode]]) — the inference half of q79; the
+    * full encoded string is hash-checked, so symbol boundaries must
+    * agree symbol-for-symbol across engines. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    Bpe.encode(docs(s, d), "doc_id", "text", numMerges = 20, minPairCount = 2L)
+
+  /** The encoder's oracle: each doc word joins the FINAL dictionary
+    * state (v20 — word -> symbolization under all 20 merges), `|` within
+    * a word, spaces between words in document order. */
+  def bpeEncodeSql(numMerges: Int = 20, minPairCount: Long = 2L): String =
+    bpeRoundCtes(numMerges, minPairCount) + s""",
+      |enc AS (SELECT word, replace(trim(symstr, ';'), ';;', '|') AS tok
+      |        FROM v$numMerges),
+      |dw AS (SELECT doc_id,
+      |              list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |       FROM documents),
+      |t AS (SELECT doc_id, ws[j] AS word, j AS pos
+      |      FROM dw, unnest(range(1, len(ws) + 1)) AS u(j))
+      |SELECT doc_id,
+      |       count(*)::BIGINT AS n_words,
+      |       sum(len(string_split(tok, '|')))::BIGINT AS n_tokens,
+      |       string_agg(tok, ' ' ORDER BY pos) AS encoded
+      |FROM t JOIN enc USING (word)
+      |GROUP BY doc_id""".stripMargin
 
   /** Sliding-window chunking into 64-token windows with stride 48 (16
     * tokens of overlap) — training-sequence prep for long documents;

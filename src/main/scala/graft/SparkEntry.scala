@@ -94,6 +94,7 @@ object SparkEntry {
     "q77_corpus_card" -> ((s, d) => PipelineQueries.corpusCard(s, d)),
     "q78_v2_item_freq" -> ((s, d) => FpmQueries.v2ItemFreq(s, d)),
     "q79_bpe_merges" -> ((s, d) => PipelineQueries.bpeMerges(s, d)),
+    "q80_bpe_encode" -> ((s, d) => PipelineQueries.bpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,5 +237,8 @@ object SparkEntry {
     // list/string algebra; the total-ordered argmax (count desc, then
     // lexicographic pair) makes the merge sequence engine-independent
     "q79_bpe_merges" -> PipelineQueries.bpeMergesSql(),
+    // q80: inference half of q79 — doc words joined against the FINAL
+    // unrolled dictionary state; the whole encoded string hash-checked
+    "q80_bpe_encode" -> PipelineQueries.bpeEncodeSql(),
   )
 }

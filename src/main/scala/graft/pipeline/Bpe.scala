@@ -67,17 +67,35 @@ object Bpe {
     syms
   }
 
-  /**
-   * Train `numMerges` BPE merges over the whitespace-tokenized, lowercased
-   * corpus; pairs below `minPairCount` total occurrences are never merged
-   * (training stops early once no pair qualifies). Returns the merge
-   * table: `(step, lhs, rhs, pair_cnt)`, step 1-based in merge order.
-   */
-  def trainMerges(
+  // One trained merge table per (session, corpus plan, params) — the
+  // keyed-cache discipline (Dedup.indexCache), but the cached value is
+  // the DRIVER-SIDE merge list itself (numMerges rows — bounded
+  // metadata): the trainer (q79) and the encoder (q80) share one
+  // training run, the train-once/encode-many lifecycle a tokenizer
+  // deployment has.
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
+
+  /** Drop every cached merge table (driver-side rows only — no storage). */
+  def clearCaches(): Unit = mergeCache.clear()
+
+  private[pipeline] def trainedMerges(
       docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long): Seq[(Long, String, String, Long)] = {
+    val sc = docs.sparkSession.sparkContext
+    val key = s"${sc.applicationId}@${sc.startTime}|" +
+      s"${docs.queryExecution.analyzed.semanticHash()}|$textCol|$numMerges|$minPairCount"
+    val cached = mergeCache.get(key)
+    if (cached != null) return cached
+    val built = runTraining(docs, textCol, numMerges, minPairCount)
+    val prev = mergeCache.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
+
+  private def runTraining(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long): Seq[(Long, String, String, Long)] = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val words = docs
       .select(explode(
         filter(split(lower(col(textCol)), " "), w => w =!= "")).as("word"))
@@ -108,7 +126,59 @@ object Bpe {
           step += 1
         }
       }
-      merges.toSeq.toDF("step", "lhs", "rhs", "pair_cnt")
+      merges.toSeq
     } finally words.unpersist()
+  }
+
+  /**
+   * Train `numMerges` BPE merges over the whitespace-tokenized, lowercased
+   * corpus; pairs below `minPairCount` total occurrences are never merged
+   * (training stops early once no pair qualifies). Returns the merge
+   * table: `(step, lhs, rhs, pair_cnt)`, step 1-based in merge order.
+   */
+  def trainMerges(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainedMerges(docs, textCol, numMerges, minPairCount)
+      .toDF("step", "lhs", "rhs", "pair_cnt")
+  }
+
+  /**
+   * Encode every document under the trained merge table — the inference
+   * half of the tokenizer: each word re-symbolized by applying the
+   * merges in training order (chars first, then each greedy pass), per
+   * word joined with `|`, per document joined with spaces in word
+   * order. Returns `(idCol, n_words, n_tokens, encoded)`; `n_tokens`
+   * counts emitted symbols. Documents with zero words produce no row
+   * (nothing to encode).
+   *
+   * Scale shape: the merge table (numMerges pairs — bounded) broadcasts
+   * and every word encodes IN-SCAN; one aggregation by doc id
+   * reassembles word order (collect + sort of that doc's own tokens —
+   * the q55 token-id shape). Training cost is shared with the trainer
+   * through the keyed merge cache: train once, encode any number of
+   * corpora/batches.
+   */
+  def encode(
+      docs: DataFrame, idCol: String, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = trainedMerges(docs, textCol, numMerges, minPairCount)
+      .map(m => (m._2, m._3))
+    val bc = spark.sparkContext.broadcast(merges)
+    val tokUdf = udf((w: String) => applyMerges(w, bc.value).mkString("|"))
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    docs
+      .select(col(idCol), posexplode(words).as(Seq("pos", "word")))
+      .select(col(idCol), col("pos"), tokUdf(col("word")).as("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("tok"), "\\|"))).cast("long").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("encoded"))
   }
 }

@@ -51,4 +51,36 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq.empty[String].toDF("text")
     assert(Bpe.trainMerges(docs, "text", numMerges = 5).count() == 0L)
   }
+
+  test("encode: documents re-tokenized under the trained merges, in word order") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low lower")).toDF("id", "text")
+    // merges (see the trainer test): (l,o), (lo,w), (e,r)
+    val got = Bpe.encode(docs, "id", "text", numMerges = 3, minPairCount = 2L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, "low low low|er"),
+      (2L, 2L, 3L, "low low|er")))
+  }
+
+  test("encode shares one training run with the trainer (keyed merge cache)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa")).toDF("id", "text")
+    Bpe.clearCaches()
+    val m1 = Bpe.trainedMerges(docs, "text", 2, 1L)
+    val m2 = Bpe.trainedMerges(docs, "text", 2, 1L)
+    assert(m1 eq m2) // same cached instance, not a re-train
+    assert(Bpe.encode(docs, "id", "text", 2, 1L).count() == 1L)
+  }
+
+  test("encode of an untrained (empty) tokenizer is the character split") {
+    import spark.implicits._
+    // every pair unique -> below minPairCount=2 -> zero merges
+    val docs = Seq((1L, "abc de")).toDF("id", "text")
+    import org.apache.spark.sql.functions.col
+    val row = Bpe.encode(docs, "id", "text", numMerges = 5, minPairCount = 2L)
+      .select(col("n_words"), col("n_tokens"), col("encoded"))
+      .as[(Long, Long, String)].head()
+    assert(row == ((2L, 5L, "a|b|c d|e")))
+  }
 }
