@@ -117,12 +117,28 @@ object TransactionsV2 {
 
 class TransactionsTable(
     paths: Seq[String], maxSplitBytes: Long, confMap: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-transactions:${paths.mkString(",")}"
   override def schema(): StructType = TransactionsV2.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1,
+      s"graft-transactions writes need exactly one path, got ${paths.size}")
+    require(info.schema().length == 1 &&
+        info.schema().head.dataType.isInstanceOf[ArrayType] &&
+        info.schema().head.dataType.asInstanceOf[ArrayType]
+          .elementType == StringType,
+      s"graft-transactions writes a single array<string> column, " +
+        s"got ${info.schema().simpleString}")
+    new TransactionsWriteBuilder(paths.head, confMap)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -190,6 +206,138 @@ class TransactionReaderFactory(conf: Map[String, String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TransactionRangeReader(partition.asInstanceOf[TransactionRange], conf)
+}
+
+/**
+ * The write half of the connector: each task streams its partition to a
+ * staged file (`_staging-<queryId>/part-<partition>-<task>.txt`), and the
+ * driver-side commit publishes every staged file into the target
+ * directory with one rename apiece — task attempts that never commit
+ * leave nothing visible, and a failed/aborted query deletes its staging
+ * directory wholesale (the classic Hadoop output-committer contract, v1
+ * flavor: rename-per-file at commit, no partial results readable).
+ * `mode("overwrite")` maps to DSv2 truncate: existing DATA files (the
+ * '_'/'.'-prefix convention again) are deleted inside the same commit,
+ * after the staged files are known good.
+ *
+ * Lines are items joined by single spaces — the reference's format.
+ * Items containing a space or newline would silently change the
+ * transaction's arity on read-back, so the writer REJECTS them
+ * (fail-at-write beats corrupt-at-read); empty-array transactions write
+ * an empty line, which reads back as `[""]` — the format itself cannot
+ * represent an empty transaction (same as the composed text path).
+ */
+class TransactionsWriteBuilder(path: String, confMap: Map[String, String])
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new TransactionsBatchWrite(path, confMap, doTruncate)
+    }
+}
+
+class TransactionsBatchWrite(
+    path: String, confMap: Map[String, String], truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // Unique per write (one BatchWrite is constructed per query execution),
+  // so concurrent writers to one directory never share staging.
+  private val stagingName = s"_staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TransactionsWriterFactory(path, stagingName, confMap)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = TransactionsV2.mapToConf(confMap)
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(target, stagingName)
+    try {
+      if (truncate && fs.exists(target)) {
+        fs.listStatus(target).foreach { f =>
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+            fs.delete(f.getPath, false)
+        }
+      }
+      messages.foreach { case m: TransactionsCommitMessage =>
+        val ok = fs.rename(new Path(staging, m.file), new Path(target, m.file))
+        require(ok, s"commit rename failed for ${m.file} under $path")
+      }
+    } finally fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = TransactionsV2.mapToConf(confMap)
+    val target = new Path(path)
+    target.getFileSystem(conf).delete(new Path(target, stagingName), true)
+  }
+}
+
+case class TransactionsCommitMessage(file: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class TransactionsWriterFactory(
+    path: String, stagingName: String, conf: Map[String, String])
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TransactionsFileWriter(path, stagingName, conf, partitionId, taskId)
+}
+
+class TransactionsFileWriter(
+    path: String, stagingName: String, conf: Map[String, String],
+    partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  // taskId in the name keeps speculative/retried attempts of one
+  // partition from clobbering each other inside staging; only the
+  // attempt whose message reaches commit() gets published.
+  private val file = f"part-$partitionId%05d-$taskId.txt"
+  private val hConf = TransactionsV2.mapToConf(conf)
+  private val staged = new Path(new Path(path, stagingName), file)
+  private val out = staged.getFileSystem(hConf).create(staged, true)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val arr = row.getArray(0)
+    require(arr != null, "graft-transactions cannot write a null items array")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val item = arr.getUTF8String(i).toString
+      require(item.indexOf(' ') < 0 && item.indexOf('\n') < 0 &&
+          item.indexOf('\r') < 0,
+        s"item '$item' contains a space/newline — unrepresentable in the " +
+          "transaction-text format (would change arity on read-back)")
+      if (i > 0) sb.append(' ')
+      sb.append(item)
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    TransactionsCommitMessage(file)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => }
+    staged.getFileSystem(hConf).delete(staged, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class TransactionRangeReader(range: TransactionRange, conf: Map[String, String])

@@ -112,6 +112,49 @@ class TransactionsV2Spec extends AnyFunSuite {
     assert(itemsOf(comma).sortBy(_.mkString("")) == expected.sortBy(_.mkString("")))
   }
 
+  test("write path: staged-rename commit, append and overwrite round-trip") {
+    import org.apache.spark.sql.functions.{array_sort, col}
+    val dir = Files.createTempDirectory("graft-txn-write")
+    dir.toFile.deleteOnExit()
+    def writeTx(lines: Seq[Seq[String]], mode: String): Unit = {
+      import spark.implicits._
+      lines.toDF("items").write.format("graft-transactions")
+        .mode(mode).save(dir.toString)
+    }
+    writeTx(Seq(Seq("a", "b"), Seq("c")), "append")
+    writeTx(Seq(Seq("d", "e", "f")), "append")
+    val afterAppend = itemsOf(
+      spark.read.format("graft-transactions").load(dir.toString))
+    assert(afterAppend == Seq(Seq("a", "b"), Seq("c"), Seq("d", "e", "f")))
+    // no staging residue is readable or listed
+    assert(!dir.toFile.listFiles().exists(_.getName.startsWith("_staging")))
+    writeTx(Seq(Seq("x", "y")), "overwrite")
+    val afterOverwrite = itemsOf(
+      spark.read.format("graft-transactions").load(dir.toString))
+    assert(afterOverwrite == Seq(Seq("x", "y")))
+    // the written file is the reference's text format, byte for byte
+    val dataFiles = dir.toFile.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val body = dataFiles.map(f => Files.readString(f.toPath)).mkString
+    assert(body == "x y\n")
+    // an item a space would corrupt is rejected at write, not read
+    val e = intercept[Exception] { writeTx(Seq(Seq("bad item")), "append") }
+    assert(e.getMessage != null)
+    // the failed write published nothing and left no staging behind
+    assert(itemsOf(spark.read.format("graft-transactions").load(dir.toString))
+      == Seq(Seq("x", "y")))
+    assert(!dir.toFile.listFiles().exists(_.getName.startsWith("_staging")))
+    // round-trip a real basket table through the connector's writer
+    val baskets = graft.Tables
+      .orderBrandBaskets(spark, "/root/testdata/sf0.001")
+      .select(col("items"))
+    baskets.write.format("graft-transactions").mode("overwrite").save(dir.toString)
+    val back = spark.read.format("graft-transactions").load(dir.toString)
+      .select(array_sort(col("items")).as("items"))
+    assert(itemsOf(back).sortBy(_.mkString(",")) ==
+      itemsOf(baskets).sortBy(_.mkString(",")))
+  }
+
   test("the fpm estimator runs end-to-end on the v2 source") {
     val lines = Seq("a b c", "a b", "a c", "b c", "a b c d")
     val path = writeFixture(lines, trailingNewline = true)
