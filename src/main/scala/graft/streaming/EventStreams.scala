@@ -311,6 +311,39 @@ object EventStreams {
    * watermark-delayed replay, the same trade [[sessionsClosedStream]]
    * documents for its late events.
    */
+  /** The shared per-group pass: purchases at a timestamp apply before any
+    * event at that timestamp emits; returns the emitted rows and the new
+    * latest-purchase state (null if none seen yet). */
+  private def attributeGroup(
+      uid: Long, evs: Iterator[AttrEvent], prior: LastPurchase)
+      : (scala.collection.mutable.ArrayBuffer[AttributedEvent], LastPurchase) = {
+    var last = prior
+    val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
+    val out = new scala.collection.mutable.ArrayBuffer[AttributedEvent](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val t = sorted(i).ts
+      var j = i
+      while (j < sorted.length && sorted(j).ts == t) {
+        val e = sorted(j)
+        if (e.event_type == "purchase" &&
+            (last == null || t > last.pts ||
+              (t == last.pts && e.event_id > last.purchase_id))) {
+          last = LastPurchase(t, e.event_id)
+        }
+        j += 1
+      }
+      while (i < j) {
+        val e = sorted(i)
+        if (last == null) out += AttributedEvent(e.event_id, uid, e.event_type, -1L, -1L)
+        else out += AttributedEvent(e.event_id, uid, e.event_type,
+          last.purchase_id, e.ts - last.pts)
+        i += 1
+      }
+    }
+    (out, last)
+  }
+
   def attributionFromEvents(events: Dataset[AttrEvent]): DataFrame = {
     import events.sparkSession.implicits._
     events
@@ -318,32 +351,50 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[AttrEvent], state: GroupState[LastPurchase]) => {
-          var last = state.getOption.orNull
-          val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
-          val out = new scala.collection.mutable.ArrayBuffer[AttributedEvent](sorted.length)
-          var i = 0
-          while (i < sorted.length) {
-            val t = sorted(i).ts
-            var j = i
-            while (j < sorted.length && sorted(j).ts == t) {
-              val e = sorted(j)
-              if (e.event_type == "purchase" &&
-                  (last == null || t > last.pts ||
-                    (t == last.pts && e.event_id > last.purchase_id))) {
-                last = LastPurchase(t, e.event_id)
-              }
-              j += 1
-            }
-            while (i < j) {
-              val e = sorted(i)
-              if (last == null) out += AttributedEvent(e.event_id, uid, e.event_type, -1L, -1L)
-              else out += AttributedEvent(e.event_id, uid, e.event_type,
-                last.purchase_id, e.ts - last.pts)
-              i += 1
-            }
-          }
+          val (out, last) = attributeGroup(uid, evs, state.getOption.orNull)
           if (last != null) state.update(last)
           out.iterator
+        })
+      .toDF()
+  }
+
+  /**
+   * [[attributionFromEvents]] with state EVICTION — the variant for
+   * unbounded key churn (anonymous sessions, device ids), where
+   * never-expiring per-key state would grow with every key ever seen.
+   * A user's state times out once the event-time watermark passes
+   * `horizonUs` past their latest purchase; a timed-out user re-enters
+   * as fresh, so the attribution lost is exactly what the horizon
+   * declares expired (an event after the horizon attributes to no
+   * purchase, as q44 would if its right side were horizon-filtered).
+   * State size: O(users purchased within the horizon), not O(users
+   * ever seen). Same ordering contract and output as the NoTimeout
+   * variant inside the horizon (spec-enforced divergence outside it).
+   */
+  def attributionFromEventsEvicting(
+      events: Dataset[AttrEvent], horizonUs: Long,
+      delayThreshold: String = "0 seconds"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", delayThreshold)
+      .as[AttrEvent] // extra watermark column drops out of the typed view
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[AttrEvent], state: GroupState[LastPurchase]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, last) = attributeGroup(uid, evs, state.getOption.orNull)
+            if (last != null) {
+              state.update(last)
+              // GroupState timeouts are millisecond event-time instants
+              state.setTimeoutTimestamp((last.pts + horizonUs) / 1000L)
+            }
+            out.iterator
+          }
         })
       .toDF()
   }

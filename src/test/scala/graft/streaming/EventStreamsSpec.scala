@@ -176,4 +176,43 @@ class EventStreamsSpec extends AnyFunSuite {
       .filter { r => val e = evs.find(_.event_id == r._1).get; e.ts > cut1 }
     assert(crossBatch.nonEmpty, "no cross-batch attributions exercised")
   }
+
+  test("evicting as-of: state dropped past the horizon, kept within it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.AttrEvent
+    val s = 1000000L // 1 second in the micros domain
+    // user 1 purchases at 1s; far-future traffic from user 2 advances the
+    // watermark past the 10s horizon; a LATER batch with no user-1 data
+    // lets the timeout fire (a batch carrying user-1 data would take the
+    // data path); then user 1 returns at 102s
+    val batches = Seq(
+      Seq(AttrEvent(1L, 10L, 1 * s, "purchase"), AttrEvent(1L, 11L, 1 * s + 1000, "view")),
+      Seq(AttrEvent(2L, 20L, 100 * s, "view")),
+      Seq(AttrEvent(2L, 21L, 101 * s, "view")),
+      Seq(AttrEvent(1L, 12L, 102 * s, "view"), AttrEvent(2L, 22L, 102 * s, "view")))
+    def run(evict: Boolean, name: String): Map[Long, Long] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[AttrEvent]
+      val ds =
+        if (evict) EventStreams.attributionFromEventsEvicting(source.toDS(), 10 * s)
+        else EventStreams.attributionFromEvents(source.toDS())
+      val q = ds.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[(Long, Long, String, Long, Long)]
+        .collect().map(r => r._1 -> r._4).toMap
+    }
+    val kept = run(evict = false, "attr_keep")
+    val evicted = run(evict = true, "attr_evict")
+    // within the horizon both attribute identically
+    assert(kept(11L) == 10L && evicted(11L) == 10L)
+    // past the horizon: NoTimeout still attributes the 101s-old purchase,
+    // the evicting variant has dropped it — the user re-entered as fresh
+    assert(kept(12L) == 10L)
+    assert(evicted(12L) == -1L)
+    // the other user's rows are unaffected by the eviction machinery
+    assert(Seq(20L, 21L, 22L).forall(id => kept(id) == evicted(id)))
+  }
 }
