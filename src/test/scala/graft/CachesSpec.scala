@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one-call sweep over every keyed cache family. */
+class CachesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("caches-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("clearAll releases every cache family's storage; lazily rebuilt after") {
+    // baseline: caches other code in this JVM may legitimately hold
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // populate three independent families (baskets, shingle index, LM)
+    assert(Tables.orderBrandBaskets(spark, sf).count() > 0)
+    assert(PipelineQueries.contamination(spark, sf).count() >= 0)
+    assert(PipelineQueries.bigramModel(spark, sf).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "populating the caches should have persisted storage")
+    Caches.clearAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "clearAll must release every graft-owned persisted block")
+    // everything re-materializes lazily — a sweep is never a correctness event
+    assert(Tables.orderBrandBaskets(spark, sf).count() > 0)
+    assert(PipelineQueries.bigramModel(spark, sf).count() >= 0)
+    Caches.clearAll()
+  }
+}

@@ -266,6 +266,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("BPE encode: one scan, map-side partial aggregate, single exchange, no join") {
+    val p = plan("q80_bpe_encode")
+    assert("- Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(shuffleCount(p) == 1, p)
+    // collect_list partials combine map-side (ObjectHashAggregate pair)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import graft.functions.VectorExprs
     import org.apache.spark.sql.functions._
