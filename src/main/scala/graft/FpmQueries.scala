@@ -91,6 +91,50 @@ object FpmQueries {
     }
   }
 
+  /**
+   * q: the connector WRITE path's contract row (the q64 write-path
+   * pattern): every basket written through
+   * `format("graft-transactions")`'s staged-rename commit, read back
+   * through the connector at a 64 KiB split size, and compared as a
+   * MULTISET (full-outer join of per-line counts — order-free, dup-
+   * preserving). One row: the basket count plus `roundtrip_exact`
+   * pinned true by the oracle; zero rows on an empty warehouse (both
+   * sides of the HAVING convention). The fixture dir is per-invocation
+   * and deleted after the eager one-row aggregate.
+   */
+  def v2WriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-v2-write")
+    try {
+      val items = Tables.orderBrandBaskets(spark, dir).select(col("items"))
+      items.write.format("graft-transactions").mode("overwrite").save(out.toString)
+      val back = spark.read.format("graft-transactions")
+        .option("maxSplitBytes", 64L * 1024).load(out.toString)
+      def lineCounts(df: org.apache.spark.sql.DataFrame, cnt: String) =
+        df.select(array_join(col("items"), " ").as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as(cnt))
+      val contract = lineCounts(items, "oc")
+        .join(lineCounts(back, "bc"), Seq("t"), "full_outer")
+        // grouped-then-dropped key: zero rows on an empty warehouse (a
+        // global agg would emit one null row), matching the oracle HAVING
+        .groupBy(lit(1).as("one"))
+        .agg(
+          sum(coalesce(col("oc"), lit(0L))).as("total_rows"),
+          // distinct coalesce sentinels: a side missing a line must FAIL
+          // the equality, not vanish into bool_and's null-skipping
+          bool_and(coalesce(col("oc"), lit(-1L)) ===
+            coalesce(col("bc"), lit(-2L))).as("roundtrip_exact"))
+        .drop("one")
+        .collect()
+      contract.map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+        .toDF("total_rows", "roundtrip_exact")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** q: full FP-Growth, declared at itemset arity <= 3 (oracle-exact cap). */
   def freqItemsets(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).freqItemsets
@@ -274,6 +318,16 @@ object FpmQueries {
   val BasketsSql: String =
     s"""WITH $BasketCte
        |SELECT l_orderkey, array_to_string(items, ',') AS items_str FROM baskets""".stripMargin
+
+  /** The write-path contract as an oracle: the basket count survives the
+    * connector round trip and the multiset equality holds (Spark computes
+    * it from the real written files; the oracle pins it true). HAVING
+    * matches the Spark side's grouped aggregate: BOTH yield zero rows on
+    * an empty warehouse. */
+  val V2WriteRoundtripSql: String =
+    s"""WITH $BasketCte
+       |SELECT count(*)::BIGINT AS total_rows, true AS roundtrip_exact
+       |FROM baskets HAVING count(*) > 0""".stripMargin
 
   /** The connector round trip is lossless (distinct, space-free items),
     * so the oracle is the straight parquet-side item frequency. */

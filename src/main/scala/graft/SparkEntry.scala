@@ -95,6 +95,7 @@ object SparkEntry {
     "q78_v2_item_freq" -> ((s, d) => FpmQueries.v2ItemFreq(s, d)),
     "q79_bpe_merges" -> ((s, d) => PipelineQueries.bpeMerges(s, d)),
     "q80_bpe_encode" -> ((s, d) => PipelineQueries.bpeEncode(s, d)),
+    "q81_v2_write_roundtrip" -> ((s, d) => FpmQueries.v2WriteRoundtrip(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +241,9 @@ object SparkEntry {
     // q80: inference half of q79 — doc words joined against the FINAL
     // unrolled dictionary state; the whole encoded string hash-checked
     "q80_bpe_encode" -> PipelineQueries.bpeEncodeSql(),
+    // q81: the connector WRITE path's contract row — staged-rename commit
+    // + read-back multiset equality computed from the real written files;
+    // the oracle pins the round trip true (the q64 write-path pattern)
+    "q81_v2_write_roundtrip" -> FpmQueries.V2WriteRoundtripSql,
   )
 }
