@@ -89,15 +89,34 @@ object TransactionsV2 {
 
   /** All load paths: DataFrameReader encodes `load(p1, p2, ...)` as a
     * JSON-array `paths` option and a single `load(p)` as `path`; a single
-    * `path` may itself be comma-separated (train+test in one read). */
+    * `path` may itself be comma-separated (train+test in one read).
+    * Commas INSIDE glob braces don't separate — `/logs/{a,b}.txt` is one
+    * Hadoop alternation glob, not two broken halves. */
   private[sources] def resolvePaths(opts: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(opts.get("paths")).toSeq.flatMap { json =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       mapper.readValue(json, classOf[Array[String]]).toSeq
     }
     val single = Option(opts.get("path")).toSeq
-      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .flatMap(splitTopLevelCommas).map(_.trim).filter(_.nonEmpty)
     multi ++ single
+  }
+
+  /** Split on commas at brace depth 0 only (Hadoop `{a,b}` alternation
+    * globs keep their commas). Unbalanced braces never split — the glob
+    * engine, not the splitter, owns rejecting malformed patterns. */
+  private[sources] def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth = math.max(0, depth - 1); cur += '}'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
   }
 
   /** The session Hadoop conf flattened for executor-side rebuild. */

@@ -112,6 +112,20 @@ class TransactionsV2Spec extends AnyFunSuite {
     assert(itemsOf(comma).sortBy(_.mkString("")) == expected.sortBy(_.mkString("")))
   }
 
+  test("brace-alternation globs keep their commas (not split as two paths)") {
+    val dir = Files.createTempDirectory("graft-txn-brace")
+    Files.writeString(dir.resolve("train.txt"), "a b\n")
+    Files.writeString(dir.resolve("test.txt"), "c d\n")
+    Files.writeString(dir.resolve("other.txt"), "e f\n")
+    dir.toFile.listFiles().foreach(_.deleteOnExit()); dir.toFile.deleteOnExit()
+    val braced = spark.read.format("graft-transactions")
+      .load(dir.toString + "/{train,test}.txt")
+    assert(itemsOf(braced) == Seq(Seq("a", "b"), Seq("c", "d")))
+    // and the splitter itself: top-level commas split, braced ones don't
+    assert(TransactionsV2.splitTopLevelCommas("/x/{a,b}.txt,/y/c.txt")
+      == Seq("/x/{a,b}.txt", "/y/c.txt"))
+  }
+
   test("write path: staged-rename commit, append and overwrite round-trip") {
     import org.apache.spark.sql.functions.{array_sort, col}
     val dir = Files.createTempDirectory("graft-txn-write")
