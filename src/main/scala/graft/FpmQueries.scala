@@ -84,11 +84,7 @@ object FpmQueries {
         .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
         .collect() // item-domain-sized: bounded metadata, never corpus rows
       freq.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "cnt")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally Fs.deleteRecursively(out)
   }
 
   /**
@@ -128,11 +124,7 @@ object FpmQueries {
         .collect()
       contract.map(r => (r.getLong(0), r.getBoolean(1))).toSeq
         .toDF("total_rows", "roundtrip_exact")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally Fs.deleteRecursively(out)
   }
 
   /** q: full FP-Growth, declared at itemset arity <= 3 (oracle-exact cap). */

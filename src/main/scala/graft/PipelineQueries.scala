@@ -496,11 +496,7 @@ object PipelineQueries {
           try {
             Similarity.saveIvfIndex(s, centroids, idx.toString)
             Similarity.loadIvfIndex(s, idx.toString) // eager: dir dies here
-          } finally {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(idx).iterator().asScala.toSeq.reverse
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          } finally Fs.deleteRecursively(idx)
         Similarity.ivfTopKWithCentroids(
           e, q, "vec_id", "embedding", k = 5, loaded, nProbe = 16)
       }

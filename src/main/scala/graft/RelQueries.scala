@@ -691,11 +691,7 @@ object RelQueries {
       import spark.implicits._
       contract.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
         .toDF("total_rows", "files_disjoint", "file_count_ok")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally Fs.deleteRecursively(out)
   }
 
   /** The write-path contract as an oracle: rows survive the round trip and

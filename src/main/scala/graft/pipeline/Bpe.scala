@@ -55,12 +55,29 @@ object Bpe {
     out.toSeq
   }
 
-  /** A word re-symbolized under an ordered merge list (chars first, then
-    * each merge applied greedily in training order — the same procedure
-    * a BPE ENCODER applies at inference time). */
+  /** Initial symbolization: one symbol per Unicode CODE POINT, not per
+    * UTF-16 code unit — a `word.map(_.toString)` split would cut astral
+    * characters into lone surrogate halves, which diverges from the
+    * oracle's codepoint split (DuckDB `string_split(w, '')`) and mangles
+    * to '?' on the executor's UTF-8 boundary. */
+  private[pipeline] def charSymbols(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
+  }
+
+  /** A word re-symbolized under an ordered merge list (code points
+    * first, then each merge applied greedily in training order — the
+    * same procedure a BPE ENCODER applies at inference time). */
   private[pipeline] def applyMerges(
       word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = charSymbols(word)
     merges.foreach { case (a, b) =>
       if (syms.length > 1) syms = mergePair(syms, a, b)
     }

@@ -138,18 +138,19 @@ case class AsOfJoinExec(
       // zeros (inner output never carries the null row, so its tighter
       // nullability is safe there)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      new Iterator[InternalRow] {
-        // lookahead = next unconsumed right row; curMatch = latest
-        // consumed right row of curKey (copied: unsafe rows are reused)
-        private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
-        private var curKey = 0L
-        private var curMatch: InternalRow = null
-        private var pending: InternalRow = null
-        private def advance(): Unit =
+
+      // Shared merge state over the two sorted sides. rHead = next
+      // unconsumed right row; curMatch = latest consumed right row of
+      // curKey (copied: unsafe rows are reused).
+      abstract class MergeIterator extends Iterator[InternalRow] {
+        protected var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+        protected var curKey = 0L
+        protected var curMatch: InternalRow = null
+        protected def advance(): Unit =
           rHead = if (rIt.hasNext) rIt.next() else null
 
         // null under outer = emit with null right; null under inner = drop
-        private def matchFor(l: InternalRow): InternalRow = {
+        protected def matchFor(l: InternalRow): InternalRow = {
           if (l.isNullAt(lk) || l.isNullAt(lt)) return null
           val lKey = keyOf(l, lk)
           val lTime = timeOf(l, lt)
@@ -169,26 +170,45 @@ case class AsOfJoinExec(
           }
           if (curMatch != null && curKey == lKey) curMatch else null
         }
+      }
 
-        private def computeNext(): InternalRow = {
-          while (lIt.hasNext) {
+      if (!inner) {
+        // Left outer: every left row emits, so hasNext is pure
+        // (lIt.hasNext) and the reused projection buffer is written only
+        // in next() — the standard only-next()-invalidates contract.
+        new MergeIterator {
+          override def hasNext: Boolean = lIt.hasNext
+          override def next(): InternalRow = {
             val l = lIt.next()
             val m = matchFor(l)
-            if (m != null) return proj(joined(l, m))
-            if (!inner) return proj(joined(l, nullRight))
-            // inner + no match: skip this left row
+            proj(joined(l, if (m != null) m else nullRight))
           }
-          null
         }
-
-        override def hasNext: Boolean = {
-          if (pending == null) pending = computeNext()
-          pending != null
-        }
-
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException("empty iterator")
-          val r = pending; pending = null; r
+      } else {
+        // Inner: unmatched left rows are dropped, so hasNext must look
+        // ahead. The lookahead stashes a COPY of the left row (the sort
+        // iterator reuses its buffer) and the match reference (curMatch
+        // objects are stable copies, only the curMatch FIELD is
+        // reassigned later) — the projection into the reused output
+        // buffer still happens in next(), never in hasNext, so a row
+        // handed out by next() stays valid until the following next().
+        new MergeIterator {
+          private var pendingLeft: InternalRow = null
+          private var pendingMatch: InternalRow = null
+          override def hasNext: Boolean = {
+            while (pendingLeft == null && lIt.hasNext) {
+              val l = lIt.next()
+              val m = matchFor(l)
+              if (m != null) { pendingLeft = l.copy(); pendingMatch = m }
+            }
+            pendingLeft != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            val r = proj(joined(pendingLeft, pendingMatch))
+            pendingLeft = null; pendingMatch = null
+            r
+          }
         }
       }
     }

@@ -265,13 +265,18 @@ class TransactionsBatchWrite(
   extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  // Unique per write (one BatchWrite is constructed per query execution),
-  // so concurrent writers to one directory never share staging.
-  private val stagingName = s"_staging-${java.util.UUID.randomUUID()}"
+  // Unique per write (one BatchWrite is constructed per query execution):
+  // concurrent writers to one directory never share staging, and the
+  // SAME id goes into every published file name — two applications
+  // appending to one directory can both produce (partition 0, task 7)
+  // files, and a cross-app name collision at commit would either clobber
+  // rows (POSIX rename) or fail the job (HDFS rename-to-existing).
+  private val writeId = java.util.UUID.randomUUID().toString
+  private val stagingName = s"_staging-$writeId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new TransactionsWriterFactory(path, stagingName, confMap)
+    new TransactionsWriterFactory(path, stagingName, writeId, confMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = TransactionsV2.mapToConf(confMap)
@@ -279,16 +284,25 @@ class TransactionsBatchWrite(
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
     try {
+      // Publish FIRST, truncate after: deleting the old data before the
+      // renames would leave a window where a rename failure destroys the
+      // old dataset while the finally wipes the staged replacement —
+      // neither copy survives. In this order a mid-commit failure leaves
+      // the old files intact (plus some already-published new ones, which
+      // the writeId in every name keeps distinguishable); old files are
+      // deleted only once every staged file is in place.
+      val published = messages.map { case m: TransactionsCommitMessage =>
+        val ok = fs.rename(new Path(staging, m.file), new Path(target, m.file))
+        require(ok, s"commit rename failed for ${m.file} under $path")
+        m.file
+      }.toSet
       if (truncate && fs.exists(target)) {
         fs.listStatus(target).foreach { f =>
           val n = f.getPath.getName
-          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+          if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+              !published(n))
             fs.delete(f.getPath, false)
         }
-      }
-      messages.foreach { case m: TransactionsCommitMessage =>
-        val ok = fs.rename(new Path(staging, m.file), new Path(target, m.file))
-        require(ok, s"commit rename failed for ${m.file} under $path")
       }
     } finally fs.delete(staging, true)
   }
@@ -304,22 +318,26 @@ case class TransactionsCommitMessage(file: String)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class TransactionsWriterFactory(
-    path: String, stagingName: String, conf: Map[String, String])
+    path: String, stagingName: String, writeId: String,
+    conf: Map[String, String])
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new TransactionsFileWriter(path, stagingName, conf, partitionId, taskId)
+    new TransactionsFileWriter(
+      path, stagingName, writeId, conf, partitionId, taskId)
 }
 
 class TransactionsFileWriter(
-    path: String, stagingName: String, conf: Map[String, String],
-    partitionId: Int, taskId: Long)
+    path: String, stagingName: String, writeId: String,
+    conf: Map[String, String], partitionId: Int, taskId: Long)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  // taskId in the name keeps speculative/retried attempts of one
-  // partition from clobbering each other inside staging; only the
-  // attempt whose message reaches commit() gets published.
-  private val file = f"part-$partitionId%05d-$taskId.txt"
+  // taskId keeps speculative/retried attempts of one partition from
+  // clobbering each other inside staging (only the attempt whose message
+  // reaches commit() gets published); writeId makes the PUBLISHED name
+  // unique across applications appending to one directory, whose
+  // (partitionId, taskId) pairs can collide.
+  private val file = f"part-$partitionId%05d-$taskId-$writeId.txt"
   private val hConf = TransactionsV2.mapToConf(conf)
   private val staged = new Path(new Path(path, stagingName), file)
   private val out = staged.getFileSystem(hConf).create(staged, true)
@@ -329,14 +347,24 @@ class TransactionsFileWriter(
     val arr = row.getArray(0)
     require(arr != null, "graft-transactions cannot write a null items array")
     val sb = new java.lang.StringBuilder
+    val seen = new util.HashSet[String]()
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val item = arr.getUTF8String(i).toString
+      val raw = arr.getUTF8String(i)
+      require(raw != null,
+        "null item — unrepresentable in the transaction-text format")
+      val item = raw.toString
       require(item.indexOf(' ') < 0 && item.indexOf('\n') < 0 &&
           item.indexOf('\r') < 0,
         s"item '$item' contains a space/newline — unrepresentable in the " +
           "transaction-text format (would change arity on read-back)")
+      // the format is first-occurrence-deduplicated on READ, so a line
+      // with duplicates comes back with a different arity — reject for
+      // the same reason as embedded spaces (transactions are item SETS)
+      require(seen.add(item),
+        s"duplicate item '$item' — the transaction-text format dedupes on " +
+          "read, so the transaction's arity would change on read-back")
       if (i > 0) sb.append(' ')
       sb.append(item)
       i += 1
@@ -402,5 +430,13 @@ class TransactionRangeReader(range: TransactionRange, conf: Map[String, String])
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+
+  // Close the LineReader (which closes the stream it wraps — for codec
+  // files that's the CompressionInputStream, whose close releases the
+  // decompressor and its native/direct buffers; closing only the raw
+  // stream would leak one per compressed partition until finalizers
+  // run), then the raw stream for the uncompressed case.
+  override def close(): Unit = {
+    try reader.close() finally in.close()
+  }
 }

@@ -387,11 +387,31 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            val (out, last) = attributeGroup(uid, evs, state.getOption.orNull)
+            val wmMs = state.getCurrentWatermarkMs()
+            val prior0 = state.getOption.orNull
+            // Manual expiry on the data path: a key whose horizon the
+            // watermark has passed but whose timeout hasn't FIRED yet
+            // (Spark delivers a batch's data before expired timeouts)
+            // must behave as already evicted — otherwise the same event
+            // attributes differently depending on whether it raced the
+            // timeout firing.
+            val prior =
+              if (prior0 != null && (prior0.pts + horizonUs) / 1000L <= wmMs) null
+              else prior0
+            val (out, last) = attributeGroup(uid, evs, prior)
             if (last != null) {
               state.update(last)
-              // GroupState timeouts are millisecond event-time instants
-              state.setTimeoutTimestamp((last.pts + horizonUs) / 1000L)
+              // Millisecond event-time instants: round UP (the +999, as
+              // sessionsClosedStream does) so state never evicts inside
+              // the horizon, and clamp past the current watermark —
+              // setTimeoutTimestamp THROWS on a timestamp at or before
+              // it (reachable when stale state survives into this batch
+              // because data arrived in the same batch the timeout
+              // would have fired).
+              state.setTimeoutTimestamp(math.max(
+                (last.pts + horizonUs + 999L) / 1000L, wmMs + 1L))
+            } else if (prior0 != null) {
+              state.remove() // manually-expired state with no replacement
             }
             out.iterator
           }

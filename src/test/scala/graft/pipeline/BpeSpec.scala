@@ -22,6 +22,16 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.mergePair(Seq.empty, "a", "b") == Seq.empty)
   }
 
+  test("charSymbols splits on code points, not UTF-16 units") {
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16: a per-char
+    // split would emit two lone-surrogate "symbols" that diverge from
+    // the oracle's codepoint split and mangle on the UTF-8 boundary
+    val astral = new String(Character.toChars(0x1D11E))
+    assert(Bpe.charSymbols(s"a${astral}b") == Seq("a", astral, "b"))
+    assert(Bpe.applyMerges(s"$astral$astral", Seq((astral, astral)))
+      == Seq(astral + astral))
+  }
+
   test("hand-computed merges on a tiny corpus") {
     import spark.implicits._
     // "low" x3, "lower" x2: pair counts round 1 — (l,o)=5, (o,w)=5,

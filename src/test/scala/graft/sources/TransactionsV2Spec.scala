@@ -151,9 +151,17 @@ class TransactionsV2Spec extends AnyFunSuite {
       f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val body = dataFiles.map(f => Files.readString(f.toPath)).mkString
     assert(body == "x y\n")
+    // published names carry the write's UUID: two applications appending
+    // to one directory can collide on (partitionId, taskId) alone
+    assert(dataFiles.forall(_.getName.matches(
+      "part-\\d{5}-\\d+-[0-9a-f-]{36}\\.txt")), dataFiles.map(_.getName).toSeq)
     // an item a space would corrupt is rejected at write, not read
     val e = intercept[Exception] { writeTx(Seq(Seq("bad item")), "append") }
     assert(e.getMessage != null)
+    // duplicate items are rejected too: the format dedupes on read, so
+    // the transaction's arity would silently change on round-trip
+    val e2 = intercept[Exception] { writeTx(Seq(Seq("a", "a")), "append") }
+    assert(e2.getMessage != null)
     // the failed write published nothing and left no staging behind
     assert(itemsOf(spark.read.format("graft-transactions").load(dir.toString))
       == Seq(Seq("x", "y")))

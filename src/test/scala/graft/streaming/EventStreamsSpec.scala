@@ -215,4 +215,31 @@ class EventStreamsSpec extends AnyFunSuite {
     // the other user's rows are unaffected by the eviction machinery
     assert(Seq(20L, 21L, 22L).forall(id => kept(id) == evicted(id)))
   }
+
+  test("evicting as-of: data racing the timeout still evicts (no crash, no stale match)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.AttrEvent
+    val s = 1000000L
+    // user 1's return event arrives in the SAME batch that would have
+    // fired their timeout: Spark delivers data before expired timeouts,
+    // so the function sees stale state on the data path — it must treat
+    // it as evicted (manual expiry) and must not crash re-arming a
+    // timeout at or before the advanced watermark
+    val batches = Seq(
+      Seq(AttrEvent(1L, 10L, 1 * s, "purchase")),
+      Seq(AttrEvent(2L, 20L, 100 * s, "view")), // watermark -> 100s >> 11s horizon
+      Seq(AttrEvent(1L, 12L, 101 * s, "view"))) // u1 data races the timeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[AttrEvent]
+    val q = EventStreams.attributionFromEventsEvicting(source.toDS(), 10 * s)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_race").start()
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val rows = spark.table("attr_race").as[(Long, Long, String, Long, Long)]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(rows(10L) == 10L)  // the purchase attributes to itself
+    assert(rows(12L) == -1L)  // past the horizon: stale state NOT used
+  }
 }
