@@ -61,6 +61,38 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Optimizer rule completing the extension stack (`LogicalPlan` + `Rule`
+ * + `Strategy` + `SparkPlan`): Catalyst's own `PushDownPredicates`
+ * cannot see through a custom node, so a `Filter` sitting on an
+ * [[AsOfJoinPlan]] would run AFTER the merge — above both exchanges —
+ * even when it references only left-side columns. This rule pushes the
+ * left-only deterministic conjuncts into the left child, where the
+ * stock rules carry them the rest of the way down (to the parquet scan
+ * as `PushedFilters` when the child is a scan). Safe under both join
+ * modes: every output row's left half IS an input left row (outer emits
+ * all of them, inner a subset), so a left-only predicate commutes with
+ * the join. Right-side conjuncts are NOT pushable: dropping a right row
+ * changes which EARLIER row becomes some left row's as-of match.
+ */
+object AsOfJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * `spark.experimental.extraStrategies` (live sessions). */
@@ -244,6 +276,7 @@ object AsOfJoinNative {
       inner: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     GraftShims.addStrategy(spark, AsOfJoinStrategy)
+    GraftShims.addOptimization(spark, AsOfJoinFilterPushdown)
     // A shared attribute means the same frame on both sides: after the
     // analyzer re-ids the right child, this node's right-side expressions
     // would dangle. Alias the right side first (cheap, and q75 shows the

@@ -28,6 +28,18 @@ object GraftShims {
     }
   }
 
+  /** Idempotently add an optimizer rule to a LIVE session (same
+    * rationale as [[addStrategy]] — `injectOptimizerRule` via
+    * `spark.sql.extensions` only applies at session build time). */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r)) {
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+    }
+  }
+
   /**
    * Release the block storage behind a `localCheckpoint`ed DataFrame.
    * `Dataset.unpersist` only talks to the cache manager, which never

@@ -322,6 +322,43 @@ class AsOfSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("native exec: left-only filters push below the join; right filters don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.plans.AsOfJoinPlan
+    val rnd = new scala.util.Random(47)
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = Seq.tabulate(50)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val joined = graft.plans.AsOfJoinNative.asOfJoin(
+      left, right, "k", "rk", "lt", "rt", "rid")
+    // left-only predicate: lands BELOW the custom node (left child)
+    val fl = joined.where(col("lid") < 50L)
+    val ol = fl.queryExecution.optimizedPlan
+    val pushedLeft = ol.collect {
+      case j: AsOfJoinPlan if j.left.isInstanceOf[LFilter] => j
+    }
+    assert(pushedLeft.nonEmpty, ol.toString)
+    assert(ol.collect { case f: LFilter if f.child.isInstanceOf[AsOfJoinPlan] => f }
+      .isEmpty, ol.toString)
+    // and the pushed plan computes the same rows as filtering afterwards
+    val expected = joined.collect().filter(_.getLong(2) < 50L)
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    val got = fl.collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == expected)
+    // right-side predicate: must NOT push (it would change which earlier
+    // right row is some left row's match) — stays above the join
+    val fr = joined.where(col("rid") =!= 3L)
+    val or = fr.queryExecution.optimizedPlan
+    assert(or.collect {
+      case f: LFilter if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }.nonEmpty, or.toString)
+  }
+
   test("native exec: column pruning reaches through the custom node") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")
