@@ -62,6 +62,60 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(docs, "text", numMerges = 5).count() == 0L)
   }
 
+  test("trainer == independent in-memory BPE on random corpora") {
+    import spark.implicits._
+    // reference implementation sharing NO code with the operator: plain
+    // Scala collections, its own pair counting, argmax, and merge apply
+    def refBpe(docs: Seq[String], numMerges: Int, minPairCount: Long)
+        : Seq[(Long, String, String, Long)] = {
+      val wordCnt = docs.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var symsOf: Map[String, Vector[String]] =
+        wordCnt.keys.map(w => w -> w.split("").toVector).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var continue = true
+      var step = 1
+      while (step <= numMerges && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, syms) <- symsOf; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + wordCnt(w)
+        val qualified = counts.filter(_._2 >= minPairCount)
+        if (qualified.isEmpty) continue = false
+        else {
+          val ((a, b), c) = qualified.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((step.toLong, a, b, c))
+          symsOf = symsOf.view.mapValues { syms =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                nb += a + b; i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            nb.result()
+          }.toMap
+          step += 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val docs = Seq.fill(20 + rnd.nextInt(30))(
+        Seq.fill(1 + rnd.nextInt(12))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString)
+          .mkString(" "))
+      val want = refBpe(docs, numMerges = 8, minPairCount = 2L)
+      Bpe.clearCaches()
+      val got = Bpe.trainMerges(docs.toDF("text"), "text", numMerges = 8,
+          minPairCount = 2L)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial diverged:\ncorpus=$docs")
+    }
+  }
+
   test("encode: documents re-tokenized under the trained merges, in word order") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower"), (2L, "low lower")).toDF("id", "text")
