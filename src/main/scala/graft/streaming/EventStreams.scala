@@ -395,8 +395,12 @@ object EventStreams {
             // must behave as already evicted — otherwise the same event
             // attributes differently depending on whether it raced the
             // timeout firing.
+            // same rounded-UP instant the timeout below arms at — a
+            // floored check here would expire up to 1 ms earlier than
+            // the timeout would have fired
             val prior =
-              if (prior0 != null && (prior0.pts + horizonUs) / 1000L <= wmMs) null
+              if (prior0 != null &&
+                  (prior0.pts + horizonUs + 999L) / 1000L <= wmMs) null
               else prior0
             val (out, last) = attributeGroup(uid, evs, prior)
             if (last != null) {
