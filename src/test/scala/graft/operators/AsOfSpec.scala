@@ -359,6 +359,22 @@ class AsOfSpec extends AnyFunSuite {
     }.nonEmpty, or.toString)
   }
 
+  test("native exec: a pushed left filter reaches the parquet scan's PushedFilters") {
+    val dir = "/root/testdata/sf0.001"
+    def ord = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val right = ord.select(col("o_custkey").as("rk"),
+      col("o_orderkey").as("rt"), col("o_orderkey").as("rid"))
+    val j = graft.plans.AsOfJoinNative.asOfJoin(
+        ord, right, "o_custkey", "rk", "o_orderkey", "rt", "rid")
+      .where(col("o_custkey") < 100L)
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the rule moved the predicate below the custom node; the stock
+    // rules then carried it into the LEFT side's scan metadata
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]"), p)
+  }
+
   test("native exec: column pruning reaches through the custom node") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "lt")
