@@ -17,6 +17,10 @@ object Fs {
       override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
         Files.deleteIfExists(f); FileVisitResult.CONTINUE
       }
+      // a file listed by the walk but gone by the visit (concurrent
+      // sweep) must not abort the cleanup — the default rethrows
+      override def visitFileFailed(f: Path, exc: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE
       override def postVisitDirectory(d: Path, exc: java.io.IOException): FileVisitResult = {
         Files.deleteIfExists(d); FileVisitResult.CONTINUE
       }

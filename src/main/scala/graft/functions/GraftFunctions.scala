@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // the full as-of extension stack, same as the live-session wiring in
+    // AsOfJoinNative.asOfJoin: strategy AND the filter-pushdown rule
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }
 

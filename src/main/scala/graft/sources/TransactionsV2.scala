@@ -103,17 +103,25 @@ object TransactionsV2 {
   }
 
   /** Split on commas at brace depth 0 only (Hadoop `{a,b}` alternation
-    * globs keep their commas). Unbalanced braces never split — the glob
-    * engine, not the splitter, owns rejecting malformed patterns. */
+    * globs keep their commas); a backslash-ESCAPED brace — Hadoop's
+    * syntax for a literal brace in a file name — is not an alternation
+    * and must not swallow later commas. Unbalanced braces never split —
+    * the glob engine, not the splitter, owns rejecting malformed
+    * patterns. */
   private[sources] def splitTopLevelCommas(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
-    s.foreach {
-      case '{' => depth += 1; cur += '{'
-      case '}' => depth = math.max(0, depth - 1); cur += '}'
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
-      case c => cur += c
+    var escaped = false
+    s.foreach { c =>
+      if (escaped) { cur += c; escaped = false }
+      else c match {
+        case '\\' => cur += '\\'; escaped = true
+        case '{' => depth += 1; cur += '{'
+        case '}' => depth = math.max(0, depth - 1); cur += '}'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
     }
     out += cur.result()
     out.result()
@@ -342,14 +350,22 @@ class TransactionsFileWriter(
   private val staged = new Path(new Path(path, stagingName), file)
   private val out = staged.getFileSystem(hConf).create(staged, true)
   private var rows = 0L
+  // writer-scoped, cleared per row — a fresh set per row is pure garbage
+  // on the per-row hot path
+  private val seen = new util.HashSet[String]()
 
   override def write(row: InternalRow): Unit = {
     val arr = row.getArray(0)
     require(arr != null, "graft-transactions cannot write a null items array")
     val sb = new java.lang.StringBuilder
-    val seen = new util.HashSet[String]()
+    seen.clear()
     var i = 0
     val n = arr.numElements()
+    // a 0-item transaction writes a blank line, which reads back as [""]
+    // — the same silent arity change the per-item requires reject
+    require(n > 0,
+      "empty items array — a blank line reads back as a one-item " +
+        "transaction; the text format cannot represent an empty transaction")
     while (i < n) {
       val raw = arr.getUTF8String(i)
       require(raw != null,

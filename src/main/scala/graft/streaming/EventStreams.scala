@@ -395,12 +395,14 @@ object EventStreams {
             // must behave as already evicted — otherwise the same event
             // attributes differently depending on whether it raced the
             // timeout firing.
-            // same rounded-UP instant the timeout below arms at — a
-            // floored check here would expire up to 1 ms earlier than
-            // the timeout would have fired
+            // mirror the timer EXACTLY: Spark fires an event-time timeout
+            // only when timeoutTimestamp < watermark (strict — verified
+            // against FlatMapGroupsWithStateExecBase's comparison), so
+            // the manual check uses the same rounded-UP instant the
+            // timeout below arms at AND the same strict inequality
             val prior =
               if (prior0 != null &&
-                  (prior0.pts + horizonUs + 999L) / 1000L <= wmMs) null
+                  (prior0.pts + horizonUs + 999L) / 1000L < wmMs) null
               else prior0
             val (out, last) = attributeGroup(uid, evs, prior)
             if (last != null) {

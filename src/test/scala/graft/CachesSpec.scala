@@ -17,7 +17,12 @@ class CachesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("clearAll releases every cache family's storage; lazily rebuilt after") {
-    // baseline: caches other code in this JVM may legitimately hold
+    // start from a swept state: suites sharing this forked JVM's session
+    // may have populated the same (dir-keyed) caches already, which
+    // would make the populate step below a no-op against a raw baseline
+    Caches.clearAll()
+    // baseline: non-graft persists other suites may hold (untouched by
+    // clearAll, so constant across this test)
     val before = spark.sparkContext.getPersistentRDDs.size
     // populate three independent families (baskets, shingle index, LM)
     assert(Tables.orderBrandBaskets(spark, sf).count() > 0)

@@ -124,6 +124,10 @@ class TransactionsV2Spec extends AnyFunSuite {
     // and the splitter itself: top-level commas split, braced ones don't
     assert(TransactionsV2.splitTopLevelCommas("/x/{a,b}.txt,/y/c.txt")
       == Seq("/x/{a,b}.txt", "/y/c.txt"))
+    // a backslash-escaped literal brace is NOT an alternation opener —
+    // the comma after it still splits
+    assert(TransactionsV2.splitTopLevelCommas("/x/a\\{1.txt,/y/b.txt")
+      == Seq("/x/a\\{1.txt", "/y/b.txt"))
   }
 
   test("write path: staged-rename commit, append and overwrite round-trip") {
@@ -162,6 +166,9 @@ class TransactionsV2Spec extends AnyFunSuite {
     // the transaction's arity would silently change on round-trip
     val e2 = intercept[Exception] { writeTx(Seq(Seq("a", "a")), "append") }
     assert(e2.getMessage != null)
+    // and empty transactions: a blank line reads back as [""]
+    val e3 = intercept[Exception] { writeTx(Seq(Seq.empty[String]), "append") }
+    assert(e3.getMessage != null)
     // the failed write published nothing and left no staging behind
     assert(itemsOf(spark.read.format("graft-transactions").load(dir.toString))
       == Seq(Seq("x", "y")))
