@@ -113,11 +113,21 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long): Seq[(Long, String, String, Long)] = {
     val spark = docs.sparkSession
-    val words = docs
+    val persisted = docs
       .select(explode(
         filter(split(lower(col(textCol)), " "), w => w =!= "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-gate the dictionary's partition count (the LM-gate
+    // discipline): every merge round schedules a stage over this table,
+    // so a benchmark-scale dictionary spread over the session's full
+    // shuffle parallelism pays ~numMerges x partitions of empty-task
+    // scheduler latency for no work. A measured-small dictionary reads
+    // its cached blocks through 4 tasks (narrow coalesce — no shuffle,
+    // re-planned per round); a corpus-scale one keeps full parallelism.
+    // The count doubles as the materialization action.
+    val words =
+      if (persisted.count() < 100000L) persisted.coalesce(4) else persisted
     try {
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -144,7 +154,7 @@ object Bpe {
         }
       }
       merges.toSeq
-    } finally words.unpersist()
+    } finally persisted.unpersist()
   }
 
   /**
