@@ -442,6 +442,48 @@ object RelQueries {
           .as("us_since_purchase"))
   }
 
+  /**
+   * q44's attribution under a ONE-DAY lookback horizon
+   * ([[graft.operators.AsOf.asOfJoinLookback]]): a purchase more than
+   * 24 hours old does not attribute — the batch twin of the evicting
+   * streaming enrichment, where the same horizon is enforced by state
+   * timeout instead of a post-filter. Ages are exact integer
+   * microsecond differences, so the horizon cut is hash-exact
+   * cross-engine.
+   */
+  def eventAttributionLookback(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000L").as("tsu"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("ptsu"),
+        col("event_id").as("purchase_id"))
+    graft.operators.AsOf.asOfJoinLookback(ev, purchases, Seq("user_id"),
+        col("tsu"), col("ptsu"), Seq("purchase_id", "ptsu"),
+        horizon = 86400000000L, rightTimeField = "ptsu",
+        tieBreak = Seq("purchase_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("matched.purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("tsu") - col("matched.ptsu"), lit(-1L))
+          .as("us_since_purchase"))
+  }
+
+  /** The lookback cut as a CASE over the plain ASOF join: the as-of
+    * match is the latest at-or-before purchase, so an out-of-horizon
+    * match means no in-horizon candidate exists. */
+  val EventAttributionLookbackSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
+      |           FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ptsu, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |       CASE WHEN e.tsu - p.ptsu <= 86400000000
+      |            THEN p.purchase_id ELSE -1 END::BIGINT AS purchase_id,
+      |       CASE WHEN e.tsu - p.ptsu <= 86400000000
+      |            THEN e.tsu - p.ptsu ELSE -1 END::BIGINT AS us_since_purchase
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.tsu >= p.ptsu""".stripMargin
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

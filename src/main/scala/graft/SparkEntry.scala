@@ -96,6 +96,7 @@ object SparkEntry {
     "q79_bpe_merges" -> ((s, d) => PipelineQueries.bpeMerges(s, d)),
     "q80_bpe_encode" -> ((s, d) => PipelineQueries.bpeEncode(s, d)),
     "q81_v2_write_roundtrip" -> ((s, d) => FpmQueries.v2WriteRoundtrip(s, d)),
+    "q82_asof_lookback" -> ((s, d) => RelQueries.eventAttributionLookback(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +246,8 @@ object SparkEntry {
     // + read-back multiset equality computed from the real written files;
     // the oracle pins the round trip true (the q64 write-path pattern)
     "q81_v2_write_roundtrip" -> FpmQueries.V2WriteRoundtripSql,
+    // q82: one-day-lookback attribution — the batch twin of the evicting
+    // stream; integer-microsecond ages make the horizon cut hash-exact
+    "q82_asof_lookback" -> RelQueries.EventAttributionLookbackSql,
   )
 }

@@ -42,6 +42,36 @@ import org.apache.spark.sql.functions._
  */
 object AsOf {
 
+  /**
+   * [[asOfJoin]] with a bounded LOOKBACK horizon — the batch semantics
+   * the evicting attribution stream
+   * ([[graft.streaming.EventStreams.attributionFromEventsEvicting]])
+   * enforces through state timeout: a match older than `horizon` (in
+   * the time columns' own units) does not count and the row emits with
+   * a null `matchedCol`, exactly as if no right row existed. A
+   * post-filter on the plain as-of IS the lookback join: the as-of
+   * match is the LATEST right time at or before the left time, so if it
+   * falls outside the horizon every other candidate is older still —
+   * no per-row range join needed. `rightTimeField` names the right-time
+   * column inside the matched payload (it must be in `rightPayload`)
+   * so the age is computed from the join's own output.
+   */
+  def asOfJoinLookback(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], horizon: Long, rightTimeField: String,
+      matchedCol: String = "matched",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(rightPayload.contains(rightTimeField),
+      s"rightTimeField '$rightTimeField' must be part of rightPayload " +
+        s"(${rightPayload.mkString(", ")}) so the match age is computable")
+    asOfJoin(left, right, keyCols, leftTime, rightTime, rightPayload,
+        matchedCol, tieBreak)
+      .withColumn(matchedCol,
+        when(leftTime - col(s"$matchedCol.$rightTimeField") <= horizon,
+          col(matchedCol)))
+  }
+
   def asOfJoin(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: Column, rightTime: Column,

@@ -72,6 +72,45 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 9L), (1L, 11L, 9L)))
   }
 
+  test("lookback horizon: in-horizon matches keep, older ones null out") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 125L), (1L, 200L), (2L, 50L))
+      .toDF("sym", "tt")
+    val got = AsOf.asOfJoinLookback(left, quotes, Seq("sym"),
+        col("tt"), col("qt"), Seq("qt", "px"),
+        horizon = 50L, rightTimeField = "qt")
+      .select(col("sym"), col("tt"), col("matched.px"))
+      .as[(Long, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 100L, None),        // latest quote qt=30 is 70 old: > horizon
+      (1L, 125L, None),        // 95 old
+      (1L, 200L, None),        // 170 old
+      (2L, 50L, Some(200.0)))) // qt=15, 35 old: within horizon
+    // brute-force differential: equals as-of against a per-row
+    // horizon-filtered right side
+    val rnd = new scala.util.Random(61)
+    val l2 = Seq.tabulate(300)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val r2 = Seq.tabulate(120)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val h = 60L
+    val viaOp = AsOf.asOfJoinLookback(l2, r2, Seq("k"),
+        col("lt"), col("rt"), Seq("rt", "rid"), horizon = h,
+        rightTimeField = "rt", tieBreak = Seq("rid"))
+      .select(col("lid"), col("matched.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    l2.createOrReplaceTempView("lb_l"); r2.createOrReplaceTempView("lb_r")
+    val want = spark.sql(
+      s"""SELECT lid, (SELECT max_by(rid, struct(rt, rid)) FROM lb_r
+         |             WHERE lb_r.k = lb_l.k AND rt <= lt AND lt - rt <= $h)
+         |FROM lb_l""".stripMargin)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaOp == want)
+  }
+
   test("differential vs brute-force argmax join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
