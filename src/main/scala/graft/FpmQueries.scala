@@ -88,6 +88,50 @@ object FpmQueries {
   }
 
   /**
+   * q: item frequencies through the connector's STREAMING read and
+   * MANIFEST commit together — q78's shape with both round-8
+   * capabilities in the executed path: the baskets are written through
+   * `format("graft-transactions")` in `manifestCommit` mode (one
+   * staging-dir rename + one atomic `_manifest` flip — the
+   * O(1)-visibility commit), then streamed back through the connector's
+   * MICRO_BATCH_READ (`readStream`, availableNow, 64 KiB split ranges —
+   * the micro-batch planner must honor the manifest exactly like the
+   * batch scan) into a parquet sink, and the sink reduces to the same
+   * per-item frequency table. Shares q78's oracle: the text round trip
+   * is lossless and the streamed rows must equal the batch rows.
+   * Fixture, sink, and checkpoint are per-invocation and deleted after
+   * the eager item-domain-sized aggregate.
+   */
+  def v2StreamItemFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-stream")
+    try {
+      val fixture = base.resolve("tx")
+      Tables.orderBrandBaskets(spark, dir).select(col("items"))
+        .write.format("graft-transactions")
+        .option("manifestCommit", "true")
+        .mode("overwrite").save(fixture.toString)
+      val sink = base.resolve("sink")
+      val q = spark.readStream.format("graft-transactions")
+        .option("maxSplitBytes", 64L * 1024)
+        .load(fixture.toString)
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      java.nio.file.Files.createDirectories(sink) // empty corpus: zero batches
+      val freq = spark.read
+        .schema("items ARRAY<STRING>").parquet(sink.toString)
+        .select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .collect() // item-domain-sized: bounded metadata, never corpus rows
+      freq.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "cnt")
+    } finally Fs.deleteRecursively(base)
+  }
+
+  /**
    * q: the connector WRITE path's contract row (the q64 write-path
    * pattern): every basket written through
    * `format("graft-transactions")`'s staged-rename commit, read back

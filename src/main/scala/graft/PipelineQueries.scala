@@ -1191,6 +1191,29 @@ object PipelineQueries {
       |FROM t JOIN enc USING (word)
       |GROUP BY doc_id""".stripMargin
 
+  /** q: the SHIPPED-ARTIFACT tokenizer path — train the 20-merge
+    * tokenizer, [[graft.pipeline.Bpe.saveMerges]] it to a parquet
+    * artifact, [[graft.pipeline.Bpe.loadMerges]] it back, and encode the
+    * corpus with the LOADED table ([[graft.pipeline.Bpe.encode]]'s
+    * external-merge-table overload) — so the driver's oracle row checks
+    * the artifact round trip (strings survive parquet exactly), not just
+    * the in-memory merge list. The artifact dir is per-invocation and
+    * deleted once loaded (the q34/q64 temp-dir discipline); at 100 TB
+    * the same artifact is trained once and shipped to every encode job.
+    * Output is identical to q80 by construction, so it shares q80's
+    * oracle. */
+  def bpeEncodeArtifact(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.trainMerges(docs(s, d), "text", numMerges = 20,
+      minPairCount = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-merges")
+    val loaded =
+      try {
+        Bpe.saveMerges(merges, dir.toString)
+        Bpe.loadMerges(s, dir.toString) // eager: dir dies here
+      } finally Fs.deleteRecursively(dir)
+    Bpe.encode(docs(s, d), "doc_id", "text", loaded)
+  }
+
   /** Sliding-window chunking into 64-token windows with stride 48 (16
     * tokens of overlap) — training-sequence prep for long documents;
     * every chunk's full text is hash-checked

@@ -484,6 +484,45 @@ object RelQueries {
       |FROM e ASOF LEFT JOIN p
       |  ON e.user_id = p.user_id AND e.tsu >= p.ptsu""".stripMargin
 
+  /**
+   * q44's attribution computed by an EXECUTED STREAMING QUERY — the
+   * declared row that graduates the streaming family from spec-only to
+   * driver-checked: [[graft.streaming.EventStreams.attributionStream]]
+   * (flatMapGroupsWithState, one LastPurchase row per user) runs under
+   * an `AvailableNow` trigger into a parquet sink, and the returned
+   * frame is the sink read back — so the oracle hash covers rows that
+   * actually flowed through the state store. Reuses q44's
+   * `EventAttributionSql` oracle verbatim (same columns, same
+   * semantics; purchase timestamps are unique per user in this corpus,
+   * so the stream's greatest-id tie rule and ASOF agree). The events
+   * table is a single file, so the one availableNow batch trivially
+   * satisfies the stream's batches-in-event-time-order contract; sink
+   * and checkpoint live under a deterministic per-corpus temp dir,
+   * truncated at the start of each invocation (bounded residue, exact
+   * re-runs).
+   */
+  def eventAttributionStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q84-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val q = graft.streaming.EventStreams.attributionStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: an EMPTY corpus streams zero batches, leaving a
+    // sink directory with no parquet footers to infer from — the read
+    // must still return the (empty) attribution frame, not throw
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "purchase_id BIGINT, us_since_purchase BIGINT")
+      .parquet(out.toString)
+  }
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

@@ -97,6 +97,9 @@ object SparkEntry {
     "q80_bpe_encode" -> ((s, d) => PipelineQueries.bpeEncode(s, d)),
     "q81_v2_write_roundtrip" -> ((s, d) => FpmQueries.v2WriteRoundtrip(s, d)),
     "q82_asof_lookback" -> ((s, d) => RelQueries.eventAttributionLookback(s, d)),
+    "q83_bpe_artifact" -> ((s, d) => PipelineQueries.bpeEncodeArtifact(s, d)),
+    "q84_asof_stream" -> ((s, d) => RelQueries.eventAttributionStreamed(s, d)),
+    "q85_v2_stream_freq" -> ((s, d) => FpmQueries.v2StreamItemFreq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -249,5 +252,18 @@ object SparkEntry {
     // q82: one-day-lookback attribution — the batch twin of the evicting
     // stream; integer-microsecond ages make the horizon cut hash-exact
     "q82_asof_lookback" -> RelQueries.EventAttributionLookbackSql,
+    // q83: the shipped-artifact tokenizer path — same output as q80 by
+    // construction (train -> save -> load -> encode inside the declared
+    // query), so it shares q80's oracle; the row it adds is the artifact
+    // round trip itself
+    "q83_bpe_artifact" -> PipelineQueries.bpeEncodeSql(),
+    // q84: the attribution STREAM executed under availableNow into a
+    // parquet sink and read back — q44's oracle verbatim: the streaming
+    // state machine must reproduce the ASOF join row-for-row
+    "q84_asof_stream" -> RelQueries.EventAttributionSql,
+    // q85: q78's item frequencies with the connector's manifest commit
+    // and MICRO_BATCH_READ in the executed path — same lossless text
+    // round trip, so q78's oracle applies verbatim
+    "q85_v2_stream_freq" -> FpmQueries.V2ItemFreqSql,
   )
 }

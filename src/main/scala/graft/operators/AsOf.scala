@@ -76,7 +76,30 @@ object AsOf {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: Column, rightTime: Column,
       rightPayload: Seq[String], matchedCol: String = "matched",
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil): DataFrame =
+    asOfJoinImpl(left, right, keyCols, leftTime, rightTime, rightPayload,
+      matchedCol, tieBreak, castTimes = true)
+
+  /** [[asOfJoin]] keeping the time columns' NATIVE type and ordering
+    * (both sides must agree on the type): the `as-of <=` becomes the
+    * type's own ordering — lexicographic for strings, exact for
+    * decimals — instead of the epoch-long cast. This is the fallback
+    * route [[graft.plans.AsOfJoinNative.asOfJoin]] takes for time types
+    * outside the ordered-primitive family, where a long cast would be
+    * lossy (decimals) or null (strings). */
+  private[graft] def asOfJoinRawTime(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], matchedCol: String = "matched",
+      tieBreak: Seq[String] = Nil): DataFrame =
+    asOfJoinImpl(left, right, keyCols, leftTime, rightTime, rightPayload,
+      matchedCol, tieBreak, castTimes = false)
+
+  private def asOfJoinImpl(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], matchedCol: String,
+      tieBreak: Seq[String], castTimes: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
     val reserved = Seq("__t", "__side", "__rp", "__lp", "__tie")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
@@ -90,14 +113,16 @@ object AsOf {
     // A null right time never matches (`rt <= t` is null in SQL): drop the
     // row, or NULLS FIRST ordering would make it an "earliest" fallback
     // match for every left row.
+    val rT = if (castTimes) rightTime.cast("long") else rightTime
+    val lT = if (castTimes) leftTime.cast("long") else leftTime
     val rSide = right.where(rightTime.isNotNull).select(
       keyCols.map(col) ++ Seq(
-        rightTime.cast("long").as("__t"), lit(0).as("__side"),
+        rT.as("__t"), lit(0).as("__side"),
         tie.as("__tie"), rp.as("__rp"),
         lit(null).cast(left.schema).as("__lp")): _*)
     val lSide = left.select(
       keyCols.map(col) ++ Seq(
-        leftTime.cast("long").as("__t"), lit(1).as("__side"),
+        lT.as("__t"), lit(1).as("__side"),
         lit(null).cast(rSide.schema("__tie").dataType).as("__tie"),
         lit(null).cast(rpType).as("__rp"),
         struct(left.columns.map(col): _*).as("__lp")): _*)

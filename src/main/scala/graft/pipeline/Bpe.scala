@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,26 +10,42 @@ import org.apache.spark.storage.StorageLevel
  * merge the most frequent adjacent symbol pair across the corpus, starting
  * from characters, for a fixed number of rounds. The output is the merge
  * table — (step, lhs, rhs, pair_cnt) — which IS the trained tokenizer
- * artifact a pipeline ships to its encode jobs.
+ * artifact a pipeline ships to its encode jobs
+ * ([[saveMerges]]/[[loadMerges]], the IVF-index lifecycle of
+ * [[Similarity.saveIvfIndex]]).
  *
- * Scale shape — bounded rounds, broadcast merge table, in-scan
- * re-tokenize:
+ * Scale shape — ONE corpus scan, then vocabulary-sized state:
  *  - ONE corpus-wide scan reduces the corpus to the word-frequency
  *    dictionary (vocabulary-sized — the classic BPE trainer input),
  *    persisted once; every merge round iterates over THAT, never the
- *    corpus.
- *  - Each round broadcasts the merge list trained so far and
- *    re-symbolizes every word IN-SCAN (apply all merges in order to the
- *    character split), then runs one partial-aggregated pair count plus
- *    a `TakeOrderedAndProject`-shaped top-1 (count desc, then
- *    lexicographic (lhs, rhs) — a TOTAL order, so the argmax is
- *    deterministic on any engine). Re-deriving from the ONE cached
- *    dictionary keeps every round's plan flat — no chained per-round
- *    caches whose nested lineage (and nested AQE plans) grow with the
- *    round count — at the cost of re-applying ≤`numMerges` merges per
- *    word per round, trivial against the aggregation itself.
- *  - Only the merge table — `numMerges` rows — ever reaches the driver,
- *    and the broadcast payload is bounded by the same table.
+ *    corpus. Corpus scale-up changes the scan, not the rounds.
+ *  - A measured-small dictionary (the overwhelmingly common case — the
+ *    gate matches the LM/partition gates at 100k words) collects to the
+ *    driver and trains IN MEMORY with delta-maintained pair counts: each
+ *    round re-symbolizes ONLY the words containing the merged pair (the
+ *    classic trainer), so per-round cost is flat in the round index and
+ *    a 32k–100k-merge tokenizer is minutes, not days. Only the
+ *    dictionary — bounded metadata, the same class as the q55 vocab
+ *    collect — ever reaches the driver.
+ *  - A corpus-scale dictionary (≥100k distinct words) stays distributed:
+ *    each round broadcasts the merge list trained so far, re-symbolizes
+ *    every word IN-SCAN (apply all merges in order to the character
+ *    split), then runs one partial-aggregated pair count plus a
+ *    `TakeOrderedAndProject`-shaped top-1. Re-deriving from the ONE
+ *    cached dictionary keeps every round's plan flat — no chained
+ *    per-round caches whose nested lineage grows with the round count —
+ *    at the cost of re-applying ≤`numMerges` merges per word per round:
+ *    O(M²) symbol work in the merge count M, the documented ceiling of
+ *    this path (SCALE.md); it is the large-dictionary fallback, not the
+ *    common case.
+ *  - Only the merge table — `numMerges` rows — ever reaches the driver
+ *    from the distributed path, and the broadcast payload is bounded by
+ *    the same table.
+ *
+ * Both paths take the same total-ordered argmax each round (count desc,
+ * then lexicographic (lhs, rhs)) and are differential-tested equal
+ * (BpeSpec); the in-memory path is the same sequential procedure with
+ * the per-round recount replaced by exact delta maintenance.
  *
  * The merge application is the standard greedy left-to-right scan: each
  * (lhs, rhs) adjacency becomes one merged symbol, consumed pairs don't
@@ -40,6 +56,12 @@ import org.apache.spark.storage.StorageLevel
  * algebra and must pick identical merges.
  */
 object Bpe {
+
+  /** Dictionaries below this many distinct words train in memory with
+    * delta-maintained pair counts; at or above it the distributed
+    * re-derive-all path runs (same gate constant as the partition and
+    * LM size gates). */
+  private[pipeline] val InMemoryDictGate = 100000L
 
   private[pipeline] def mergePair(
       syms: Seq[String], a: String, b: String): Seq[String] = {
@@ -93,8 +115,34 @@ object Bpe {
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
 
-  /** Drop every cached merge table (driver-side rows only — no storage). */
-  def clearCaches(): Unit = mergeCache.clear()
+  // Encode-side broadcasts stay referenced by the (lazy) result
+  // DataFrame until it executes, so they cannot be destroyed eagerly;
+  // they are tracked here and swept by [[clearCaches]] — unpersist (not
+  // destroy) releases the executor copies while keeping the driver-side
+  // value usable, preserving the Caches contract that a sweep is always
+  // safe for in-flight plans (tasks re-fetch from the driver on next
+  // use). Training-round broadcasts don't need tracking: their value is
+  // fully consumed by the round's collect and destroyed in-round.
+  private val liveBroadcasts = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def trackedBroadcast[T: scala.reflect.ClassTag](
+      spark: SparkSession, value: T): org.apache.spark.broadcast.Broadcast[T] = {
+    val bc = spark.sparkContext.broadcast(value)
+    liveBroadcasts.add(bc)
+    bc
+  }
+
+  /** Drop every cached merge table (driver-side rows only — no storage)
+    * and release executor blocks of encode-side merge broadcasts. */
+  def clearCaches(): Unit = {
+    mergeCache.clear()
+    var bc = liveBroadcasts.poll()
+    while (bc != null) {
+      try bc.unpersist() catch { case _: Throwable => }
+      bc = liveBroadcasts.poll()
+    }
+  }
 
   private[pipeline] def trainedMerges(
       docs: DataFrame, textCol: String, numMerges: Int,
@@ -112,49 +160,143 @@ object Bpe {
   private def runTraining(
       docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long): Seq[(Long, String, String, Long)] = {
-    val spark = docs.sparkSession
     val persisted = docs
       .select(explode(
         filter(split(lower(col(textCol)), " "), w => w =!= "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Size-gate the dictionary's partition count (the LM-gate
-    // discipline): every merge round schedules a stage over this table,
-    // so a benchmark-scale dictionary spread over the session's full
-    // shuffle parallelism pays ~numMerges x partitions of empty-task
-    // scheduler latency for no work. A measured-small dictionary reads
-    // its cached blocks through 4 tasks (narrow coalesce — no shuffle,
-    // re-planned per round); a corpus-scale one keeps full parallelism.
-    // The count doubles as the materialization action.
-    val words =
-      if (persisted.count() < 100000L) persisted.coalesce(4) else persisted
+    // The count doubles as the materialization action and drives the
+    // dictionary size gate.
+    val n = persisted.count()
     try {
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      var step = 1
-      var done = false
-      while (step <= numMerges && !done) {
-        val bc = spark.sparkContext.broadcast(
-          merges.map(m => (m._2, m._3)).toSeq)
-        val resym = udf((w: String) => applyMerges(w, bc.value))
-        val top = words
-          .select(explode(
-            Signals.sliceNgrams(resym(col("word")), 2)).as("p"), col("cnt"))
-          .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
-          .agg(sum(col("cnt")).as("c"))
-          .where(col("c") >= minPairCount)
-          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1)
-          .collect()
-        if (top.isEmpty) done = true
-        else {
-          merges += ((step.toLong,
-            top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
-          step += 1
+      if (n < InMemoryDictGate) {
+        // Vocabulary-sized dictionary: the classic in-memory trainer.
+        // The collect is bounded by the gate (≤100k (word, cnt) rows —
+        // a few MB); per-round cost is proportional to the words
+        // CONTAINING the merged pair, not the dictionary, so merge
+        // count scales linearly (measured flat per round — SCALE.md).
+        val dict = persisted.collect().map(r => (r.getString(0), r.getLong(1)))
+        trainInMemory(dict, numMerges, minPairCount)
+      } else {
+        // Corpus-scale dictionary: distributed re-derive-all rounds
+        // (flat lineage — a per-round persist chain OOMs the driver).
+        trainDistributed(persisted, numMerges, minPairCount)
+      }
+    } finally persisted.unpersist()
+  }
+
+  /** The classic incremental BPE trainer: symbolizations and pair counts
+    * held in memory, each merge updating ONLY the words that contain the
+    * merged pair (tracked by an inverted pair→words index), with exact
+    * delta maintenance of the pair counts. Produces the identical merge
+    * sequence to [[trainDistributed]] — same argmax total order (count
+    * desc, then lexicographic pair), same greedy merge procedure —
+    * differential-tested in BpeSpec. */
+  private[pipeline] def trainInMemory(
+      dict: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = dict.map { case (w, _) => charSymbols(w).toArray }
+    val cnts = dict.map(_._2)
+    // pair -> total adjacent-occurrence count (each adjacency counts,
+    // so "aaa" contributes 2x its word count to (a,a) — the same
+    // semantics as the distributed sliceNgrams sum).
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    // pair -> indices of words with at least one adjacency of that pair
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi); val c = cnts(wi) * sign
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val nc = pairCounts.getOrElse(p, 0L) + c
+        if (nc == 0L) pairCounts.remove(p) else pairCounts.update(p, nc)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+      if (sign < 0) {
+        // drop stale inverted-index entries for pairs no longer present
+        i = 0
+        val present = mutable.Set.empty[(String, String)]
+        while (i + 1 < s.length) { present += ((s(i), s(i + 1))); i += 1 }
+        present.foreach { p =>
+          // re-added below if the new symbolization still contains p
+          pairWords.get(p).foreach { set => set -= wi; if (set.isEmpty) pairWords.remove(p) }
         }
       }
-      merges.toSeq
-    } finally persisted.unpersist()
+    }
+    var wi = 0
+    while (wi < syms.length) { addWord(wi, 1L); wi += 1 }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      // deterministic argmax over the live pair counts: count desc,
+      // then lexicographic (lhs, rhs) — the same TOTAL order as the
+      // distributed orderBy, independent of hash-map iteration order
+      var best: ((String, String), Long) = null
+      pairCounts.foreach { case e @ (p, c) =>
+        if (c >= minPairCount &&
+            (best == null || c > best._2 ||
+             (c == best._2 && (p._1 < best._1._1 ||
+               (p._1 == best._1._1 && p._2 < best._1._2))))) best = e
+      }
+      if (best == null) done = true
+      else {
+        val ((a, b), c) = best
+        merges += ((step.toLong, a, b, c))
+        // re-symbolize ONLY the words containing (a, b) — the delta
+        val touched = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+        java.util.Arrays.sort(touched)
+        touched.foreach { w =>
+          addWord(w, -1L)
+          syms(w) = mergePair(syms(w).toSeq, a, b).toArray
+          addWord(w, 1L)
+        }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed training rounds over a (word, cnt) dictionary DataFrame
+    * — the large-dictionary path: each round re-symbolizes every word
+    * in-scan under the merges so far (broadcast, destroyed once the
+    * round's top-1 is collected) and recounts all pairs. O(M²) total
+    * symbol work in the merge count M — see SCALE.md for the ceiling. */
+  private[graft] def trainDistributed(
+      words: DataFrame, numMerges: Int,
+      minPairCount: Long): Seq[(Long, String, String, Long)] = {
+    val spark = words.sparkSession
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val bc = spark.sparkContext.broadcast(
+        merges.map(m => (m._2, m._3)).toSeq)
+      val resym = udf((w: String) => applyMerges(w, bc.value))
+      val top =
+        try {
+          words
+            .select(explode(
+              Signals.sliceNgrams(resym(col("word")), 2)).as("p"), col("cnt"))
+            .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+            .agg(sum(col("cnt")).as("c"))
+            .where(col("c") >= minPairCount)
+            .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+            .limit(1)
+            .collect()
+        } finally bc.destroy() // round's value fully consumed by the collect
+      if (top.isEmpty) done = true
+      else {
+        merges += ((step.toLong,
+          top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+        step += 1
+      }
+    }
+    merges.toSeq
   }
 
   /**
@@ -172,29 +314,82 @@ object Bpe {
       .toDF("step", "lhs", "rhs", "pair_cnt")
   }
 
+  /** Persist a trained merge table as parquet — the tokenizer artifact a
+    * production deployment trains once and ships to every encode job
+    * (the [[Similarity.saveIvfIndex]] lifecycle). One file: the table is
+    * `numMerges` rows of bounded strings. */
+  def saveMerges(mergeTable: DataFrame, path: String): Unit =
+    mergeTable
+      .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"),
+        col("pair_cnt").cast("long").as("pair_cnt"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveMerges]] artifact back into encode-ready form. EAGER —
+    * the rows (bounded: the merge count) are collected immediately, so
+    * the artifact directory may be deleted once this returns (the
+    * [[Similarity.loadIvfIndex]] contract). */
+  def loadMerges(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("step").cast("long"), col("lhs"), col("rhs"),
+        col("pair_cnt").cast("long"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      .toDF("step", "lhs", "rhs", "pair_cnt")
+  }
+
   /**
-   * Encode every document under the trained merge table — the inference
-   * half of the tokenizer: each word re-symbolized by applying the
-   * merges in training order (chars first, then each greedy pass), per
-   * word joined with `|`, per document joined with spaces in word
-   * order. Returns `(idCol, n_words, n_tokens, encoded)`; `n_tokens`
-   * counts emitted symbols. Documents with zero words produce no row
-   * (nothing to encode).
+   * Encode every document under an EXTERNAL trained merge table — the
+   * shipped-artifact path: train on corpus A ([[trainMerges]]),
+   * [[saveMerges]]/[[loadMerges]] through storage, encode corpus B. The
+   * merge table (step, lhs, rhs[, ...]) is collected up front (bounded:
+   * the merge count) and applied in step order.
    *
-   * Scale shape: the merge table (numMerges pairs — bounded) broadcasts
-   * and every word encodes IN-SCAN; one aggregation by doc id
-   * reassembles word order (collect + sort of that doc's own tokens —
-   * the q55 token-id shape). Training cost is shared with the trainer
-   * through the keyed merge cache: train once, encode any number of
-   * corpora/batches.
+   * Each word is re-symbolized by applying the merges in training order
+   * (chars first, then each greedy pass), per word joined with `|`, per
+   * document joined with spaces in word order. Returns
+   * `(idCol, n_words, n_tokens, encoded)`; `n_tokens` counts emitted
+   * symbols. Documents with zero words produce no row (nothing to
+   * encode).
+   *
+   * CONTRACT: `|` is the intra-word symbol separator and must not occur
+   * in corpus words — a word containing a literal `|` would inflate
+   * `n_tokens` (counted by splitting the joined string) and make
+   * `encoded` ambiguous. This mirrors the oracle's `;` assumption; feed
+   * pre-tokenized text that excludes both.
+   *
+   * Scale shape: the merge table broadcasts and every word encodes
+   * IN-SCAN; one aggregation by doc id reassembles word order (collect +
+   * sort of that doc's own tokens — the q55 token-id shape).
+   */
+  def encode(
+      docs: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.select(col("step").cast("long"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    encodeWithMerges(docs, idCol, textCol, merges)
+  }
+
+  /**
+   * Encode every document under a tokenizer trained ON THIS CORPUS with
+   * the given parameters — the self-train convenience overload; training
+   * cost is shared with [[trainMerges]] through the keyed merge cache
+   * (train once, encode any number of batches). See the merge-table
+   * overload for the output schema and the `|` separator contract.
    */
   def encode(
       docs: DataFrame, idCol: String, textCol: String, numMerges: Int,
       minPairCount: Long = 2L): DataFrame = {
-    val spark = docs.sparkSession
     val merges = trainedMerges(docs, textCol, numMerges, minPairCount)
       .map(m => (m._2, m._3))
-    val bc = spark.sparkContext.broadcast(merges)
+    encodeWithMerges(docs, idCol, textCol, merges)
+  }
+
+  private def encodeWithMerges(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = trackedBroadcast(spark, merges)
     val tokUdf = udf((w: String) => applyMerges(w, bc.value).mkString("|"))
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     docs

@@ -200,16 +200,20 @@ object Signals {
    * instead of rebuilding the model per query.
    */
   def bigramModel(
-      docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+      docs: DataFrame, textCol: String, minCount: Long = 5L): DataFrame =
+    cachedLm(docs, textCol, minCount).df
+
+  private def cachedLm(
+      docs: DataFrame, textCol: String, minCount: Long): CachedLm = {
     val sc = docs.sparkSession.sparkContext
     val key = s"${sc.applicationId}@${sc.startTime}|" +
       s"${docs.queryExecution.analyzed.semanticHash()}|$textCol|$minCount"
     val cached = lmCache.get(key)
     if (cached != null) return cached
-    val built = buildBigramModel(docs, textCol, minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val built = new CachedLm(buildBigramModel(docs, textCol, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val prev = lmCache.putIfAbsent(key, built)
-    if (prev != null) { built.unpersist(); prev } else built
+    if (prev != null) { built.df.unpersist(); prev } else built
   }
 
   /** The uncached LM build plan (plan-spec'd directly: one scan, one
@@ -237,13 +241,19 @@ object Signals {
   // the shingle-index/winnow-sketch discipline (see Dedup.indexCache):
   // q53 (the declared LM table) and q66 (per-doc scoring) share one
   // corpus scan, and repeated lmScore calls never rebuild the model.
+  // The row count memoizes lazily beside the frame: the LM is immutable
+  // once cached, so the broadcast size gate pays one cached-scan count
+  // on FIRST use and is free on every later scoring call.
+  private final class CachedLm(val df: DataFrame) {
+    lazy val rows: Long = df.count()
+  }
   private val lmCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedLm]()
 
   /** Unpersist and drop every cached bigram LM (mirrors Dedup's). */
   def clearCaches(): Unit = {
-    lmCache.values.forEach { df =>
-      try df.unpersist() catch { case _: Throwable => }
+    lmCache.values.forEach { c =>
+      try c.df.unpersist() catch { case _: Throwable => }
     }
     lmCache.clear()
   }
@@ -279,16 +289,20 @@ object Signals {
    * `broadcastMaxRows` defaults to 1M pairs — ~40 MB of (w1, w2, cond_p)
    * strings+double in a broadcast hash table, the same order as a
    * generously-raised `autoBroadcastJoinThreshold`, far below executor
-   * memory. The count() that feeds the gate reads the persisted LM (it
-   * doubles as the materialization action), so the gate costs one cached
-   * scan, not a model rebuild.
+   * memory. The count that feeds the gate is memoized beside the cached
+   * LM: the first scoring call pays one cached-LM scan (doubling as the
+   * materialization action), later calls read the remembered count —
+   * never a model rebuild, and after the first call not even a scan.
    */
   def lmScore(
       docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, broadcastMaxRows: Long = 1L << 20): DataFrame = {
-    val model = bigramModel(docs, textCol, minCount)
-      .select(col("w1"), col("w2"), col("cond_p"))
-    val lmRows = model.count()
+    val cached = cachedLm(docs, textCol, minCount)
+    val model = cached.df.select(col("w1"), col("w2"), col("cond_p"))
+    // memoized beside the cache entry: the first scoring call pays one
+    // cached-LM scan (doubling as the materialization action), every
+    // later call reads the remembered count — the gate itself is free
+    val lmRows = cached.rows
     val lm = if (lmRows <= broadcastMaxRows) broadcast(model) else model
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     // explode_outer: a doc with < 2 tokens yields one null-bigram row, so

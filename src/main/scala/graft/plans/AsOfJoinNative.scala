@@ -254,20 +254,30 @@ case class AsOfJoinExec(
 /** Column-level API over the native operator. */
 object AsOfJoinNative {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val OrderedPrimitives: Set[DataType] = Set(
     LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
 
   /**
-   * Native as-of join: every left row + the right row with the greatest
+   * As-of join: every left row + the right row with the greatest
    * `rightTime <= leftTime` within `leftKey == rightKey` (ties on time
    * resolved toward the greatest `rightTie`). With `inner = false` (the
    * default) unmatched left rows emit with a null right side; with
-   * `inner = true` they are dropped. All five named columns must be from
-   * the ordered-primitive family — long, int, timestamp, timestamp_ntz,
-   * or date — and the two key columns (and the two time columns) must
-   * agree on their type across sides, so the primitive comparison is
-   * like-for-like. Right columns are returned as-is — alias before
-   * joining if names collide with the left side.
+   * `inner = true` they are dropped. Right columns are returned as-is —
+   * alias before joining if names collide with the left side.
+   *
+   * ROUTING: when all five named columns are from the ordered-primitive
+   * family — long, int, timestamp, timestamp_ntz, or date — the custom
+   * one-pass merge exec runs (primitive comparisons, O(1) carried
+   * state). Any other type (strings, decimals, ...) AUTO-FALLS-BACK to
+   * the composed merge-window plan ([[graft.operators.AsOf.asOfJoin]])
+   * with identical semantics under the columns' NATIVE ordering
+   * (lexicographic for strings, exact for decimals) and the same
+   * one-exchange-per-side shape — logged, never an error and never a
+   * silent cross-product. Either way the two key columns (and the two
+   * time columns) must agree on their type across sides, so the
+   * comparison is like-for-like.
    */
   def asOfJoin(
       leftDf: DataFrame, rightDf: DataFrame,
@@ -290,22 +300,72 @@ object AsOfJoinNative {
       val a = plan.output.find(_.name == name)
       require(a.isDefined,
         s"$side column '$name' not found in ${df.columns.mkString(",")}")
-      require(OrderedPrimitives(a.get.dataType),
-        s"$side column '$name' must be long/int/timestamp/timestamp_ntz/date, " +
-          s"got ${a.get.dataType}")
       a.get
     }
     val lKey = attr(leftDf, leftKey, "left")
     val lTime = attr(leftDf, leftTime, "left")
     val rKey = attr(rightDf, rightKey, "right")
     val rTime = attr(rightDf, rightTime, "right")
+    val rTie = attr(rightDf, rightTie, "right")
     require(lKey.dataType == rKey.dataType,
       s"key types differ across sides: ${lKey.dataType} vs ${rKey.dataType}")
     require(lTime.dataType == rTime.dataType,
       s"time types differ across sides: ${lTime.dataType} vs ${rTime.dataType}")
+    val nonPrimitive = Seq(
+      ("left", leftKey, lKey), ("left", leftTime, lTime),
+      ("right", rightKey, rKey), ("right", rightTime, rTime),
+      ("right", rightTie, rTie))
+      .filterNot { case (_, _, a) => OrderedPrimitives(a.dataType) }
+    if (nonPrimitive.nonEmpty) {
+      log.info(
+        "as-of columns outside the ordered-primitive family ({}) — falling " +
+          "back to the composed merge-window plan (same semantics, native " +
+          "type ordering)",
+        nonPrimitive.map { case (s, n, a) => s"$s.$n: ${a.dataType}" }
+          .mkString(", "))
+      return composedFallback(leftDf, rightDf, leftKey, rightKey,
+        leftTime, rightTime, rightTie, inner)
+    }
     val plan = AsOfJoinPlan(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
-      lKey, lTime, rKey, rTime, attr(rightDf, rightTie, "right"), inner)
+      lKey, lTime, rKey, rTime, rTie, inner)
     GraftShims.ofRows(spark, plan)
+  }
+
+  /** The composed route for types the native exec can't compare as
+    * primitives: [[graft.operators.AsOf.asOfJoinRawTime]] (the merge
+    * window under the time columns' own ordering) reshaped to this API's
+    * flat left-columns ++ right-columns output. Same exchange count as
+    * the native plan (one per side); the window state machine replaces
+    * the one-pass merge — the perf cliff is gone, only the constant
+    * factor differs. */
+  private def composedFallback(
+      leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String,
+      inner: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rightCols = rightDf.columns.toSeq
+    require(leftDf.columns.intersect(rightCols).isEmpty,
+      "the composed as-of fallback flattens the right payload by NAME — " +
+        s"alias colliding columns first " +
+        s"(${leftDf.columns.intersect(rightCols).mkString(", ")})")
+    // unify the key under one reserved name so the single-window merge
+    // keys both sides identically even when the API names differ; a
+    // right row with a null key never matches (native semantics), and a
+    // null LEFT key simply forms a right-free partition -> null match
+    val k = "__asof_k"
+    require(!(leftDf.columns ++ rightCols).contains(k),
+      s"input uses the reserved column name $k")
+    val lTmp = leftDf.withColumn(k, col(leftKey))
+    val rTmp = rightDf.where(col(rightKey).isNotNull).withColumn(k, col(rightKey))
+    val m = "__asof_m"
+    val joined = graft.operators.AsOf.asOfJoinRawTime(
+      lTmp, rTmp, Seq(k), col(leftTime), col(rightTime),
+      rightPayload = rightCols, matchedCol = m, tieBreak = Seq(rightTie))
+    val base = if (inner) joined.where(col(m).isNotNull) else joined
+    base.select(
+      leftDf.columns.toSeq.map(col) ++
+        rightCols.map(c => col(s"$m.$c").as(c)): _*)
   }
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -102,24 +103,30 @@ object TransactionsV2 {
     multi ++ single
   }
 
-  /** Split on commas at brace depth 0 only (Hadoop `{a,b}` alternation
-    * globs keep their commas); a backslash-ESCAPED brace — Hadoop's
-    * syntax for a literal brace in a file name — is not an alternation
-    * and must not swallow later commas. Unbalanced braces never split —
-    * the glob engine, not the splitter, owns rejecting malformed
-    * patterns. */
+  /** Split on commas outside glob constructs only: Hadoop `{a,b}`
+    * alternations AND `[a,b]` character classes keep their commas (a
+    * comma in a character class is a literal member, and splitting
+    * there would break the path into two broken halves); a
+    * backslash-ESCAPED brace/bracket — Hadoop's syntax for a literal
+    * one in a file name — is not a construct and must not swallow later
+    * commas. Unbalanced openers never split — the glob engine, not the
+    * splitter, owns rejecting malformed patterns. */
   private[sources] def splitTopLevelCommas(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var depth = 0
+    var braces = 0
+    var brackets = 0
     var escaped = false
     s.foreach { c =>
       if (escaped) { cur += c; escaped = false }
       else c match {
         case '\\' => cur += '\\'; escaped = true
-        case '{' => depth += 1; cur += '{'
-        case '}' => depth = math.max(0, depth - 1); cur += '}'
-        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case '{' => braces += 1; cur += '{'
+        case '}' => braces = math.max(0, braces - 1); cur += '}'
+        case '[' => brackets += 1; cur += '['
+        case ']' => brackets = math.max(0, brackets - 1); cur += ']'
+        case ',' if braces == 0 && brackets == 0 =>
+          out += cur.result(); cur.clear()
         case other => cur += other
       }
     }
@@ -140,6 +147,79 @@ object TransactionsV2 {
     m.foreach { case (k, v) => c.set(k, v) }
     c
   }
+
+  /** The name of the commit manifest a [[TransactionsBatchWrite]] in
+    * manifest mode maintains at the target directory's root. */
+  private[sources] val ManifestName = "_manifest"
+
+  /** Resolve the configured paths to concrete data files. Each path may
+    * be a literal, a glob, or a directory; directory EXPANSION honors
+    * the manifest protocol — a directory carrying `_manifest` reads
+    * EXACTLY the files the manifest lists (relative paths, committed
+    * atomically by the manifest-mode writer), so unmanifested residue
+    * from a mid-commit crash is invisible — and otherwise skips
+    * '_'/'.'-prefixed names (markers, staging, hidden), Spark's
+    * file-index convention. A path the user named explicitly (literal
+    * or glob match) is read as-is — load("/logs/_part0") must not
+    * silently return nothing. */
+  private[sources] def discoverFiles(
+      paths: Seq[String], conf: Configuration): Seq[FileStatus] =
+    paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      // globStatus handles literal paths too (a non-glob matches
+      // itself) — fromText accepts globs, so this source must as well
+      val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+      require(matched.nonEmpty, s"graft-transactions: no files match $path")
+      def isData(f: FileStatus): Boolean = {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      matched.toSeq.flatMap { m =>
+        if (m.isDirectory) {
+          val manifest = new Path(m.getPath, ManifestName)
+          if (fs.exists(manifest)) {
+            readManifest(fs, manifest)
+              .map(rel => fs.getFileStatus(new Path(m.getPath, rel)))
+          } else {
+            fs.listStatus(m.getPath).toSeq.filter(s => s.isFile && isData(s))
+          }
+        } else Seq(m)
+      }
+    }
+
+  /** One relative data-file path per line, UTF-8; blank lines ignored. */
+  private[sources] def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem, manifest: Path): Seq[String] = {
+    val in = fs.open(manifest)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Byte-range split planning shared by the batch scan and the
+    * micro-batch stream: uncompressed files shatter into
+    * `maxSplitBytes` ranges, codec files (offsets index the compressed
+    * stream) stay whole-file. */
+  private[sources] def planRanges(
+      files: Seq[FileStatus], conf: Configuration,
+      maxSplitBytes: Long): Array[InputPartition] = {
+    val codecs = new CompressionCodecFactory(conf)
+    files.flatMap { f =>
+      val len = f.getLen
+      if (codecs.getCodec(f.getPath) != null) {
+        Seq(TransactionRange(f.getPath.toString, 0L, Long.MaxValue))
+      } else {
+        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+        (0L until n).map { i =>
+          TransactionRange(f.getPath.toString, i * maxSplitBytes,
+            math.min((i + 1) * maxSplitBytes, len))
+        }
+      }
+    }.toArray
+  }
 }
 
 class TransactionsTable(
@@ -151,6 +231,7 @@ class TransactionsTable(
   override def schema(): StructType = TransactionsV2.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
@@ -164,7 +245,8 @@ class TransactionsTable(
           .elementType == StringType,
       s"graft-transactions writes a single array<string> column, " +
         s"got ${info.schema().simpleString}")
-    new TransactionsWriteBuilder(paths.head, confMap)
+    val manifest = info.options.getBoolean("manifestcommit", false)
+    new TransactionsWriteBuilder(paths.head, confMap, manifest)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -175,44 +257,12 @@ class TransactionsTable(
 
       override def planInputPartitions(): Array[InputPartition] = {
         val conf = TransactionsV2.mapToConf(confMap)
-        val codecs = new CompressionCodecFactory(conf)
-        val files: Seq[FileStatus] = paths.flatMap { path =>
-          val p = new Path(path)
-          val fs = p.getFileSystem(conf)
-          // globStatus handles literal paths too (a non-glob matches
-          // itself) — fromText accepts globs, so this source must as well
-          val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
-          require(matched.nonEmpty, s"graft-transactions: no files match $path")
-          // Spark's file-index convention: '_'/'.'-prefixed names (markers,
-          // staging, hidden) are skipped when EXPANDING a directory, but a
-          // path the user named explicitly (literal or glob match) is read
-          // as-is — load("/logs/_part0") must not silently return nothing.
-          def isData(f: FileStatus): Boolean = {
-            val n = f.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          matched.toSeq.flatMap { m =>
-            if (m.isDirectory) {
-              fs.listStatus(m.getPath).toSeq.filter(s => s.isFile && isData(s))
-            } else Seq(m)
-          }
-        }
-        files.flatMap { f =>
-          val len = f.getLen
-          if (codecs.getCodec(f.getPath) != null) {
-            // Compressed: byte offsets index the COMPRESSED stream, so
-            // mid-file ranges are meaningless — one whole-file range,
-            // decompressed by the reader. Long.MaxValue end: "read to
-            // EOF" (decompressed positions never compare past it).
-            Seq(TransactionRange(f.getPath.toString, 0L, Long.MaxValue))
-          } else {
-            val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
-            (0L until n).map { i =>
-              TransactionRange(f.getPath.toString, i * maxSplitBytes,
-                math.min((i + 1) * maxSplitBytes, len))
-            }
-          }
-        }.toArray
+        // Compressed: byte offsets index the COMPRESSED stream, so
+        // mid-file ranges are meaningless — one whole-file range,
+        // decompressed by the reader (Long.MaxValue end = "read to EOF");
+        // manifest directories read exactly their committed file list.
+        TransactionsV2.planRanges(
+          TransactionsV2.discoverFiles(paths, conf), conf, maxSplitBytes)
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -220,7 +270,73 @@ class TransactionsTable(
         // (a 1 TB file is ~8000 ranges; per-range maps would multiply the
         // driver-side payload by the split count)
         new TransactionReaderFactory(confMap)
+
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new TransactionsMicroBatchStream(paths, maxSplitBytes, confMap)
     }
+}
+
+/**
+ * Streaming read over the same split planner — the third execution mode
+ * of the reference's S1 source (composed batch, connector batch, now
+ * micro-batch): each `latestOffset` call snapshots the CURRENT file
+ * discovery (globs, directories, manifests — identical resolution to
+ * the batch scan), and a micro-batch plans the byte ranges of exactly
+ * the files that are in the end snapshot but not the start. The offset
+ * IS the sorted discovered-file list (the FileStreamSource seen-file
+ * log carried in the offset instead of a sidecar), so restarts and
+ * AvailableNow runs re-plan deterministically from the checkpoint
+ * without re-reading anything already committed.
+ *
+ * Contract (the standard file-source one): files are immutable once
+ * visible, and new data arrives as NEW files — an appended-to file's
+ * extra bytes are not picked up (its name is already in the offset).
+ * Offset size is O(files seen), the same driver-side bound the batch
+ * planner's file list already carries.
+ */
+class TransactionsMicroBatchStream(
+    paths: Seq[String], maxSplitBytes: Long, confMap: Map[String, String])
+  extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json(): String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.writeValueAsString(files.toArray)
+    }
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    val conf = TransactionsV2.mapToConf(confMap)
+    FilesOffset(TransactionsV2.discoverFiles(paths, conf)
+      .map(_.getPath.toString).sorted)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    FilesOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files.toSet
+    val fresh = end.asInstanceOf[FilesOffset].files.filterNot(seen)
+    val conf = TransactionsV2.mapToConf(confMap)
+    val statuses = fresh.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).getFileStatus(p)
+    }
+    TransactionsV2.planRanges(statuses, conf, maxSplitBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TransactionReaderFactory(confMap)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One byte range of one file (whole file, end = Long.MaxValue, when the
@@ -254,7 +370,8 @@ class TransactionReaderFactory(conf: Map[String, String])
  * an empty line, which reads back as `[""]` — the format itself cannot
  * represent an empty transaction (same as the composed text path).
  */
-class TransactionsWriteBuilder(path: String, confMap: Map[String, String])
+class TransactionsWriteBuilder(
+    path: String, confMap: Map[String, String], manifest: Boolean)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -264,12 +381,13 @@ class TransactionsWriteBuilder(path: String, confMap: Map[String, String])
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new TransactionsBatchWrite(path, confMap, doTruncate)
+        new TransactionsBatchWrite(path, confMap, doTruncate, manifest)
     }
 }
 
 class TransactionsBatchWrite(
-    path: String, confMap: Map[String, String], truncate: Boolean)
+    path: String, confMap: Map[String, String], truncate: Boolean,
+    manifest: Boolean)
   extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -286,12 +404,27 @@ class TransactionsBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory =
     new TransactionsWriterFactory(path, stagingName, writeId, confMap)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (manifest) commitManifest(messages) else commitV1(messages)
+
+  /** The v1-committer commit: one rename per staged file into the
+    * target root, truncate after. O(files) driver-side renames — fine
+    * where rename is a metadata move, the documented trade where it's a
+    * copy; [[commitManifest]] is the O(1)-visibility alternative. */
+  private def commitV1(messages: Array[WriterCommitMessage]): Unit = {
     val conf = TransactionsV2.mapToConf(confMap)
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
+    // Overwrite marker: publish-then-truncate means a mid-commit crash
+    // leaves the union of old and new datasets readable — correct files,
+    // wrong dataset. The marker makes that residue DETECTABLE: its
+    // presence on recovery says "an overwrite died here", distinguishing
+    // the union from a completed append; it is deleted only after the
+    // truncation finishes.
+    val committing = new Path(target, s"_committing-$writeId")
     try {
+      if (truncate && fs.exists(target)) fs.create(committing, true).close()
       // Publish FIRST, truncate after: deleting the old data before the
       // renames would leave a window where a rename failure destroys the
       // old dataset while the finally wipes the staged replacement —
@@ -311,6 +444,88 @@ class TransactionsBatchWrite(
               !published(n))
             fs.delete(f.getPath, false)
         }
+        fs.delete(committing, false)
+      }
+    } finally fs.delete(staging, true)
+  }
+
+  /**
+   * Manifest commit (`option("manifestCommit", true)`) — O(1) visible
+   * -or-not on stores where rename is a copy: the staged directory is
+   * renamed ONCE into a permanent '_'-prefixed data directory
+   * (`_data-<writeId>` — invisible to directory expansion by the
+   * '_'-prefix convention), and visibility flips with ONE atomic
+   * rename of the rewritten `_manifest` (written to a temp name first;
+   * `FileContext.rename(OVERWRITE)` is the same primitive Spark's own
+   * checkpoint managers rely on). Readers of a manifest directory read
+   * EXACTLY the listed files, so a crash anywhere before the manifest
+   * flip leaves the OLD dataset perfectly readable and the new files
+   * invisible — no union-visibility window, no detectable-residue
+   * problem (the failed write's `_data-*`/staging dirs are unreferenced
+   * garbage, swept by the next successful commit's best-effort pass).
+   *
+   * Append mode carries the prior dataset forward: the new manifest =
+   * old manifest entries (or, upgrading a v1 directory, its root data
+   * files) + this write's files. Truncate lists only this write's.
+   * Commit cost: 2 renames + one (bounded, file-count-sized) manifest
+   * write, regardless of file count.
+   */
+  private def commitManifest(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = TransactionsV2.mapToConf(confMap)
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(target, stagingName)
+    val dataDirName = s"_data-$writeId"
+    val dataDir = new Path(target, dataDirName)
+    try {
+      val committed = messages.map {
+        case m: TransactionsCommitMessage => m.file
+      }.toSet
+      // one rename publishes every staged file into its permanent home;
+      // stragglers from uncommitted attempts ride along but are never
+      // listed, so readers cannot see them (cleaned best-effort below)
+      require(fs.rename(staging, dataDir),
+        s"manifest commit: staging rename failed under $path")
+      val fresh = committed.toSeq.sorted.map(f => s"$dataDirName/$f")
+      val manifestPath = new Path(target, TransactionsV2.ManifestName)
+      val prior: Seq[String] =
+        if (truncate) Nil
+        else if (fs.exists(manifestPath))
+          TransactionsV2.readManifest(fs, manifestPath)
+        else if (fs.exists(target))
+          // upgrading a v1 directory in place: its root data files ARE
+          // the prior dataset
+          fs.listStatus(target).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(_.getPath.getName).sorted
+        else Nil
+      val tmp = new Path(target, s"_manifest.tmp-$writeId")
+      val out = fs.create(tmp, true)
+      try out.write((prior ++ fresh).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // THE visibility flip: atomic overwrite-rename of the manifest
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, conf)
+      fc.rename(tmp, manifestPath,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // convention marker for success-checking tooling (the manifest is
+      // the actual guard)
+      fs.create(new Path(target, "_SUCCESS"), true).close()
+      // best-effort garbage sweep: data dirs no longer referenced by the
+      // manifest (failed overwrites, replaced datasets) and uncommitted
+      // stragglers inside the live dir
+      val live = (prior ++ fresh).toSet
+      fs.listStatus(target).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isDirectory && n.startsWith("_data-") && n != dataDirName &&
+            !live.exists(_.startsWith(n + "/")))
+          try fs.delete(f.getPath, true) catch { case _: Throwable => }
+      }
+      fs.listStatus(dataDir).foreach { f =>
+        if (f.isFile && !committed(f.getPath.getName))
+          try fs.delete(f.getPath, false) catch { case _: Throwable => }
       }
     } finally fs.delete(staging, true)
   }

@@ -339,6 +339,74 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-fallback: string keys route to the composed path == brute-force argmax") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // string keys are outside the ordered-primitive family: the native
+    // API must fall back to the composed merge window instead of
+    // throwing, with the same flat output shape
+    val left = Seq.tabulate(300)(i =>
+      (s"key-${rnd.nextInt(5)}", rnd.nextInt(200).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = Seq.tabulate(80)(i =>
+      (s"key-${rnd.nextInt(5)}", rnd.nextInt(100).toLong * 2, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    left.createOrReplaceTempView("fb_l"); right.createOrReplaceTempView("fb_r")
+    val want = spark.sql(
+      """SELECT lid, (SELECT max_by(rid, struct(rt, rid)) FROM fb_r
+        |             WHERE fb_r.rk = fb_l.k AND fb_r.rt <= fb_l.lt)
+        |FROM fb_l""".stripMargin)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+    // inner mode through the fallback: the unmatched rows drop
+    val inner = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid", inner = true)
+      .select(col("lid"), col("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(inner == want.collect { case (l, Some(r)) => l -> r })
+    // and the fallback plan is the merge window — never a per-key cross
+    // product
+    val plan = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("auto-fallback: decimal times keep exact decimal ordering") {
+    import spark.implicits._
+    // decimals can't cast to long without truncation — the fallback's
+    // raw-time route must order on the decimal values themselves:
+    // rt=1.7 is AFTER lt=1.2, so only rt=0.9 matches
+    val left = Seq(("a", "1.2", 1L), ("a", "1.8", 2L)).toDF("k", "lts", "lid")
+      .withColumn("lt", col("lts").cast("decimal(10,2)")).drop("lts")
+    val right = Seq(("a", "0.9", 10L), ("a", "1.7", 20L)).toDF("rk", "rts", "rid")
+      .withColumn("rt", col("rts").cast("decimal(10,2)")).drop("rts")
+    val got = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(10L), 2L -> Some(20L)))
+  }
+
+  test("auto-fallback: null keys and null times keep native semantics") {
+    import spark.implicits._
+    val left = Seq((Some("a"), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some("a"), None, 3L)).toDF("k", "lt", "lid")
+    val right = Seq((Some("a"), Some(5L), 100L), (None, Some(1L), 999L))
+      .toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoinNative.asOfJoin(
+        left, right, "k", "rk", "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // null left key and null left time never match; null right key (999)
+    // is never a match candidate
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
   test("native exec: mismatched key types across sides are rejected at the API") {
     import spark.implicits._
     val l = Seq((1L, 2L)).toDF("k", "lt")

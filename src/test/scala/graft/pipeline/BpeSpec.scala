@@ -116,6 +116,66 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed training path == in-memory path on random corpora") {
+    // the size gate routes every spec-sized dictionary to the in-memory
+    // trainer, so drive the distributed rounds DIRECTLY and require the
+    // identical merge sequence (same argmax total order, same greedy
+    // apply) — the differential pin that lets the gate pick either path
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 3) {
+      val alphabet = "abc"
+      val docs = Seq.fill(15 + rnd.nextInt(25))(
+        Seq.fill(1 + rnd.nextInt(10))(
+          Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(3))).mkString)
+          .mkString(" "))
+      val dictDf = docs.toDF("text")
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text")), " ")).as("word"))
+        .where(org.apache.spark.sql.functions.col("word") =!= "")
+        .groupBy("word").count().withColumnRenamed("count", "cnt")
+      val dist = Bpe.trainDistributed(dictDf, numMerges = 6, minPairCount = 2L)
+      val dict = dictDf.as[(String, Long)].collect()
+      val mem = Bpe.trainInMemory(dict, numMerges = 6, minPairCount = 2L)
+      assert(dist == mem, s"trial $trial diverged:\ncorpus=$docs")
+    }
+  }
+
+  test("merge artifact: save -> load round trip is exact, encode accepts it") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low lower")).toDF("id", "text")
+    Bpe.clearCaches()
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 3, minPairCount = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-spec-merges")
+    try {
+      Bpe.saveMerges(merges, dir.toString)
+      val loaded = Bpe.loadMerges(spark, dir.toString)
+      // bit-exact artifact round trip, in step order
+      assert(loaded.as[(Long, String, String, Long)].collect().toSeq ==
+        merges.as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+      // the external-table encode path == the self-train path
+      val viaArtifact = Bpe.encode(docs, "id", "text", loaded)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val selfTrained = Bpe.encode(docs, "id", "text", 3, 2L)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(viaArtifact == selfTrained)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("shipped artifact: train on corpus A, encode corpus B") {
+    import spark.implicits._
+    val trainCorpus = Seq((1L, "low low lower"), (2L, "low lower")).toDF("id", "text")
+    val other = Seq((9L, "slower low")).toDF("id", "text")
+    Bpe.clearCaches()
+    val merges = Bpe.trainMerges(trainCorpus, "text", 3, 2L)
+    // merges: (l,o), (lo,w), (e,r) — "slower" under them: s|low|er
+    val got = Bpe.encode(other, "id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((9L, 2L, 4L, "s|low|er low")))
+  }
+
   test("encode: documents re-tokenized under the trained merges, in word order") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower"), (2L, "low lower")).toDF("id", "text")

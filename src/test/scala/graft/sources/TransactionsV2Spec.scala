@@ -184,6 +184,145 @@ class TransactionsV2Spec extends AnyFunSuite {
       itemsOf(baskets).sortBy(_.mkString(",")))
   }
 
+  test("character-class globs keep their commas (not split as two paths)") {
+    val dir = Files.createTempDirectory("graft-txn-bracket")
+    Files.writeString(dir.resolve("ta.txt"), "x y\n")
+    Files.writeString(dir.resolve("tb.txt"), "z\n")
+    Files.writeString(dir.resolve("tc.txt"), "never\n")
+    try {
+      // '[a,b]' is ONE Hadoop character class matching 'a', ',' or 'b' —
+      // a top-level comma split would produce two broken half-paths
+      val v2 = spark.read.format("graft-transactions")
+        .load(s"$dir/t[a,b].txt")
+      assert(itemsOf(v2) == Seq(Seq("x", "y"), Seq("z")))
+      assert(TransactionsV2.splitTopLevelCommas("/d/t[a,b].txt,/d/other.txt")
+        == Seq("/d/t[a,b].txt", "/d/other.txt"))
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("micro-batch stream == batch read, with a second batch for late files") {
+    val dir = Files.createTempDirectory("graft-txn-stream")
+    val ckpt = Files.createTempDirectory("graft-txn-stream-ckpt")
+    try {
+      Files.writeString(dir.resolve("t0.txt"), "a b\nc\n")
+      Files.writeString(dir.resolve("t1.txt"), "d e f\n")
+      val sink = Files.createTempDirectory("graft-txn-stream-sink")
+      def runAvailableNow(): Seq[Seq[String]] = {
+        // parquet sink: supports resuming from the checkpoint (memory
+        // sink does not), so the second run exercises the checkpointed
+        // seen-file offset
+        val q = spark.readStream.format("graft-transactions")
+          .load(dir.toString)
+          .writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        itemsOf(spark.read.parquet(sink.toString))
+      }
+      try {
+        val batch = itemsOf(
+          spark.read.format("graft-transactions").load(dir.toString))
+        assert(runAvailableNow() == batch)
+        // a NEW file after the first run: the checkpointed offset (the
+        // seen-file list) must plan ONLY the new file on resume, and the
+        // sink accumulates exactly the union
+        Files.writeString(dir.resolve("t2.txt"), "g h\n")
+        val batch2 = itemsOf(
+          spark.read.format("graft-transactions").load(dir.toString))
+        assert(runAvailableNow() == batch2)
+      } finally graft.Fs.deleteRecursively(sink)
+    } finally {
+      graft.Fs.deleteRecursively(dir)
+      graft.Fs.deleteRecursively(ckpt)
+    }
+  }
+
+  test("micro-batch stream honors maxSplitBytes (ranges, not whole files)") {
+    val dir = Files.createTempDirectory("graft-txn-stream-split")
+    val ckpt = Files.createTempDirectory("graft-txn-stream-split-ckpt")
+    try {
+      val rnd = new scala.util.Random(67)
+      val lines = Seq.tabulate(200)(_ =>
+        Seq.fill(1 + rnd.nextInt(6))("i" + rnd.nextInt(30)).mkString(" "))
+      Files.writeString(dir.resolve("big.txt"), lines.mkString("\n") + "\n")
+      val q = spark.readStream.format("graft-transactions")
+        .option("maxSplitBytes", "64")
+        .load(dir.toString)
+        .writeStream.format("memory")
+        .queryName("txn_stream_split_sink")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = itemsOf(spark.table("txn_stream_split_sink"))
+      assert(got == itemsOf(
+        spark.read.format("graft-transactions").load(dir.toString)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS txn_stream_split_sink")
+      graft.Fs.deleteRecursively(dir)
+      graft.Fs.deleteRecursively(ckpt)
+    }
+  }
+
+  test("manifest commit: round trip, overwrite, and crash residue invisibility") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-txn-manifest")
+    try {
+      import spark.implicits._
+      def writeTx(lines: Seq[Seq[String]], mode: String): Unit =
+        lines.toDF("items").write.format("graft-transactions")
+          .option("manifestCommit", "true")
+          .mode(mode).save(dir.toString)
+      def readBack(): Seq[Seq[String]] =
+        itemsOf(spark.read.format("graft-transactions").load(dir.toString))
+      writeTx(Seq(Seq("a", "b"), Seq("c")), "append")
+      assert(readBack() == Seq(Seq("a", "b"), Seq("c")))
+      // data files live under a '_data-*' dir; the root holds only markers
+      val rootFiles = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(rootFiles.exists(_.startsWith("_data-")), rootFiles)
+      assert(!rootFiles.exists(n => n.endsWith(".txt") && !n.startsWith("_")), rootFiles)
+      // append accumulates through the manifest
+      writeTx(Seq(Seq("d")), "append")
+      assert(readBack() == Seq(Seq("a", "b"), Seq("c"), Seq("d")))
+      // CRASH SIMULATION: a write that died after staging its files into
+      // a _data dir but BEFORE the manifest flip — the reader must not
+      // see them (the v1 path would union them into the dataset)
+      val orphanDir = Files.createDirectory(dir.resolve("_data-deadbeef"))
+      Files.writeString(orphanDir.resolve("part-00000-0-deadbeef.txt"), "zz\n")
+      // ... and an unmanifested file inside a LIVE data dir (a straggler
+      // from an uncommitted speculative attempt)
+      val liveData = Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_data-") &&
+          p.getFileName.toString != "_data-deadbeef").toSeq.head
+      Files.writeString(liveData.resolve("straggler-xyz.txt"), "yy\n")
+      assert(readBack() == Seq(Seq("a", "b"), Seq("c"), Seq("d")))
+      // overwrite: one atomic manifest flip replaces the dataset; old
+      // data dirs and the crash residue become unreferenced and are swept
+      writeTx(Seq(Seq("e", "f")), "overwrite")
+      assert(readBack() == Seq(Seq("e", "f")))
+      val after = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(!after.contains("_data-deadbeef"), after)
+      assert(after.contains("_SUCCESS"), after)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("v1 directory upgrades in place: first manifest append keeps old root files") {
+    val dir = Files.createTempDirectory("graft-txn-upgrade")
+    try {
+      import spark.implicits._
+      // v1 write: plain files in the root
+      Seq(Seq("a")).toDF("items").write.format("graft-transactions")
+        .mode("append").save(dir.toString)
+      // manifest write over the same dir: prior root files carry forward
+      Seq(Seq("b")).toDF("items").write.format("graft-transactions")
+        .option("manifestCommit", "true").mode("append").save(dir.toString)
+      assert(itemsOf(spark.read.format("graft-transactions").load(dir.toString))
+        == Seq(Seq("a"), Seq("b")))
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("the fpm estimator runs end-to-end on the v2 source") {
     val lines = Seq("a b c", "a b", "a c", "b c", "a b c d")
     val path = writeFixture(lines, trailingNewline = true)
