@@ -84,20 +84,37 @@ object Bench {
     // triggers it (q01/q03), so per-query numbers stay comparable round
     // over round instead of shifting to whichever query the map happens
     // to iterate first.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): under a count, Catalyst's column pruning
-        // deletes deterministic per-row projections, so scan-shaped queries
-        // (fingerprints, quality features) would time a parquet row-count
-        // instead of the operator. The noop write executes the full plan
-        // and discards rows at the sink.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+    val ordered = selected.toSeq.sortBy(_._1)
+    // Reps are SUITE-LEVEL passes, not per-query back-to-back timings:
+    // the whole suite runs `reps` times and each query reports its min
+    // across passes. Back-to-back reps sit milliseconds apart, so one
+    // multi-second contention burst lands on BOTH timings of every short
+    // query it covers and the min stays inflated; across passes the two
+    // timings of a query are minutes apart, and a burst would have to
+    // recur at exactly the suite period to hit the same query twice.
+    // Shared-cache materialization still lands on pass 1 (warm min
+    // semantics unchanged).
+    val timesByPass: Seq[Seq[(String, Option[Double])]] =
+      (1 to reps).map { _ =>
+        ordered.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          // noop sink, not count(): under a count, Catalyst's column pruning
+          // deletes deterministic per-row projections, so scan-shaped queries
+          // (fingerprints, quality features) would time a parquet row-count
+          // instead of the operator. The noop write executes the full plan
+          // and discards rows at the sink.
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                name -> Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> None
+          }
         }
       }
+    val results = ordered.map { case (name, _) =>
+      val times = timesByPass.flatMap(_.collectFirst {
+        case (n, Some(t)) if n == name => t
+      })
       // a query is reported as -1 only if EVERY rep failed, never as a
       // (fast) success; a transient single-rep failure still records the
       // surviving reps' min

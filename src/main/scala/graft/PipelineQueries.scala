@@ -504,6 +504,57 @@ object PipelineQueries {
       col("neighbor_id"))
   }
 
+  /** Product-quantization ANN (Jegou et al., TPAMI 2011) as a RECALL
+    * CONTRACT row (the q23 pattern): the declared path runs the full
+    * artifact lifecycle — train the m=8 x k=16 codebook, savePqCodebook
+    * -> loadPqCodebook (per-invocation temp dir, the q34 discipline),
+    * PQ-encode the corpus, ADC-score a 50-candidate shortlist per query,
+    * exact-cosine re-rank to top-5 — and the row pins recall against the
+    * exact brute-force top-5 at >= 0.7 plus the query count. PQ is
+    * approximate by construction (corpus vectors quantize to centroids),
+    * so a rank-level hash match is the WRONG contract here; the exact
+    * regime (lossless quantization -> identical-to-brute-force results)
+    * is spec-pinned instead (PqSpec). At 100 TB the codes are 32x
+    * smaller than the float vectors and the ADC scan touches only them —
+    * the memory/bandwidth story IVF's cell-pruning composes with. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.where(col("vec_id") < 100)
+    val trained = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val pq =
+      (if (trained.isEmpty) {
+        // empty corpus: nothing to train on — brute force over the same
+        // empty corpus yields the identical (empty) schema, and the
+        // grouped agg below then emits zero rows (the oracle's HAVING)
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      } else {
+        val idx = java.nio.file.Files.createTempDirectory("graft-pq-idx")
+        val codebook =
+          try {
+            Similarity.savePqCodebook(s, trained, idx.toString)
+            Similarity.loadPqCodebook(s, idx.toString) // eager: dir dies here
+          } finally Fs.deleteRecursively(idx)
+        Similarity.pqTopKReranked(
+          e, q, "vec_id", "embedding", k = 5, shortlist = 50, codebook)
+      }).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(pq.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(lit(1).as("one"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.7).as("recall_ok"))
+      .drop("one")
+  }
+
+  /** Same shape as [[AnnLshSql]]: the oracle pins the contract booleans
+    * true and re-derives the query count; HAVING matches the Spark
+    * side's zero-rows-on-empty convention. */
+  val AnnPqSql: String =
+    """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 100
+      |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

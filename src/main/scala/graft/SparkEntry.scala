@@ -100,6 +100,7 @@ object SparkEntry {
     "q83_bpe_artifact" -> ((s, d) => PipelineQueries.bpeEncodeArtifact(s, d)),
     "q84_asof_stream" -> ((s, d) => RelQueries.eventAttributionStreamed(s, d)),
     "q85_v2_stream_freq" -> ((s, d) => FpmQueries.v2StreamItemFreq(s, d)),
+    "q86_ann_pq" -> ((s, d) => PipelineQueries.annPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,5 +266,10 @@ object SparkEntry {
     // and MICRO_BATCH_READ in the executed path — same lossless text
     // round trip, so q78's oracle applies verbatim
     "q85_v2_stream_freq" -> FpmQueries.V2ItemFreqSql,
+    // q86: PQ is approximate by construction, so the declared row is a
+    // recall CONTRACT (the q23 pattern): the oracle re-derives the query
+    // count and pins recall_ok true; the exact regime is spec-pinned
+    // (PqSpec lossless-quantization == brute force)
+    "q86_ann_pq" -> PipelineQueries.AnnPqSql,
   )
 }

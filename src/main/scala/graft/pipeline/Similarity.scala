@@ -374,6 +374,228 @@ object Similarity {
   }
 
   /**
+   * Train a PRODUCT-QUANTIZATION codebook (Jegou, Douze, Schmid,
+   * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+   * vectors are unit-normalized, split into `m` contiguous subspaces of
+   * `dim/m` dims, and each subspace gets its own `k`-centroid driver
+   * k-means (seeded Lloyd over the same deterministic bounded sample as
+   * [[trainIvfCentroids]] — first `sampleSize` rows by id). The codebook
+   * compresses a vector to `m` small codes (m bytes at k <= 256): the
+   * billion-scale memory story — a 64-dim float vector (256 B) becomes
+   * 8 codes, and the ADC scorer ([[pqTopK]]) never touches raw corpus
+   * vectors again.
+   *
+   * Returns `codebook(s)(c)` = centroid `c` of subspace `s` (empty on an
+   * empty corpus). `dim` must divide evenly by `m` (subspaces must agree
+   * in width for the code arithmetic to be positional).
+   */
+  def trainPqCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iterations: Int = 5,
+      sampleSize: Int = 2048, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    import corpus.sparkSession.implicits._
+    require(m > 0 && k > 0, s"need positive m/k, got m=$m k=$k")
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .as[Seq[Double]].collect().map(v => unitVec(v.toArray))
+    if (sample.isEmpty) return Array.empty
+    val dim = sample(0).length
+    require(dim % m == 0, s"embedding dim $dim must divide by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vectors = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      // per-subspace seed: subspaces must not share an init permutation,
+      // or identical subspace distributions would train rank-correlated
+      // codebooks (seed + s mirrors the LSH per-table seeding)
+      kMeansL2(vectors, math.min(k, vectors.length), iterations, seed + s)
+    }
+  }
+
+  /** Seeded Lloyd k-means under plain L2 (the PQ metric: subvectors are
+    * slices of a unit vector, not unit themselves — cosine would distort
+    * the subspace geometry). Empty clusters keep their previous centroid,
+    * matching [[trainIvfCentroids]]'s convention. */
+  private def kMeansL2(
+      vectors: Array[Array[Double]], k: Int, iterations: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(vectors.indices.toList).take(k)
+      .map(v => vectors(v).clone()).toArray
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](vectors(0).length))
+      val counts = new Array[Int](centroids.length)
+      vectors.foreach { v =>
+        val best = nearestL2(centroids, v)
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val n = counts(c); sums(c).map(_ / n) }
+      }
+    }
+    centroids
+  }
+
+  /** Deterministic argmin-L2 cell: ties break toward the LOWEST cell id,
+    * so encode results are reproducible across engines and runs. */
+  private def nearestL2(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Persist a trained PQ codebook as (sub, cell, centroid) parquet — the
+    * same ship-once artifact contract as [[saveIvfIndex]] (doubles
+    * round-trip bit-exactly, spec-pinned). */
+  def savePqCodebook(
+      spark: SparkSession, codebook: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (cells, s) =>
+      cells.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePqCodebook]] artifact back into encode-ready form.
+    * EAGER (the rows are m*k bounded metadata) — the artifact directory
+    * may be deleted once this returns. */
+  def loadPqCodebook(
+      spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("sub"), col("cell"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cells) =>
+        cells.sortBy(_._2).map(_._3.toArray).toArray
+      }.toArray
+  }
+
+  /** PQ-encode every row: `(idCol, code)` with `code(s)` = the nearest
+    * (L2, lowest-cell ties) centroid of subspace `s` for the row's
+    * unit-normalized vector. Pure per-row projection over the broadcast
+    * codebook — scan-bound at any corpus size; the 4x-to-32x compressed
+    * code column is what a 100 TB deployment materializes next to (or
+    * instead of) the raw vectors. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebook.nonEmpty, "pqEncode needs a trained codebook")
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebook)
+    val enc = udf { (v: Seq[Float]) =>
+      val cb = bc.value
+      val u = unitVec(v.map(_.toDouble).toArray)
+      val sub = u.length / cb.length
+      Array.tabulate(cb.length) { s =>
+        nearestL2(cb(s), java.util.Arrays.copyOfRange(u, s * sub, (s + 1) * sub))
+      }.toSeq
+    }
+    corpus.select(col(idCol), enc(col(vecCol)).as("code"))
+  }
+
+  /**
+   * PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: each query precomputes
+   * ONE m*k lookup table of subspace dot products against the codebook
+   * (the query side stays exact — "asymmetric"), and scoring a corpus
+   * row is then `m` table lookups over its code instead of a `dim`-wide
+   * dot product: `dot(q, x_hat) = sum_s LUT(s, code(s))`. With m=8 over
+   * dim=64 that is 8 adds vs 64 multiply-adds against a corpus that
+   * stores 8 codes per vector instead of 64 floats — the PQ scale
+   * contract (compressed corpus scan, bounded queries broadcast, the
+   * q22 shape with the per-pair work collapsed).
+   *
+   * Approximate by construction (corpus vectors quantize to cell
+   * centroids): rank quality is a recall contract ([[pqTopK]] reaches 1.0
+   * exactly when quantization is lossless — spec-pinned), production use
+   * re-ranks a PQ shortlist with exact scores ([[bruteForceTopK]] over
+   * the survivors). Deterministic ordering: (score desc, neighbor asc).
+   */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebook.nonEmpty, "pqTopK needs a trained codebook")
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(codebook)
+    val lutUdf = udf { (v: Seq[Float]) =>
+      val cb = bc.value
+      val u = unitVec(v.map(_.toDouble).toArray)
+      val sub = u.length / cb.length
+      val flat = new Array[Double](cb.length * cb(0).length)
+      var s = 0
+      while (s < cb.length) {
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0; var i = 0
+          val cent = cb(s)(c)
+          while (i < cent.length) { d += u(s * sub + i) * cent(i); i += 1 }
+          flat(s * cb(0).length + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      flat.toSeq
+    }
+    val adc = udf { (lut: Seq[Double], code: Seq[Int]) =>
+      val cb = bc.value
+      val kk = cb(0).length
+      var s = 0; var acc = 0.0
+      while (s < code.length) { acc += lut(s * kk + code(s)); s += 1 }
+      acc
+    }
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), lutUdf(col(vecCol)).as("lut")))
+    val c = pqEncode(corpus, idCol, vecCol, codebook)
+      .select(col(idCol).as("neighbor_id"), col("code"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adc(col("lut"), col("code")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
+   * The production PQ search shape: ADC over the compressed codes
+   * produces a `shortlist`-sized candidate set per query ([[pqTopK]] —
+   * the only stage that scans the corpus, touching m-byte codes, not
+   * vectors), then ONLY the shortlisted rows re-attach their raw vectors
+   * (narrow shuffle of candidate ids — the [[lshTopK]] re-rank pattern)
+   * for an exact cosine top-k. Recall is governed by the shortlist
+   * factor; precision of the returned ranking is exact. Deterministic
+   * ordering: (cosine desc, neighbor asc).
+   */
+  def pqTopKReranked(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, codebook)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
    * Scalar int8 quantization with a per-vector scale — the standard
    * storage/transport compression for embedding corpora (4x smaller than
    * float32 before an ANN index even starts): `scale = max|x| / 127`,

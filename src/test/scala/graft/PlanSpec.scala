@@ -191,7 +191,10 @@ class PlanSpec extends AnyFunSuite {
     // embeds q22's exact reference. Everything else must plan without
     // either.
     val bnlAllowed = Set("q05_predict", "q05b_predict_relational",
-      "q33_embedding_neardup", "q22_cosine_topk", "q23_ann_lsh")
+      "q33_embedding_neardup", "q22_cosine_topk", "q23_ann_lsh",
+      // q86: ADC scoring is corpus-scan x broadcast bounded-query LUTs —
+      // the q22 shape with per-pair work collapsed to m lookups
+      "q86_ann_pq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Product quantization (train / artifact / encode / ADC search):
+ * lossless-regime exactness, artifact round trip, determinism, and the
+ * recall contract the declared q86 pins.
+ */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("pq-spec")
+    .getOrCreate()
+
+  private def sf = "/root/testdata/sf0.001"
+
+  /** Deterministic random float vectors: all subvectors distinct with
+    * probability 1, cosine ties astronomically unlikely. */
+  private def randomCorpus(n: Int, dim: Int, seed: Long) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("lossless regime: k = corpus size makes PQ == exact brute force") {
+    import spark.implicits._
+    // Every subvector distinct and k = n: Lloyd init takes ALL subvectors
+    // as centroids, each cluster holds exactly its own subvector, and the
+    // update is a fixed point — quantization error is zero, so the ADC
+    // score IS the exact cosine and the ranking must match brute force.
+    val n = 24
+    val corpus = randomCorpus(n, dim = 8, seed = 7L).cache()
+    val queries = corpus.where(col("vec_id") < 6)
+    val cb = Similarity.trainPqCodebook(
+      corpus, "vec_id", "embedding", m = 2, k = n, iterations = 3,
+      sampleSize = n)
+    assert(cb.length == 2 && cb.forall(_.length == n))
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5, cb)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pq == exact)
+    // the re-ranked production shape degenerates to the same answer
+    val rr = Similarity.pqTopKReranked(
+        corpus, queries, "vec_id", "embedding", 5, shortlist = 10, cb)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rr == exact)
+    corpus.unpersist()
+  }
+
+  test("codebook artifact round-trips bit-exactly and loaded == trained") {
+    val corpus = randomCorpus(64, dim = 12, seed = 11L)
+    val cb = Similarity.trainPqCodebook(
+      corpus, "vec_id", "embedding", m = 3, k = 4, iterations = 4,
+      sampleSize = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    val loaded =
+      try {
+        Similarity.savePqCodebook(spark, cb, dir)
+        Similarity.loadPqCodebook(spark, dir)
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    assert(loaded.length == cb.length)
+    cb.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+  }
+
+  test("encode: codes in range, deterministic, compression shape") {
+    import spark.implicits._
+    val corpus = randomCorpus(100, dim = 16, seed = 13L)
+    val cb = Similarity.trainPqCodebook(
+      corpus, "vec_id", "embedding", m = 4, k = 8, iterations = 3,
+      sampleSize = 100)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(enc.length == 100)
+    // every row compresses to exactly m codes, each a valid cell id
+    assert(enc.forall { case (_, code) =>
+      code.length == 4 && code.forall(c => c >= 0 && c < 8)
+    })
+    val enc2 = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(enc.toSeq == enc2.toSeq)
+  }
+
+  test("recall contract on the sf0.001 embeddings (the q86 floor)") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 100)
+    val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
+    val pq = Similarity.pqTopKReranked(
+        e, q, "vec_id", "embedding", k = 5, shortlist = 50, cb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below the declared q86 floor")
+  }
+
+  test("empty corpus: training returns an empty codebook") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.trainPqCodebook(empty, "vec_id", "embedding").isEmpty)
+  }
+
+  test("dim not divisible by m is rejected with a clear message") {
+    val corpus = randomCorpus(10, dim = 10, seed = 17L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebook(corpus, "vec_id", "embedding", m = 4)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+}
