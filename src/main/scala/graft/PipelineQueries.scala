@@ -506,11 +506,15 @@ object PipelineQueries {
 
   /** Product-quantization ANN (Jegou et al., TPAMI 2011) as a RECALL
     * CONTRACT row (the q23 pattern): the declared path runs the full
-    * artifact lifecycle — train the m=8 x k=16 codebook, savePqCodebook
-    * -> loadPqCodebook (per-invocation temp dir, the q34 discipline),
-    * PQ-encode the corpus, ADC-score a 50-candidate shortlist per query,
-    * exact-cosine re-rank to top-5 — and the row pins recall against the
-    * exact brute-force top-5 at >= 0.7 plus the query count. PQ is
+    * artifact lifecycle — train the canonical m=8 x k=256 byte-code
+    * codebook, savePqCodebook -> loadPqCodebook (per-invocation temp
+    * dir, the q34 discipline), PQ-encode the corpus, ADC-score a
+    * 100-candidate shortlist per query, exact-cosine re-rank to top-5 —
+    * and the row pins recall against the exact brute-force top-5 at
+    * >= 0.7 plus the query count (measured 1.00 at sf0.01, 0.96 at
+    * sf0.1 on the UNIFORM synthetic vectors — the hard case; k=16
+    * measured 0.47 at sf0.1, which is why the byte codebook is the
+    * default). PQ is
     * approximate by construction (corpus vectors quantize to centroids),
     * so a rank-level hash match is the WRONG contract here; the exact
     * regime (lossless quantization -> identical-to-brute-force results)
@@ -535,7 +539,7 @@ object PipelineQueries {
             Similarity.loadPqCodebook(s, idx.toString) // eager: dir dies here
           } finally Fs.deleteRecursively(idx)
         Similarity.pqTopKReranked(
-          e, q, "vec_id", "embedding", k = 5, shortlist = 50, codebook)
+          e, q, "vec_id", "embedding", k = 5, shortlist = 100, codebook)
       }).select(col("query_id"), col("neighbor_id"))
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -551,6 +555,64 @@ object PipelineQueries {
     * true and re-derives the query count; HAVING matches the Spark
     * side's zero-rows-on-empty convention. */
   val AnnPqSql: String =
+    """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 100
+      |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
+
+  /** IVF-PQ (IVFADC, Jegou et al. TPAMI 2011 §IV) as a RECALL CONTRACT
+    * row — the two ANN halves composed: IVF cells prune WHICH rows a
+    * query scores (nProbe=12 of 16 lists), residual-PQ codes compress
+    * WHAT the scan reads per row (m=8 byte codes, not 64 floats; LUT
+    * stays cell-independent via dot(q,x_hat) = dot(q,c_cell) +
+    * ADC(LUT_q, code)). The declared path runs the full TWO-artifact
+    * lifecycle: train IVF quantizer + residual codebook, save both,
+    * load both (per-invocation temp dir, the q34/q86 discipline), then
+    * cell-pruned ADC shortlist (100 candidates) -> exact cosine re-rank
+    * to top-5, recall pinned >= 0.7 vs exact brute force (measured 0.96
+    * at sf0.01 / 0.86 at sf0.1 — the UNIFORM synthetic vectors are
+    * IVF's worst case: no cluster structure, so cell pruning pays its
+    * maximum recall cost; clustered real corpora sit higher at the same
+    * nProbe). Unlike q86's full-corpus ADC scan, the cell match here is
+    * an EQUI-join — no nested-loop shape anywhere in the approximate
+    * path. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.where(col("vec_id") < 100)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+    val approx =
+      (if (cents.isEmpty) {
+        // empty corpus: nothing to train on — brute force over the same
+        // empty corpus yields the identical (empty) schema and the
+        // grouped agg emits zero rows (the oracle's HAVING)
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      } else {
+        val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
+        val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+        val (loadedCents, loadedCb) =
+          try {
+            Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
+            Similarity.savePqCodebook(s, cb, s"$idx/pq")
+            // eager loads: the artifact dir dies at the end of this block
+            (Similarity.loadIvfIndex(s, s"$idx/ivf"),
+             Similarity.loadPqCodebook(s, s"$idx/pq"))
+          } finally Fs.deleteRecursively(idx)
+        Similarity.ivfPqTopKReranked(
+          e, q, "vec_id", "embedding", k = 5, shortlist = 100,
+          loadedCents, loadedCb, nProbe = 12)
+      }).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(lit(1).as("one"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.7).as("recall_ok"))
+      .drop("one")
+  }
+
+  /** Same contract shape as [[AnnPqSql]]: the oracle re-derives the
+    * query count and pins the recall boolean true. */
+  val AnnIvfPqSql: String =
     """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
       |FROM embeddings WHERE vec_id < 100
       |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
@@ -806,6 +868,54 @@ object PipelineQueries {
     * language (each shard packs independently — the parallel unit). */
   def packSequences(s: SparkSession, d: String): DataFrame =
     Curation.packSequences(docs(s, d), "doc_id", "text", "lang", budget = 512L)
+
+  /** Token-budget mixture sampling (domain reweighting to a target
+    * recipe): a 50k-char budget split 20%/20% over src0/src1,
+    * 10%/10% over src2/src3, 5% over src4–src7, 0 elsewhere (the
+    * recipe need not be exhaustive — unlisted domains drop). The
+    * report groups the kept rows per source: the deterministic
+    * rate_ppm, kept docs, and kept char mass — the mixture audit a
+    * training pipeline publishes next to its recipe. At sf0.01 the
+    * 20% shares clamp at rate 1 (the source runs out — the
+    * "needs >1 epoch" signal); at sf0.1 every share is partial:
+    * both regimes sit under the same oracle. */
+  def mixtureSampleReport(s: SparkSession, d: String): DataFrame = {
+    val weights = Map(
+      "src0" -> 200000L, "src1" -> 200000L,
+      "src2" -> 100000L, "src3" -> 100000L,
+      "src4" -> 50000L, "src5" -> 50000L, "src6" -> 50000L, "src7" -> 50000L)
+    Curation.mixtureSample(docs(s, d), "doc_id", "source", "n_chars",
+        weights, budgetTokens = 50000L)
+      .groupBy(col("source"))
+      .agg(max(col("rate_ppm")).as("rate_ppm"),
+        count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+  }
+
+  /** Pure-BIGINT mirror of [[graft.pipeline.Curation.mixtureSample]]:
+    * same md5 ppm gate, same integral division (`//` == Spark `div`
+    * for non-negative longs), weights as a VALUES table. */
+  val MixtureSampleReportSql: String =
+    """WITH tok AS (
+      |  SELECT source, sum(n_chars)::BIGINT AS stratum_tokens
+      |  FROM documents GROUP BY source),
+      |wts(source, w_ppm) AS (VALUES
+      |  ('src0', 200000), ('src1', 200000),
+      |  ('src2', 100000), ('src3', 100000),
+      |  ('src4', 50000), ('src5', 50000), ('src6', 50000), ('src7', 50000)),
+      |gated AS (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS ppm,
+      |         CASE WHEN t.stratum_tokens = 0 THEN 1000000
+      |              ELSE least(1000000,
+      |                (50000::BIGINT * coalesce(w.w_ppm, 0)::BIGINT) // t.stratum_tokens)
+      |         END AS rate_ppm
+      |  FROM documents d
+      |  JOIN tok t USING (source)
+      |  LEFT JOIN wts w USING (source))
+      |SELECT source, max(rate_ppm)::BIGINT AS rate_ppm,
+      |       count(*)::BIGINT AS kept_docs, sum(n_chars)::BIGINT AS kept_chars
+      |FROM gated WHERE ppm < rate_ppm GROUP BY source""".stripMargin
 
   // ----------------------------------------------------------- signals (r3)
 

@@ -101,6 +101,8 @@ object SparkEntry {
     "q84_asof_stream" -> ((s, d) => RelQueries.eventAttributionStreamed(s, d)),
     "q85_v2_stream_freq" -> ((s, d) => FpmQueries.v2StreamItemFreq(s, d)),
     "q86_ann_pq" -> ((s, d) => PipelineQueries.annPq(s, d)),
+    "q87_ann_ivfpq" -> ((s, d) => PipelineQueries.annIvfPq(s, d)),
+    "q88_mixture_sample" -> ((s, d) => PipelineQueries.mixtureSampleReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,5 +273,11 @@ object SparkEntry {
     // count and pins recall_ok true; the exact regime is spec-pinned
     // (PqSpec lossless-quantization == brute force)
     "q86_ann_pq" -> PipelineQueries.AnnPqSql,
+    // q87: IVFADC composes the q34 (IVF) and q86 (PQ) artifacts; same
+    // recall-contract adjudication as q23/q86 — approximate by
+    // construction, exactness spec-pinned in the provable regimes
+    // (PqSpec: lossless codebook + full probe == brute force)
+    "q87_ann_ivfpq" -> PipelineQueries.AnnIvfPqSql,
+    "q88_mixture_sample" -> PipelineQueries.MixtureSampleReportSql,
   )
 }

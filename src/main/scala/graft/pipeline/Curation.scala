@@ -420,6 +420,54 @@ object Curation {
   }
 
   /**
+   * Token-budget MIXTURE sampling — domain reweighting to a target
+   * recipe: given per-stratum target weights (parts-per-million of the
+   * training token budget, the published mixture-table form) and a
+   * total token budget, each row of stratum `s` is kept with rate
+   * `min(1, budget * w_ppm(s) / 1e6 / tokens_s)`, so the EXPECTED kept
+   * token mass per stratum is `budget * w_ppm(s) / 1e6` — the stratum's
+   * share of the recipe — until the stratum runs out (rate clamps at 1:
+   * an under-represented domain contributes everything it has, the
+   * standard "epochs > 1 needed" signal a mixture report surfaces).
+   * Strata absent from `weightsPpm` get weight 0 and drop entirely.
+   *
+   * Deterministic via the shared [[md5Bucket]] ppm gate (reproducible
+   * across runs/engines/partitionings). Cross-engine exactness: the
+   * rate is computed in pure LONG arithmetic with integral division
+   * (`div` here == DuckDB `//` for non-negative operands) — no double
+   * or decimal quotient whose rounding could cross an integer boundary
+   * differently per engine. Caller contract: `budgetTokens * max(w_ppm)`
+   * must stay below 2^63 (budget < ~9.2e12 at a full 1e6 weight).
+   * A zero-token stratum keeps all its rows (its recipe share cannot be
+   * expressed in tokens; dropping silently would hide data).
+   *
+   * Scale shape: one tiny per-stratum token aggregate broadcast back
+   * over the scan — no driver collect, no second pass, the
+   * [[temperatureSample]] contract.
+   */
+  def mixtureSample(
+      df: DataFrame, idCol: String, stratumCol: String, tokensCol: String,
+      weightsPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0 ppm")
+    val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    val cnts = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("stratum_tokens"))
+    val ppm = md5Bucket(idCol, 1000000L)
+    df.select(col(idCol), col(stratumCol), col(tokensCol))
+      .join(broadcast(cnts), Seq(stratumCol))
+      .withColumn("w_ppm", w)
+      .withColumn("rate_ppm",
+        when(col("stratum_tokens") === 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            expr(s"(${budgetTokens}L * w_ppm) div stratum_tokens"))))
+      .withColumn("ppm", ppm)
+      .where(col("ppm") < col("rate_ppm"))
+  }
+
+  /**
    * Sequence packing: concatenate documents into fixed-token-budget
    * training chunks. Docs are ordered deterministically (by id) WITHIN a
    * shard, each doc's start offset is the running token count before it,

@@ -194,7 +194,11 @@ class PlanSpec extends AnyFunSuite {
       "q33_embedding_neardup", "q22_cosine_topk", "q23_ann_lsh",
       // q86: ADC scoring is corpus-scan x broadcast bounded-query LUTs —
       // the q22 shape with per-pair work collapsed to m lookups
-      "q86_ann_pq")
+      "q86_ann_pq",
+      // q87: the approximate IVFADC path is pure equi-joins (PqSpec pins
+      // it) — the BNL is the exact brute-force side of the recall
+      // contract, q22's embedded reference
+      "q87_ann_ivfpq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

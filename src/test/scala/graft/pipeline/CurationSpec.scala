@@ -142,6 +142,51 @@ class CurationSpec extends AnyFunSuite {
     assert(once.forall { case (_, l, b) => b < (if (l == "en") 10 else 50) })
   }
 
+  test("mixture sample: rates hit the recipe, clamp at 1, drop unlisted strata") {
+    import spark.implicits._
+    // three strata, 100 tokens per doc: a (200 docs / 20k tokens),
+    // b (50 docs / 5k), c (100 docs / 10k, unlisted)
+    val df = ((0 until 200).map(i => (i.toLong, "a", 100L)) ++
+      (1000 until 1050).map(i => (i.toLong, "b", 100L)) ++
+      (2000 until 2100).map(i => (i.toLong, "c", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    // budget 10k: a's share 50% -> 5k of 20k = rate 250k ppm (partial);
+    // b's share 80% -> 8k of 5k = clamps to 1e6 (keeps ALL of b)
+    val got = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
+        Map("a" -> 500000L, "b" -> 800000L), budgetTokens = 10000L)
+      .select("doc_id", "source", "rate_ppm")
+      .as[(Long, String, Long)].collect()
+    val rates = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(rates("a") == Set(250000L), s"a rate: ${rates.get("a")}")
+    assert(rates("b") == Set(1000000L), s"b rate: ${rates.get("b")}")
+    assert(!rates.contains("c"), "unlisted stratum must drop entirely")
+    assert(got.count(_._2 == "b") == 50, "clamped stratum keeps every row")
+    // partial stratum: md5-uniform ~50 of 200 docs at rate 0.25
+    val aKept = got.count(_._2 == "a")
+    assert(aKept > 25 && aKept < 75, s"a kept $aKept of 200 at rate 0.25")
+    // replayable: the gate is pure hash state
+    val again = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
+        Map("a" -> 500000L, "b" -> 800000L), budgetTokens = 10000L)
+      .select("doc_id", "source", "rate_ppm")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("mixture sample: zero-token stratum keeps rows; zero budget keeps none") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val zeroTok = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
+        Map("a" -> 500000L, "b" -> 500000L), budgetTokens = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    // a has 0 tokens -> its share can't be expressed -> keep all of a
+    assert(Set(1L, 2L).subsetOf(zeroTok))
+    val zeroBudget = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
+        Map("b" -> 1000000L), budgetTokens = 0L)
+      .where(col("source") === "b").count()
+    assert(zeroBudget == 0, "zero budget must keep nothing from token-bearing strata")
+  }
+
   test("sequence packing: offsets contiguous per shard, chunk = offset div budget") {
     import spark.implicits._
     val df = Seq(

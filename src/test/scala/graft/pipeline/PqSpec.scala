@@ -102,7 +102,7 @@ class PqSpec extends AnyFunSuite {
     val q = e.where(col("vec_id") < 100)
     val cb = Similarity.trainPqCodebook(e, "vec_id", "embedding")
     val pq = Similarity.pqTopKReranked(
-        e, q, "vec_id", "embedding", k = 5, shortlist = 50, cb)
+        e, q, "vec_id", "embedding", k = 5, shortlist = 100, cb)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -114,6 +114,85 @@ class PqSpec extends AnyFunSuite {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.trainPqCodebook(empty, "vec_id", "embedding").isEmpty)
+    assert(Similarity.trainPqCodebookResidual(
+      empty, "vec_id", "embedding", Array(Array(1.0, 0.0))).isEmpty)
+  }
+
+  test("IVFADC lossless + full probe: == exact brute force") {
+    import spark.implicits._
+    // Residual codebook with k = corpus size quantizes losslessly (every
+    // residual subvector is its own centroid), and nProbe = numCells
+    // probes every list — so qdotc + ADC == the exact cosine and the
+    // composed search must equal brute force rank-for-rank.
+    val n = 24
+    val corpus = randomCorpus(n, dim = 8, seed = 19L).cache()
+    val queries = corpus.where(col("vec_id") < 6)
+    val cents = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", numCentroids = 4, sampleSize = n)
+    val cb = Similarity.trainPqCodebookResidual(
+      corpus, "vec_id", "embedding", cents, m = 2, k = n, iterations = 3,
+      sampleSize = n)
+    assert(cb.length == 2 && cb.forall(_.length == n))
+    val got = Similarity.ivfPqTopKReranked(
+        corpus, queries, "vec_id", "embedding", k = 5, shortlist = n,
+        cents, cb, nProbe = cents.length)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == exact)
+    corpus.unpersist()
+  }
+
+  test("IVFADC residual codebook round-trips through the PQ artifact format") {
+    val corpus = randomCorpus(64, dim = 12, seed = 23L)
+    val cents = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", numCentroids = 4, sampleSize = 64)
+    val cb = Similarity.trainPqCodebookResidual(
+      corpus, "vec_id", "embedding", cents, m = 3, k = 4, sampleSize = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    val loaded =
+      try {
+        Similarity.savePqCodebook(spark, cb, dir)
+        Similarity.loadPqCodebook(spark, dir)
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    assert(loaded.length == cb.length)
+    cb.zip(loaded).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+  }
+
+  test("IVFADC recall contract on the sf0.001 embeddings (the q87 floor)") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 100)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+    val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
+    val got = Similarity.ivfPqTopKReranked(
+        e, q, "vec_id", "embedding", k = 5, shortlist = 100, cents, cb,
+        nProbe = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below the declared q87 floor")
+  }
+
+  test("IVFADC plans the cell match as an equi-join (no nested loop)") {
+    val corpus = randomCorpus(50, dim = 8, seed = 29L)
+    val queries = corpus.where(col("vec_id") < 5)
+    val cents = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", numCentroids = 4, sampleSize = 50)
+    val cb = Similarity.trainPqCodebookResidual(
+      corpus, "vec_id", "embedding", cents, m = 2, k = 8, sampleSize = 50)
+    val plan = Similarity.ivfPqTopKReranked(
+        corpus, queries, "vec_id", "embedding", k = 3, shortlist = 10,
+        cents, cb, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"IVFADC must not plan a nested-loop shape:\n$plan")
   }
 
   test("dim not divisible by m is rejected with a clear message") {
