@@ -572,9 +572,9 @@ object PipelineQueries {
     * at sf0.01 / 0.86 at sf0.1 — the UNIFORM synthetic vectors are
     * IVF's worst case: no cluster structure, so cell pruning pays its
     * maximum recall cost; clustered real corpora sit higher at the same
-    * nProbe). Unlike q86's full-corpus ADC scan, the cell match here is
-    * an EQUI-join — no nested-loop shape anywhere in the approximate
-    * path. */
+    * nProbe). Unlike q86's full-corpus ADC scan, a corpus row here
+    * scores only the queries probing its cell (broadcast probe map) —
+    * no nested-loop shape anywhere in the approximate path. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
@@ -864,6 +864,44 @@ object PipelineQueries {
       |            ELSE 'train' END AS split
       |FROM b""".stripMargin
 
+  /** Leakage-safe split (q89): q69's md5 split gate keyed by q40's
+    * near-dup CLUSTER id — every near-duplicate lands in the SAME
+    * split, the guarantee that stops a train document's near-copy
+    * surfacing in val/test (a doc-keyed split puts a k-member dup
+    * cluster across splits almost always for k >= 2). Same 2/2
+    * percents as q69; the oracle rebuilds the recursive-CTE clusters
+    * (q40's oracle) and applies the identical gate on cluster_id. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    Curation.leakageSafeSplit(docs(s, d), "doc_id",
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+        .select(col("d1"), col("d2")),
+      valPct = 2, testPct = 2)
+
+  val LeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $GramCtes,
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       |  WHERE i::DOUBLE / (sa.s + sb.s - i) >= 0.5::DOUBLE),
+       |e(a, b) AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node),
+       |cl AS (SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
+       |       FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+       |b AS (SELECT doc_id, cluster_id,
+       |        ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100
+       |          AS bucket
+       |      FROM cl)
+       |SELECT doc_id, cluster_id, bucket,
+       |       CASE WHEN bucket < 2 THEN 'val'
+       |            WHEN bucket < 4 THEN 'test'
+       |            ELSE 'train' END AS split
+       |FROM b""".stripMargin
+
   /** Offset-based sequence packing into 512-token chunks, sharded by
     * language (each shard packs independently — the parallel unit). */
   def packSequences(s: SparkSession, d: String): DataFrame =
@@ -906,9 +944,10 @@ object PipelineQueries {
       |gated AS (
       |  SELECT d.doc_id, d.source, d.n_chars,
       |         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS ppm,
-      |         CASE WHEN t.stratum_tokens = 0 THEN 1000000
+      |         CASE WHEN coalesce(w.w_ppm, 0) = 0 THEN 0
+      |              WHEN t.stratum_tokens = 0 THEN 1000000
       |              ELSE least(1000000,
-      |                (50000::BIGINT * coalesce(w.w_ppm, 0)::BIGINT) // t.stratum_tokens)
+      |                (50000::BIGINT * w.w_ppm::BIGINT) // t.stratum_tokens)
       |         END AS rate_ppm
       |  FROM documents d
       |  JOIN tok t USING (source)

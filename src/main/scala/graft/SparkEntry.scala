@@ -103,6 +103,7 @@ object SparkEntry {
     "q86_ann_pq" -> ((s, d) => PipelineQueries.annPq(s, d)),
     "q87_ann_ivfpq" -> ((s, d) => PipelineQueries.annIvfPq(s, d)),
     "q88_mixture_sample" -> ((s, d) => PipelineQueries.mixtureSampleReport(s, d)),
+    "q89_leakage_safe_split" -> ((s, d) => PipelineQueries.leakageSafeSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +280,7 @@ object SparkEntry {
     // (PqSpec: lossless codebook + full probe == brute force)
     "q87_ann_ivfpq" -> PipelineQueries.AnnIvfPqSql,
     "q88_mixture_sample" -> PipelineQueries.MixtureSampleReportSql,
+    // q89: q69's md5 split gate keyed by q40's recursive-CTE cluster id
+    "q89_leakage_safe_split" -> PipelineQueries.LeakageSafeSplitSql,
   )
 }

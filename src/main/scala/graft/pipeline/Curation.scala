@@ -392,6 +392,37 @@ object Curation {
   }
 
   /**
+   * Leakage-safe train/val/test split: the [[datasetSplit]] md5 gate
+   * keyed by the NEAR-DUP CLUSTER id instead of the document id, so
+   * every member of a duplicate cluster lands in the same split — the
+   * guarantee a doc-keyed split cannot give (a k-member near-dup
+   * cluster crosses splits with probability ≈ 1-(p_tr^k + p_v^k +
+   * p_te^k), i.e. almost always for k ≥ 2, silently contaminating
+   * eval). Cluster ids come from [[dupClusters]] (transitive closure
+   * over the near-dup pair edges); docs in no pair cluster to
+   * themselves, so with no edges this is exactly [[datasetSplit]].
+   *
+   * Scale shape: the bounded CC label join is the only addition over
+   * [[datasetSplit]] — the gate stays a pure codegen'd projection of
+   * md5(cluster_id, salt), with all of datasetSplit's properties
+   * (replayable, growth-stable, salt-isolated) inherited per CLUSTER.
+   */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      valPct: Int = 1, testPct: Int = 1, salt: String = "",
+      d1: String = "d1", d2: String = "d2"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"invalid split percents ($valPct, $testPct)")
+    val clustered = dupClusters(docs, idCol, pairs, d1, d2)
+    val bucket = md5Bucket("cluster_id", 100L, salt)
+    clustered.select(col(idCol), col("cluster_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < valPct, lit("val"))
+          .when(col("bucket") < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+  }
+
+  /**
    * Square-root temperature resampling: keep each row with probability
    * `min(1, c / sqrt(|stratum|))` — the standard language-rebalancing
    * law (kept mass per stratum grows as sqrt of its size, so dominant
@@ -438,8 +469,10 @@ object Curation {
    * or decimal quotient whose rounding could cross an integer boundary
    * differently per engine. Caller contract: `budgetTokens * max(w_ppm)`
    * must stay below 2^63 (budget < ~9.2e12 at a full 1e6 weight).
-   * A zero-token stratum keeps all its rows (its recipe share cannot be
-   * expressed in tokens; dropping silently would hide data).
+   * A LISTED zero-token stratum keeps all its rows (its recipe share
+   * cannot be expressed in tokens; dropping silently would hide data);
+   * weight 0 always drops, tokens or not — the weight test precedes
+   * the zero-token test.
    *
    * Scale shape: one tiny per-stratum token aggregate broadcast back
    * over the scan — no driver collect, no second pass, the
@@ -460,7 +493,8 @@ object Curation {
       .join(broadcast(cnts), Seq(stratumCol))
       .withColumn("w_ppm", w)
       .withColumn("rate_ppm",
-        when(col("stratum_tokens") === 0L, lit(1000000L))
+        when(col("w_ppm") === 0L, lit(0L))
+          .when(col("stratum_tokens") === 0L, lit(1000000L))
           .otherwise(least(lit(1000000L),
             expr(s"(${budgetTokens}L * w_ppm) div stratum_tokens"))))
       .withColumn("ppm", ppm)

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /**
  * Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -531,43 +532,82 @@ object Similarity {
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     require(codebook.nonEmpty, "pqTopK needs a trained codebook")
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(codebook)
-    val lutUdf = udf { (v: Seq[Float]) =>
-      val cb = bc.value
-      val u = unitVec(v.map(_.toDouble).toArray)
-      val sub = u.length / cb.length
-      val flat = new Array[Double](cb.length * cb(0).length)
-      var s = 0
-      while (s < cb.length) {
-        var c = 0
-        while (c < cb(s).length) {
-          var d = 0.0; var i = 0
-          val cent = cb(s)(c)
-          while (i < cent.length) { d += u(s * sub + i) * cent(i); i += 1 }
-          flat(s * cb(0).length + c) = d
-          c += 1
-        }
-        s += 1
+    // Query LUTs build driver-side from the BOUNDED query side (the same
+    // rows a broadcast join would ship) and travel as ONE broadcast: at
+    // k=256 a LUT is 16 KiB, and carrying it as a join column would
+    // re-materialize it into every (corpus x query) output row —
+    // measured 10x+ on the declared q86 shape. The scan instead emits
+    // skinny (neighbor, query_idx, score) rows.
+    val (qIdxDf, units) = collectQueries(spark, queries, idCol, vecCol)
+    val luts = units.map(u => lutOf(u, codebook))
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val kk = codebook(0).length
+    val adcAll = udf { (code: Seq[Int]) =>
+      val ls = bcLuts.value
+      val out = new Array[(Int, Double)](ls.length)
+      var qi = 0
+      while (qi < ls.length) {
+        val lut = ls(qi)
+        var s = 0; var acc = 0.0
+        while (s < code.length) { acc += lut(s * kk + code(s)); s += 1 }
+        out(qi) = (qi, acc)
+        qi += 1
       }
-      flat.toSeq
+      out.toSeq
     }
-    val adc = udf { (lut: Seq[Double], code: Seq[Int]) =>
-      val cb = bc.value
-      val kk = cb(0).length
-      var s = 0; var acc = 0.0
-      while (s < code.length) { acc += lut(s * kk + code(s)); s += 1 }
-      acc
-    }
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), lutUdf(col(vecCol)).as("lut")))
     val c = pqEncode(corpus, idCol, vecCol, codebook)
       .select(col(idCol).as("neighbor_id"), col("code"))
-    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adc(col("lut"), col("code")).as("score"))
+    val scored = c
+      .select(col("neighbor_id"), explode(adcAll(col("code"))).as("s"))
+      .select(col("neighbor_id"), col("s._1").as("qidx"), col("s._2").as("score"))
+      .join(broadcast(qIdxDf), "qidx")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Flat m*k LUT of per-subspace centroid dots for one unit vector —
+    * `ADC(lut, code) = sum_s lut(s*k + code_s)`. */
+  private def lutOf(
+      u: Array[Double], cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val sub = u.length / cb.length
+    val kk = cb(0).length
+    val flat = new Array[Double](cb.length * kk)
+    var s = 0
+    while (s < cb.length) {
+      var c = 0
+      while (c < cb(s).length) {
+        var d = 0.0; var i = 0
+        val cent = cb(s)(c)
+        while (i < cent.length) { d += u(s * sub + i) * cent(i); i += 1 }
+        flat(s * kk + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    flat
+  }
+
+  /** Collect the bounded query side once: returns a one-partition
+    * (qidx, query_id) frame (query_id keeps the source id type) plus the
+    * unit vectors in qidx order — the driver-side twin of the broadcast
+    * a join plan would ship, feeding the single-broadcast LUT path. */
+  private def collectQueries(
+      spark: SparkSession, queries: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, Array[Array[Double]]) = {
+    val idField = queries.select(col(idCol)).schema.head
+    val rows = queries
+      .select(col(idCol), col(vecCol).cast("array<double>")).collect()
+    val units = rows.map(r => unitVec(r.getSeq[Double](1).toArray))
+    val qIdxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.zipWithIndex.map { case (r, i) => Row(i, r.get(0)) }, 1),
+      StructType(Seq(
+        StructField("qidx", IntegerType, nullable = false),
+        idField.copy(name = "query_id"))))
+    (qIdxDf, units)
   }
 
   /**
@@ -674,9 +714,12 @@ object Similarity {
    * `dot(u_q, r_hat)` is the standard ADC sum over the residual codes,
    * with ONE m*k LUT per query reused across all its probed cells (the
    * residual r_hat lives in the same space as u_q, so the LUT is built
-   * from u_q alone). The cell match is an EQUI-join (corpus rows carry
-   * exactly one cell; a query's probed cells explode on the broadcast
-   * side), so unlike [[pqTopK]]'s full-corpus scan there is no
+   * from u_q alone). The query side (LUTs + a cell -> (query, qdotc)
+   * probe map) is prepared driver-side from the bounded query rows and
+   * ships as ONE broadcast — a corpus row scores only the queries
+   * probing ITS cell, emitting skinny (neighbor, query, score) rows, so
+   * unlike [[pqTopK]]'s full-corpus ADC every non-probed (row, query)
+   * pair costs nothing and no LUT ever rides an output row. No
    * nested-loop shape anywhere. The ADC shortlist then re-attaches raw
    * vectors for an exact cosine re-rank ([[pqTopKReranked]]'s production
    * pattern). Deterministic ordering: (cosine desc, neighbor asc).
@@ -710,58 +753,48 @@ object Similarity {
         nearestL2(cb(s), java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)))
       (cell, code.toSeq)
     }
-    // Query side (bounded, broadcast): the m*k residual LUT once per
-    // query + (cell, qdotc) per probed cell, cells exploded for the
-    // equi-join.
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val cents = bcC.value
-      val u = unitVec(v.map(_.toDouble).toArray)
-      cents.indices.map { c =>
-        var d = 0.0; var i = 0
-        val cent = cents(c)
-        while (i < u.length) { d += u(i) * cent(i); i += 1 }
-        (d, c)
-      }.sortBy { case (d, c) => (-d, c) }.take(nProbe)
-        .map { case (d, c) => (c, d) }
-    }
-    val lutUdf = udf { (v: Seq[Float]) =>
-      val cb = bcCb.value
-      val u = unitVec(v.map(_.toDouble).toArray)
-      val sub = u.length / cb.length
-      val kk = cb(0).length
-      val flat = new Array[Double](cb.length * kk)
-      var s = 0
-      while (s < cb.length) {
-        var c = 0
-        while (c < cb(s).length) {
+    // Query side prepared DRIVER-side from the bounded query rows (the
+    // same rows a broadcast join would ship): ONE m*k LUT per query plus
+    // a cell -> (query_idx, qdotc) probe map, shipped as broadcasts so
+    // no LUT ever rides a scored output row (see pqTopK).
+    val (qIdxDf, units) = collectQueries(spark, queries, idCol, vecCol)
+    val luts = units.map(u => lutOf(u, codebook))
+    val probesByCell: Map[Int, Array[(Int, Double)]] = units.zipWithIndex
+      .flatMap { case (u, qi) =>
+        centroids.indices.map { c =>
           var d = 0.0; var i = 0
-          val cent = cb(s)(c)
-          while (i < cent.length) { d += u(s * sub + i) * cent(i); i += 1 }
-          flat(s * kk + c) = d
-          c += 1
-        }
-        s += 1
+          val cent = centroids(c)
+          while (i < u.length) { d += u(i) * cent(i); i += 1 }
+          (d, c)
+        }.sortBy { case (d, c) => (-d, c) }.take(nProbe)
+          .map { case (d, c) => (c, (qi, d)) }
+      }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcProbes = spark.sparkContext.broadcast(probesByCell)
+    val kk = codebook(0).length
+    val scoreUdf = udf { (cell: Int, code: Seq[Int]) =>
+      bcProbes.value.get(cell) match {
+        case None => Seq.empty[(Int, Double)]
+        case Some(qs) =>
+          val ls = bcLuts.value
+          qs.map { case (qi, qdotc) =>
+            val lut = ls(qi)
+            var s = 0; var acc = 0.0
+            while (s < code.length) { acc += lut(s * kk + code(s)); s += 1 }
+            (qi, qdotc + acc)
+          }.toSeq
       }
-      flat.toSeq
-    }
-    val adc = udf { (lut: Seq[Double], code: Seq[Int]) =>
-      val kk = bcCb.value(0).length
-      var s = 0; var acc = 0.0
-      while (s < code.length) { acc += lut(s * kk + code(s)); s += 1 }
-      acc
     }
     val c = corpus
       .select(col(idCol).as("neighbor_id"), encUdf(col(vecCol)).as("e"))
       .select(col("neighbor_id"), col("e._1").as("cell"), col("e._2").as("code"))
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), lutUdf(col(vecCol)).as("lut"),
-        explode(probeUdf(col(vecCol))).as("p"))
-      .select(col("query_id"), col("lut"), col("p._1").as("cell"),
-        col("p._2").as("qdotc")))
-    val scored = c.join(q, "cell")
+    val scored = c
+      .select(col("neighbor_id"),
+        explode(scoreUdf(col("cell"), col("code"))).as("s"))
+      .select(col("neighbor_id"), col("s._1").as("qidx"), col("s._2").as("score"))
+      .join(broadcast(qIdxDf), "qidx")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (col("qdotc") + adc(col("lut"), col("code"))).as("score"))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     val cand = scored.withColumn("rank", row_number().over(w))

@@ -174,17 +174,45 @@ class CurationSpec extends AnyFunSuite {
 
   test("mixture sample: zero-token stratum keeps rows; zero budget keeps none") {
     import spark.implicits._
-    val df = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 10L))
+    val df = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 10L), (4L, "z", 0L))
       .toDF("doc_id", "source", "n_tokens")
     val zeroTok = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
         Map("a" -> 500000L, "b" -> 500000L), budgetTokens = 100L)
       .select("doc_id").as[Long].collect().toSet
     // a has 0 tokens -> its share can't be expressed -> keep all of a
     assert(Set(1L, 2L).subsetOf(zeroTok))
+    // z is zero-token AND unlisted: weight 0 wins — must still drop
+    assert(!zeroTok.contains(4L), "unlisted zero-token stratum must drop")
     val zeroBudget = Curation.mixtureSample(df, "doc_id", "source", "n_tokens",
         Map("b" -> 1000000L), budgetTokens = 0L)
       .where(col("source") === "b").count()
     assert(zeroBudget == 0, "zero budget must keep nothing from token-bearing strata")
+  }
+
+  test("leakage-safe split: cluster members share a split; no pairs == datasetSplit") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => Tuple1(i)).toDF("doc_id")
+    // two transitive chains (0~1, 1~2) and (10~11), rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val got = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+        valPct = 30, testPct = 30)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 60, "split must cover every doc exactly once")
+    val bySplit = got.map(r => r._1 -> r._3).toMap
+    // transitive: 0,1,2 share a split even though (0,2) was never a pair
+    assert(Set(bySplit(0L), bySplit(1L), bySplit(2L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    // cluster ids are the canonical minimum; singletons cluster to self
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(2L) == 0L && byId(11L) == 10L && byId(42L) == 42L)
+    // with no edges, degenerates to exactly the doc-keyed datasetSplit
+    val noPairs = Curation.leakageSafeSplit(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("d1", "d2"), valPct = 30, testPct = 30)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val plain = Curation.datasetSplit(docs, "doc_id", valPct = 30, testPct = 30)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(noPairs == plain)
   }
 
   test("sequence packing: offsets contiguous per shard, chunk = offset div budget") {

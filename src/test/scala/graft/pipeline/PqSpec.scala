@@ -179,7 +179,7 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall below the declared q87 floor")
   }
 
-  test("IVFADC plans the cell match as an equi-join (no nested loop)") {
+  test("IVFADC plans no nested-loop shape in the approximate path") {
     val corpus = randomCorpus(50, dim = 8, seed = 29L)
     val queries = corpus.where(col("vec_id") < 5)
     val cents = Similarity.trainIvfCentroids(
