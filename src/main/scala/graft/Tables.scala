@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import org.apache.spark.storage.StorageLevel
 
 import java.util.concurrent.ConcurrentHashMap
@@ -9,8 +10,29 @@ import java.util.concurrent.ConcurrentHashMap
 /** Testdata loaders + the canonical basket-izations (FIXTURES.md §3). */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /**
+   * Canonical event-time representation: `ts` as Long epoch NANOSECONDS.
+   * Testdata generations have shipped the column as TIMESTAMP(NANOS)
+   * (which Spark reads as Long under `nanosAsLong` — already canonical)
+   * and as TIMESTAMP(MICROS) naive (read as TIMESTAMP_NTZ). Normalize at
+   * the one load point so every downstream query keeps its integer-exact
+   * `div` arithmetic. Naive micros are interpreted as UTC — every session
+   * in this engine pins `spark.sql.session.timeZone=UTC`, matching
+   * DuckDB's tz-free `epoch_ns(naive_ts)` on the oracle side.
+   */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _ => df // already Long nanoseconds
+    }
 
   // The basket table feeds several queries + the model fit; build it once
   // per (context, sf dir) and keep it cached (it is small: one row per

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * paths must reproduce (spec-enforced, and the batch twins are
  * DuckDB-oracle-checked as q26/q27).
  *
- * `ts` arrives as Long nanoseconds (nanosAsLong parquet mode).
+ * `ts` arrives as Long nanoseconds (normalized at load — `Tables.normalizeEventTs`).
  */
 object EventStreams {
 
@@ -41,9 +41,12 @@ object EventStreams {
   /** Shared file-source recipe: schema from the batch table, directory
     * source narrowed to events.parquet. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.load(spark, dir, "events").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // Schema must match the FILE (ts may be TIMESTAMP(MICROS) on disk);
+    // normalize to canonical Long-ns AFTER the source, like the batch load.
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Streaming version: file source + watermark + 1h tumbling window. */
