@@ -10,6 +10,10 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // normalizeEventTs's TIMESTAMP_NTZ branch assumes UTC — every
+      // session builder (Verify, Bench, specs) pins it; ad-hoc dumps on a
+      // non-UTC host must not silently shift event timestamps
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("plan-dump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val pos = args.filterNot(_.startsWith("--")) // flags are not positionals
