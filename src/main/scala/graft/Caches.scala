@@ -15,6 +15,7 @@ object Caches {
     FpmQueries.clearCaches()
     graft.pipeline.Dedup.clearCaches()
     graft.pipeline.Signals.clearCaches()
+    graft.pipeline.Similarity.clearCaches()
     graft.pipeline.Bpe.clearCaches()
     graft.pipeline.Curation.clearCheckpoints()
   }

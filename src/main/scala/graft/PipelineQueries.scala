@@ -617,6 +617,75 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 100
       |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
 
+  /** q87's IVFADC search served from a PERSISTED INVERTED FILE — the
+    * artifact lifecycle a 100 TB deployment actually runs: encode the
+    * corpus ONCE ([[graft.pipeline.Similarity.ivfPqEncode]] — the only
+    * raw-vector pass), persist `(id, cell, code)` NEXT TO the
+    * centroid/codebook artifacts ([[graft.pipeline.Similarity.saveEncodedCorpus]]),
+    * then serve the query batch from the loaded codes
+    * ([[graft.pipeline.Similarity.ivfPqTopKRerankedFromCodes]]) — the ADC
+    * scan reads the 32x-smaller inverted file, and raw vectors are touched
+    * only to re-rank the ~shortlist-sized candidate set. q86/q87 declare
+    * the inline-encode convenience shape (re-encoding per batch — a full
+    * raw scan per invocation); THIS row declares the serve-from-artifact
+    * shape that removes it, under the same recall-contract oracle.
+    *
+    * The codes artifact is corpus-sized, so the eager-load-then-delete
+    * temp-dir discipline (q34/q86) cannot apply — the artifact must
+    * outlive the lazy query plan reading it. The q84 discipline applies
+    * instead: a deterministic per-corpus dir under /tmp, truncated at the
+    * START of each invocation (bounded residue, exact re-runs).
+    * Rank-for-rank equality of artifact-served vs inline-encode search is
+    * spec-pinned (PqSpec); recall measured at this declaration's params:
+    * 0.96 sf0.01 / 0.86 sf0.1, identical to q87's (same search, same
+    * codes — just not recomputed). */
+  def annIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.where(col("vec_id") < 100)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+    val approx =
+      (if (cents.isEmpty) {
+        // empty corpus: nothing to index — brute force over the same
+        // empty corpus yields the identical (empty) schema and the
+        // grouped agg emits zero rows (the oracle's HAVING)
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      } else {
+        val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
+        val idx = java.nio.file.Paths.get(
+          "/tmp", "graft-q90-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        graft.Fs.deleteRecursively(idx)
+        Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
+        Similarity.savePqCodebook(s, cb, s"$idx/pq")
+        // the ONE raw-vector pass: materialize the inverted file
+        Similarity.saveEncodedCorpus(
+          Similarity.ivfPqEncode(e, "vec_id", "embedding", cents, cb),
+          s"$idx/codes")
+        // search sees ONLY the loaded artifacts (codes stay lazy/on-disk;
+        // the bounded centroid/codebook loads are eager)
+        val loadedCents = Similarity.loadIvfIndex(s, s"$idx/ivf")
+        val loadedCb = Similarity.loadPqCodebook(s, s"$idx/pq")
+        val codes = Similarity.loadEncodedCorpus(s, s"$idx/codes")
+        Similarity.ivfPqTopKRerankedFromCodes(
+          codes, e, q, "vec_id", "embedding", k = 5, shortlist = 100,
+          loadedCents, loadedCb, nProbe = 12)
+      }).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(lit(1).as("one"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.7).as("recall_ok"))
+      .drop("one")
+  }
+
+  /** Same contract oracle as [[AnnIvfPqSql]] — identical search, served
+    * from the persisted codes instead of a per-batch re-encode. */
+  val AnnIvfPqIndexedSql: String =
+    """SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 100
+      |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

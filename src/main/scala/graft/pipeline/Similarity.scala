@@ -23,6 +23,40 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
  */
 object Similarity {
 
+  // ANN query paths broadcast bounded per-invocation payloads (centroids,
+  // codebooks, query LUTs, probe maps) that stay referenced by the LAZY
+  // result DataFrames, so they cannot be destroyed eagerly at function
+  // return — the Bpe.liveBroadcasts discipline applies: track every one
+  // here and sweep via [[clearCaches]] with unpersist (not destroy),
+  // which releases the executor copies while keeping the driver-side
+  // value usable — a sweep stays safe for in-flight plans (tasks
+  // re-fetch from the driver on next use), preserving the Caches
+  // contract. Without the sweep a long-lived session issuing many query
+  // batches accumulates executor storage one broadcast per batch.
+  private val liveBroadcasts = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def trackedBroadcast[T: scala.reflect.ClassTag](
+      spark: SparkSession, value: T): org.apache.spark.broadcast.Broadcast[T] = {
+    val bc = spark.sparkContext.broadcast(value)
+    liveBroadcasts.add(bc)
+    bc
+  }
+
+  /** Number of ANN broadcasts currently tracked (spec hook). */
+  private[graft] def liveBroadcastCount: Int = liveBroadcasts.size()
+
+  /** Release executor blocks of every ANN broadcast issued by past query
+    * batches (each q34/q86/q87-style invocation creates a few). Swept by
+    * [[graft.Caches.clearAll]]. */
+  def clearCaches(): Unit = {
+    var bc = liveBroadcasts.poll()
+    while (bc != null) {
+      try bc.unpersist() catch { case _: Throwable => }
+      bc = liveBroadcasts.poll()
+    }
+  }
+
   /**
    * Cosine similarity of two float-array columns, computed in double via
    * the codegen'd [[graft.functions.ArrayDot]] (bit-identical to the
@@ -229,20 +263,23 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     require(centroids.nonEmpty, "ivfTopKWithCentroids needs a trained index")
-    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val bcCentroids = trackedBroadcast(corpus.sparkSession, centroids)
 
-    def cellsUdf(n: Int) = udf { (v: Seq[Float]) =>
-      val u = unitVec(v.map(_.toDouble).toArray)
-      val cents = bcCentroids.value
-      cents.indices
-        .map(c => (cents(c).zip(u).map { case (a, b) => a * b }.sum, c))
-        .sortBy { case (d, c) => (-d, c) }.take(n).map(_._2)
+    // Corpus-side assignment IS the scan at 100x: one tight-loop argmax
+    // per row ([[nearestCosine]]), no per-cell tuple/boxing allocation.
+    val cellUdf = udf { (v: Seq[Float]) =>
+      nearestCosine(bcCentroids.value, unitVec(v.map(_.toDouble).toArray))
+    }
+    // Query side is bounded; the bounded partial select ([[topCells]]) is
+    // bit-identical to a full sort by (-dot, cell) + take (spec-pinned).
+    val probeUdf = udf { (v: Seq[Float]) =>
+      topCells(bcCentroids.value, unitVec(v.map(_.toDouble).toArray), nProbe).toSeq
     }
 
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      cellsUdf(1)(col(vecCol)).getItem(0).as("cell"))
+      cellUdf(col(vecCol)).as("cell"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(cellsUdf(nProbe)(col(vecCol))).as("cell")))
+      explode(probeUdf(col(vecCol))).as("cell")))
     // No dedup needed: each corpus row lives in exactly one cell and a
     // query's probed cells are distinct, so pairs are unique by construction.
     val scored = cb.join(qb, "cell")
@@ -278,6 +315,12 @@ object Similarity {
       .select(col("v1"), col("v2"))
   }
 
+  /** The grid-sizing rule: `max(8, ceil(n / 10k))` blocks, so a cell's
+    * two sides stay ~10k rows whatever the corpus size (the scaladoc's
+    * n/10k rule, applied — not a constant that 100x growth outruns). */
+  private[pipeline] def autoGridBlocks(n: Long): Int =
+    math.max(8L, (n + 9999L) / 10000L).toInt
+
   /** Unit-normalize a vector column once per row (shared by the pair ops):
     * id as `idAs`, normalized `array<double>` as `vecAs`. */
   private def unitRows(
@@ -309,13 +352,25 @@ object Similarity {
    * honest scale path is distributing the exact quadratic work evenly —
    * which this operator does.
    *
-   * `blocks` sizes the grid: cells hold ~(n/blocks)^2 dot products; pick
-   * blocks ~ n/10k so a cell's probe side fits in an executor's memory.
+   * `blocks` sizes the grid: cells hold ~(n/blocks)^2 dot products; the
+   * default (0 = auto) derives it from the corpus row count as
+   * `max(8, ceil(n / 10k))` — cells stay ~10k-a-side however large the
+   * corpus grows (a fixed constant would leave cells of (n/const)^2 work,
+   * 10,000x per cell at 100x rows), while the floor of 8 keeps 36 cells
+   * of parallelism on small corpora. The sizing count is one
+   * column-pruned pass (parquet answers it from footer metadata); pass an
+   * explicit block count to skip it when n is already known. The pair set
+   * is block-count-invariant (spec-pinned), so auto-sizing can never
+   * change results, only task granularity.
    */
   def gridNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     import graft.functions.VectorExprs.array_dot
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto), got $blocks")
+    val nBlocks =
+      if (blocks > 0) blocks
+      else autoGridBlocks(df.select(col(idCol)).count())
     // Deterministic block id from a hash of the row id; grid cell (i, j)
     // with i <= j owns the pairs between blocks i and j. Each a-row in
     // block i replicates to cells (i, i..blocks-1); each b-row in block j
@@ -325,10 +380,10 @@ object Similarity {
     // blocks*(blocks+1)/2 distinct keys spread the quadratic work evenly
     // (a block-id-only key would collapse onto `blocks` reducers).
     val a = unitRows(df, idCol, vecCol, "v1", "va")
-      .withColumn("ba", pmod(xxhash64(col("v1")), lit(blocks)).cast("int"))
-      .withColumn("cj", explode(sequence(col("ba"), lit(blocks - 1))))
+      .withColumn("ba", pmod(xxhash64(col("v1")), lit(nBlocks)).cast("int"))
+      .withColumn("cj", explode(sequence(col("ba"), lit(nBlocks - 1))))
     val b = unitRows(df, idCol, vecCol, "v2", "vb")
-      .withColumn("bb", pmod(xxhash64(col("v2")), lit(blocks)).cast("int"))
+      .withColumn("bb", pmod(xxhash64(col("v2")), lit(nBlocks)).cast("int"))
       .withColumn("ci", explode(sequence(lit(0), col("bb"))))
     a.join(b,
         col("ba") === col("ci") && col("cj") === col("bb") &&
@@ -497,7 +552,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     require(codebook.nonEmpty, "pqEncode needs a trained codebook")
-    val bc = corpus.sparkSession.sparkContext.broadcast(codebook)
+    val bc = trackedBroadcast(corpus.sparkSession, codebook)
     val enc = udf { (v: Seq[Float]) =>
       val cb = bc.value
       val u = unitVec(v.map(_.toDouble).toArray)
@@ -529,9 +584,27 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    pqTopKFromCodes(
+      pqEncode(corpus, idCol, vecCol, codebook), queries, idCol, vecCol, k,
+      codebook)
+
+  /**
+   * [[pqTopK]] served from a PRE-ENCODED corpus — the production path:
+   * the `(id, code)` frame is [[pqEncode]]'s output materialized ONCE
+   * ([[saveEncodedCorpus]]/[[loadEncodedCorpus]]) and every query batch
+   * scans the codes (m bytes a row), never the raw vectors. Re-encoding
+   * per batch ([[pqTopK]]'s convenience shape) turns the index scan back
+   * into a full raw-vector scan — exactly the cost PQ exists to remove
+   * at 100 TB. Rank-for-rank identical to the inline-encode path
+   * (spec-pinned): int codes round-trip parquet exactly.
+   */
+  def pqTopKFromCodes(
+      encoded: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
       codebook: Array[Array[Array[Double]]]): DataFrame = {
-    require(codebook.nonEmpty, "pqTopK needs a trained codebook")
-    val spark = corpus.sparkSession
+    require(codebook.nonEmpty, "pqTopKFromCodes needs a trained codebook")
+    val spark = encoded.sparkSession
     // Query LUTs build driver-side from the BOUNDED query side (the same
     // rows a broadcast join would ship) and travel as ONE broadcast: at
     // k=256 a LUT is 16 KiB, and carrying it as a join column would
@@ -540,7 +613,7 @@ object Similarity {
     // skinny (neighbor, query_idx, score) rows.
     val (qIdxDf, units) = collectQueries(spark, queries, idCol, vecCol)
     val luts = units.map(u => lutOf(u, codebook))
-    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcLuts = trackedBroadcast(spark, luts)
     val kk = codebook(0).length
     val adcAll = udf { (code: Seq[Int]) =>
       val ls = bcLuts.value
@@ -555,8 +628,7 @@ object Similarity {
       }
       out.toSeq
     }
-    val c = pqEncode(corpus, idCol, vecCol, codebook)
-      .select(col(idCol).as("neighbor_id"), col("code"))
+    val c = encoded.select(col(idCol).as("neighbor_id"), col("code"))
     val scored = c
       .select(col("neighbor_id"), explode(adcAll(col("code"))).as("s"))
       .select(col("neighbor_id"), col("s._1").as("qidx"), col("s._2").as("score"))
@@ -623,9 +695,21 @@ object Similarity {
   def pqTopKReranked(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, shortlist: Int,
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    pqTopKRerankedFromCodes(
+      pqEncode(corpus, idCol, vecCol, codebook), corpus, queries, idCol,
+      vecCol, k, shortlist, codebook)
+
+  /** [[pqTopKReranked]] served from a pre-encoded `(id, code)` corpus
+    * ([[pqTopKFromCodes]]'s contract): the ADC shortlist scans only the
+    * codes; `corpus` supplies raw vectors solely for the exact re-rank
+    * of the shortlisted candidates. */
+  def pqTopKRerankedFromCodes(
+      encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, codebook)
+    val cand = pqTopKFromCodes(encoded, queries, idCol, vecCol, shortlist, codebook)
       .select(col("query_id"), col("neighbor_id"))
     val scored = cand
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
@@ -639,10 +723,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The `n` nearest cells by cosine, ties toward the LOWER cell id —
+    * a bounded partial select (insertion into an n-slot list), exactly
+    * the `sortBy((-dot, cell)).take(n)` order without materializing or
+    * sorting all cells (spec-pinned equal to the sort formulation).
+    * Degenerates to [[nearestCosine]]'s argmax at n = 1. */
+  private[pipeline] def topCells(
+      centroids: Array[Array[Double]], u: Array[Double], n: Int): Array[Int] = {
+    val m = math.min(n, centroids.length)
+    if (m <= 0) return Array.empty
+    val ds = new Array[Double](m)
+    val cs = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * cent(i); i += 1 }
+      // c ascends, so on a dot tie the incumbent (lower id) wins: the
+      // strict > here and in the shift below IS the (-dot, cell) order
+      if (filled < m || d > ds(filled - 1)) {
+        var pos = if (filled < m) filled else m - 1
+        while (pos > 0 && d > ds(pos - 1)) {
+          ds(pos) = ds(pos - 1); cs(pos) = cs(pos - 1); pos -= 1
+        }
+        ds(pos) = d; cs(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    cs
+  }
+
   /** Deterministic argmax-cosine cell over unit vectors: ties break
     * toward the LOWEST cell id (the [[nearestL2]] convention), so IVF
     * assignments are reproducible across engines and runs. */
-  private def nearestCosine(centroids: Array[Array[Double]], u: Array[Double]): Int = {
+  private[pipeline] def nearestCosine(centroids: Array[Array[Double]], u: Array[Double]): Int = {
     var best = 0; var bestDot = Double.MinValue
     var c = 0
     while (c < centroids.length) {
@@ -729,17 +845,31 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, shortlist: Int,
       centroids: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]],
-      nProbe: Int): DataFrame = {
-    require(centroids.nonEmpty, "ivfPqTopKReranked needs IVF centroids")
-    require(codebook.nonEmpty, "ivfPqTopKReranked needs a residual codebook")
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val spark = corpus.sparkSession
-    val bcC = spark.sparkContext.broadcast(centroids)
-    val bcCb = spark.sparkContext.broadcast(codebook)
-    // Corpus side, ONE scan: cell + residual code per row. At 100 TB this
-    // (id, cell, m-byte code) projection is the only full pass; everything
-    // downstream touches cell-pruned candidates.
+      nProbe: Int): DataFrame =
+    ivfPqTopKRerankedFromCodes(
+      ivfPqEncode(corpus, idCol, vecCol, centroids, codebook),
+      corpus, queries, idCol, vecCol, k, shortlist, centroids, codebook,
+      nProbe)
+
+  /**
+   * IVFADC-encode every corpus row: `(idCol, cell, code)` with `cell` =
+   * the row's nearest (cosine) IVF centroid and `code` = the residual
+   * `u - c_cell` product-quantized under `codebook`. This frame IS the
+   * INVERTED FILE — ~32x smaller than the raw vectors (one int cell +
+   * m byte-range codes vs dim floats) — and is what a production
+   * deployment materializes ONCE next to the centroid/codebook artifacts
+   * ([[saveEncodedCorpus]]) and serves every query batch from
+   * ([[ivfPqTopKRerankedFromCodes]]). One tight-loop projection per row;
+   * scan-bound at any corpus size.
+   */
+  def ivfPqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfPqEncode needs IVF centroids")
+    require(codebook.nonEmpty, "ivfPqEncode needs a residual codebook")
+    val bcC = trackedBroadcast(corpus.sparkSession, centroids)
+    val bcCb = trackedBroadcast(corpus.sparkSession, codebook)
     val encUdf = udf { (v: Seq[Float]) =>
       val cents = bcC.value; val cb = bcCb.value
       val u = unitVec(v.map(_.toDouble).toArray)
@@ -753,6 +883,50 @@ object Similarity {
         nearestL2(cb(s), java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)))
       (cell, code.toSeq)
     }
+    corpus.select(col(idCol), encUdf(col(vecCol)).as("e"))
+      .select(col(idCol), col("e._1").as("cell"), col("e._2").as("code"))
+  }
+
+  /** Persist an encoded corpus ([[ivfPqEncode]] / [[pqEncode]] output)
+    * next to its centroid/codebook artifacts — the index half a
+    * deployment must NOT recompute per query batch. Unlike those
+    * bounded-metadata artifacts this one is corpus-sized (that's the
+    * point: codes, 32x smaller than vectors, are what query batches
+    * scan), so it keeps its natural partitioning — no repartition(1). */
+  def saveEncodedCorpus(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveEncodedCorpus]] artifact. LAZY, unlike the
+    * bounded-metadata loads ([[loadIvfIndex]]/[[loadPqCodebook]]): the
+    * codes are corpus-sized and must stream through the scan, never the
+    * driver — so the artifact directory must outlive every query batch
+    * served from it (int cells/codes round-trip parquet exactly;
+    * spec-pinned rank-for-rank equal to inline encoding). */
+  def loadEncodedCorpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * [[ivfPqTopKReranked]] served from a PRE-ENCODED inverted file — the
+   * production path: `encoded` is [[ivfPqEncode]]'s `(id, cell, code)`
+   * output materialized once, and the ADC scan reads ONLY it (cell-pruned
+   * codes — never the raw vectors). `corpus` supplies raw vectors solely
+   * for the exact re-rank of the shortlist (narrow shuffle of ~shortlist
+   * x queries candidate ids — the [[lshTopK]] re-attach pattern). The
+   * inline-encode convenience shape ([[ivfPqTopKReranked]]) re-derives
+   * the codes per batch — a full raw-vector scan per invocation, the
+   * exact cost the inverted file exists to avoid at 100 TB.
+   */
+  def ivfPqTopKRerankedFromCodes(
+      encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfPqTopKRerankedFromCodes needs IVF centroids")
+    require(codebook.nonEmpty, "ivfPqTopKRerankedFromCodes needs a residual codebook")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val spark = encoded.sparkSession
     // Query side prepared DRIVER-side from the bounded query rows (the
     // same rows a broadcast join would ship): ONE m*k LUT per query plus
     // a cell -> (query_idx, qdotc) probe map, shipped as broadcasts so
@@ -769,8 +943,8 @@ object Similarity {
         }.sortBy { case (d, c) => (-d, c) }.take(nProbe)
           .map { case (d, c) => (c, (qi, d)) }
       }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
-    val bcLuts = spark.sparkContext.broadcast(luts)
-    val bcProbes = spark.sparkContext.broadcast(probesByCell)
+    val bcLuts = trackedBroadcast(spark, luts)
+    val bcProbes = trackedBroadcast(spark, probesByCell)
     val kk = codebook(0).length
     val scoreUdf = udf { (cell: Int, code: Seq[Int]) =>
       bcProbes.value.get(cell) match {
@@ -785,9 +959,8 @@ object Similarity {
           }.toSeq
       }
     }
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), encUdf(col(vecCol)).as("e"))
-      .select(col("neighbor_id"), col("e._1").as("cell"), col("e._2").as("code"))
+    val c = encoded
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
     val scored = c
       .select(col("neighbor_id"),
         explode(scoreUdf(col("cell"), col("code"))).as("s"))

@@ -38,4 +38,27 @@ class CachesSpec extends AnyFunSuite {
     assert(PipelineQueries.bigramModel(spark, sf).count() >= 0)
     Caches.clearAll()
   }
+
+  test("ANN broadcasts are tracked and swept; a swept plan still executes") {
+    import org.apache.spark.sql.functions.col
+    Caches.clearAll()
+    assert(graft.pipeline.Similarity.liveBroadcastCount == 0)
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    // an IVF query batch creates a centroid broadcast; a PQ batch a
+    // codebook + LUT one — each invocation leaks them without the sweep
+    val cents = graft.pipeline.Similarity.trainIvfCentroids(
+      e, "vec_id", "embedding", numCentroids = 4, sampleSize = 256)
+    val ivf = graft.pipeline.Similarity.ivfTopKWithCentroids(
+      e, q, "vec_id", "embedding", 5, cents, nProbe = 2)
+    assert(ivf.count() > 0)
+    assert(graft.pipeline.Similarity.liveBroadcastCount > 0,
+      "ANN query batches must register their broadcasts for the sweep")
+    Caches.clearAll()
+    assert(graft.pipeline.Similarity.liveBroadcastCount == 0,
+      "clearAll must sweep the ANN broadcast registry")
+    // unpersist (not destroy): the already-built lazy plan still executes
+    // (tasks re-fetch the value from the driver) — a sweep is always safe
+    assert(ivf.count() > 0)
+  }
 }

@@ -198,7 +198,10 @@ class PlanSpec extends AnyFunSuite {
       // q87: the approximate IVFADC path is pure equi-joins (PqSpec pins
       // it) — the BNL is the exact brute-force side of the recall
       // contract, q22's embedded reference
-      "q87_ann_ivfpq")
+      "q87_ann_ivfpq",
+      // q90: q87's search served from the persisted inverted file — same
+      // recall contract, same embedded exact reference, same reason
+      "q90_ann_ivfpq_indexed")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -157,6 +157,34 @@ class PipelineSpec extends AnyFunSuite {
       "the grid path must be a shuffle equi-join, not a BNL")
   }
 
+  test("grid near-dup pair set is block-count-invariant; auto-sizing applies the n/10k rule") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val reference = Similarity.gridNearDupPairs(e, "vec_id", "embedding", 0.42, blocks = 5)
+      .as[(Long, Long)].collect().toSet
+    // the block count spreads the SAME quadratic work differently —
+    // the emitted pair set must not depend on it (so the auto-sizer can
+    // never change results, only task granularity)
+    for (blocks <- Seq(2, 8, 13)) {
+      val got = Similarity.gridNearDupPairs(e, "vec_id", "embedding", 0.42, blocks)
+        .as[(Long, Long)].collect().toSet
+      assert(got == reference, s"pair set changed at blocks=$blocks")
+    }
+    // auto path (blocks = 0): same pairs, still a shuffle equi-join
+    val auto = Similarity.gridNearDupPairs(e, "vec_id", "embedding", 0.42)
+    assert(auto.as[(Long, Long)].collect().toSet == reference)
+    val physical = auto.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      "the auto-sized grid must stay a shuffle equi-join")
+    // the n/10k rule itself: floor of 8 below 80k rows, ceil(n/10k) above
+    assert(Similarity.autoGridBlocks(0L) == 8)
+    assert(Similarity.autoGridBlocks(79999L) == 8)
+    assert(Similarity.autoGridBlocks(80001L) == 9)
+    assert(Similarity.autoGridBlocks(1000000L) == 100)
+    assert(Similarity.autoGridBlocks(100L * 1000 * 1000 * 1000) == 10000000)
+  }
+
   test("LSH near-dup == exact pair set in the tight-dup regime it is built for") {
     import spark.implicits._
     // Planted high-cosine dups: base vectors plus copies with small noise.

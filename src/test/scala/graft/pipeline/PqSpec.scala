@@ -195,6 +195,83 @@ class PqSpec extends AnyFunSuite {
       s"IVFADC must not plan a nested-loop shape:\n$plan")
   }
 
+  test("inverted-file artifact: search from persisted codes == inline encode, rank-for-rank") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 50)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+    val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft-invfile-spec")
+    try {
+      // encode ONCE, persist the (id, cell, code) inverted file, serve
+      // the search from the loaded artifact — must equal the inline
+      // re-encode path rank-for-rank (int codes round-trip parquet
+      // exactly, and the search math is identical)
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfPqEncode(e, "vec_id", "embedding", cents, cb),
+        dir.toString)
+      val fromCodes = Similarity.ivfPqTopKRerankedFromCodes(
+          Similarity.loadEncodedCorpus(spark, dir.toString),
+          e, q, "vec_id", "embedding", k = 5, shortlist = 60, cents, cb,
+          nProbe = 12)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val inline = Similarity.ivfPqTopKReranked(
+          e, q, "vec_id", "embedding", k = 5, shortlist = 60, cents, cb,
+          nProbe = 12)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fromCodes.nonEmpty && fromCodes == inline)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("PQ codes artifact: pqTopKFromCodes(loaded) == pqTopK inline, rank-for-rank") {
+    import spark.implicits._
+    val corpus = randomCorpus(80, dim = 16, seed = 31L).cache()
+    val queries = corpus.where(col("vec_id") < 10)
+    val cb = Similarity.trainPqCodebook(
+      corpus, "vec_id", "embedding", m = 4, k = 16, sampleSize = 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcodes-spec")
+    try {
+      Similarity.saveEncodedCorpus(
+        Similarity.pqEncode(corpus, "vec_id", "embedding", cb), dir.toString)
+      val fromCodes = Similarity.pqTopKFromCodes(
+          Similarity.loadEncodedCorpus(spark, dir.toString),
+          queries, "vec_id", "embedding", 5, cb)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val inline = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5, cb)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fromCodes.nonEmpty && fromCodes == inline)
+    } finally {
+      graft.Fs.deleteRecursively(dir)
+      corpus.unpersist()
+    }
+  }
+
+  test("topCells partial select == full sort by (-dot, cell) + take") {
+    // the tight-loop probe selection must be bit-identical to the sort
+    // formulation it replaced, ties toward the lower cell id included
+    val rng = new scala.util.Random(37L)
+    val dim = 6
+    val cents = Array.fill(11)(Array.fill(dim)(rng.nextGaussian()))
+    // planted exact ties: two centroid pairs share identical vectors
+    cents(4) = cents(1).clone()
+    cents(9) = cents(6).clone()
+    for (_ <- 0 until 200) {
+      val u = Array.fill(dim)(rng.nextGaussian())
+      val reference = cents.indices
+        .map(c => (cents(c).zip(u).map { case (a, b) => a * b }.sum, c))
+        .sortBy { case (d, c) => (-d, c) }
+      for (n <- Seq(1, 3, 11, 15)) {
+        val got = Similarity.topCells(cents, u, n)
+        assert(got.toSeq == reference.take(math.min(n, cents.length)).map(_._2),
+          s"n=$n mismatch")
+      }
+    }
+  }
+
   test("dim not divisible by m is rejected with a clear message") {
     val corpus = randomCorpus(10, dim = 10, seed = 17L)
     val e = intercept[IllegalArgumentException] {
