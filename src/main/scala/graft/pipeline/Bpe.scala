@@ -27,20 +27,18 @@ import org.apache.spark.storage.StorageLevel
  *    a 32k–100k-merge tokenizer is minutes, not days. Only the
  *    dictionary — bounded metadata, the same class as the q55 vocab
  *    collect — ever reaches the driver.
- *  - A corpus-scale dictionary (≥100k distinct words) stays distributed:
- *    each round broadcasts the merge list trained so far, re-symbolizes
- *    every word IN-SCAN (apply all merges in order to the character
- *    split), then runs one partial-aggregated pair count plus a
- *    `TakeOrderedAndProject`-shaped top-1. Re-deriving from the ONE
- *    cached dictionary keeps every round's plan flat — no chained
- *    per-round caches whose nested lineage grows with the round count —
- *    at the cost of re-applying ≤`numMerges` merges per word per round:
- *    O(M²) symbol work in the merge count M, the documented ceiling of
- *    this path (SCALE.md); it is the large-dictionary fallback, not the
- *    common case.
- *  - Only the merge table — `numMerges` rows — ever reaches the driver
- *    from the distributed path, and the broadcast payload is bounded by
- *    the same table.
+ *  - A corpus-scale dictionary (≥100k distinct words) stays distributed
+ *    AND delta-maintained, like the in-memory path: the state is the
+ *    current symbolization `(cnt, syms)`, each round applies only that
+ *    round's one merge to it (identity on untouched words) and runs one
+ *    partial-aggregated pair count plus a `TakeOrderedAndProject`-shaped
+ *    top-1 — flat per-merge cost in the round index (BpeProbe-measured),
+ *    so a 32k–100k-merge tokenizer over a web-scale dictionary costs
+ *    M dictionary scans, not O(M²) symbol work. Round lineage is cut by
+ *    lazy per-round localCheckpoints that the pair-count action itself
+ *    materializes (one action per round, no plan growth).
+ *  - Only the per-round top-1 pair and the merge table — `numMerges`
+ *    rows — ever reach the driver from the distributed path.
  *
  * Both paths take the same total-ordered argmax each round (count desc,
  * then lexicographic (lhs, rhs)) and are differential-tested equal
@@ -133,14 +131,40 @@ object Bpe {
     bc
   }
 
+  // Distributed-trainer round checkpoints: intra-loop rounds release
+  // themselves (releaseCheckpoint), so this WEAK registry only backstops
+  // a run that died mid-loop — swept by [[clearCaches]], the Curation
+  // liveCheckpoints discipline.
+  private val liveCheckpoints: java.util.Set[org.apache.spark.rdd.RDD[_]] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]()))
+
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftShims.checkpointRDDs(df).foreach(liveCheckpoints.add)
+    df
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit = {
+    df.unpersist()
+    val rdds = org.apache.spark.sql.GraftShims.checkpointRDDs(df)
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.foreach(liveCheckpoints.remove)
+  }
+
   /** Drop every cached merge table (driver-side rows only — no storage)
-    * and release executor blocks of encode-side merge broadcasts. */
+    * and release executor blocks of encode-side merge broadcasts plus
+    * any round checkpoints a died-mid-loop distributed run left. */
   def clearCaches(): Unit = {
     mergeCache.clear()
     var bc = liveBroadcasts.poll()
     while (bc != null) {
       try bc.unpersist() catch { case _: Throwable => }
       bc = liveBroadcasts.poll()
+    }
+    liveCheckpoints.synchronized {
+      liveCheckpoints.forEach(r => r.unpersist(blocking = false))
+      liveCheckpoints.clear()
     }
   }
 
@@ -261,41 +285,58 @@ object Bpe {
   }
 
   /** Distributed training rounds over a (word, cnt) dictionary DataFrame
-    * — the large-dictionary path: each round re-symbolizes every word
-    * in-scan under the merges so far (broadcast, destroyed once the
-    * round's top-1 is collected) and recounts all pairs. O(M²) total
-    * symbol work in the merge count M — see SCALE.md for the ceiling. */
+    * — the large-dictionary path, DELTA-MAINTAINED like the in-memory
+    * trainer: the state is the CURRENT symbolization `(cnt, syms)`, and
+    * each round applies only that round's ONE merge to it (`mergePair`
+    * is the identity on words without the pair), so per-merge symbol
+    * work is flat in the round index — the re-derive-all formulation
+    * (re-applying all M prior merges per word per round, O(M²) total)
+    * is gone. Round lineage is truncated by a LAZY localCheckpoint
+    * whose blocks the next round's pair-count aggregation materializes
+    * — ONE action per round, no chained plan growth (the
+    * connectedComponentsAlternating discipline); the previous round's
+    * blocks release only after its successor is fully stored. Only the
+    * per-round top-1 pair ever reaches the driver. */
   private[graft] def trainDistributed(
       words: DataFrame, numMerges: Int,
       minPairCount: Long): Seq[(Long, String, String, Long)] = {
-    val spark = words.sparkSession
+    val charUdf = udf((w: String) => charSymbols(w))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var state = trackCheckpoint(
+      words.select(col("cnt"), charUdf(col("word")).as("syms"))
+        .localCheckpoint(eager = false))
+    var prev: DataFrame = null
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val bc = spark.sparkContext.broadcast(
-        merges.map(m => (m._2, m._3)).toSeq)
-      val resym = udf((w: String) => applyMerges(w, bc.value))
-      val top =
-        try {
-          words
-            .select(explode(
-              Signals.sliceNgrams(resym(col("word")), 2)).as("p"), col("cnt"))
-            .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
-            .agg(sum(col("cnt")).as("c"))
-            .where(col("c") >= minPairCount)
-            .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-            .limit(1)
-            .collect()
-        } finally bc.destroy() // round's value fully consumed by the collect
+      // the round's ONE action: counts pairs AND writes state's (lazy)
+      // checkpoint blocks — after it, the previous round is droppable
+      val top = state
+        .select(explode(Signals.sliceNgrams(col("syms"), 2)).as("p"), col("cnt"))
+        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+        .where(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (prev != null) { releaseCheckpoint(prev); prev = null }
       if (top.isEmpty) done = true
       else {
-        merges += ((step.toLong,
-          top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((step.toLong, a, b, top(0).getLong(2)))
+        val mergeUdf = udf((syms: Seq[String]) =>
+          if (syms.length > 1) mergePair(syms, a, b) else syms)
+        val next = trackCheckpoint(
+          state.select(col("cnt"), mergeUdf(col("syms")).as("syms"))
+            .localCheckpoint(eager = false))
+        prev = state
+        state = next
         step += 1
       }
     }
+    if (prev != null) releaseCheckpoint(prev)
+    releaseCheckpoint(state)
     merges.toSeq
   }
 

@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Merge-count scaling probe for the BPE trainer: times a full training
   * run at each requested merge count over the documents table, printing
   * total seconds and per-merge seconds. Flat (or falling) per-merge cost
-  * as the count grows is the contract of the delta-maintained in-memory
-  * trainer; the quadratic re-derive-all distributed path would show
-  * per-merge cost LINEAR in the count instead.
+  * as the count grows is the contract of BOTH paths now — the
+  * delta-maintained in-memory trainer and the delta-maintained
+  * distributed rounds (`SPARK_BPE_FORCE_DIST=1` probes the latter; its
+  * old re-derive-all formulation showed per-merge cost linear in the
+  * count, the signature this probe exists to catch).
   *
   *   sbt "Test/runMain graft.BpeProbe /root/testdata/sf0.1 50 100 250 500"
   */
