@@ -286,6 +286,35 @@ class CurationSpec extends AnyFunSuite {
     assert(salted != full)
   }
 
+  test("dupClusters shares one CC run per edge plan; cached == uncached labels") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    Curation.clearCheckpoints()
+    def edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    def docs = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
+    val first = Curation.dupClusters(docs, "doc_id", edges)
+    first.count() // materializes the (checkpointed) CC labels
+    val stored = sc.getPersistentRDDs.keySet
+    // q89's shape: same edge plan through leakageSafeSplit — the CC half
+    // must come from the cache, not a second propagation run
+    val split = Curation.leakageSafeSplit(docs, "doc_id", edges,
+      valPct = 10, testPct = 10)
+    val splitRows = split.as[(Long, Long, Long, String)].collect()
+    assert(sc.getPersistentRDDs.keySet == stored,
+      "the shared edge plan must reuse the cached CC labels, not re-run CC")
+    // cached labels == an uncached run's labels (equality vs the
+    // uncached path), and the gate respects them cluster-wise
+    val uncached = Curation.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    val firstMap = first.as[(Long, Long)].collect().toMap
+    assert(firstMap == uncached.map(identity) ++
+      (1L to 12L).filterNot(uncached.contains).map(i => i -> i).toMap)
+    val byCluster = splitRows.groupBy(_._2).values
+    assert(byCluster.forall(rows => rows.map(_._4).distinct.length == 1),
+      "cluster members must share a split")
+    Curation.clearCheckpoints()
+  }
+
   test("repeated CC runs + clearCheckpoints leave zero net storage growth") {
     import spark.implicits._
     val sc = spark.sparkContext
