@@ -523,6 +523,83 @@ object RelQueries {
       .parquet(out.toString)
   }
 
+  /**
+   * q27's sessionization computed by an EXECUTED STREAMING QUERY — the
+   * second streaming family graduated from spec-only to driver-checked
+   * (the q84 pattern): [[graft.streaming.EventStreams.sessionsClosedStream]]
+   * (flatMapGroupsWithState, event-time timeout, one OPEN session per
+   * user of state) runs under `AvailableNow` into a parquet sink, and
+   * the returned frame is the sink read back — the oracle hash covers
+   * rows that actually flowed through the state store and its timers.
+   *
+   * What the stream emits vs the batch twin is EXACTLY the streaming
+   * contract, and the oracle states it: every non-final session closes
+   * INLINE (a later event jumps the 30-min gap within the one
+   * availableNow batch — the events table is a single file, so one data
+   * batch), and a user's FINAL session closes only if its event-time
+   * timer fires in the trailing no-data micro-batch — i.e. iff
+   * `(end + gap) rounded up to ms < watermark`, the watermark being
+   * `max(event ts) in ms` at delay 0. Sessions still open when the
+   * stream ends are NOT emitted (they have not closed — emitting them
+   * would be wrong); the oracle applies the same timer arithmetic the
+   * operator arms (`EventStreams.sessionsClosedFromEvents`'s rounded-up
+   * instant and Spark's strict `timeout < watermark` comparison), so
+   * the row-for-row match pins the timer semantics too, not just the
+   * session math. Sink + checkpoint under a deterministic per-corpus
+   * temp dir, truncated at the start of each invocation (the q84
+   * discipline).
+   */
+  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q91-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val q = graft.streaming.EventStreams.sessionsClosedStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: an EMPTY corpus streams zero batches, leaving a
+    // sink directory with no parquet footers to infer from
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("user_id BIGINT, session_no BIGINT, n_events BIGINT, " +
+        "start_us BIGINT, end_us BIGINT")
+      .parquet(out.toString)
+  }
+
+  /** q27's session algebra restricted to sessions that CLOSE under the
+    * stream's semantics: non-final sessions (closed inline by the gap
+    * jump) plus final sessions whose rounded-up timer instant is
+    * strictly below the final watermark (max ts in ms, delay 0) — the
+    * exact arithmetic the streaming operator arms and Spark's timer
+    * comparison applies. */
+  val EventSessionsStreamedSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tns FROM events),
+      |x AS (SELECT user_id, event_id, tns,
+      |        CASE WHEN lag(tns) OVER w IS NULL
+      |                  OR tns - lag(tns) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS is_start
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      |s AS (SELECT user_id, tns,
+      |        sum(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS session_no
+      |      FROM x),
+      |sess AS (SELECT user_id, session_no::BIGINT AS session_no,
+      |                count(*) AS n_events,
+      |                min(tns) AS start_us, max(tns) AS end_us
+      |         FROM s GROUP BY 1, 2),
+      |lastno AS (SELECT user_id, max(session_no) AS last_no
+      |           FROM sess GROUP BY 1),
+      |wm AS (SELECT max(tns) // 1000 AS wm_ms FROM e)
+      |SELECT sess.user_id, sess.session_no, sess.n_events,
+      |       sess.start_us, sess.end_us
+      |FROM sess JOIN lastno ON sess.user_id = lastno.user_id
+      |WHERE sess.session_no < lastno.last_no
+      |   OR (sess.end_us + 1800000000 + 999) // 1000 < (SELECT wm_ms FROM wm)""".stripMargin
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

@@ -104,6 +104,8 @@ object SparkEntry {
     "q87_ann_ivfpq" -> ((s, d) => PipelineQueries.annIvfPq(s, d)),
     "q88_mixture_sample" -> ((s, d) => PipelineQueries.mixtureSampleReport(s, d)),
     "q89_leakage_safe_split" -> ((s, d) => PipelineQueries.leakageSafeSplit(s, d)),
+    "q90_ann_ivfpq_indexed" -> ((s, d) => PipelineQueries.annIvfPqIndexed(s, d)),
+    "q91_sessions_stream" -> ((s, d) => RelQueries.eventSessionsStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,5 +284,14 @@ object SparkEntry {
     "q88_mixture_sample" -> PipelineQueries.MixtureSampleReportSql,
     // q89: q69's md5 split gate keyed by q40's recursive-CTE cluster id
     "q89_leakage_safe_split" -> PipelineQueries.LeakageSafeSplitSql,
+    // q90: q87's search served from the PERSISTED (id, cell, code)
+    // inverted file — encode once, save, load, search from codes; same
+    // recall-contract oracle (identical search over identical codes)
+    "q90_ann_ivfpq_indexed" -> PipelineQueries.AnnIvfPqIndexedSql,
+    // q91: the session stream EXECUTED under availableNow into a parquet
+    // sink (the q84 graduation pattern) — the oracle is q27's session
+    // algebra restricted to sessions that CLOSE under streaming
+    // semantics, including the operator's exact timer arithmetic
+    "q91_sessions_stream" -> RelQueries.EventSessionsStreamedSql,
   )
 }

@@ -196,6 +196,29 @@ object Dedup {
       threshold: Double = 0.7,
       maxShingleDF: Long = 0L): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+    val buckets = minHashBuckets(docs, idCol, textCol, n, bands, rowsPerBand,
+      maxShingleDF)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    verifyJaccard(cand, idx, threshold)
+  }
+
+  /** The banded MinHash bucket table `(doc, band, bucket)` — the
+    * candidate keys of [[minHashPairs]], exposed so a STREAMING near-dup
+    * gate can broadcast a reference corpus's buckets and flag arriving
+    * docs that share any band
+    * ([[graft.streaming.DocStreams.nearDupGateStream]] — its per-row
+    * signature formulation must stay bit-identical to this grouped one,
+    * spec-enforced). Docs with zero shingles produce no rows. */
+  def minHashBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
     val numHashes = bands * rowsPerBand
     val sigAggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("gram"))).as(s"h$i")
@@ -205,16 +228,9 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(slice: _*).as("bucket"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .distinct()
-    verifyJaccard(cand, idx, threshold)
   }
 
   /** 64-bit SimHash of the token multiset (sign-aggregated xxhash bits). */

@@ -47,6 +47,61 @@ object DocStreams {
    *
    * Output: input columns + `n_grams` + `maybe_contaminated`.
    */
+  /**
+   * Streaming NEAR-dup gate: flag each arriving document whose MinHash
+   * band signature collides with a STATIC reference corpus's — the
+   * banded-LSH analogue of [[contaminationGateStream]]'s exact-gram
+   * bloom gate, for suppression of near-COPIES (whitespace edits, small
+   * rewrites) that exact fingerprints miss. The reference corpus's
+   * `(band, bucket)` keys come from the batch index
+   * ([[graft.pipeline.Dedup.minHashBuckets]], collected once — docs x
+   * bands rows of two ints, the bounded broadcast a gate corpus implies)
+   * and broadcast at stream start; each arriving doc computes its own
+   * band buckets PER ROW (min-over-array reformulation of the batch
+   * grouped min — bit-identical signatures, spec-enforced) and probes
+   * the set. Stateless per micro-batch, no streaming state at all.
+   *
+   * The flag means "shares >= 1 LSH band with some reference doc" —
+   * exactly the batch candidate-generation predicate, so flagged docs
+   * are [[graft.pipeline.Dedup.minHashPairs]]' CANDIDATES (recall
+   * `1-(1-t^r)^b` per true near-dup, ~1 in the tight-dup regime banding
+   * serves); the exact-Jaccard verify belongs to the batch sweep over
+   * quarantined docs, mirroring the bloom gate's re-check contract.
+   *
+   * Output: input columns + `n_shingles` + `maybe_near_dup` (a doc with
+   * zero shingles never flags — it has no signature to collide).
+   */
+  def nearDupGateStream(
+      docs: DataFrame, textCol: String,
+      corpusBuckets: Set[(Int, Int)],
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(corpusBuckets)
+    val numHashes = bands * rowsPerBand
+    // Per-row signature: h_i = min over shingles of xxhash64(i, gram),
+    // gram = xxhash64(shingle) — the same expression tree as the batch
+    // index path (xxhash64 of the string, then seeded-by-position
+    // xxhash64 over the long), with the grouped min replaced by
+    // array_min over the row's own shingles.
+    val grams = transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(col("__grams"), x => xxhash64(lit(i), x)))): _*)
+    val buckets = array((0 until bands).map { b =>
+      hash((0 until rowsPerBand)
+        .map(r => col("__sig").getItem(b * rowsPerBand + r)): _*)
+    }: _*)
+    val anyHit = udf { (bks: Seq[Int]) =>
+      bks != null && bks.iterator.zipWithIndex
+        .exists { case (bk, band) => bc.value.contains((band, bk)) }
+    }
+    docs
+      .withColumn("__grams", grams)
+      .withColumn("__sig", sig)
+      .withColumn("n_shingles", size(col("__grams")).cast("long"))
+      .withColumn("maybe_near_dup",
+        col("n_shingles") > 0 && anyHit(buckets))
+      .drop("__grams", "__sig")
+  }
+
   def contaminationGateStream(
       docs: DataFrame, textCol: String,
       bloomWords: Array[Long], numHashes: Int, n: Int): DataFrame = {

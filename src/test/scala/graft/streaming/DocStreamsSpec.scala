@@ -60,6 +60,64 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 4L).intersect(kept.map(_._1).toSet).size == 1)
   }
 
+  test("streaming near-dup gate: flags == batch MinHash candidates on planted fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // Planted fixture: reference corpus docs, arriving docs that are
+    // near-copies (small edits — high jaccard), plus unrelated docs.
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten eleven"),
+      (102L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 100
+      (2L, "one two three four five six seven eight nine ten twelve"),  // near-copy of 101
+      (3L, "completely unrelated text about mountains and rivers flowing"),
+      (4L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"), // copy of 102
+      (5L, "short"), // zero 5-gram shingles: must never flag
+      (6L, "different words entirely with no overlap whatsoever present here"))
+
+    val (n, bands, rows) = (5, 8, 4)
+    val corpusBuckets = graft.pipeline.Dedup
+      .minHashBuckets(corpus, "doc_id", "text", n, bands, rows)
+      .select($"band", $"bucket").as[(Int, Int)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupGateStream(
+        source.toDS().toDF("doc_id", "text"), "text", corpusBuckets,
+        n, bands, rows)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_gate").start()
+    try {
+      source.addData(arrivals)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val flagged = spark.table("neardup_gate")
+      .where($"maybe_near_dup").select($"doc_id").as[Long].collect().toSet
+    // ground truth = the BATCH candidate predicate: arriving docs whose
+    // per-row band buckets (computed by the batch grouped path) collide
+    // with a corpus bucket — the per-row streaming signature must be
+    // bit-identical to the grouped batch one
+    val truth = graft.pipeline.Dedup
+      .minHashBuckets(arrivals.toDF("doc_id", "text"), "doc_id", "text",
+        n, bands, rows)
+      .as[(Long, Int, Int)].collect()
+      .filter { case (_, band, bucket) => corpusBuckets.contains((band, bucket)) }
+      .map(_._1).toSet
+    assert(truth.contains(1L) && truth.contains(4L),
+      "planted exact copies must be batch candidates")
+    assert(!truth.contains(5L), "a shingle-less doc cannot be a candidate")
+    assert(flagged == truth,
+      s"stream flags must equal batch candidates: got $flagged vs $truth")
+    // the near-copy with one word changed shares most shingles: at
+    // j ~ 0.8, miss probability (1-j^4)^8 ~ 0.004 — planted to collide
+    assert(flagged.contains(2L), "near-copy should collide in some band")
+  }
+
   test("streaming contamination gate: zero false negatives vs the batch check") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
