@@ -600,6 +600,55 @@ object RelQueries {
       |WHERE sess.session_no < lastno.last_no
       |   OR (sess.end_us + 1800000000 + 999) // 1000 < (SELECT wm_ms FROM wm)""".stripMargin
 
+  /**
+   * q26's hourly aggregation computed by an EXECUTED STREAMING QUERY —
+   * the third graduated streaming family (q84 as-of, q91 sessions, now
+   * WATERMARKED WINDOWED AGGREGATION, the canonical structured-streaming
+   * shape): [[graft.streaming.EventStreams.hourlyStream]] (1h tumbling
+   * windows, 1h watermark delay, append mode) runs under `AvailableNow`
+   * into a parquet sink. Append mode emits a window only once the
+   * watermark passes its END — so the oracle is q26's hourly algebra
+   * restricted to windows with `end <= watermark`, the watermark being
+   * `max(event ts in ms) - 1h` (the declared delay) at stream end:
+   * windows still open when the stream ends (the last ~2h of event
+   * time) are correctly NOT emitted. The row-for-row match therefore
+   * pins the append-mode eviction arithmetic (ms-floor watermark, the
+   * <= end comparison), not just the window sums. Same per-corpus
+   * temp-dir discipline as q84/q91.
+   */
+  def eventHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q92-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val q = graft.streaming.EventStreams.hourlyStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("hour_bucket BIGINT, event_type STRING, n BIGINT, " +
+        "sum_value DOUBLE")
+      .parquet(out.toString)
+  }
+
+  /** q26's hourly algebra restricted to windows CLOSED by the final
+    * watermark: window end (us) <= (max event ms - 1h delay) as us —
+    * the exact append-mode eviction comparison. */
+  val EventHourlyStreamedSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tus,
+      |                  epoch_ns(ts) // 3600000000000 AS hb,
+      |                  event_type, value
+      |           FROM events),
+      |wm AS (SELECT max(tus // 1000) - 3600000 AS wm_ms FROM e)
+      |SELECT hb AS hour_bucket, event_type, count(*) AS n,
+      |       cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2
+      |HAVING (hb + 1) * 3600000000 <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

@@ -106,6 +106,7 @@ object SparkEntry {
     "q89_leakage_safe_split" -> ((s, d) => PipelineQueries.leakageSafeSplit(s, d)),
     "q90_ann_ivfpq_indexed" -> ((s, d) => PipelineQueries.annIvfPqIndexed(s, d)),
     "q91_sessions_stream" -> ((s, d) => RelQueries.eventSessionsStreamed(s, d)),
+    "q92_hourly_stream" -> ((s, d) => RelQueries.eventHourlyStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,5 +294,9 @@ object SparkEntry {
     // algebra restricted to sessions that CLOSE under streaming
     // semantics, including the operator's exact timer arithmetic
     "q91_sessions_stream" -> RelQueries.EventSessionsStreamedSql,
+    // q92: the watermarked hourly windowed aggregation EXECUTED under
+    // availableNow (append mode) — q26's algebra restricted to windows
+    // the final watermark closed, pinning the eviction arithmetic
+    "q92_hourly_stream" -> RelQueries.EventHourlyStreamedSql,
   )
 }

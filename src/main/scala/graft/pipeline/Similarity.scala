@@ -892,9 +892,27 @@ object Similarity {
     * deployment must NOT recompute per query batch. Unlike those
     * bounded-metadata artifacts this one is corpus-sized (that's the
     * point: codes, 32x smaller than vectors, are what query batches
-    * scan), so it keeps its natural partitioning — no repartition(1). */
+    * scan), so it keeps its natural partitioning — no repartition(1).
+    *
+    * `partitionByCell = true` (the default when the frame HAS a cell
+    * column — i.e. an IVFADC inverted file) lays the codes out
+    * directory-per-cell, which IS the on-disk inverted-list structure:
+    * the search path filters its scan to the probed cell set, so a
+    * partitioned artifact READS only ~nProbe/numCells of the codes
+    * (partition pruning — `PartitionFilters` in the scan, spec-pinned)
+    * instead of scanning all codes and discarding non-probed rows.
+    * Cell counts are bounded (the coarse quantizer's k), so the
+    * directory fan-out is too. */
   def saveEncodedCorpus(encoded: DataFrame, path: String): Unit =
-    encoded.write.mode("overwrite").parquet(path)
+    saveEncodedCorpus(encoded, path,
+      partitionByCell = encoded.columns.contains("cell"))
+
+  /** [[saveEncodedCorpus]] with the cell layout explicit. */
+  def saveEncodedCorpus(
+      encoded: DataFrame, path: String, partitionByCell: Boolean): Unit = {
+    val w = encoded.write.mode("overwrite")
+    (if (partitionByCell) w.partitionBy("cell") else w).parquet(path)
+  }
 
   /** Load a [[saveEncodedCorpus]] artifact. LAZY, unlike the
     * bounded-metadata loads ([[loadIvfIndex]]/[[loadPqCodebook]]): the
@@ -959,7 +977,15 @@ object Similarity {
           }.toSeq
       }
     }
+    // Cell-pruned scan: a corpus row in a non-probed cell scores nothing
+    // (the probe map returns empty), so cut those rows BEFORE the scan —
+    // on a cell-partitioned artifact (saveEncodedCorpus's default cell
+    // layout) this literal IN-list is PARTITION PRUNING: only the probed
+    // cells' directories are read at all, ~nProbe/numCells of the codes.
+    // The probed set is bounded (queries x nProbe cell ids).
+    val probedCells = probesByCell.keys.toSeq.sorted
     val c = encoded
+      .where(col("cell").isin(probedCells: _*))
       .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
     val scored = c
       .select(col("neighbor_id"),

@@ -250,6 +250,43 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("cell-partitioned inverted file: probed-cell scan is partition-pruned, results unchanged") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+    val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cellpart-spec")
+    try {
+      // default save lays the codes out directory-per-cell (the on-disk
+      // inverted-list structure)
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfPqEncode(e, "vec_id", "embedding", cents, cb),
+        dir.toString)
+      val cellDirs = dir.toFile.listFiles().count(_.getName.startsWith("cell="))
+      assert(cellDirs == cents.length,
+        s"expected one directory per cell, got $cellDirs")
+      val search = Similarity.ivfPqTopKRerankedFromCodes(
+        Similarity.loadEncodedCorpus(spark, dir.toString),
+        e, q, "vec_id", "embedding", k = 3, shortlist = 20, cents, cb,
+        nProbe = 2)
+      // the probed-cell IN-list must reach the artifact scan as a
+      // partition filter — only probed directories are read
+      val plan = search.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).nonEmpty,
+        s"probed-cell filter must prune partitions:\n$plan")
+      val fromArtifact = search
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val inline = Similarity.ivfPqTopKReranked(
+          e, q, "vec_id", "embedding", k = 3, shortlist = 20, cents, cb,
+          nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fromArtifact.nonEmpty && fromArtifact == inline)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("topCells partial select == full sort by (-dot, cell) + take") {
     // the tight-loop probe selection must be bit-identical to the sort
     // formulation it replaced, ties toward the lower cell id included
