@@ -520,7 +520,10 @@ object PipelineQueries {
     * regime (lossless quantization -> identical-to-brute-force results)
     * is spec-pinned instead (PqSpec). At 100 TB the codes are 32x
     * smaller than the float vectors and the ADC scan touches only them —
-    * the memory/bandwidth story IVF's cell-pruning composes with. */
+    * the memory/bandwidth story IVF's cell-pruning composes with. This
+    * declared row encodes inline each invocation (the self-contained
+    * lifecycle); q90 declares the serve-from-persisted-codes shape that
+    * amortizes the encode across query batches. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
@@ -574,7 +577,10 @@ object PipelineQueries {
     * maximum recall cost; clustered real corpora sit higher at the same
     * nProbe). Unlike q86's full-corpus ADC scan, a corpus row here
     * scores only the queries probing its cell (broadcast probe map) —
-    * no nested-loop shape anywhere in the approximate path. */
+    * no nested-loop shape anywhere in the approximate path. This row
+    * encodes inline each invocation; q90 runs the same search from the
+    * PERSISTED inverted file (encode once, cell-partitioned layout,
+    * pruned reads) — the per-batch production shape. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
