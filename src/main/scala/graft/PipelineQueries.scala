@@ -692,6 +692,47 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 100
       |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
 
+  /** q34's IVF search served from a PERSISTED INVERTED LIST — the
+    * IVF-FLAT artifact lifecycle: assign the corpus ONCE
+    * ([[graft.pipeline.Similarity.ivfAssign]]), persist `(id, cell,
+    * vec)` cell-partitioned next to the quantizer artifact, then serve
+    * the query batch from the loaded list
+    * ([[graft.pipeline.Similarity.ivfTopKFromAssigned]]) — the scan is
+    * filtered to the batch's probed cells, which on the partitioned
+    * artifact is partition-pruned I/O (read ~nProbe/numCells of the
+    * vectors), where q34's inline path scans everything and prunes
+    * compute only. Declared at `nProbe = numCentroids` (every cell
+    * probed — provably brute force, q34's adjudication), so the q22
+    * oracle hash-checks the whole artifact-served path exactly; the
+    * pruning regime is spec-pinned (PqSpec partition-filter pin,
+    * PipelineSpec assigned==inline equality). The q90/q84 temp-dir
+    * discipline: per-corpus dir, truncated at invocation start (the
+    * vector artifact is corpus-sized and must outlive the lazy plan). */
+  def annIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val q = e.where(col("vec_id") < 100)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", numCentroids = 16)
+    val top =
+      if (cents.isEmpty) {
+        // empty corpus: nothing to index — brute force returns the same
+        // (empty) schema instead of throwing
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      } else {
+        val idx = java.nio.file.Paths.get(
+          "/tmp", "graft-q93-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        graft.Fs.deleteRecursively(idx)
+        Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
+        Similarity.saveEncodedCorpus(
+          Similarity.ivfAssign(e, "vec_id", "embedding", cents), s"$idx/list")
+        val loaded = Similarity.loadIvfIndex(s, s"$idx/ivf")
+        val list = Similarity.loadEncodedCorpus(s, s"$idx/list")
+        Similarity.ivfTopKFromAssigned(
+          list, q, "vec_id", "embedding", k = 5, loaded, nProbe = 16)
+      }
+    top.select(col("query_id"), col("rank").cast("long").as("rank"),
+      col("neighbor_id"))
+  }
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

@@ -107,6 +107,7 @@ object SparkEntry {
     "q90_ann_ivfpq_indexed" -> ((s, d) => PipelineQueries.annIvfPqIndexed(s, d)),
     "q91_sessions_stream" -> ((s, d) => RelQueries.eventSessionsStreamed(s, d)),
     "q92_hourly_stream" -> ((s, d) => RelQueries.eventHourlyStreamed(s, d)),
+    "q93_ann_ivf_indexed" -> ((s, d) => PipelineQueries.annIvfIndexed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +299,9 @@ object SparkEntry {
     // availableNow (append mode) — q26's algebra restricted to windows
     // the final watermark closed, pinning the eviction arithmetic
     "q92_hourly_stream" -> RelQueries.EventHourlyStreamedSql,
+    // q93: q34's IVF search served from the persisted cell-partitioned
+    // inverted LIST (assign once -> save -> load -> probe); declared at
+    // full probe, so the exact q22 oracle hash-checks the whole path
+    "q93_ann_ivf_indexed" -> PipelineQueries.CosineTopKSql,
   )
 }

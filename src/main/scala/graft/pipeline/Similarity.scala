@@ -291,6 +291,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-assign every corpus row: `(idCol, cell, vec)` — the IVF-FLAT
+    * inverted list (raw vectors grouped by their coarse cell; contrast
+    * [[ivfPqEncode]], which stores compressed codes). Persisted via
+    * [[saveEncodedCorpus]] — whose default lays it out
+    * directory-per-cell — a query batch READS only its probed cells'
+    * vectors ([[ivfTopKFromAssigned]]'s partition-pruned scan), where
+    * the inline [[ivfTopKWithCentroids]] scans the full corpus and
+    * prunes compute only. One tight-loop argmax per row. */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs a trained index")
+    val bc = trackedBroadcast(corpus.sparkSession, centroids)
+    val cellUdf = udf { (v: Seq[Float]) =>
+      nearestCosine(bc.value, unitVec(v.map(_.toDouble).toArray))
+    }
+    corpus.select(col(idCol), cellUdf(col(vecCol)).as("cell"),
+      col(vecCol).as("vec"))
+  }
+
+  /**
+   * [[ivfTopKWithCentroids]] served from a PRE-ASSIGNED inverted list
+   * (an [[ivfAssign]] frame, typically loaded from its
+   * [[saveEncodedCorpus]] artifact): the scan is filtered to the union
+   * of the query batch's probed cells — a bounded literal IN-list that
+   * becomes PARTITION PRUNING on the cell-partitioned artifact, so only
+   * ~nProbe/numCells of the corpus vectors are READ, not merely skipped
+   * after scoring. Identical results to the inline path (spec-pinned):
+   * a row outside every probed cell can never join a probe.
+   */
+  def ivfTopKFromAssigned(
+      assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKFromAssigned needs a trained index")
+    val spark = assigned.sparkSession
+    val bcCentroids = trackedBroadcast(spark, centroids)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      topCells(bcCentroids.value, unitVec(v.map(_.toDouble).toArray), nProbe).toSeq
+    }
+    // The probed cell set derives driver-side from the bounded query rows
+    // (the same rows the probe join broadcasts) — queries x nProbe ids.
+    val (_, units) = collectQueries(spark, queries, idCol, vecCol)
+    val probedCells = units.flatMap(u => topCells(centroids, u, nProbe))
+      .distinct.sorted.toSeq
+    val cb = assigned
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col("vec").as("nv"), col("cell"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeUdf(col(vecCol))).as("cell")))
+    val scored = cb.join(qb, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /**
    * Exact embedding-cosine near-dup pairs (cosine >= threshold, id1 < id2).
    * Brute-force all-pairs with the broadcast-nested-loop join + codegen'd

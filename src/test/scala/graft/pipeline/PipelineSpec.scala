@@ -254,6 +254,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF inverted-list artifact: assigned == inline at any probe; scan is partition-pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val q = e.where($"vec_id" < 20)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      numCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivflist-spec")
+    try {
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents), dir.toString)
+      assert(dir.toFile.listFiles().count(_.getName.startsWith("cell=")) == cents.length)
+      val list = Similarity.loadEncodedCorpus(spark, dir.toString)
+      for (nProbe <- Seq(2, 8)) {
+        val served = Similarity.ivfTopKFromAssigned(
+          list, q, "vec_id", "embedding", 5, cents, nProbe)
+        val inline = Similarity.ivfTopKWithCentroids(
+            e, q, "vec_id", "embedding", 5, cents, nProbe)
+          .select("query_id", "rank", "neighbor_id")
+          .as[(Long, Int, Long)].collect().toSet
+        assert(served.select("query_id", "rank", "neighbor_id")
+          .as[(Long, Int, Long)].collect().toSet == inline, s"nProbe=$nProbe")
+        // the probed-cell IN-list must reach the artifact scan as a
+        // partition filter
+        val plan = served.queryExecution.executedPlan.toString
+        assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).nonEmpty,
+          s"nProbe=$nProbe must prune partitions:\n$plan")
+      }
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("IVF with full probing == brute force; partial probing keeps recall") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sf, "embeddings")
