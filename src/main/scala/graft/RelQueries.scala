@@ -649,6 +649,48 @@ object RelQueries {
       |FROM e GROUP BY 1, 2
       |HAVING (hb + 1) * 3600000000 <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
 
+  /**
+   * q60's hopping-window counts computed by an EXECUTED STREAMING QUERY
+   * — the overlapping-window sibling of q92's tumbling aggregation
+   * (same append-mode eviction discipline, but each event feeds THREE
+   * live windows, so the state the watermark must retire is
+   * window/slide x deeper): [[graft.streaming.EventStreams.hoppingStream]]
+   * (30-min windows sliding every 10, 1h watermark) under `AvailableNow`
+   * into a parquet sink. The oracle is q60's algebra restricted to
+   * windows with `end <= watermark` — identical eviction arithmetic to
+   * q92 with a 30-minute window length. Same temp-dir discipline.
+   */
+  def eventHoppingStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q94-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val q = graft.streaming.EventStreams.hoppingStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("w_start_us BIGINT, event_type STRING, n BIGINT")
+      .parquet(out.toString)
+  }
+
+  /** q60's hopping algebra restricted to windows CLOSED by the final
+    * watermark: `w_start + 30min <= (max event ms - 1h) as us`. */
+  val EventHoppingStreamedSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu, event_type FROM events
+      |           WHERE ts IS NOT NULL),
+      |wm AS (SELECT max(tsu // 1000) - 3600000 AS wm_ms FROM e)
+      |SELECT (tsu // 600000000) * 600000000 - k.i * 600000000 AS w_start_us,
+      |       event_type, count(*)::BIGINT AS n
+      |FROM e, generate_series(0, 2) AS k(i)
+      |GROUP BY 1, 2
+      |HAVING (tsu // 600000000) * 600000000 - k.i * 600000000 + 1800000000
+      |         <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

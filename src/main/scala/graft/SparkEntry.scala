@@ -108,6 +108,7 @@ object SparkEntry {
     "q91_sessions_stream" -> ((s, d) => RelQueries.eventSessionsStreamed(s, d)),
     "q92_hourly_stream" -> ((s, d) => RelQueries.eventHourlyStreamed(s, d)),
     "q93_ann_ivf_indexed" -> ((s, d) => PipelineQueries.annIvfIndexed(s, d)),
+    "q94_hopping_stream" -> ((s, d) => RelQueries.eventHoppingStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -303,5 +304,9 @@ object SparkEntry {
     // inverted LIST (assign once -> save -> load -> probe); declared at
     // full probe, so the exact q22 oracle hash-checks the whole path
     "q93_ann_ivf_indexed" -> PipelineQueries.CosineTopKSql,
+    // q94: the hopping-window stream EXECUTED under availableNow — q60's
+    // algebra restricted to watermark-closed windows (q92's eviction
+    // arithmetic at 30-minute window length, three live windows a row)
+    "q94_hopping_stream" -> RelQueries.EventHoppingStreamedSql,
   )
 }

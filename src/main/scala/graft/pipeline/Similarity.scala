@@ -973,6 +973,24 @@ object Similarity {
     (if (partitionByCell) w.partitionBy("cell") else w).parquet(path)
   }
 
+  /** Append a NEW batch's rows to an existing encoded-corpus artifact —
+    * INCREMENTAL index maintenance: the quantizer/codebook stay FROZEN
+    * (retraining would silently invalidate every already-persisted
+    * code), so ingesting new corpus rows costs one encode of the delta
+    * ([[ivfPqEncode]]/[[pqEncode]]/[[ivfAssign]] over the new rows
+    * only) plus an append write into the same cell directories — the
+    * existing corpus is never re-encoded or rewritten. Search from the
+    * appended artifact == search over the union corpus encoded in one
+    * pass (spec-pinned; encoding is per-row, so batch boundaries cannot
+    * change codes). Quantizer drift on a shifted corpus is the standard
+    * rebuild trigger — recall contracts, not this append path, detect
+    * it. */
+  def appendEncodedCorpus(encoded: DataFrame, path: String): Unit = {
+    val w = encoded.write.mode("append")
+    (if (encoded.columns.contains("cell")) w.partitionBy("cell") else w)
+      .parquet(path)
+  }
+
   /** Load a [[saveEncodedCorpus]] artifact. LAZY, unlike the
     * bounded-metadata loads ([[loadIvfIndex]]/[[loadPqCodebook]]): the
     * codes are corpus-sized and must stream through the scan, never the

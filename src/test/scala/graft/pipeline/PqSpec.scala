@@ -287,6 +287,44 @@ class PqSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(dir)
   }
 
+  test("incremental append: delta-encoded batch + append == one-pass encode of the union") {
+    import spark.implicits._
+    val all = randomCorpus(90, dim = 16, seed = 41L).cache()
+    val base = all.where(col("vec_id") < 60)
+    val delta = all.where(col("vec_id") >= 60)
+    val queries = all.where(col("vec_id") < 8)
+    // quantizer/codebook trained on the BASE corpus and then FROZEN —
+    // the append contract (retraining would invalidate existing codes)
+    val cents = Similarity.trainIvfCentroids(
+      base, "vec_id", "embedding", numCentroids = 4, sampleSize = 60)
+    val cb = Similarity.trainPqCodebookResidual(
+      base, "vec_id", "embedding", cents, m = 4, k = 8, sampleSize = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-append-spec")
+    try {
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfPqEncode(base, "vec_id", "embedding", cents, cb),
+        dir.toString)
+      Similarity.appendEncodedCorpus(
+        Similarity.ivfPqEncode(delta, "vec_id", "embedding", cents, cb),
+        dir.toString)
+      val appended = Similarity.ivfPqTopKRerankedFromCodes(
+          Similarity.loadEncodedCorpus(spark, dir.toString),
+          all, queries, "vec_id", "embedding", k = 5, shortlist = 30,
+          cents, cb, nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val onePass = Similarity.ivfPqTopKReranked(
+          all, queries, "vec_id", "embedding", k = 5, shortlist = 30,
+          cents, cb, nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(appended.nonEmpty && appended == onePass)
+    } finally {
+      graft.Fs.deleteRecursively(dir)
+      all.unpersist()
+    }
+  }
+
   test("topCells partial select == full sort by (-dot, cell) + take") {
     // the tight-loop probe selection must be bit-identical to the sort
     // formulation it replaced, ties toward the lower cell id included
