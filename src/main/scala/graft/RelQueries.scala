@@ -691,6 +691,52 @@ object RelQueries {
       |HAVING (tsu // 600000000) * 600000000 - k.i * 600000000 + 1800000000
       |         <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
 
+  /**
+   * The STREAM-STREAM interval join executed as a declared row — the
+   * fifth and final streaming family graduated (q84 keyed state, q91
+   * timers, q92/q94 window eviction, now two-sided join state):
+   * [[graft.streaming.EventStreams.followupsStream]] (signups joined
+   * with the same user's follow-ups in the next hour, both sides
+   * watermarked so buffered rows evict once the other side's watermark
+   * clears the bound) under `AvailableNow` into a parquet sink. INNER
+   * stream-stream joins emit pairs as they match — no watermark wait —
+   * and the events table is one file, so the single data batch delivers
+   * both sides and every qualifying pair emits: the oracle is the plain
+   * batch pair set (q45's interval predicate at pair granularity, no
+   * eviction restriction needed — unlike the append-mode aggregations,
+   * where the oracle must model what the watermark left open). Same
+   * temp-dir discipline as q84/q91/q92/q94.
+   */
+  def signupFollowupsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q95-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val q = graft.streaming.EventStreams.followupsStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("signup_id BIGINT, follow_id BIGINT")
+      .parquet(out.toString)
+  }
+
+  /** q45's interval predicate at PAIR granularity — the inner
+    * stream-stream join emits every qualifying pair, so no eviction
+    * clause applies. */
+  val SignupFollowupsStreamedSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+      |s AS (SELECT user_id, event_id AS signup_id, epoch_us(ts) AS st
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT s.signup_id, e.event_id AS follow_id
+      |FROM s JOIN e
+      |  ON e.user_id = s.user_id
+      | AND e.tsu > s.st AND e.tsu <= s.st + 3600000000""".stripMargin
+
   /** q44's attribution through the NATIVE as-of operator
     * ([[graft.plans.AsOfJoinNative]] — logical plan + strategy + custom
     * `SparkPlan` merge) instead of the composed merge window: identical

@@ -109,6 +109,7 @@ object SparkEntry {
     "q92_hourly_stream" -> ((s, d) => RelQueries.eventHourlyStreamed(s, d)),
     "q93_ann_ivf_indexed" -> ((s, d) => PipelineQueries.annIvfIndexed(s, d)),
     "q94_hopping_stream" -> ((s, d) => RelQueries.eventHoppingStreamed(s, d)),
+    "q95_followups_stream" -> ((s, d) => RelQueries.signupFollowupsStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,5 +309,9 @@ object SparkEntry {
     // algebra restricted to watermark-closed windows (q92's eviction
     // arithmetic at 30-minute window length, three live windows a row)
     "q94_hopping_stream" -> RelQueries.EventHoppingStreamedSql,
+    // q95: the stream-stream interval join EXECUTED — inner joins emit
+    // on match (no watermark wait), so the oracle is q45's interval
+    // predicate at pair granularity with no eviction clause
+    "q95_followups_stream" -> RelQueries.SignupFollowupsStreamedSql,
   )
 }
