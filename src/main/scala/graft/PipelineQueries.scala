@@ -733,6 +733,123 @@ object PipelineQueries {
       col("neighbor_id"))
   }
 
+  /**
+   * q12's distinct-fingerprint set produced by the EXECUTED STREAMING
+   * dedup — `dropDuplicatesWithinWatermark` state driver-checked:
+   * [[graft.streaming.DocStreams.dedupStream]] runs over a documents
+   * file stream under `AvailableNow` into a parquet sink, and the row
+   * set is the emitted FINGERPRINT column (which survivor of a dup
+   * group the state keeps is processing-order-dependent; the
+   * fingerprint set it emits — exactly one per distinct fingerprint
+   * within the horizon — is deterministic and hash-checkable).
+   * Documents carry no event time, so arrival is synthesized
+   * deterministically from doc_id micros; the horizon spans the corpus
+   * so nothing re-enters. Same temp-dir discipline as q84/q91/q92.
+   */
+  def dedupStreamFingerprints(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q96-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // +1s offset: a doc at EXACTLY epoch 0 sits on the initial
+      // watermark boundary and is swallowed as late (measured: doc_id 0
+      // vanished) — no real arrival time is ever 1970-01-01T00:00:00
+      .withColumn("arrival", expr("timestamp_micros((doc_id + 1) * 1000000)"))
+    val q = graft.streaming.DocStreams
+      .dedupStream(stream, "text", "arrival", "365 days")
+      .select(col("fingerprint"))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    s.read.schema("fingerprint STRING").parquet(out.toString)
+  }
+
+  /** One row per distinct normalized-text fingerprint — q12's
+    * fingerprint algebra, deduplicated. */
+  val DedupStreamSql: String =
+    """SELECT DISTINCT
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /**
+   * The streaming contamination gate EXECUTED as a CONTRACT row (the
+   * q23/q86 adjudication): the eval split's gram Bloom filter is built
+   * batch-side and broadcast, the train split streams through
+   * [[graft.streaming.DocStreams.contaminationGateStream]] under
+   * `AvailableNow` into a parquet sink, and the declared row pins the
+   * gate's one-sided-error contract — `no_false_negatives`: every doc
+   * the EXACT batch check (q48) finds contaminated was flagged by the
+   * sketch gate (the safe quarantine direction; overshoot from the fp
+   * rate is re-checked exactly by the batch path, spec-bounded). The
+   * oracle re-derives the train-doc count and pins the boolean; the
+   * Bloom bits themselves are not oracle-expressible, which is exactly
+   * why this is a contract row and not a value row.
+   */
+  def contaminationGateStreamed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Bloom
+    val dd = docs(s, d)
+    val bloomRow = dd.where(col("doc_id") % 10 === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("g"))
+      .select(xxhash64(col("g")).as("gram")).distinct()
+      .agg(Bloom.bloom_agg(col("gram"), 1 << 20, 5)).head()
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("no_false_negatives",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    // empty corpus: no eval grams, nothing to gate — zero rows, the
+    // oracle's HAVING
+    if (bloomRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val words = Bloom.fromBytes(bloomRow.getAs[Array[Byte]](0))
+
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q97-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val train = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.DocStreams
+      .contaminationGateStream(train, "text", words, 5, 5)
+      .select(col("doc_id"), col("n_grams"), col("maybe_contaminated"))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    val sink = s.read
+      .schema("doc_id BIGINT, n_grams BIGINT, maybe_contaminated BOOLEAN")
+      .parquet(out.toString)
+    // the one-sided-error check: exact truth (q48's oracle-checked
+    // operator) minus the flagged set must be empty
+    val flagged = sink.where(col("maybe_contaminated")).select(col("doc_id"))
+    val missed = contamination(s, d).where(col("n_contam") > 0)
+      .select(col("doc_id")).join(flagged, Seq("doc_id"), "left_anti").count()
+    sink.groupBy(lit(1).as("one"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"), lit(missed == 0L).as("no_false_negatives"))
+  }
+
+  /** The oracle re-derives the train-doc count and pins the one-sided
+    * error boolean; HAVING matches the zero-rows-on-empty convention. */
+  val ContaminationGateStreamedSql: String =
+    """SELECT count(*)::BIGINT AS n_docs, true AS no_false_negatives
+      |FROM documents WHERE doc_id % 10 <> 0
+      |HAVING count(*) > 0""".stripMargin
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

@@ -110,6 +110,8 @@ object SparkEntry {
     "q93_ann_ivf_indexed" -> ((s, d) => PipelineQueries.annIvfIndexed(s, d)),
     "q94_hopping_stream" -> ((s, d) => RelQueries.eventHoppingStreamed(s, d)),
     "q95_followups_stream" -> ((s, d) => RelQueries.signupFollowupsStreamed(s, d)),
+    "q96_dedup_stream" -> ((s, d) => PipelineQueries.dedupStreamFingerprints(s, d)),
+    "q97_contam_gate_stream" -> ((s, d) => PipelineQueries.contaminationGateStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -313,5 +315,13 @@ object SparkEntry {
     // on match (no watermark wait), so the oracle is q45's interval
     // predicate at pair granularity with no eviction clause
     "q95_followups_stream" -> RelQueries.SignupFollowupsStreamedSql,
+    // q96: streaming dedup EXECUTED — the emitted fingerprint SET is
+    // deterministic (which survivor the state keeps is not, and is
+    // deliberately not declared); q12's fingerprint algebra distinct
+    "q96_dedup_stream" -> PipelineQueries.DedupStreamSql,
+    // q97: the streaming bloom gate as a CONTRACT row — the oracle pins
+    // the one-sided-error boolean (no false negatives vs the exact q48
+    // truth) and re-derives the train-doc count
+    "q97_contam_gate_stream" -> PipelineQueries.ContaminationGateStreamedSql,
   )
 }
