@@ -850,6 +850,73 @@ object PipelineQueries {
       |FROM documents WHERE doc_id % 10 <> 0
       |HAVING count(*) > 0""".stripMargin
 
+  /**
+   * The streaming NEAR-dup gate EXECUTED as a CONTRACT row (completing
+   * the streaming module: every DocStreams/EventStreams member now has
+   * an executed declared row): the even-doc_id half of the corpus is
+   * the reference (its MinHash `(band, bucket)` keys collected batch-
+   * side and broadcast), the odd half streams through
+   * [[graft.streaming.DocStreams.nearDupGateStream]] under
+   * `AvailableNow`, and the declared row pins the gate's recall
+   * contract — every odd doc with an exact cross-split near-dup
+   * (n-gram jaccard >= 0.7 against an even doc, the oracle-expressible
+   * truth via [[graft.pipeline.Signals.incrementalDedup]], q49's
+   * operator) must be flagged. The same adjudication as q14: banding
+   * recall at the corpus's actual qualifying pairs (j ~ 0.99 planted
+   * dups) is 1 - ~1e-22; precision overshoot belongs to the batch
+   * verify. The bucket keys themselves are not oracle-expressible —
+   * the contract boolean is.
+   */
+  def nearDupGateStreamed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = docs(s, d)
+    val corpusBuckets = Dedup
+      .minHashBuckets(dd.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .select($"band", $"bucket").as[(Int, Int)].collect().toSet
+
+    val base = java.nio.file.Paths.get(
+      "/tmp", "graft-q98-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(base)
+    val out = base.resolve("out")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val arrivals = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.DocStreams
+      .nearDupGateStream(arrivals, "text", corpusBuckets,
+        n = 5, bands = 8, rowsPerBand = 4)
+      .select(col("doc_id"), col("n_shingles"), col("maybe_near_dup"))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    val sink = s.read
+      .schema("doc_id BIGINT, n_shingles BIGINT, maybe_near_dup BOOLEAN")
+      .parquet(out.toString)
+    val flagged = sink.where(col("maybe_near_dup")).select(col("doc_id"))
+    // exact cross-split truth: odd docs with >= 1 jaccard-0.7 near-dup
+    // among the even docs (q49's oracle-checked operator)
+    val missed = Signals
+      .incrementalDedup(dd, "doc_id", "text", _ % 2 === 1, n = 5,
+        threshold = 0.7)
+      .where(!col("keep")).select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left_anti").count()
+    sink.groupBy(lit(1).as("one"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"), lit(missed == 0L).as("all_true_dups_flagged"))
+  }
+
+  /** The oracle re-derives the streamed-doc count and pins the recall
+    * boolean; HAVING matches the zero-rows-on-empty convention. */
+  val NearDupGateStreamedSql: String =
+    """SELECT count(*)::BIGINT AS n_docs, true AS all_true_dups_flagged
+      |FROM documents WHERE doc_id % 2 = 1
+      |HAVING count(*) > 0""".stripMargin
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

@@ -112,6 +112,7 @@ object SparkEntry {
     "q95_followups_stream" -> ((s, d) => RelQueries.signupFollowupsStreamed(s, d)),
     "q96_dedup_stream" -> ((s, d) => PipelineQueries.dedupStreamFingerprints(s, d)),
     "q97_contam_gate_stream" -> ((s, d) => PipelineQueries.contaminationGateStreamed(s, d)),
+    "q98_neardup_gate_stream" -> ((s, d) => PipelineQueries.nearDupGateStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,5 +324,9 @@ object SparkEntry {
     // the one-sided-error boolean (no false negatives vs the exact q48
     // truth) and re-derives the train-doc count
     "q97_contam_gate_stream" -> PipelineQueries.ContaminationGateStreamedSql,
+    // q98: the streaming MinHash near-dup gate as a CONTRACT row — every
+    // odd doc with an exact cross-split jaccard-0.7 near-dup (q49's
+    // operator as truth) must be flagged; q14's recall adjudication
+    "q98_neardup_gate_stream" -> PipelineQueries.NearDupGateStreamedSql,
   )
 }
