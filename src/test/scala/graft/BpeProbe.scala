@@ -29,11 +29,20 @@ object BpeProbe {
     // pair structure supports thousands of merges — the real sf0.1
     // vocabulary is fully merged after ~89 rounds, too small to probe
     // the merge-count axis
+    // "synthetic" = 60k distinct words (below the 100k routing gate —
+    // probes the in-memory path, or the distributed one under
+    // SPARK_BPE_FORCE_DIST); "synthetic:<rows>" sizes it — e.g.
+    // synthetic:60000 yields 120k distinct words, ABOVE the gate, so
+    // trainMerges routes distributed naturally
     val docs =
-      if (sfDir == "synthetic")
-        spark.range(30000).selectExpr(
+      if (sfDir.startsWith("synthetic")) {
+        val rows = sfDir.stripPrefix("synthetic").stripPrefix(":") match {
+          case "" => 30000
+          case s => s.toInt
+        }
+        spark.range(rows).selectExpr(
           "concat(md5(cast(id as string)), ' ', md5(cast(id + 7 as string))) AS text")
-      else spark.read.parquet(s"$sfDir/documents.parquet")
+      } else spark.read.parquet(s"$sfDir/documents.parquet")
     // warm the scan so the first measurement isn't charged for parquet
     // decode + JIT warm-up the others skip
     docs.write.format("noop").mode("overwrite").save()
@@ -59,7 +68,9 @@ object BpeProbe {
           } finally dict.unpersist()
         } else graft.pipeline.Bpe.trainMerges(docs, "text", m, 1L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val mode = if (forceDist) "dist" else "mem"
+      // "auto" follows the 100k-word routing gate (a synthetic:60000
+      // dictionary is 120k words -> the distributed path, naturally)
+      val mode = if (forceDist) "dist-forced" else "auto"
       println(f"[bpe-probe] mode=$mode merges=$m%5d trained=$trained%5d total=$sec%8.3f s  per-merge=${sec / m * 1000}%8.3f ms")
     }
     spark.stop()
