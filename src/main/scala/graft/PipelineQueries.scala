@@ -758,15 +758,17 @@ object PipelineQueries {
       // watermark boundary and is swallowed as late (measured: doc_id 0
       // vanished) — no real arrival time is ever 1970-01-01T00:00:00
       .withColumn("arrival", expr("timestamp_micros((doc_id + 1) * 1000000)"))
-    val q = graft.streaming.DocStreams
-      .dedupStream(stream, "text", "arrival", "365 days")
-      .select(col("fingerprint"))
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(s, 8) {
+      val q = graft.streaming.DocStreams
+        .dedupStream(stream, "text", "arrival", "365 days")
+        .select(col("fingerprint"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     java.nio.file.Files.createDirectories(out)
     s.read.schema("fingerprint STRING").parquet(out.toString)
   }

@@ -506,13 +506,15 @@ object RelQueries {
       "/tmp", "graft-q84-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     graft.Fs.deleteRecursively(base)
     val out = base.resolve("out")
-    val q = graft.streaming.EventStreams.attributionStream(spark, dir)
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.attributionStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // explicit schema: an EMPTY corpus streams zero batches, leaving a
     // sink directory with no parquet footers to infer from — the read
     // must still return the (empty) attribution frame, not throw
@@ -554,13 +556,15 @@ object RelQueries {
       "/tmp", "graft-q91-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     graft.Fs.deleteRecursively(base)
     val out = base.resolve("out")
-    val q = graft.streaming.EventStreams.sessionsClosedStream(spark, dir)
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.sessionsClosedStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // explicit schema: an EMPTY corpus streams zero batches, leaving a
     // sink directory with no parquet footers to infer from
     java.nio.file.Files.createDirectories(out)
@@ -621,13 +625,15 @@ object RelQueries {
       "/tmp", "graft-q92-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     graft.Fs.deleteRecursively(base)
     val out = base.resolve("out")
-    val q = graft.streaming.EventStreams.hourlyStream(spark, dir)
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.hourlyStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     java.nio.file.Files.createDirectories(out)
     spark.read
       .schema("hour_bucket BIGINT, event_type STRING, n BIGINT, " +
@@ -665,13 +671,15 @@ object RelQueries {
       "/tmp", "graft-q94-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     graft.Fs.deleteRecursively(base)
     val out = base.resolve("out")
-    val q = graft.streaming.EventStreams.hoppingStream(spark, dir)
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.hoppingStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     java.nio.file.Files.createDirectories(out)
     spark.read
       .schema("w_start_us BIGINT, event_type STRING, n BIGINT")
@@ -712,13 +720,15 @@ object RelQueries {
       "/tmp", "graft-q95-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     graft.Fs.deleteRecursively(base)
     val out = base.resolve("out")
-    val q = graft.streaming.EventStreams.followupsStream(spark, dir)
-      .writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.followupsStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     java.nio.file.Files.createDirectories(out)
     spark.read
       .schema("signup_id BIGINT, follow_id BIGINT")
