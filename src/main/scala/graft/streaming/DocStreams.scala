@@ -75,7 +75,14 @@ object DocStreams {
       docs: DataFrame, textCol: String,
       corpusBuckets: Set[(Int, Int)],
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(corpusBuckets)
+    // (band, bucket) packed into one long, sorted for binary search: the
+    // probe runs per ARRIVING ROW, so it must not allocate (a Set[(Int,
+    // Int)] lookup boxes a tuple per band per row — the cellsUdf defect
+    // class); the packed array is also the smaller broadcast.
+    val packed = corpusBuckets.toArray
+      .map { case (b, h) => (b.toLong << 32) | (h.toLong & 0xffffffffL) }
+    java.util.Arrays.sort(packed)
+    val bc = docs.sparkSession.sparkContext.broadcast(packed)
     val numHashes = bands * rowsPerBand
     // Per-row signature: h_i = min over shingles of xxhash64(i, gram),
     // gram = xxhash64(shingle) — the same expression tree as the batch
@@ -90,8 +97,18 @@ object DocStreams {
         .map(r => col("__sig").getItem(b * rowsPerBand + r)): _*)
     }: _*)
     val anyHit = udf { (bks: Seq[Int]) =>
-      bks != null && bks.iterator.zipWithIndex
-        .exists { case (bk, band) => bc.value.contains((band, bk)) }
+      bks != null && {
+        val keys = bc.value
+        var band = 0
+        var hit = false
+        val it = bks.iterator
+        while (!hit && it.hasNext) {
+          val key = (band.toLong << 32) | (it.next().toLong & 0xffffffffL)
+          hit = java.util.Arrays.binarySearch(keys, key) >= 0
+          band += 1
+        }
+        hit
+      }
     }
     docs
       .withColumn("__grams", grams)
