@@ -919,6 +919,41 @@ object PipelineQueries {
       |FROM documents WHERE doc_id % 2 = 1
       |HAVING count(*) > 0""".stripMargin
 
+  /** ExactSubstr-style span removal (Lee et al., ACL 2022): every word
+    * covered by an 8-word span occurring >= 2 times across the corpus is
+    * removed, documents reassembled in order — the cleaning half of
+    * q54's repeated-span signal. Full `cleaned_text` hash-checked (the
+    * q67 full-output discipline); the oracle replays the identical span
+    * algebra over string grams where the engine uses xxhash64
+    * fingerprints (same 2^-64 class as every shingle join). */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.removeRepeatedSpans(docs(s, d), "doc_id", "text", w = 8)
+
+  val SpanDedupSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             coalesce(list_filter(string_split(lower(text), ' '),
+      |                                  x -> x <> ''), []) AS ws
+      |           FROM documents),
+      |sp AS (SELECT doc_id, i - 1 AS pos,
+      |              array_to_string(ws[i:i+7], ' ') AS gram
+      |       FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+      |dup AS (SELECT gram FROM sp GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + k.i AS wp
+      |        FROM sp JOIN dup USING (gram), generate_series(0, 7) AS k(i)),
+      |tok AS (SELECT doc_id, i - 1 AS wp, ws[i] AS word
+      |        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |kept AS (SELECT t.doc_id, t.wp, t.word
+      |         FROM tok t LEFT JOIN cov c
+      |           ON t.doc_id = c.doc_id AND t.wp = c.wp
+      |         WHERE c.wp IS NULL),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+      |               string_agg(word, ' ' ORDER BY wp) AS cleaned
+      |        FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
+      |       (len(w.ws) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+      |       coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** Top-5 TF-IDF terms per doc (ratio-form IDF: bit-exact cross-engine). */
   def tfIdf(s: SparkSession, d: String): DataFrame =
     TextStats.tfIdf(docs(s, d), "doc_id", "text", k = 5)

@@ -113,6 +113,7 @@ object SparkEntry {
     "q96_dedup_stream" -> ((s, d) => PipelineQueries.dedupStreamFingerprints(s, d)),
     "q97_contam_gate_stream" -> ((s, d) => PipelineQueries.contaminationGateStreamed(s, d)),
     "q98_neardup_gate_stream" -> ((s, d) => PipelineQueries.nearDupGateStreamed(s, d)),
+    "q99_span_dedup" -> ((s, d) => PipelineQueries.spanDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,5 +329,9 @@ object SparkEntry {
     // odd doc with an exact cross-split jaccard-0.7 near-dup (q49's
     // operator as truth) must be flagged; q14's recall adjudication
     "q98_neardup_gate_stream" -> PipelineQueries.NearDupGateStreamedSql,
+    // q99: ExactSubstr-style span REMOVAL (the cleaning half of q54's
+    // signal) — full cleaned_text hash-checked against the identical
+    // span algebra replayed in DuckDB
+    "q99_span_dedup" -> PipelineQueries.SpanDedupSql,
   )
 }

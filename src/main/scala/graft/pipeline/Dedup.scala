@@ -207,6 +207,62 @@ object Dedup {
     verifyJaccard(cand, idx, threshold)
   }
 
+  /**
+   * ExactSubstr-style SPAN REMOVAL (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better", ACL 2022): every word covered by
+   * a `w`-word span that occurs at least twice ACROSS the corpus
+   * (including same-doc repeats) is removed, and each document's
+   * remaining words are reassembled in order. [[graft.pipeline.Signals.repeatedSpans]]
+   * is the SIGNAL half (how much of a doc is duplicated spans); this is
+   * the CLEANING half a pipeline actually applies — boilerplate,
+   * licenses, and copied passages vanish from every copy while unique
+   * prose survives.
+   *
+   * Returns `(idCol, n_words, n_removed, cleaned_text)`; a fully-covered
+   * document keeps its row with an empty `cleaned_text` (dropping rows
+   * silently would hide the removal from downstream counts).
+   *
+   * Scale shape: the positional span index is a shuffle-free in-scan
+   * generate (~one span per word); duplicated spans come from ONE
+   * partial-aggregated count over span fingerprints; only DUPLICATED
+   * span starts explode into covered positions (x w, bounded by dup
+   * volume, the q13 candidate discipline); the per-doc reassembly
+   * aggregates each doc's own tokens (the q55/q80 in-order collect
+   * shape). Span equality is via xxhash64 fingerprints — the same
+   * 2^-64-collision class every shingle join in this module rides.
+   */
+  def removeRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w > 0, s"span width must be positive, got $w")
+    val words = filter(split(lower(col(textCol)), " "), x => x =!= "")
+    val base = docs.select(col(idCol).as("doc"),
+      coalesce(words, array().cast("array<string>")).as("ws"))
+    // positional span index: (doc, pos, gram), pos = 0-based span start
+    val spans = base.select(col("doc"),
+        posexplode(Signals.sliceNgrams(col("ws"), w)).as(Seq("pos", "g")))
+      .select(col("doc"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until w).map(k => col(s"g.$k")): _*)).as("gram"))
+    val dup = spans.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("gram"))
+    // each duplicated span start covers w word positions
+    val covered = spans.join(dup, "gram")
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("wp"))
+      .distinct()
+    val tokens = base.select(col("doc"), posexplode(col("ws")).as(Seq("wp", "word")))
+    val kept = tokens.join(covered, Seq("doc", "wp"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wp"), col("word")))),
+          s => s.getField("word"))).as("cleaned"))
+    base.select(col("doc"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
   /** The banded MinHash bucket table `(doc, band, bucket)` — the
     * candidate keys of [[minHashPairs]], exposed so a STREAMING near-dup
     * gate can broadcast a reference corpus's buckets and flag arriving

@@ -143,6 +143,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("span removal: copied passage vanishes from every copy, unique prose survives") {
+    import spark.implicits._
+    val boiler = "all rights reserved licensed under the apache license version two"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (2L, s"one two three four five six seven eight $boiler"),
+      (3L, "entirely unique document with no duplicated span inside it at all"),
+      (4L, boiler),                  // fully covered -> empty cleaned_text
+      (5L, "tiny doc"),              // shorter than the span width: untouched
+      (6L, "rep rep rep rep rep rep rep rep rep rep")) // same-doc repeat (9-gram window x2 overlapping)
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the 10-word boilerplate spans appear in docs 1, 2 and 4 -> every
+    // word of it is covered in all three; surrounding prose survives
+    assert(out(1L)._4 == "alpha beta gamma delta epsilon zeta")
+    assert(out(1L)._3 == 10L)
+    assert(out(2L)._4 == "one two three four five six seven eight")
+    assert(out(4L)._4 == "" && out(4L)._3 == 10L,
+      "a fully-covered doc keeps its row with empty text")
+    assert(out(3L)._3 == 0L && out(3L)._4.startsWith("entirely unique"))
+    assert(out(5L)._3 == 0L && out(5L)._4 == "tiny doc")
+    // ten identical words: spans (0..7) and (1..8) and (2..9) are the same
+    // 8-gram three times -> duplicated -> all ten positions covered
+    assert(out(6L)._4 == "" && out(6L)._3 == 10L)
+  }
+
   test("grid near-dup == brute-force near-dup, plan has no BNL join") {
     import spark.implicits._
     val e = graft.Tables.load(spark, sf, "embeddings")
