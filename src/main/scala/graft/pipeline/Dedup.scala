@@ -244,11 +244,12 @@ object Dedup {
         xxhash64(concat_ws(" ", (0 until w).map(k => col(s"g.$k")): _*)).as("gram"))
     val dup = spans.groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select(col("gram"))
-    // each duplicated span start covers w word positions
+    // each duplicated span start covers w word positions; overlapping
+    // spans emit duplicate (doc, wp) rows — left_anti has set semantics
+    // on its right side, so no distinct pass (and its shuffle) is needed
     val covered = spans.join(dup, "gram")
       .select(col("doc"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("wp"))
-      .distinct()
     val tokens = base.select(col("doc"), posexplode(col("ws")).as(Seq("wp", "word")))
     val kept = tokens.join(covered, Seq("doc", "wp"), "left_anti")
       .groupBy(col("doc"))
