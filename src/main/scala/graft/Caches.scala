@@ -18,5 +18,6 @@ object Caches {
     graft.pipeline.Similarity.clearCaches()
     graft.pipeline.Bpe.clearCaches()
     graft.pipeline.Curation.clearCheckpoints()
+    Fs.sweepStaged()
   }
 }

@@ -506,24 +506,26 @@ object PipelineQueries {
 
   /** Product-quantization ANN (Jegou et al., TPAMI 2011) as a RECALL
     * CONTRACT row (the q23 pattern): the declared path runs the full
-    * artifact lifecycle — train the canonical m=8 x k=256 byte-code
-    * codebook, savePqCodebook -> loadPqCodebook (per-invocation temp
-    * dir, the q34 discipline), PQ-encode the corpus, ADC-score a
-    * 100-candidate shortlist per query, exact-cosine re-rank to top-5 —
-    * and the row pins recall against the exact brute-force top-5 at
-    * >= 0.7 plus the query count (measured 1.00 at sf0.01, 0.96 at
-    * sf0.1 on the UNIFORM synthetic vectors — the hard case; k=16
-    * measured 0.47 at sf0.1, which is why the byte codebook is the
-    * default). PQ is
-    * approximate by construction (corpus vectors quantize to centroids),
-    * so a rank-level hash match is the WRONG contract here; the exact
-    * regime (lossless quantization -> identical-to-brute-force results)
-    * is spec-pinned instead (PqSpec). At 100 TB the codes are 32x
-    * smaller than the float vectors and the ADC scan touches only them —
-    * the memory/bandwidth story IVF's cell-pruning composes with. This
-    * declared row encodes inline each invocation (the self-contained
-    * lifecycle); q90 declares the serve-from-persisted-codes shape that
-    * amortizes the encode across query batches. */
+    * PRODUCTION artifact lifecycle — train the canonical m=8 x k=256
+    * byte-code codebook, persist it, PQ-encode the corpus ONCE
+    * ([[graft.pipeline.Similarity.pqEncode]] — the only raw-vector
+    * pass) into a persisted `(id, code)` artifact, then serve the query
+    * batch from the LOADED codes
+    * ([[graft.pipeline.Similarity.pqTopKRerankedFromCodes]]): the ADC
+    * scan reads the 32x-smaller code column, raw vectors are touched
+    * only for the ~shortlist-sized exact re-rank. The row pins recall
+    * against the exact brute-force top-5 at >= 0.7 plus the query count
+    * (measured 1.00 at sf0.01, 0.96 at sf0.1 on the UNIFORM synthetic
+    * vectors — the hard case; k=16 measured 0.47 at sf0.1, which is why
+    * the byte codebook is the default). PQ is approximate by
+    * construction (corpus vectors quantize to centroids), so a
+    * rank-level hash match is the WRONG contract here; the exact regime
+    * (lossless quantization -> identical-to-brute-force results) and
+    * the artifact-served == inline-encode rank-for-rank equality are
+    * spec-pinned instead (PqSpec). The codes artifact is corpus-sized,
+    * so the q84/q90 staging discipline applies: deterministic
+    * per-corpus dir, truncated at invocation start, swept by
+    * `Caches.clearAll`. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
@@ -535,14 +537,19 @@ object PipelineQueries {
         // grouped agg below then emits zero rows (the oracle's HAVING)
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       } else {
-        val idx = java.nio.file.Files.createTempDirectory("graft-pq-idx")
-        val codebook =
-          try {
-            Similarity.savePqCodebook(s, trained, idx.toString)
-            Similarity.loadPqCodebook(s, idx.toString) // eager: dir dies here
-          } finally Fs.deleteRecursively(idx)
-        Similarity.pqTopKReranked(
-          e, q, "vec_id", "embedding", k = 5, shortlist = 100, codebook)
+        val idx = graft.Fs.staged(java.nio.file.Paths.get(
+          "/tmp", "graft-q86-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+        Similarity.savePqCodebook(s, trained, s"$idx/pq")
+        // the ONE raw-vector pass: materialize the (id, code) artifact
+        Similarity.saveEncodedCorpus(
+          Similarity.pqEncode(e, "vec_id", "embedding", trained),
+          s"$idx/codes")
+        // search sees ONLY the loaded artifacts (codes stay lazy/on-disk)
+        val codebook = Similarity.loadPqCodebook(s, s"$idx/pq")
+        val codes = Similarity.loadEncodedCorpus(s, s"$idx/codes")
+        Similarity.pqTopKRerankedFromCodes(
+          codes, e, q, "vec_id", "embedding", k = 5, shortlist = 100,
+          codebook)
       }).select(col("query_id"), col("neighbor_id"))
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -577,10 +584,14 @@ object PipelineQueries {
     * maximum recall cost; clustered real corpora sit higher at the same
     * nProbe). Unlike q86's full-corpus ADC scan, a corpus row here
     * scores only the queries probing its cell (broadcast probe map) —
-    * no nested-loop shape anywhere in the approximate path. This row
-    * encodes inline each invocation; q90 runs the same search from the
-    * PERSISTED inverted file (encode once, cell-partitioned layout,
-    * pruned reads) — the per-batch production shape. */
+    * no nested-loop shape anywhere in the approximate path. The
+    * declared search is served from the PERSISTED inverted file
+    * ([[graft.pipeline.Similarity.ivfPqEncode]] -> `(id, cell, code)`
+    * directory-per-cell -> [[graft.pipeline.Similarity.ivfPqTopKRerankedFromCodes]]):
+    * one raw-vector encode pass, then a partition-pruned ADC scan over
+    * codes only — never a per-batch re-encode (the inline convenience
+    * shape stays spec-pinned rank-for-rank equal, PqSpec). q90 runs the
+    * same artifact INCREMENTALLY maintained (base + delta append). */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
@@ -593,17 +604,21 @@ object PipelineQueries {
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       } else {
         val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
-        val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
-        val (loadedCents, loadedCb) =
-          try {
-            Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
-            Similarity.savePqCodebook(s, cb, s"$idx/pq")
-            // eager loads: the artifact dir dies at the end of this block
-            (Similarity.loadIvfIndex(s, s"$idx/ivf"),
-             Similarity.loadPqCodebook(s, s"$idx/pq"))
-          } finally Fs.deleteRecursively(idx)
-        Similarity.ivfPqTopKReranked(
-          e, q, "vec_id", "embedding", k = 5, shortlist = 100,
+        val idx = graft.Fs.staged(java.nio.file.Paths.get(
+          "/tmp", "graft-q87-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+        Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
+        Similarity.savePqCodebook(s, cb, s"$idx/pq")
+        // the ONE raw-vector pass: materialize the inverted file
+        Similarity.saveEncodedCorpus(
+          Similarity.ivfPqEncode(e, "vec_id", "embedding", cents, cb),
+          s"$idx/codes")
+        // search sees ONLY the loaded artifacts (codes stay lazy/on-disk;
+        // the bounded centroid/codebook loads are eager)
+        val loadedCents = Similarity.loadIvfIndex(s, s"$idx/ivf")
+        val loadedCb = Similarity.loadPqCodebook(s, s"$idx/pq")
+        val codes = Similarity.loadEncodedCorpus(s, s"$idx/codes")
+        Similarity.ivfPqTopKRerankedFromCodes(
+          codes, e, q, "vec_id", "embedding", k = 5, shortlist = 100,
           loadedCents, loadedCb, nProbe = 12)
       }).select(col("query_id"), col("neighbor_id"))
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
@@ -623,28 +638,30 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 100
       |HAVING count(*) > 0 AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
 
-  /** q87's IVFADC search served from a PERSISTED INVERTED FILE — the
-    * artifact lifecycle a 100 TB deployment actually runs: encode the
-    * corpus ONCE ([[graft.pipeline.Similarity.ivfPqEncode]] — the only
-    * raw-vector pass), persist `(id, cell, code)` NEXT TO the
-    * centroid/codebook artifacts ([[graft.pipeline.Similarity.saveEncodedCorpus]]),
-    * then serve the query batch from the loaded codes
-    * ([[graft.pipeline.Similarity.ivfPqTopKRerankedFromCodes]]) — the ADC
-    * scan reads the 32x-smaller inverted file, and raw vectors are touched
-    * only to re-rank the ~shortlist-sized candidate set. q86/q87 declare
-    * the inline-encode convenience shape (re-encoding per batch — a full
-    * raw scan per invocation); THIS row declares the serve-from-artifact
-    * shape that removes it, under the same recall-contract oracle.
+  /** q87's IVFADC inverted file INCREMENTALLY MAINTAINED — the index
+    * lifecycle a 100 TB deployment runs day over day: the quantizer and
+    * residual codebook are trained and FROZEN, the base corpus is
+    * encoded and persisted `(id, cell, code)` directory-per-cell
+    * ([[graft.pipeline.Similarity.saveEncodedCorpus]]), and a later
+    * ingest batch is encoded ALONE (one delta-sized raw-vector pass)
+    * and APPENDED into the same cell directories
+    * ([[graft.pipeline.Similarity.appendEncodedCorpus]]) — the existing
+    * corpus is never re-encoded or rewritten. The query batch is served
+    * from the unioned artifact
+    * ([[graft.pipeline.Similarity.ivfPqTopKRerankedFromCodes]]): a
+    * partition-pruned ADC scan over codes, raw vectors touched only for
+    * the shortlist re-rank. Encoding is per-row under a frozen
+    * quantizer, so base+delta == one-pass union encode (spec-pinned),
+    * and the recall-contract oracle (q87's) applies unchanged.
     *
     * The codes artifact is corpus-sized, so the eager-load-then-delete
-    * temp-dir discipline (q34/q86) cannot apply — the artifact must
-    * outlive the lazy query plan reading it. The q84 discipline applies
-    * instead: a deterministic per-corpus dir under /tmp, truncated at the
-    * START of each invocation (bounded residue, exact re-runs).
-    * Rank-for-rank equality of artifact-served vs inline-encode search is
-    * spec-pinned (PqSpec); recall measured at this declaration's params:
-    * 0.96 sf0.01 / 0.86 sf0.1, identical to q87's (same search, same
-    * codes — just not recomputed). */
+    * temp-dir discipline (q34) cannot apply — the artifact must outlive
+    * the lazy query plan reading it. The q84 discipline applies
+    * instead: a deterministic per-corpus dir under /tmp, truncated at
+    * the START of each invocation, registered for `Caches.clearAll`
+    * sweep. Recall measured at this declaration's params: 0.96 sf0.01 /
+    * 0.86 sf0.1, identical to q87's (same search, same codes — just
+    * maintained incrementally). */
   def annIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 100)
@@ -657,14 +674,21 @@ object PipelineQueries {
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       } else {
         val cb = Similarity.trainPqCodebookResidual(e, "vec_id", "embedding", cents)
-        val idx = java.nio.file.Paths.get(
-          "/tmp", "graft-q90-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-        graft.Fs.deleteRecursively(idx)
+        val idx = graft.Fs.staged(java.nio.file.Paths.get(
+          "/tmp", "graft-q90-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
         Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
         Similarity.savePqCodebook(s, cb, s"$idx/pq")
-        // the ONE raw-vector pass: materialize the inverted file
+        // base build: one raw-vector pass over the (simulated) existing
+        // corpus — every fifth row is held back as the later ingest
+        val base = e.where(col("vec_id") % 5 =!= 4)
+        val delta = e.where(col("vec_id") % 5 === 4)
         Similarity.saveEncodedCorpus(
-          Similarity.ivfPqEncode(e, "vec_id", "embedding", cents, cb),
+          Similarity.ivfPqEncode(base, "vec_id", "embedding", cents, cb),
+          s"$idx/codes")
+        // incremental maintenance: encode ONLY the delta under the
+        // frozen quantizer, append into the same cell directories
+        Similarity.appendEncodedCorpus(
+          Similarity.ivfPqEncode(delta, "vec_id", "embedding", cents, cb),
           s"$idx/codes")
         // search sees ONLY the loaded artifacts (codes stay lazy/on-disk;
         // the bounded centroid/codebook loads are eager)
@@ -718,9 +742,8 @@ object PipelineQueries {
         // (empty) schema instead of throwing
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       } else {
-        val idx = java.nio.file.Paths.get(
-          "/tmp", "graft-q93-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-        graft.Fs.deleteRecursively(idx)
+        val idx = graft.Fs.staged(java.nio.file.Paths.get(
+          "/tmp", "graft-q93-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
         Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
         Similarity.saveEncodedCorpus(
           Similarity.ivfAssign(e, "vec_id", "embedding", cents), s"$idx/list")
@@ -743,15 +766,23 @@ object PipelineQueries {
    * fingerprint set it emits — exactly one per distinct fingerprint
    * within the horizon — is deterministic and hash-checkable).
    * Documents carry no event time, so arrival is synthesized
-   * deterministically from doc_id micros; the horizon spans the corpus
-   * so nothing re-enters. Same temp-dir discipline as q84/q91/q92.
+   * deterministically from doc_id micros; the horizon is DERIVED from
+   * the corpus's actual doc-id span (a bounded one-row max aggregate),
+   * so the "nothing is evicted mid-stream" invariant holds at any scale
+   * factor — a fixed horizon would break silently once doc ids outgrow
+   * it. Same temp-dir discipline as q84/q91/q92.
    */
   def dedupStreamFingerprints(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q96-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q96-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
+    // arrival is (doc_id + 1) seconds, so a horizon of span + 2 seconds
+    // keeps the final watermark (max arrival - delay) strictly below the
+    // first arrival: no fingerprint state is ever evicted mid-stream,
+    // whatever the corpus size
+    val maxId = s.read.parquet(s"$d/documents.parquet")
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       // +1s offset: a doc at EXACTLY epoch 0 sits on the initial
@@ -760,7 +791,7 @@ object PipelineQueries {
       .withColumn("arrival", expr("timestamp_micros((doc_id + 1) * 1000000)"))
     graft.streaming.StreamRun.withStatePartitions(s, 8) {
       val q = graft.streaming.DocStreams
-        .dedupStream(stream, "text", "arrival", "365 days")
+        .dedupStream(stream, "text", "arrival", s"${maxId + 2} seconds")
         .select(col("fingerprint"))
         .writeStream.format("parquet")
         .option("path", out.toString)
@@ -813,9 +844,8 @@ object PipelineQueries {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     val words = Bloom.fromBytes(bloomRow.getAs[Array[Byte]](0))
 
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q97-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q97-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val train = s.readStream.schema(schema)
@@ -863,22 +893,28 @@ object PipelineQueries {
    * contract — every odd doc with an exact cross-split near-dup
    * (n-gram jaccard >= 0.7 against an even doc, the oracle-expressible
    * truth via [[graft.pipeline.Signals.incrementalDedup]], q49's
-   * operator) must be flagged. The same adjudication as q14: banding
-   * recall at the corpus's actual qualifying pairs (j ~ 0.99 planted
-   * dups) is 1 - ~1e-22; precision overshoot belongs to the batch
-   * verify. The bucket keys themselves are not oracle-expressible —
-   * the contract boolean is.
+   * operator) must be flagged. The gate bands its 64 hashes as
+   * (32 bands x 2 rows), NOT q14's candidate-generation (8 x 4):
+   * a recall CONTRACT must hold at its own threshold, and the corpus's
+   * qualifying pairs genuinely reach down to j ~ 0.86 (measured), where
+   * an (8,4) S-curve misses ~0.2% of pairs — a latent flake. At (32,2)
+   * the worst-case per-pair miss is bounded AT the threshold itself:
+   * (1 - 0.7^2)^32 ~ 4e-10, so the contract is deterministic for any
+   * qualifying pair with NO assumption about the corpus's dup regime
+   * (the extra candidate overshoot from 2-row bands is precision, which
+   * belongs to the batch verify anyway). The bucket keys themselves are
+   * not oracle-expressible — the contract boolean is.
    */
   def nearDupGateStreamed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dd = docs(s, d)
     val corpusBuckets = Dedup
-      .minHashBuckets(dd.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .minHashBuckets(dd.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 5, bands = 32, rowsPerBand = 2)
       .select($"band", $"bucket").as[(Int, Int)].collect().toSet
 
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q98-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q98-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val arrivals = s.readStream.schema(schema)
@@ -887,7 +923,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"))
     val q = graft.streaming.DocStreams
       .nearDupGateStream(arrivals, "text", corpusBuckets,
-        n = 5, bands = 8, rowsPerBand = 4)
+        n = 5, bands = 32, rowsPerBand = 2)
       .select(col("doc_id"), col("n_shingles"), col("maybe_near_dup"))
       .writeStream.format("parquet")
       .option("path", out.toString)

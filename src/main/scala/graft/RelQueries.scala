@@ -502,9 +502,8 @@ object RelQueries {
    * re-runs).
    */
   def eventAttributionStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q84-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q84-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     graft.streaming.StreamRun.withStatePartitions(spark, 8) {
       val q = graft.streaming.EventStreams.attributionStream(spark, dir)
@@ -552,9 +551,8 @@ object RelQueries {
    * discipline).
    */
   def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q91-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q91-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     graft.streaming.StreamRun.withStatePartitions(spark, 8) {
       val q = graft.streaming.EventStreams.sessionsClosedStream(spark, dir)
@@ -621,9 +619,8 @@ object RelQueries {
    * temp-dir discipline as q84/q91.
    */
   def eventHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q92-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q92-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     graft.streaming.StreamRun.withStatePartitions(spark, 8) {
       val q = graft.streaming.EventStreams.hourlyStream(spark, dir)
@@ -667,9 +664,8 @@ object RelQueries {
    * q92 with a 30-minute window length. Same temp-dir discipline.
    */
   def eventHoppingStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q94-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q94-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     graft.streaming.StreamRun.withStatePartitions(spark, 8) {
       val q = graft.streaming.EventStreams.hoppingStream(spark, dir)
@@ -716,9 +712,8 @@ object RelQueries {
    * temp-dir discipline as q84/q91/q92/q94.
    */
   def signupFollowupsStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      "/tmp", "graft-q95-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q95-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     graft.streaming.StreamRun.withStatePartitions(spark, 8) {
       val q = graft.streaming.EventStreams.followupsStream(spark, dir)

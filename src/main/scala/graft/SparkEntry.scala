@@ -292,9 +292,10 @@ object SparkEntry {
     "q88_mixture_sample" -> PipelineQueries.MixtureSampleReportSql,
     // q89: q69's md5 split gate keyed by q40's recursive-CTE cluster id
     "q89_leakage_safe_split" -> PipelineQueries.LeakageSafeSplitSql,
-    // q90: q87's search served from the PERSISTED (id, cell, code)
-    // inverted file — encode once, save, load, search from codes; same
-    // recall-contract oracle (identical search over identical codes)
+    // q90: q87's PERSISTED (id, cell, code) inverted file INCREMENTALLY
+    // maintained — base encode, delta append under the frozen quantizer,
+    // search from the unioned codes; same recall-contract oracle
+    // (per-row encoding means base+delta == one-pass union, spec-pinned)
     "q90_ann_ivfpq_indexed" -> PipelineQueries.AnnIvfPqIndexedSql,
     // q91: the session stream EXECUTED under availableNow into a parquet
     // sink (the q84 graduation pattern) — the oracle is q27's session

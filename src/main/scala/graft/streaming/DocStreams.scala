@@ -35,19 +35,6 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("fingerprint")
 
   /**
-   * Streaming contamination gate: flag each arriving document whose text
-   * shares any word n-gram with a STATIC eval set, probing a pre-built
-   * Bloom filter ([[graft.functions.BloomFilterAgg]]) broadcast once at
-   * stream start. Stateless per micro-batch — no join against the eval
-   * table per batch, no streaming state at all; the filter's one-sided
-   * error means a flagged doc MAY be clean (fp rate) but an unflagged
-   * doc is GUARANTEED clean — the safe direction for a quarantine gate
-   * (false quarantines get re-checked exactly by the batch q48 path;
-   * missed contamination never happens).
-   *
-   * Output: input columns + `n_grams` + `maybe_contaminated`.
-   */
-  /**
    * Streaming NEAR-dup gate: flag each arriving document whose MinHash
    * band signature collides with a STATIC reference corpus's — the
    * banded-LSH analogue of [[contaminationGateStream]]'s exact-gram
@@ -119,6 +106,19 @@ object DocStreams {
       .drop("__grams", "__sig")
   }
 
+  /**
+   * Streaming contamination gate: flag each arriving document whose text
+   * shares any word n-gram with a STATIC eval set, probing a pre-built
+   * Bloom filter ([[graft.functions.BloomFilterAgg]]) broadcast once at
+   * stream start. Stateless per micro-batch — no join against the eval
+   * table per batch, no streaming state at all; the filter's one-sided
+   * error means a flagged doc MAY be clean (fp rate) but an unflagged
+   * doc is GUARANTEED clean — the safe direction for a quarantine gate
+   * (false quarantines get re-checked exactly by the batch q48 path;
+   * missed contamination never happens).
+   *
+   * Output: input columns + `n_grams` + `maybe_contaminated`.
+   */
   def contaminationGateStream(
       docs: DataFrame, textCol: String,
       bloomWords: Array[Long], numHashes: Int, n: Int): DataFrame = {
