@@ -1111,6 +1111,97 @@ object PipelineQueries {
       |FROM m CROSS JOIN dims
       |LEFT JOIN c ON c.media_id = m.media_id AND c.dim_idx = dims.dim_idx""".stripMargin
 
+  /** Per-media 64-bit PERCEPTUAL fingerprint
+    * ([[graft.pipeline.Multimodal.perceptualHash64]]: b-bit minwise
+    * over byte-shingle features, one-permutation 64-bucket partition) —
+    * the full packed value hash-checked (the q19/q73 full-output
+    * discipline). Pure integer algebra, replayed in DuckDB with the
+    * q15 Karp-Rabin + odd-multiply CTEs: per-window hashes, bucket by
+    * the top 6 bits of the unsigned pattern, SIGNED min per bucket,
+    * parity bit per occupied bucket, packed in HUGEINT then wrapped to
+    * signed BIGINT (DuckDB's BIGINT `<<` overflows at bit 63). Byte
+    * windows replayed as char windows — exact because the fixture
+    * corpus is pure ASCII (the q24 adjudication, PipelineSpec-pinned). */
+  def mediaPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualHashes(
+      Multimodal.documentBlobs(s, d), "media_id", "blob")
+      .select(col("media").as("media_id"), col("phash"))
+
+  val MediaPhashSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+      |  FROM documents WHERE text IS NOT NULL),
+      |rk AS (SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(0::HUGEINT,
+      |             list_transform(range(i, i + 8),
+      |                            j -> ord(substr(text, j, 1))::HUGEINT)),
+      |           (h, c) -> (h * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |       FROM pos),
+      |th AS (SELECT doc_id,
+      |         (((r // 4294967296) * 2135587861 + (r % 4294967296) * 2654435769) * 4294967296
+      |          + (r % 4294967296) * 2135587861) % 18446744073709551616::HUGEINT AS u
+      |       FROM rk),
+      |mins AS (SELECT doc_id, (u >> 58)::INT AS bucket,
+      |           min((CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                 THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT) AS mh
+      |         FROM th GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |         sum(CASE WHEN mh & 1 = 1 THEN (1::HUGEINT << bucket) ELSE 0::HUGEINT END) AS fu
+      |       FROM mins GROUP BY 1)
+      |SELECT d.doc_id AS media_id,
+      |  coalesce((CASE WHEN fu >= 9223372036854775808::HUGEINT
+      |             THEN fu - 18446744073709551616::HUGEINT ELSE fu END)::BIGINT, 0) AS phash
+      |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+      |WHERE d.text IS NOT NULL""".stripMargin
+
+  /** Perceptual near-dup pairs, hamming <= 6 via 8x8-bit bands
+    * ([[graft.pipeline.Multimodal.perceptualNearDupPairs]]) — the image
+    * side's q15: banding is pigeonhole-complete to hamming 7, so the
+    * banded and brute-force pair sets are EQUAL and an exact oracle is
+    * possible. The oracle re-derives every fingerprint (q100's CTEs)
+    * and brute-forces pair hamming bucket-by-bucket (q15's bits
+    * formulation — BIGINT xor/bit_count on negative packed values is
+    * the thing DuckDB 1.0 won't do). Threshold 6 sits in the measured
+    * corpus gap: planted near-dups at hamming 0-2, unrelated pairs
+    * never below 13 — the declared pair set IS the planted-dup set. */
+  def mediaPhashPairs(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualNearDupPairs(
+      Multimodal.documentBlobs(s, d), "media_id", "blob", maxHamming = 6)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  val MediaPhashPairsSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+      |  FROM documents WHERE text IS NOT NULL),
+      |rk AS (SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(0::HUGEINT,
+      |             list_transform(range(i, i + 8),
+      |                            j -> ord(substr(text, j, 1))::HUGEINT)),
+      |           (h, c) -> (h * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |       FROM pos),
+      |th AS (SELECT doc_id,
+      |         (((r // 4294967296) * 2135587861 + (r % 4294967296) * 2654435769) * 4294967296
+      |          + (r % 4294967296) * 2135587861) % 18446744073709551616::HUGEINT AS u
+      |       FROM rk),
+      |mins AS (SELECT doc_id, (u >> 58)::INT AS bucket,
+      |           min((CASE WHEN u >= 9223372036854775808::HUGEINT
+      |                 THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT) AS mh
+      |         FROM th GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT d.doc_id, b.k AS bucket,
+      |         CASE WHEN m.mh & 1 = 1 THEN 1 ELSE 0 END AS bv
+      |  FROM documents d
+      |  CROSS JOIN generate_series(0, 63) AS b(k)
+      |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.bucket = b.k
+      |  WHERE d.text IS NOT NULL),
+      |ham AS (SELECT a.doc_id AS m1, b.doc_id AS m2,
+      |          sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END)::BIGINT AS hamming
+      |        FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2)
+      |SELECT m1, m2, hamming FROM ham WHERE hamming <= 6""".stripMargin
+
   // ------------------------------------------------------------ heavy hitters
 
   /**

@@ -114,6 +114,8 @@ object SparkEntry {
     "q97_contam_gate_stream" -> ((s, d) => PipelineQueries.contaminationGateStreamed(s, d)),
     "q98_neardup_gate_stream" -> ((s, d) => PipelineQueries.nearDupGateStreamed(s, d)),
     "q99_span_dedup" -> ((s, d) => PipelineQueries.spanDedup(s, d)),
+    "q100_media_phash" -> ((s, d) => PipelineQueries.mediaPhash(s, d)),
+    "q101_media_phash_pairs" -> ((s, d) => PipelineQueries.mediaPhashPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,5 +336,13 @@ object SparkEntry {
     // signal) — full cleaned_text hash-checked against the identical
     // span algebra replayed in DuckDB
     "q99_span_dedup" -> PipelineQueries.SpanDedupSql,
+    // q100: per-media 64-bit perceptual fingerprint (b-bit minwise over
+    // byte-shingle features), full packed value replayed in DuckDB via
+    // the q15 Karp-Rabin CTEs — pure integer algebra, hash-exact
+    "q100_media_phash" -> PipelineQueries.MediaPhashSql,
+    // q101: perceptual near-dup pairs at hamming <= 6 — 8x8-bit banding
+    // is pigeonhole-complete to 7, so the banded pair set EQUALS the
+    // oracle's brute-force pair hamming over the replayed fingerprints
+    "q101_media_phash_pairs" -> PipelineQueries.MediaPhashPairsSql,
   )
 }

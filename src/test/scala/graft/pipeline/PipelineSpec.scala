@@ -541,4 +541,88 @@ class PipelineSpec extends AnyFunSuite {
     val row = feats.head()
     assert(row.dim == 16 && row.feature.length == 16)
   }
+
+  // ------------------------------------------------- perceptual fingerprint
+
+  /** Independent reimplementation of the b-bit minwise fingerprint:
+    * materialize ALL window hashes, group by bucket with a plain sort,
+    * take parities — no shared code with the tight-loop production
+    * kernel beyond the hash constants. */
+  private def phashReference(text: String): Long = {
+    val bs = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hashes = (0 to bs.length - 8).map { i =>
+      val r = bs.slice(i, i + 8).foldLeft(0L)((h, b) => h * 1000000007L + (b & 0xffL))
+      r * -7046029254386353131L
+    }
+    (0 until 64).map { k =>
+      val bucket = hashes.filter(h => (h >>> 58).toInt == k)
+      if (bucket.nonEmpty && (bucket.min & 1L) == 1L) 1L << k else 0L
+    }.foldLeft(0L)(_ | _)
+  }
+
+  test("perceptualHash64 == independent reference; short payloads hash to 0") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog " * 10,
+      "lorem ipsum dolor sit amet " * 20, "exactly8", "tiny", "")
+    texts.foreach { t =>
+      assert(Multimodal.perceptualHash64(t.getBytes("UTF-8")) == phashReference(t), t.take(20))
+    }
+    assert(Multimodal.perceptualHash64("1234567".getBytes) == 0L) // < one window
+    assert(Multimodal.perceptualHash64(Array.emptyByteArray) == 0L)
+  }
+
+  test("perceptual hash separates: a small edit stays close, unrelated docs stay far") {
+    val rnd = new scala.util.Random(7)
+    def doc(words: Int) = Seq.fill(words)("w" + rnd.nextInt(5000)).mkString(" ")
+    val base = doc(120)
+    val edited = {
+      val w = base.split(' '); w(60) = "REPLACED"; w.mkString(" ")
+    }
+    val unrelated = doc(120)
+    def ham(a: String, b: String) = java.lang.Long.bitCount(
+      Multimodal.perceptualHash64(a.getBytes) ^ Multimodal.perceptualHash64(b.getBytes))
+    assert(ham(base, edited) <= 6, s"near-dup hamming ${ham(base, edited)}")
+    assert(ham(base, unrelated) > 7, s"unrelated hamming ${ham(base, unrelated)}")
+  }
+
+  test("banded near-dup pairs == brute force over fingerprints (pigeonhole)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(words: Int) = Seq.fill(words)("t" + rnd.nextInt(3000)).mkString(" ")
+    val bases = (0 until 20).map(i => (i.toLong, doc(100)))
+    // plant near-dups: docs 100+i are one-word edits of docs i (i < 5)
+    val dups = (0 until 5).map { i =>
+      val w = bases(i)._2.split(' '); w(50) = "EDIT" + i
+      (100L + i, w.mkString(" "))
+    }
+    val media = (bases ++ dups).toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("blob"))
+    val banded = Multimodal
+      .perceptualNearDupPairs(media, "media_id", "blob", maxHamming = 6)
+      .select($"m1", $"m2", $"hamming".cast("long")).as[(Long, Long, Long)]
+      .collect().toSet
+    val fps = (bases ++ dups).map { case (id, t) =>
+      (id, Multimodal.perceptualHash64(t.getBytes("UTF-8")))
+    }
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute)
+    assert((0 until 5).forall(i => brute.exists(p => p._1 == i && p._2 == 100 + i)),
+      "every planted edit pair must surface")
+  }
+
+  test("planted corpus near-dups are caught at the declared threshold (sf0.001)") {
+    import spark.implicits._
+    // truth: exact n-gram jaccard >= 0.7 pairs (q14's oracle-checked
+    // machinery); contract: each is within hamming 6 of the q101 gate
+    val dd = graft.Tables.load(spark, sf, "documents")
+    val truth = Dedup.minHashPairs(dd, "doc_id", "text", threshold = 0.7)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture corpus must contain planted near-dups")
+    val flagged = graft.PipelineQueries.mediaPhashPairs(spark, sf)
+      .select($"m1", $"m2").as[(Long, Long)].collect().toSet
+    val missed = truth -- flagged
+    assert(missed.isEmpty, s"planted near-dups not flagged: $missed")
+  }
 }
