@@ -17,6 +17,7 @@ object Caches {
     graft.pipeline.Signals.clearCaches()
     graft.pipeline.Similarity.clearCaches()
     graft.pipeline.Bpe.clearCaches()
+    graft.pipeline.Unigram.clearCaches()
     graft.pipeline.Curation.clearCheckpoints()
     Fs.sweepStaged()
   }

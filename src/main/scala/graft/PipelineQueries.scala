@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Bpe, Curation, Dedup, Multimodal, Signals, Similarity, TextStats}
+import graft.pipeline.{Bpe, Curation, Dedup, Multimodal, Signals, Similarity, TextStats, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1920,4 +1920,215 @@ object PipelineQueries {
       |       min(vec_id) OVER (PARTITION BY qhash) AS rep_id,
       |       vec_id <> min(vec_id) OVER (PARTITION BY qhash) AS is_dup
       |FROM q""".stripMargin
+
+  // ------------------------------------------------- unigram-LM tokenizer
+
+  /** q: unigram-LM (SentencePiece-style) tokenizer TRAINING
+    * ([[graft.pipeline.Unigram.trainModel]]) — seed from frequent
+    * substrings, one EM round, prune to the 500-piece multi vocabulary,
+    * one more EM round; the final `(piece, e, p)` model is hash-checked,
+    * so the oracle's unrolled forward–backward rounds must reproduce
+    * every fixed-point expected count AND every double probability
+    * bit-for-bit (exact IEEE `+ * /` in a pinned evaluation order — no
+    * transcendentals anywhere). */
+  def unigramModel(s: SparkSession, d: String): DataFrame =
+    Unigram.trainModel(docs(s, d), "text", seedSize = 2000, vocabSize = 500,
+      minSeedCount = 2L)
+
+  /** q: the SHIPPED-ARTIFACT unigram path — train, [[graft.pipeline.Unigram.saveModel]]
+    * to parquet, [[graft.pipeline.Unigram.loadModel]] back, and
+    * Viterbi-encode the corpus under the LOADED (frozen) model — the
+    * q83 lifecycle for the second tokenizer family. The full encoded
+    * string is hash-checked against the oracle's recursive-CTE Viterbi,
+    * so segment boundaries and every tie-break must agree word-for-word. */
+  def unigramEncodeArtifact(s: SparkSession, d: String): DataFrame = {
+    val model = Unigram.trainModel(docs(s, d), "text", seedSize = 2000,
+      vocabSize = 500, minSeedCount = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-model")
+    val loaded =
+      try {
+        Unigram.saveModel(model, dir.toString)
+        Unigram.loadModel(s, dir.toString) // eager: dir dies here
+      } finally Fs.deleteRecursively(dir)
+    Unigram.encode(docs(s, d), "doc_id", "text", loaded)
+  }
+
+  /** One EM round (round `r` over model `m{r-1}`) as WITH-list CTEs:
+    * recursive forward/backward lattice passes carrying the alpha/beta
+    * arrays as lists (one row per (word, position) — recursion depth =
+    * word length), the fixed-point expected-count aggregation, and the
+    * new model `m{r}`. `pruneTo` (the Kudo pruning step) keeps the top-N
+    * multi-codepoint pieces by (count desc, piece asc); single
+    * codepoints are always kept with their count floored at 1 (coverage
+    * — the lattice normalizer stays positive). Float evaluation order is
+    * pinned by explicit parentheses and mirrored exactly by
+    * [[graft.pipeline.Unigram]]'s scalar loops. */
+  private def unigramEmRound(r: Int, pruneTo: Option[Int]): String = {
+    val m = s"m${r - 1}"
+    val kSel = pruneTo match {
+      case Some(v) =>
+        s"""k$r AS (
+           |  SELECT piece, e FROM (
+           |    SELECT piece, e, row_number() OVER (ORDER BY e DESC, piece) AS rk
+           |    FROM e$r WHERE len(piece) > 1 AND e > 0)
+           |  WHERE rk <= $v
+           |  UNION ALL
+           |  SELECT piece, greatest(e, 1::BIGINT) AS e FROM e$r WHERE len(piece) = 1)"""
+      case None =>
+        s"""k$r AS (
+           |  SELECT piece, CASE WHEN len(piece) = 1 THEN greatest(e, 1::BIGINT)
+           |                     ELSE e END AS e
+           |  FROM e$r WHERE len(piece) = 1 OR e > 0)"""
+    }
+    s""",
+       |a$r AS (
+       |  SELECT word, cnt, 0::BIGINT AS i, [1.0::DOUBLE] AS al FROM dict
+       |  UNION ALL
+       |  SELECT a.word, a.cnt, a.i + 1,
+       |    list_append(a.al,
+       |      (((coalesce(a.al[a.i + 1] * p1.p, 0.0)
+       |        + coalesce(a.al[a.i] * p2.p, 0.0))
+       |        + coalesce(a.al[a.i - 1] * p3.p, 0.0))
+       |        + coalesce(a.al[a.i - 2] * p4.p, 0.0)))
+       |  FROM a$r a
+       |  LEFT JOIN $m p1 ON p1.piece = substr(a.word, a.i + 1, 1)
+       |  LEFT JOIN $m p2 ON a.i >= 1 AND p2.piece = substr(a.word, a.i, 2)
+       |  LEFT JOIN $m p3 ON a.i >= 2 AND p3.piece = substr(a.word, a.i - 1, 3)
+       |  LEFT JOIN $m p4 ON a.i >= 3 AND p4.piece = substr(a.word, a.i - 2, 4)
+       |  WHERE a.i < len(a.word)),
+       |b$r AS (
+       |  SELECT word, cnt, len(word)::BIGINT AS i, [1.0::DOUBLE] AS bl FROM dict
+       |  UNION ALL
+       |  SELECT b.word, b.cnt, b.i - 1,
+       |    list_prepend(
+       |      (((coalesce(p1.p * b.bl[1], 0.0)
+       |        + coalesce(p2.p * b.bl[2], 0.0))
+       |        + coalesce(p3.p * b.bl[3], 0.0))
+       |        + coalesce(p4.p * b.bl[4], 0.0)), b.bl)
+       |  FROM b$r b
+       |  LEFT JOIN $m p1 ON p1.piece = substr(b.word, b.i, 1)
+       |  LEFT JOIN $m p2 ON b.i + 1 <= len(b.word) AND p2.piece = substr(b.word, b.i, 2)
+       |  LEFT JOIN $m p3 ON b.i + 2 <= len(b.word) AND p3.piece = substr(b.word, b.i, 3)
+       |  LEFT JOIN $m p4 ON b.i + 3 <= len(b.word) AND p4.piece = substr(b.word, b.i, 4)
+       |  WHERE b.i > 0),
+       |af$r AS MATERIALIZED (SELECT word, al FROM a$r WHERE i = len(word)),
+       |bf$r AS MATERIALIZED (SELECT word, bl FROM b$r WHERE i = 0),
+       |e$r AS MATERIALIZED (
+       |  SELECT piece,
+       |         sum(floor(((al[j + 1] * p) * bl[j + k + 1])
+       |                   / al[len(word) + 1] * 1e12)::BIGINT * cnt)::BIGINT AS e
+       |  FROM (
+       |    SELECT d.word, d.cnt, af.al, bf.bl, tj.j, tk.k,
+       |           substr(d.word, tj.j + 1, tk.k) AS piece
+       |    FROM dict d
+       |    JOIN af$r af USING (word)
+       |    JOIN bf$r bf USING (word),
+       |         unnest(range(0, len(d.word))) AS tj(j),
+       |         unnest([1, 2, 3, 4]) AS tk(k)
+       |    WHERE tj.j + tk.k <= len(d.word)
+       |  ) o JOIN $m USING (piece)
+       |  GROUP BY piece),
+       |$kSel,
+       |m$r AS MATERIALIZED (
+       |  SELECT piece, e,
+       |         e::DOUBLE / (SELECT sum(e)::BIGINT FROM k$r)::DOUBLE AS p
+       |  FROM k$r)"""
+  }
+
+  /** The shared trainer CTE chain (dict → seed → m0 → EM1 → prune →
+    * EM2 → m2), used by both the q102 model oracle and the q103 encode
+    * oracle. */
+  private def unigramCtes(
+      seedSize: Int, vocabSize: Int, minSeedCount: Long): String =
+    s"""WITH RECURSIVE
+       |dict AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |                                  x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS w
+       |  FROM (
+       |    SELECT substr(d.word, tj.j, tk.k) AS piece, d.cnt
+       |    FROM dict d,
+       |         unnest(range(1, len(d.word) + 1)) AS tj(j),
+       |         unnest([1, 2, 3, 4]) AS tk(k)
+       |    WHERE tj.j + tk.k - 1 <= len(d.word))
+       |  GROUP BY piece),
+       |seedsel AS (
+       |  SELECT piece, w FROM (
+       |    SELECT piece, w, row_number() OVER (ORDER BY w DESC, piece) AS rk
+       |    FROM sub WHERE len(piece) > 1 AND w >= $minSeedCount)
+       |  WHERE rk <= $seedSize
+       |  UNION ALL
+       |  SELECT piece, w FROM sub WHERE len(piece) = 1),
+       |m0 AS MATERIALIZED (
+       |  SELECT piece,
+       |         w::DOUBLE / (SELECT sum(w)::BIGINT FROM seedsel)::DOUBLE AS p
+       |  FROM seedsel)""" +
+      unigramEmRound(1, pruneTo = Some(vocabSize)) +
+      unigramEmRound(2, pruneTo = None)
+
+  def unigramModelSql(
+      seedSize: Int = 2000, vocabSize: Int = 500,
+      minSeedCount: Long = 2L): String =
+    (unigramCtes(seedSize, vocabSize, minSeedCount) +
+      "\nSELECT piece, e, p FROM m2").stripMargin
+
+  /** The encode oracle: the trainer chain's final model `m2`, a
+    * recursive Viterbi DP per dictionary word (path probabilities AND
+    * best paths carried as lists; ties break to the longest candidate
+    * piece via the longest-first CASE), then the q80-style document
+    * reassembly join. */
+  def unigramEncodeSql(
+      seedSize: Int = 2000, vocabSize: Int = 500,
+      minSeedCount: Long = 2L): String = {
+    val best =
+      """greatest(
+        |      coalesce(v.vp[v.i + 1] * p1.p, -1.0),
+        |      coalesce(v.vp[v.i] * p2.p, -1.0),
+        |      coalesce(v.vp[v.i - 1] * p3.p, -1.0),
+        |      coalesce(v.vp[v.i - 2] * p4.p, -1.0))"""
+    def path(k: Int): String = {
+      val idx = k match {
+        case 1 => "v.i + 1"; case 2 => "v.i"; case 3 => "v.i - 1"
+        case 4 => "v.i - 2"
+      }
+      s"CASE WHEN v.tp[$idx] = '' THEN p$k.piece ELSE v.tp[$idx] || '|' || p$k.piece END"
+    }
+    (unigramCtes(seedSize, vocabSize, minSeedCount) +
+      s""",
+         |vt AS (
+         |  SELECT word, 0::BIGINT AS i, [1.0::DOUBLE] AS vp, [''] AS tp FROM dict
+         |  UNION ALL
+         |  SELECT v.word, v.i + 1,
+         |    list_append(v.vp, $best),
+         |    list_append(v.tp,
+         |      CASE WHEN coalesce(v.vp[v.i - 2] * p4.p, -1.0) = $best
+         |           THEN ${path(4)}
+         |           WHEN coalesce(v.vp[v.i - 1] * p3.p, -1.0) = $best
+         |           THEN ${path(3)}
+         |           WHEN coalesce(v.vp[v.i] * p2.p, -1.0) = $best
+         |           THEN ${path(2)}
+         |           ELSE ${path(1)} END)
+         |  FROM vt v
+         |  LEFT JOIN m2 p1 ON p1.piece = substr(v.word, v.i + 1, 1)
+         |  LEFT JOIN m2 p2 ON v.i >= 1 AND p2.piece = substr(v.word, v.i, 2)
+         |  LEFT JOIN m2 p3 ON v.i >= 2 AND p3.piece = substr(v.word, v.i - 1, 3)
+         |  LEFT JOIN m2 p4 ON v.i >= 3 AND p4.piece = substr(v.word, v.i - 2, 4)
+         |  WHERE v.i < len(v.word)),
+         |enc AS (SELECT word, tp[len(word) + 1] AS tok FROM vt WHERE i = len(word)),
+         |dw AS (SELECT doc_id,
+         |              list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+         |       FROM documents),
+         |t AS (SELECT doc_id, ws[j] AS word, j AS pos
+         |      FROM dw, unnest(range(1, len(ws) + 1)) AS u(j))
+         |SELECT doc_id,
+         |       count(*)::BIGINT AS n_words,
+         |       sum(len(string_split(tok, '|')))::BIGINT AS n_tokens,
+         |       string_agg(tok, ' ' ORDER BY pos) AS encoded
+         |FROM t JOIN enc USING (word)
+         |GROUP BY doc_id""").stripMargin
+  }
 }

@@ -116,6 +116,8 @@ object SparkEntry {
     "q99_span_dedup" -> ((s, d) => PipelineQueries.spanDedup(s, d)),
     "q100_media_phash" -> ((s, d) => PipelineQueries.mediaPhash(s, d)),
     "q101_media_phash_pairs" -> ((s, d) => PipelineQueries.mediaPhashPairs(s, d)),
+    "q102_unigram_model" -> ((s, d) => PipelineQueries.unigramModel(s, d)),
+    "q103_unigram_encode" -> ((s, d) => PipelineQueries.unigramEncodeArtifact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,5 +346,16 @@ object SparkEntry {
     // is pigeonhole-complete to 7, so the banded pair set EQUALS the
     // oracle's brute-force pair hamming over the replayed fingerprints
     "q101_media_phash_pairs" -> PipelineQueries.MediaPhashPairsSql,
+    // q102: unigram-LM tokenizer training (seed -> EM -> prune -> EM),
+    // the final (piece, e, p) model hash-checked: expected counts are
+    // 1e-12 fixed-point integers and probabilities exact IEEE-double
+    // ratios in a pinned evaluation order, so the oracle's unrolled
+    // recursive-CTE forward-backward passes reproduce them bit-for-bit
+    "q102_unigram_model" -> PipelineQueries.unigramModelSql(),
+    // q103: the artifact half — save/load the q102 model through
+    // parquet, Viterbi-encode under the frozen model; the oracle runs
+    // the same lattice DP as a recursive CTE (ties to the longest
+    // piece) and hash-checks every encoded string
+    "q103_unigram_encode" -> PipelineQueries.unigramEncodeSql(),
   )
 }
