@@ -29,9 +29,41 @@ object StreamRun {
    */
   def withStatePartitions[A](spark: SparkSession, statePartitions: Int)(
       body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
-    try body finally spark.conf.set(key, prev)
+    // SPARK_GRAFT_STATE_PARTITIONS: A/B knob matching the provider's —
+    // overrides every declared row's pinned count for one measured run
+    val n = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(statePartitions)
+    val keys = Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.providerClass" -> stateStoreProvider)
+    val prev = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
+
+  /** State-store provider for the declared streaming rows, overridable
+    * for A/B runs via `SPARK_GRAFT_STATE_PROVIDER` (`hdfs` | `rocksdb` |
+    * a fully-qualified class). Default: RocksDB — three-way A/B-measured
+    * on the executed rows at sf0.1 (BENCH_NOTES round 10): it beat the
+    * HDFS-backed in-memory provider on EVERY stateful row (six-row
+    * family 14.2 s → 12.2 s; q95 stream-stream join 4.3 → 4.1, q96
+    * dedup 1.5 → 1.2), and unlike that provider it does not hold state
+    * on-heap, so the same configuration survives multi-GB per-partition
+    * state (deep join/dedup horizons) instead of OOMing — the scale
+    * answer AND the measured local winner. Per-partition store lifecycle
+    * still dominates at bounded state volume under BOTH providers
+    * (rocksdb at 8/16/32 partitions: 7.0/9.0/13.7 s on the 3-row
+    * subset), so the withStatePartitions sizing stays. Results are
+    * provider-invariant — same oracle hashes both ways, A/B-verified. */
+  private[graft] def stateStoreProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "rocksdb") match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case fqcn => fqcn
+    }
 }
