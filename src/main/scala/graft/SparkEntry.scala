@@ -118,6 +118,7 @@ object SparkEntry {
     "q101_media_phash_pairs" -> ((s, d) => PipelineQueries.mediaPhashPairs(s, d)),
     "q102_unigram_model" -> ((s, d) => PipelineQueries.unigramModel(s, d)),
     "q103_unigram_encode" -> ((s, d) => PipelineQueries.unigramEncodeArtifact(s, d)),
+    "q104_ann_drift" -> ((s, d) => PipelineQueries.annDriftProbe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,5 +358,11 @@ object SparkEntry {
     // the same lattice DP as a recursive CTE (ties to the longest
     // piece) and hash-checks every encoded string
     "q103_unigram_encode" -> PipelineQueries.unigramEncodeSql(),
+    // q104: quantizer-drift measurement — a deliberately STALE index
+    // (quantizer trained on the even half, inverted file over the odd
+    // half) scored by recallProbe against exact truth; the oracle pins
+    // the measurement arithmetic (query and exact-pair counts) and the
+    // monitoring verdict, the q86 contract-row adjudication
+    "q104_ann_drift" -> PipelineQueries.AnnDriftSql,
   )
 }

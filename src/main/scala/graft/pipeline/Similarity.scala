@@ -982,9 +982,12 @@ object Similarity {
     * existing corpus is never re-encoded or rewritten. Search from the
     * appended artifact == search over the union corpus encoded in one
     * pass (spec-pinned; encoding is per-row, so batch boundaries cannot
-    * change codes). Quantizer drift on a shifted corpus is the standard
-    * rebuild trigger — recall contracts, not this append path, detect
-    * it. */
+    * change codes). The rest of the maintenance lifecycle: deletes are
+    * tombstones ([[deleteFromEncodedCorpus]]), accumulated delta files
+    * and tombstones fold away at [[compactEncodedCorpus]], and quantizer
+    * DRIFT on a shifted corpus — which this path by design never
+    * re-examines — is detected by the [[recallProbe]] measurement (the
+    * declared q104 row), the standard rebuild trigger. */
   def appendEncodedCorpus(encoded: DataFrame, path: String): Unit = {
     val w = encoded.write.mode("append")
     (if (encoded.columns.contains("cell")) w.partitionBy("cell") else w)
@@ -996,9 +999,115 @@ object Similarity {
     * codes are corpus-sized and must stream through the scan, never the
     * driver — so the artifact directory must outlive every query batch
     * served from it (int cells/codes round-trip parquet exactly;
-    * spec-pinned rank-for-rank equal to inline encoding). */
-  def loadEncodedCorpus(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    * spec-pinned rank-for-rank equal to inline encoding). Rows deleted
+    * via [[deleteFromEncodedCorpus]] are filtered out here (broadcast
+    * anti-join against the tombstone set — the underscore-prefixed
+    * tombstone dir is invisible to the code scan itself), so every
+    * search path honors deletes with no code change; the filter
+    * disappears entirely once [[compactEncodedCorpus]] folds the
+    * tombstones in. */
+  def loadEncodedCorpus(spark: SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(path)
+    val tPath = tombstoneDir(path)
+    val fs = hadoopFs(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tPath))) codes
+    else {
+      // the id column is whatever the encode step carried through — by
+      // construction the one column that is neither `cell` nor `code`
+      val idCol = codes.columns.filterNot(Set("cell", "code")).head
+      codes.join(
+        broadcast(spark.read.parquet(tPath).select(col("id")).distinct()),
+        codes(idCol) === col("id"), "left_anti")
+    }
+  }
+
+  private def tombstoneDir(path: String): String =
+    path.stripSuffix("/") + "/_tombstones"
+
+  private def hadoopFs(
+      spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /**
+   * Delete corpus rows from an encoded artifact by id — TOMBSTONES, not
+   * rewrite: the ids append to a hidden `_tombstones` dataset inside the
+   * artifact dir (underscore prefix = invisible to the parquet scan),
+   * and [[loadEncodedCorpus]] anti-joins them out. Deleting is therefore
+   * O(delta) like [[appendEncodedCorpus]] — no touch of the cell
+   * directories — and the tombstone set stays a bounded broadcast until
+   * [[compactEncodedCorpus]] folds it in (the LSM delete discipline:
+   * logical delete now, physical reclaim at compaction).
+   */
+  def deleteFromEncodedCorpus(
+      spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstone ids must be a single column, got ${ids.columns.mkString(",")}")
+    ids.toDF("id").repartition(1).write.mode("append")
+      .parquet(tombstoneDir(path))
+  }
+
+  /**
+   * Rewrite an encoded-corpus artifact without its tombstoned rows and
+   * with per-cell files consolidated — the maintenance pass that bounds
+   * what [[appendEncodedCorpus]] (one file batch per delta) and
+   * [[deleteFromEncodedCorpus]] (one anti-join probe per tombstone
+   * batch) accumulate. The surviving rows are hash-repartitioned by cell
+   * before the partitioned write, so each cell directory collapses to
+   * one file (flat artifacts rewrite at the session's shuffle
+   * parallelism); the tombstone set is consumed by the rewrite and
+   * gone afterwards. Search from the compacted artifact equals search
+   * over the survivor corpus encoded fresh, rank-for-rank (spec-pinned).
+   *
+   * The swap is write-to-sibling, delete, rename — safe against its own
+   * failure modes on a local/posix-rename store (the artifact is intact
+   * until the delete; a crash between delete and rename leaves the
+   * complete `.compacting` sibling to recover from). An object-store
+   * deployment does the same swap behind a manifest commit (the
+   * [[graft.sources]] DSv2 connector's O(1)-visibility pattern) instead
+   * of a directory rename.
+   */
+  def compactEncodedCorpus(spark: SparkSession, path: String): Unit = {
+    val live = loadEncodedCorpus(spark, path) // tombstones applied
+    val tmp = path.stripSuffix("/") + ".compacting"
+    val hasCell = live.columns.contains("cell")
+    val w =
+      if (hasCell) live.repartition(col("cell")).write.partitionBy("cell")
+      else live.repartition(
+        spark.sessionState.conf.numShufflePartitions).write
+    w.mode("overwrite").parquet(tmp)
+    val fs = hadoopFs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  /**
+   * Index-health measurement: recall of an approximate result set
+   * against the exact truth — `(n_queries, n_pairs, n_hits, recall)` in
+   * one integer-counting aggregation over the two bounded result sets.
+   * This is the REBUILD TRIGGER the frozen-quantizer maintenance path
+   * ([[appendEncodedCorpus]]) relies on: a deployment periodically runs
+   * a query sample through the stale index AND [[bruteForceTopK]] and
+   * re-trains when this measurement crosses its floor — drift shows up
+   * HERE, not in the append path (which by design never re-examines the
+   * quantizer). Both inputs carry `(query_id, neighbor_id)`; recall =
+   * |approx ∩ exact| / |exact| over those pairs.
+   */
+  def recallProbe(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(lit(1).as("one"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hits"))
+      .drop("one")
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_pairs").cast("double"))
 
   /**
    * [[ivfPqTopKReranked]] served from a PRE-ENCODED inverted file — the

@@ -201,7 +201,11 @@ class PlanSpec extends AnyFunSuite {
       "q87_ann_ivfpq",
       // q90: q87's search served from the persisted inverted file — same
       // recall contract, same embedded exact reference, same reason
-      "q90_ann_ivfpq_indexed")
+      "q90_ann_ivfpq_indexed",
+      // q104: the drift probe MEASURES the stale index against exact
+      // brute force — the BNL is that embedded exact reference (q22's
+      // shape), the measurement's denominator by definition
+      "q104_ann_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
