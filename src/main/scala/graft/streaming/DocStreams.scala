@@ -62,14 +62,31 @@ object DocStreams {
       docs: DataFrame, textCol: String,
       corpusBuckets: Set[(Int, Int)],
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    // (band, bucket) packed into one long, sorted for binary search: the
-    // probe runs per ARRIVING ROW, so it must not allocate (a Set[(Int,
-    // Int)] lookup boxes a tuple per band per row — the cellsUdf defect
-    // class); the packed array is also the smaller broadcast.
+    val bc = packedBroadcast(docs.sparkSession, corpusBuckets)
+    nearDupGateProbe(docs, textCol, bc, n, bands, rowsPerBand)
+  }
+
+  /** (band, bucket) packed into one long each, sorted for binary search:
+    * the probe runs per ARRIVING ROW, so it must not allocate (a
+    * Set[(Int, Int)] lookup boxes a tuple per band per row — the
+    * cellsUdf defect class); the packed array is also the smaller
+    * broadcast. */
+  private def packedBroadcast(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusBuckets: Set[(Int, Int)]): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val packed = corpusBuckets.toArray
       .map { case (b, h) => (b.toLong << 32) | (h.toLong & 0xffffffffL) }
     java.util.Arrays.sort(packed)
-    val bc = docs.sparkSession.sparkContext.broadcast(packed)
+    spark.sparkContext.broadcast(packed)
+  }
+
+  /** The gate's probe columns over a batch OR streaming frame — shared
+    * by the frozen-reference stream and the per-batch refreshing
+    * variant. */
+  private def nearDupGateProbe(
+      docs: DataFrame, textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Per-row signature: h_i = min over shingles of xxhash64(i, gram),
     // gram = xxhash64(shingle) — the same expression tree as the batch
@@ -105,6 +122,41 @@ object DocStreams {
         col("n_shingles") > 0 && anyHit(buckets))
       .drop("__grams", "__sig")
   }
+
+  /**
+   * [[nearDupGateStream]] with a reference corpus that GROWS while the
+   * gate runs: the frozen variant broadcasts its `(band, bucket)` set
+   * once at stream start, so a long-lived gate slowly goes stale as the
+   * landed corpus accretes behind it. This variant re-reads the current
+   * set AT EACH MICRO-BATCH BOUNDARY (`foreachBatch` — the standard
+   * mechanism for per-batch side input refresh): `currentBuckets` is
+   * called once per batch on the driver, its result packed/broadcast,
+   * the batch probed exactly like the frozen gate (same columns, same
+   * allocation-free binary-search probe — spec-pinned equal per batch),
+   * and the batch broadcast released as soon as the sink call returns —
+   * the gate holds ONE reference snapshot at a time, never a history.
+   *
+   * `currentBuckets` typically closes over a batch-side index query
+   * ([[graft.pipeline.Dedup.minHashBuckets]] over the reference table,
+   * collected — the same bounded metadata the frozen gate ships once);
+   * its cost is per BATCH, not per row, and a deployment that wants
+   * cheaper refresh swaps in an incremental collector without touching
+   * the gate. Returns the started query's writer so callers own
+   * trigger/checkpoint/start, mirroring the composable frozen variant.
+   */
+  def nearDupGateStreamRefreshing(
+      docs: DataFrame, textCol: String,
+      currentBuckets: () => Set[(Int, Int)],
+      n: Int, bands: Int, rowsPerBand: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        val bc = packedBroadcast(batch.sparkSession, currentBuckets())
+        try sink(
+          nearDupGateProbe(batch, textCol, bc, n, bands, rowsPerBand),
+          batchId.longValue())
+        finally bc.unpersist()
+    }
 
   /**
    * Streaming contamination gate: flag each arriving document whose text

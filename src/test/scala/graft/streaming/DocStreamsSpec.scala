@@ -118,6 +118,67 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(flagged.contains(2L), "near-copy should collide in some band")
   }
 
+  test("refreshing near-dup gate tracks a growing reference corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val (n, bands, rows) = (5, 8, 4)
+    val docA = (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val docB = (101L, "one two three four five six seven eight nine ten eleven")
+    // reference corpus grows between micro-batches
+    var corpus = Seq(docA)
+    def bucketsNow(): Set[(Int, Int)] = graft.pipeline.Dedup
+      .minHashBuckets(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n, bands, rows)
+      .select($"band", $"bucket").as[(Int, Int)].collect().toSet
+
+    val batch1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of A
+      (2L, "one two three four five six seven eight nine ten eleven"))  // copy of B — NOT yet referenced
+    val batch2 = Seq(
+      (3L, "one two three four five six seven eight nine ten eleven"),  // copy of B — now referenced
+      (4L, "utterly unrelated content about rivers and mountains here"))
+
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupGateStreamRefreshing(
+        source.toDS().toDF("doc_id", "text"), "text", () => bucketsNow(),
+        n, bands, rows) { (gated, batchId) =>
+      results ++= gated.select($"doc_id", $"maybe_near_dup")
+        .collect().map(r => (batchId, r.getLong(0), r.getBoolean(1)))
+    }.start()
+    try {
+      source.addData(batch1)
+      q.processAllAvailable()
+      corpus = corpus :+ docB // corpus append BETWEEN batches
+      source.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val flags = results.map { case (_, id, f) => id -> f }.toMap
+    // the refresh contract: a copy of docB arriving BEFORE docB lands in
+    // the reference passes the gate; the same content arriving AFTER the
+    // append is flagged — a frozen gate would miss it forever
+    assert(flags(1L), "copy of referenced docA must flag in batch 1")
+    assert(!flags(2L), "docB not yet referenced: must pass in batch 1")
+    assert(flags(3L), "docB referenced after refresh: must flag in batch 2")
+    assert(!flags(4L), "unrelated doc must pass")
+    // per-batch equality vs the batch candidate predicate against the
+    // exact snapshot that batch saw
+    val snap1 = graft.pipeline.Dedup
+      .minHashBuckets(Seq(docA).toDF("doc_id", "text"), "doc_id", "text",
+        n, bands, rows)
+      .select($"band", $"bucket").as[(Int, Int)].collect().toSet
+    val truth1 = graft.pipeline.Dedup
+      .minHashBuckets(batch1.toDF("doc_id", "text"), "doc_id", "text",
+        n, bands, rows)
+      .as[(Long, Int, Int)].collect()
+      .filter { case (_, b, h) => snap1.contains((b, h)) }.map(_._1).toSet
+    assert(results.filter(_._1 == 0L).filter(_._3).map(_._2).toSet == truth1)
+  }
+
   test("streaming contamination gate: zero false negatives vs the batch check") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
