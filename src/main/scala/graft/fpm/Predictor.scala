@@ -186,14 +186,17 @@ object Predictor {
               !array_contains(col(itemsCol), col("r_cons"))))
       }
 
-    // collect_list skips the null struct a non-matching (left-outer) row
-    // produces, so no-match groups aggregate to [] -> "". Non-key columns
-    // are constant per key (keys are unique), so first() is deterministic.
-    val pred = array_join(
-      array_distinct(transform(
-        sort_array(collect_list(when(col("r_cons").isNotNull,
-          struct((-col("r_lift")).as("nl"), col("r_cons").as("c"))))),
-        s => s.getField("c"))), ", ")
+    // Prediction assembly is the bounded-buffer [[BestRulesAgg]]: best
+    // lift per consequent-vocab slot, ties to consequent binary order —
+    // byte-identical to the collect_list(struct) -> sort_array ->
+    // array_distinct -> array_join formulation it replaces, without that
+    // formulation's per-fired-pair struct allocation and struct-list
+    // shuffle (the partial aggregate combines to one fixed-size buffer
+    // per key). The sentinel's null consequent is skipped by the
+    // aggregate, so no-match groups evaluate to "".
+    val pred = BestRulesAgg.best_rules_prediction(
+      col("r_cons"), col("r_lift"),
+      ruleRows.map(_._2).distinct)
     val others = data.columns.filterNot(keyCols.contains)
     val aggs = others.map(c => first(col(c)).as(c)) :+ pred.as(predictionCol)
     joined.groupBy(keyCols.map(col): _*)

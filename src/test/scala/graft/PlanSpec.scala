@@ -180,6 +180,14 @@ class PlanSpec extends AnyFunSuite {
     // basket-build subplan)
     assert("""ObjectHashAggregate \(\d+\)\n\s*\+- ObjectHashAggregate"""
       .r.findFirstIn(p).nonEmpty, p)
+    // prediction assembly is the BOUNDED-buffer aggregate (best lift per
+    // consequent-vocab slot, allocation-free update, partials that
+    // actually combine) — NOT collect_list-of-struct, whose partials
+    // concatenate and shuffle one struct per fired (row, rule) pair
+    // (~10M+ allocations per run, the suite's dominant GC draw source —
+    // BENCH_NOTES round 10; q05b 1.45 s -> 0.69 s isolated)
+    assert(p.contains("best_rules_prediction"), p)
+    assert(!p.contains("collect_list") && !p.contains("sort_array"), p)
   }
 
   test("suite-wide sweep: no cartesian product; BNL only where declared") {
