@@ -1170,8 +1170,10 @@ object PipelineQueries {
       Multimodal.documentBlobs(s, d), "media_id", "blob", maxHamming = 6)
       .withColumn("hamming", col("hamming").cast("long"))
 
-  val MediaPhashPairsSql: String =
-    """WITH pos AS (
+  /** The fingerprint-replay + brute-force-hamming CTE chain shared by
+    * the q101 pair oracle and the q105 cross-modal oracle. */
+  private val MediaPhashPairCtes: String =
+    """pos AS (
       |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
       |  FROM documents WHERE text IS NOT NULL),
       |rk AS (SELECT doc_id,
@@ -1199,8 +1201,33 @@ object PipelineQueries {
       |ham AS (SELECT a.doc_id AS m1, b.doc_id AS m2,
       |          sum(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END)::BIGINT AS hamming
       |        FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |        GROUP BY 1, 2)
-      |SELECT m1, m2, hamming FROM ham WHERE hamming <= 6""".stripMargin
+      |        GROUP BY 1, 2)""".stripMargin
+
+  val MediaPhashPairsSql: String =
+    s"WITH $MediaPhashPairCtes\nSELECT m1, m2, hamming FROM ham WHERE hamming <= 6"
+
+  /** Cross-modal dedup join ([[graft.pipeline.Multimodal.crossModalDupPairs]]):
+    * the q101 media near-dup pairs annotated with caption-fingerprint
+    * equality — `same_caption = false` rows are "same media,
+    * re-captioned", the dup class a text-only pass cannot see. Full
+    * table hash-checked: the oracle replays the fingerprints (q101's
+    * CTEs) and joins q12's caption-fingerprint algebra. */
+  def crossModalDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.crossModalDupPairs(
+      Multimodal.documentBlobs(s, d), "media_id", "blob",
+      docs(s, d), "doc_id", "text", maxHamming = 6)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  val CrossModalDupSql: String =
+    s"""WITH $MediaPhashPairCtes,
+       |cfp AS (SELECT doc_id,
+       |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS cfp
+       |        FROM documents)
+       |SELECT m1, m2, hamming, (f1.cfp = f2.cfp) AS same_caption
+       |FROM ham
+       |JOIN cfp f1 ON f1.doc_id = m1
+       |JOIN cfp f2 ON f2.doc_id = m2
+       |WHERE hamming <= 6""".stripMargin
 
   // ------------------------------------------------------------ heavy hitters
 

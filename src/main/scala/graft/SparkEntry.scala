@@ -119,6 +119,7 @@ object SparkEntry {
     "q102_unigram_model" -> ((s, d) => PipelineQueries.unigramModel(s, d)),
     "q103_unigram_encode" -> ((s, d) => PipelineQueries.unigramEncodeArtifact(s, d)),
     "q104_ann_drift" -> ((s, d) => PipelineQueries.annDriftProbe(s, d)),
+    "q105_crossmodal_dedup" -> ((s, d) => PipelineQueries.crossModalDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +365,10 @@ object SparkEntry {
     // the measurement arithmetic (query and exact-pair counts) and the
     // monitoring verdict, the q86 contract-row adjudication
     "q104_ann_drift" -> PipelineQueries.AnnDriftSql,
+    // q105: the cross-modal (caption<->media) join contract — q101's
+    // media near-dup pairs annotated with caption-fingerprint equality;
+    // same_caption=false rows are "same media, re-captioned", the dup
+    // class a text-only pass cannot see. Full table hash-checked
+    "q105_crossmodal_dedup" -> PipelineQueries.CrossModalDupSql,
   )
 }

@@ -163,6 +163,36 @@ object Multimodal {
   }
 
   /**
+   * CROSS-MODAL dedup join — the caption↔media contract: perceptual
+   * near-dup MEDIA pairs ([[perceptualNearDupPairs]]) annotated with
+   * whether their CAPTIONS are exact text dups ([[Dedup.fingerprint]]'s
+   * normalize+md5). Rows with `same_caption = false` are the dups ONLY
+   * the image side can see — same (near-identical) media re-captioned —
+   * which is exactly the pair class a text-only dedup pass ships twice
+   * into training; a LAION-style multimodal pipeline dedupes on the
+   * media fingerprint and keeps one caption per media cluster.
+   *
+   * Scale shape: the pair set is the bounded output of the banded
+   * media near-dup join; attaching captions is two equi-joins keyed by
+   * media id that ship `(id, 32-byte fingerprint)` — never text, never
+   * payloads (AQE broadcasts the pair side once its post-join size is
+   * known).
+   */
+  def crossModalDupPairs(
+      media: DataFrame, mediaIdCol: String, blobCol: String,
+      captions: DataFrame, capIdCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val pairs = perceptualNearDupPairs(media, mediaIdCol, blobCol, maxHamming)
+    val fps = captions.select(
+      col(capIdCol).as("cap_id"), Dedup.fingerprint(col(textCol)).as("cap_fp"))
+    pairs
+      .join(fps.select(col("cap_id").as("m1"), col("cap_fp").as("fp1")), Seq("m1"))
+      .join(fps.select(col("cap_id").as("m2"), col("cap_fp").as("fp2")), Seq("m2"))
+      .select(col("m1"), col("m2"), col("hamming"),
+        (col("fp1") === col("fp2")).as("same_caption"))
+  }
+
+  /**
    * Frame sampling: fixed-width byte windows every `stride` bytes
    * (the video-frame access pattern), pure slice algebra on the binary
    * column — one row per (media, frame).

@@ -612,6 +612,43 @@ class PipelineSpec extends AnyFunSuite {
       "every planted edit pair must surface")
   }
 
+  test("cross-modal dedup join: near-dup media pairs split by caption equality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def doc(words: Int) = Seq.fill(words)("t" + rnd.nextInt(3000)).mkString(" ")
+    val bases = (0 until 10).map(i => (i.toLong, doc(100)))
+    // 100+i: one-word edits of i — near-dup media, DIFFERENT caption
+    val recaptioned = (0 until 3).map { i =>
+      val w = bases(i)._2.split(' '); w(50) = "EDIT" + i
+      (100L + i, w.mkString(" "))
+    }
+    // 200: byte-identical to base 0 — same media AND same caption
+    val exactCopy = Seq((200L, bases(0)._2))
+    val caps = (bases ++ recaptioned ++ exactCopy).toDF("doc_id", "text")
+    val media = caps.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("blob"))
+    val out = Multimodal.crossModalDupPairs(
+        media, "media_id", "blob", caps, "doc_id", "text", maxHamming = 6)
+      .select($"m1", $"m2", $"hamming".cast("long"), $"same_caption")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+    // the annotated pair set IS the media near-dup pair set
+    val pairSet = Multimodal
+      .perceptualNearDupPairs(media, "media_id", "blob", maxHamming = 6)
+      .select($"m1", $"m2").as[(Long, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._2)).toSet == pairSet)
+    // exact copy: flagged with same_caption = true at hamming 0
+    assert(byPair((0L, 200L)) === true)
+    assert(out.find(r => r._1 == 0L && r._2 == 200L).get._3 == 0L)
+    // every re-captioned near-dup: flagged with same_caption = false —
+    // the pair class ONLY the media side sees (their text fingerprints
+    // differ, so q12-style caption dedup passes them both)
+    (0 until 3).foreach { i =>
+      assert(byPair((i.toLong, 100L + i)) === false,
+        s"re-captioned pair ($i, ${100 + i}) must be cross-modal-only")
+    }
+  }
+
   test("planted corpus near-dups are caught at the declared threshold (sf0.001)") {
     import spark.implicits._
     // truth: exact n-gram jaccard >= 0.7 pairs (q14's oracle-checked
