@@ -2181,6 +2181,67 @@ object PipelineQueries {
       |FROM qn, srv, tr
       |WHERE tr.n > 0 AND qn.n > 0 AND srv.n > 1""".stripMargin
 
+  /** q: WordPiece-style GREEDY longest-match encode under the SAME
+    * frozen q102 vocabulary artifact — the third inference regime next
+    * to BPE merge-replay (q80) and unigram Viterbi (q103), and the one
+    * BERT-family pipelines run. Train → save → load → greedy encode;
+    * the full encoded string is hash-checked against a float-free
+    * recursive-CTE maximum-munch replay (no probabilities touched —
+    * the vocab is a piece SET here). */
+  def wordpieceEncodeArtifact(s: SparkSession, d: String): DataFrame = {
+    val model = Unigram.trainModel(docs(s, d), "text", seedSize = 2000,
+      vocabSize = 500, minSeedCount = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wordpiece-model")
+    val loaded =
+      try {
+        Unigram.saveModel(model, dir.toString)
+        Unigram.loadModel(s, dir.toString)
+      } finally Fs.deleteRecursively(dir)
+    Unigram.encodeGreedy(docs(s, d), "doc_id", "text", loaded)
+  }
+
+  /** The greedy oracle: the q102 trainer chain's `m2` as the piece
+    * inventory, then a single-successor recursive scan per dictionary
+    * word — at each position the longest piece with a model row wins
+    * (LEFT JOINs at lengths 4..2, lone-codepoint fallback), no
+    * probabilities anywhere. */
+  def wordpieceEncodeSql(
+      seedSize: Int = 2000, vocabSize: Int = 500,
+      minSeedCount: Long = 2L): String =
+    (unigramCtes(seedSize, vocabSize, minSeedCount) +
+      s""",
+         |gr AS (
+         |  SELECT word, 0::BIGINT AS i, ''::VARCHAR AS toks FROM dict
+         |  UNION ALL
+         |  SELECT g.word,
+         |    g.i + (CASE WHEN p4.piece IS NOT NULL THEN 4
+         |                WHEN p3.piece IS NOT NULL THEN 3
+         |                WHEN p2.piece IS NOT NULL THEN 2
+         |                ELSE 1 END),
+         |    CASE WHEN g.toks = '' THEN '' ELSE g.toks || '|' END ||
+         |      coalesce(p4.piece, p3.piece, p2.piece,
+         |               substr(g.word, (g.i + 1)::INT, 1))
+         |  FROM gr g
+         |  LEFT JOIN m2 p4 ON g.i + 4 <= len(g.word)
+         |                 AND p4.piece = substr(g.word, (g.i + 1)::INT, 4)
+         |  LEFT JOIN m2 p3 ON g.i + 3 <= len(g.word)
+         |                 AND p3.piece = substr(g.word, (g.i + 1)::INT, 3)
+         |  LEFT JOIN m2 p2 ON g.i + 2 <= len(g.word)
+         |                 AND p2.piece = substr(g.word, (g.i + 1)::INT, 2)
+         |  WHERE g.i < len(g.word)),
+         |enc AS (SELECT word, toks AS tok FROM gr WHERE i = len(word)),
+         |dw AS (SELECT doc_id,
+         |              list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+         |       FROM documents),
+         |t AS (SELECT doc_id, ws[j] AS word, j AS pos
+         |      FROM dw, unnest(range(1, len(ws) + 1)) AS u(j))
+         |SELECT doc_id,
+         |       count(*)::BIGINT AS n_words,
+         |       sum(len(string_split(tok, '|')))::BIGINT AS n_tokens,
+         |       string_agg(tok, ' ' ORDER BY pos) AS encoded
+         |FROM t JOIN enc USING (word)
+         |GROUP BY doc_id""").stripMargin
+
   /** The encode oracle: the trainer chain's final model `m2`, a
     * recursive Viterbi DP per dictionary word (path probabilities AND
     * best paths carried as lists; ties break to the longest candidate

@@ -120,6 +120,7 @@ object SparkEntry {
     "q103_unigram_encode" -> ((s, d) => PipelineQueries.unigramEncodeArtifact(s, d)),
     "q104_ann_drift" -> ((s, d) => PipelineQueries.annDriftProbe(s, d)),
     "q105_crossmodal_dedup" -> ((s, d) => PipelineQueries.crossModalDup(s, d)),
+    "q106_wordpiece_encode" -> ((s, d) => PipelineQueries.wordpieceEncodeArtifact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,5 +371,10 @@ object SparkEntry {
     // same_caption=false rows are "same media, re-captioned", the dup
     // class a text-only pass cannot see. Full table hash-checked
     "q105_crossmodal_dedup" -> PipelineQueries.CrossModalDupSql,
+    // q106: WordPiece-style greedy longest-match encode under the q102
+    // vocab artifact — the third tokenizer inference regime (BPE
+    // merge-replay, unigram Viterbi, greedy maximum munch); the oracle
+    // replays the scan float-free as a single-successor recursive CTE
+    "q106_wordpiece_encode" -> PipelineQueries.wordpieceEncodeSql(),
   )
 }

@@ -242,6 +242,51 @@ object Unigram {
     toks
   }
 
+  /** Greedy longest-match (maximum munch) segmentation — WordPiece-style
+    * INFERENCE under the same frozen piece inventory [[viterbiTokens]]
+    * scores probabilistically: at each position take the longest piece
+    * (≤ [[MaxPieceLen]] codepoints) present in the model, falling back
+    * to the lone codepoint when nothing matches (open-vocabulary
+    * passthrough, the Viterbi fallback's twin). No probabilities touched
+    * — the mirror oracle is pure string joins. */
+  private[pipeline] def greedyTokens(word: String, m: Probs): Array[String] = {
+    val off = cpOffsets(word)
+    val n = off.length - 1
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      var k = math.min(MaxPieceLen, n - i)
+      var taken = 1
+      var found = false
+      while (k >= 2 && !found) {
+        if (m.prob(word.substring(off(i), off(i + k))) >= 0.0) {
+          taken = k; found = true
+        }
+        k -= 1
+      }
+      out += word.substring(off(i), off(i + taken))
+      i += taken
+    }
+    out.toArray
+  }
+
+  /** [[encode]]'s greedy twin: Viterbi replaced by [[greedyTokens]],
+    * same output shape and separators. */
+  def encodeGreedy(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("piece"), col("e").cast("long"),
+        col("p").cast("double"))
+      .as[(String, Long, Double)].collect().toSeq
+    val bc = spark.sparkContext.broadcast(toProbs(rows))
+    liveBroadcasts.add(bc)
+    val tokUdf = udf((w: String) => greedyTokens(w, bc.value).mkString("|"))
+    assemble(docs, idCol, textCol, tokUdf)
+  }
+
   /** Codepoint-order string comparison (UTF-8 binary order — the
     * oracle's default collation); differs from String.compareTo only for
     * supplementary-plane codepoints. */
@@ -434,6 +479,14 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(toProbs(model))
     liveBroadcasts.add(bc)
     val tokUdf = udf((w: String) => viterbiTokens(w, bc.value).mkString("|"))
+    assemble(docs, idCol, textCol, tokUdf)
+  }
+
+  /** The shared document-reassembly shape (the [[Bpe.encode]] plan):
+    * per-occurrence in-scan word encode, one aggregation by doc id. */
+  private def assemble(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     docs
       .select(col(idCol), posexplode(words).as(Seq("pos", "word")))

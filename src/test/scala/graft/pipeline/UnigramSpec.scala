@@ -187,6 +187,47 @@ class UnigramSpec extends AnyFunSuite {
     new Unigram.Probs(idx, arr)
   }
 
+  test("greedy encode: maximum munch at every position, unknown passthrough") {
+    val model = Seq(("a", 1L, 0.1), ("ab", 1L, 0.1), ("abc", 1L, 0.1),
+      ("bcd", 1L, 0.1), ("d", 1L, 0.1))
+    val m = toProbsOf(model)
+    // greedy takes 'abc' even though 'a'+'bcd' would cover more known
+    // pieces — maximum munch is positional, not global
+    assert(Unigram.greedyTokens("abcd", m).toSeq == Seq("abc", "d"))
+    assert(Unigram.greedyTokens("abd", m).toSeq == Seq("ab", "d"))
+    // unknown codepoints pass through as lone pieces
+    assert(Unigram.greedyTokens("xabcy", m).toSeq == Seq("x", "abc", "y"))
+    // property on a trained model: each emitted token is the longest
+    // in-vocab piece at its position (or a lone fallback codepoint)
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat", "the mat sat flat cats")
+    val trained = Unigram.trainModel(texts.toDF("text"), "text", 50, 20, 1L)
+      .as[(String, Long, Double)].collect()
+    val probs = toProbsOf(trained.toSeq)
+    val enc = Unigram.encodeGreedy(
+        texts.toDF("text").withColumn("id",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        "id", "text", trained.toSeq.toDF("piece", "e", "p"))
+      .as[(Long, Long, Long, String)].collect()
+    enc.flatMap(_._4.split(" ")).foreach { wordToks =>
+      val toks = wordToks.split("\\|")
+      val word = toks.mkString
+      var pos = 0
+      toks.foreach { t =>
+        val rest = word.substring(pos)
+        val longest = (math.min(Unigram.MaxPieceLen, rest.length) to 2 by -1)
+          .find(k => probs.prob(rest.take(k)) >= 0.0)
+        longest match {
+          case Some(k) => assert(t == rest.take(k), s"not maximal at $word/$pos")
+          case None => assert(t == rest.take(1))
+        }
+        pos += t.length
+      }
+      assert(pos == word.length)
+    }
+    Unigram.clearCaches()
+  }
+
   test("artifact round-trip: save/load/encode equals direct encode") {
     import spark.implicits._
     val texts = Seq("banana bandana ban", "anna and banana")
