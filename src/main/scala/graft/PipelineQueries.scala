@@ -2103,6 +2103,48 @@ object PipelineQueries {
     (unigramCtes(seedSize, vocabSize, minSeedCount) +
       "\nSELECT piece, e, p FROM m2").stripMargin
 
+  // ------------------------------------------------ embedding classifier
+
+  /** q: nearest-class-centroid classification over the labeled
+    * embeddings ([[graft.pipeline.Classify.centroidClassify]]) — the
+    * embedding-native quality/domain gate (the CCNet/DCLM
+    * fastText-classifier role): per-row predicted label, correctness,
+    * and the best-vs-runner-up MARGIN a curation filter thresholds on.
+    * Full per-row table hash-checked: centroids are exact fixed-point
+    * ratios and scores left-to-right double dots, so the oracle's
+    * `list_reduce` replay reproduces every margin bit-for-bit. */
+  def centroidClassifier(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Classify.centroidClassify(
+      embs(s, d), "vec_id", "embedding", "label")
+
+  val CentroidClassifierSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |             list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings
+      |           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |ds AS (SELECT label AS lab, t.i AS i,
+      |         sum(floor(v[i] * 1e6)::BIGINT)::BIGINT AS s,
+      |         count(*)::BIGINT AS n
+      |       FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+      |       GROUP BY 1, 2),
+      |c AS (SELECT lab, list(s::DOUBLE / n::DOUBLE / 1000000.0 ORDER BY i) AS cv
+      |      FROM ds GROUP BY lab),
+      |sc AS (SELECT e.vec_id, e.label, c.lab AS cand,
+      |         list_reduce(
+      |           list_prepend(0.0,
+      |             list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i])),
+      |           (a, b) -> a + b) AS dot
+      |       FROM e CROSS JOIN c),
+      |rk AS (SELECT vec_id, label, cand, dot,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY dot DESC, cand ASC) AS r
+      |       FROM sc)
+      |SELECT r1.vec_id, r1.label, r1.cand AS pred,
+      |       (r1.cand = r1.label) AS correct,
+      |       r1.dot - r2.dot AS margin
+      |FROM (SELECT * FROM rk WHERE r = 1) r1
+      |LEFT JOIN (SELECT vec_id, dot FROM rk WHERE r = 2) r2 USING (vec_id)""".stripMargin
+
   // --------------------------------------------------- ANN index health
 
   /** q: QUANTIZER DRIFT measurement — the rebuild trigger the frozen-

@@ -121,6 +121,7 @@ object SparkEntry {
     "q104_ann_drift" -> ((s, d) => PipelineQueries.annDriftProbe(s, d)),
     "q105_crossmodal_dedup" -> ((s, d) => PipelineQueries.crossModalDup(s, d)),
     "q106_wordpiece_encode" -> ((s, d) => PipelineQueries.wordpieceEncodeArtifact(s, d)),
+    "q107_centroid_classifier" -> ((s, d) => PipelineQueries.centroidClassifier(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,5 +377,10 @@ object SparkEntry {
     // merge-replay, unigram Viterbi, greedy maximum munch); the oracle
     // replays the scan float-free as a single-successor recursive CTE
     "q106_wordpiece_encode" -> PipelineQueries.wordpieceEncodeSql(),
+    // q107: nearest-centroid embedding classifier (the curation-filter
+    // gate) — centroids are exact fixed-point ratios, scores
+    // left-to-right double dots, so per-row preds AND margins
+    // hash-match the oracle's list_reduce replay bit-for-bit
+    "q107_centroid_classifier" -> PipelineQueries.CentroidClassifierSql,
   )
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Nearest-centroid classifier: centroid arithmetic, tie-break,
+  * separable-cluster accuracy, partition invariance. */
+class ClassifySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("classify-spec")
+    .getOrCreate()
+
+  test("centroids are exact fixed-point mean ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(2.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Classify.labelCentroids(df, "embedding", "label")
+      .select($"lab", $"centroid").as[(Int, Seq[Double])].collect().toMap
+    // label 0: floor-fixed-point sums (1e6 + 0, 0 + 1e6) / 2 / 1e6
+    assert(cents(0) == Seq(500000.0 / 1e6, 500000.0 / 1e6))
+    assert(cents(1) == Seq(2.0, 2.0))
+  }
+
+  test("argmax ties break to the lowest label") {
+    import spark.implicits._
+    // two identical classes: every vector scores both equally
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Classify.centroidClassify(df, "vec_id", "embedding", "label")
+      .select($"vec_id", $"pred", $"margin").as[(Long, Int, Double)].collect()
+    assert(out.forall(_._2 == 3), "tie must resolve to the lowest label")
+    assert(out.forall(_._3 == 0.0), "identical centroids have zero margin")
+  }
+
+  test("separable clusters classify correctly with positive margins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0), Array(0.0, 0.0, 10.0))
+    val rows = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq,
+        c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Classify.centroidClassify(df, "vec_id", "embedding", "label")
+      .select($"correct", $"margin").as[(Boolean, Double)].collect()
+    assert(out.length == 90)
+    assert(out.forall(_._1), "separable clusters must classify perfectly")
+    assert(out.forall(_._2 > 0.0), "separable predictions must have margin")
+  }
+
+  test("output is partition-invariant (fixed-point sums are order-free)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat), i % 4)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.centroidClassify(d, "vec_id", "embedding", "label")
+        .as[(Long, Int, Int, Boolean, Double)].collect().sortBy(_._1).toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+  }
+
+  test("empty input yields an empty result with the output schema") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val out = Classify.centroidClassify(df, "vec_id", "embedding", "label")
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "label", "pred", "correct", "margin"))
+    assert(out.count() == 0)
+  }
+}
