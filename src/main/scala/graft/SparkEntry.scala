@@ -122,6 +122,7 @@ object SparkEntry {
     "q105_crossmodal_dedup" -> ((s, d) => PipelineQueries.crossModalDup(s, d)),
     "q106_wordpiece_encode" -> ((s, d) => PipelineQueries.wordpieceEncodeArtifact(s, d)),
     "q107_centroid_classifier" -> ((s, d) => PipelineQueries.centroidClassifier(s, d)),
+    "q108_knn_label_vote" -> ((s, d) => PipelineQueries.knnLabelVote(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,5 +383,11 @@ object SparkEntry {
     // left-to-right double dots, so per-row preds AND margins
     // hash-match the oracle's list_reduce replay bit-for-bit
     "q107_centroid_classifier" -> PipelineQueries.CentroidClassifierSql,
+    // q108: kNN label vote (label propagation) served from the q93
+    // IVF-FLAT artifact at FULL probe — provably exact, equi-join
+    // shaped, so the oracle brute-forces the identical neighborhoods
+    // and the per-row vote table hash-matches (rank-boundary margins
+    // 1.9e-5/1.6e-6 at sf0.01/sf0.1, far above double noise)
+    "q108_knn_label_vote" -> PipelineQueries.KnnLabelVoteSql,
   )
 }

@@ -74,6 +74,27 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(df.repartition(1)) == run(df.repartition(7)))
   }
 
+  test("knn label vote == brute-force neighbors + driver-side majority") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.PipelineQueries.knnLabelVote(spark, sf)
+      .as[(Long, Int, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val want = Similarity
+      .bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (q, ns) =>
+        val votes = ns.map(n => labels(n._2)).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+        // majority, ties to the lowest label — the declared tie order
+        val pred = votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+        (q, labels(q), pred, pred == labels(q))
+      }.sortBy(_._1)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("empty input yields an empty result with the output schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, Seq[Float], Int)]
