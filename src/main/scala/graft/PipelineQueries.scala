@@ -2227,6 +2227,38 @@ object PipelineQueries {
       |SELECT e.vec_id, e.label, w.cand AS pred, (w.cand = e.label) AS correct
       |FROM embeddings e JOIN win w ON w.query_id = e.vec_id AND w.wr = 1""".stripMargin
 
+  /** q: HARD-NEGATIVE mining over the labeled embeddings
+    * ([[graft.pipeline.Similarity.hardNegativesTopK]]) — per anchor in
+    * the bounded query batch, the 5 most similar DIFFERENT-label
+    * vectors: the near-miss negatives contrastive training pairs with
+    * each anchor. Ids/ranks only (the q22 float-robust convention);
+    * measured rank-5/6 margins within the negative candidate set:
+    * 1.9e-5 at sf0.01 / 1.3e-5 at sf0.1 — far above double noise. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.hardNegativesTopK(
+        e, e.where(col("vec_id") < 100), "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  val HardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+      |           FROM embeddings WHERE vec_id < 100),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlab
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+      |         * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id AND qlab <> nlab),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin
+
   // --------------------------------------------------- ANN index health
 
   /** q: QUANTIZER DRIFT measurement — the rebuild trigger the frozen-

@@ -123,6 +123,7 @@ object SparkEntry {
     "q106_wordpiece_encode" -> ((s, d) => PipelineQueries.wordpieceEncodeArtifact(s, d)),
     "q107_centroid_classifier" -> ((s, d) => PipelineQueries.centroidClassifier(s, d)),
     "q108_knn_label_vote" -> ((s, d) => PipelineQueries.knnLabelVote(s, d)),
+    "q109_hard_negatives" -> ((s, d) => PipelineQueries.hardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -389,5 +390,9 @@ object SparkEntry {
     // and the per-row vote table hash-matches (rank-boundary margins
     // 1.9e-5/1.6e-6 at sf0.01/sf0.1, far above double noise)
     "q108_knn_label_vote" -> PipelineQueries.KnnLabelVoteSql,
+    // q109: hard-negative mining (contrastive-training prep) — q22's
+    // exact broadcast shape with the label anti-filter applied BEFORE
+    // ranking; ids/ranks only, margins measured far above float noise
+    "q109_hard_negatives" -> PipelineQueries.HardNegativesSql,
   )
 }

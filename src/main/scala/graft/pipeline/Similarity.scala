@@ -84,6 +84,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * HARD-NEGATIVE mining for contrastive training data: per query, the
+   * `k` most similar corpus vectors with a DIFFERENT label — the
+   * near-miss negatives a retrieval/embedding trainer pairs with each
+   * anchor. [[bruteForceTopK]]'s exact shape (bounded query batch
+   * broadcast, corpus streamed, codegen'd cosine, per-query window
+   * top-k) with the label anti-filter applied BEFORE ranking, so the
+   * top-k is over the negative candidate set itself, not a post-filter
+   * of the overall neighborhood (which could yield fewer than k — or
+   * zero — negatives for anchors inside same-label clusters).
+   */
+  def hardNegativesTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("query_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.join(q,
+        col("neighbor_id") =!= col("query_id") &&
+          col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("query_vec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Deterministic unit hyperplanes: dims x planes, seeded. */
   private[pipeline] def hyperplanes(
       numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -213,7 +213,11 @@ class PlanSpec extends AnyFunSuite {
       // q104: the drift probe MEASURES the stale index against exact
       // brute force — the BNL is that embedded exact reference (q22's
       // shape), the measurement's denominator by definition
-      "q104_ann_drift")
+      "q104_ann_drift",
+      // q109: hard-negative mining is q22's exact broadcast shape with a
+      // label anti-filter — bounded query batch broadcast, corpus
+      // streamed, the same adjudication
+      "q109_hard_negatives")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

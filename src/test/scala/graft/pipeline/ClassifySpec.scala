@@ -95,6 +95,28 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("hard negatives: different-label only, ranked among negatives") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = Similarity.hardNegativesTopK(
+        e, e.where($"vec_id" < 20), "vec_id", "embedding", "label", k = 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    // every mined negative carries a different label than its anchor
+    got.foreach { case (q, _, n) =>
+      assert(labels(q) != labels(n), s"same-label pair ($q, $n)")
+    }
+    // ranks are contiguous 1..k per anchor (the filter ran BEFORE the
+    // ranking — a post-filtered overall top-k would leave gaps)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"non-contiguous ranks for anchor $q")
+    }
+  }
+
   test("empty input yields an empty result with the output schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, Seq[Float], Int)]
