@@ -1275,8 +1275,10 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
         .select(col("d1"), col("d2")))
 
-  val DupClustersSql: String =
-    s"""WITH RECURSIVE $GramCtes,
+  /** The jaccard-pair + recursive-CC chain shared by the q40/q40b
+    * cluster oracles and the q110 representative oracle. */
+  private val DupClusterCtes: String =
+    s"""$GramCtes,
        |pairs AS (
        |  SELECT d1, d2
        |  FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
@@ -1287,9 +1289,50 @@ object PipelineQueries {
        |  SELECT node, node FROM nodes
        |  UNION
        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
-       |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node)
+       |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node)""".stripMargin
+
+  val DupClustersSql: String =
+    s"""WITH RECURSIVE $DupClusterCtes
        |SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""".stripMargin
+
+  /** q: quality-aware dup-cluster REPRESENTATIVE selection — the
+    * curation decision q40's clusters exist to serve: per cluster keep
+    * the doc with the MOST CONTENT (n_chars desc, doc id as the
+    * deterministic tie), not blindly the minimum id — the "keep the
+    * longest copy" policy crawl pipelines apply to near-dup groups
+    * (boilerplate-trimmed copies lose to the full article). Output per
+    * doc: its cluster, the cluster's representative, and the keep flag.
+    * Cluster resolution reuses q40's shared CC cache (one CC run serves
+    * q40, q89, and this row); the representative argmax is one
+    * `max(struct(n_chars, -doc_id))` aggregation over (cluster, doc)
+    * rows — no window over the corpus, partial-combined per cluster. */
+  def clusterRepresentatives(s: SparkSession, d: String): DataFrame = {
+    val clusters = dupClusters(s, d)
+    val sized = clusters.join(
+      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    val reps = sized.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("rep_id"))
+    sized.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+  }
+
+  val ClusterRepresentativesSql: String =
+    s"""WITH RECURSIVE $DupClusterCtes,
+       |sized AS (
+       |  SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id, d.n_chars
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+       |reps AS (
+       |  SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |           row_number() OVER (PARTITION BY cluster_id
+       |                              ORDER BY n_chars DESC, doc_id ASC) AS r
+       |    FROM sized)
+       |  WHERE r = 1)
+       |SELECT s.doc_id, s.cluster_id, r.rep_id, (s.doc_id = r.rep_id) AS keep
+       |FROM sized s JOIN reps r USING (cluster_id)""".stripMargin
 
   /** q40's cluster resolution on the O(log n) alternating-star CC instead
     * of min-label propagation — identical labels (same oracle), rounds

@@ -124,6 +124,7 @@ object SparkEntry {
     "q107_centroid_classifier" -> ((s, d) => PipelineQueries.centroidClassifier(s, d)),
     "q108_knn_label_vote" -> ((s, d) => PipelineQueries.knnLabelVote(s, d)),
     "q109_hard_negatives" -> ((s, d) => PipelineQueries.hardNegatives(s, d)),
+    "q110_cluster_reps" -> ((s, d) => PipelineQueries.clusterRepresentatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,5 +395,10 @@ object SparkEntry {
     // exact broadcast shape with the label anti-filter applied BEFORE
     // ranking; ids/ranks only, margins measured far above float noise
     "q109_hard_negatives" -> PipelineQueries.HardNegativesSql,
+    // q110: quality-aware dup-cluster representative — per q40 cluster
+    // keep the doc with the most content ("longest copy" policy), the
+    // curation decision the clusters exist to serve; shares q40's CC
+    // cache and oracle CTEs
+    "q110_cluster_reps" -> PipelineQueries.ClusterRepresentativesSql,
   )
 }

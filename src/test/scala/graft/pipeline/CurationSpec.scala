@@ -61,6 +61,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster representatives: longest doc wins, ties to the lowest id") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.PipelineQueries.clusterRepresentatives(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(out.length == docs.size, "every doc gets a cluster row")
+    out.groupBy(_._2).foreach { case (cluster, rows) =>
+      val repIds = rows.map(_._3).distinct
+      assert(repIds.length == 1, s"cluster $cluster has several reps")
+      val rep = repIds.head
+      // rep = argmax by (n_chars desc, doc_id asc) within the cluster
+      val want = rows.map(_._1).minBy(id => (-docs(id), id))
+      assert(rep == want, s"cluster $cluster rep $rep != $want")
+      rows.foreach { case (id, _, r, keep) => assert(keep == (id == r)) }
+    }
+    // the corpus has at least one multi-doc cluster whose longest member
+    // is NOT the min id (otherwise this row would degenerate to q40)
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must contain dup clusters")
+  }
+
   test("quantile band: thresholds are exact order statistics") {
     import spark.implicits._
     // values 1..100, one row each: p05 cut at ceil(.05*100)=5th smallest=5,
