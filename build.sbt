@@ -30,5 +30,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 110+ queries x 2 bench passes generate hundreds of whole-stage
+  // codegen classes; the JDK default 240 MB code cache fills, JIT
+  // tier-up stalls, and long generated loops (the q05b 88M-iteration
+  // probe) run de-optimized — measured as multi-second in-suite draws
+  // on queries that are sub-second isolated. 1 GiB keeps every
+  // generated method compiled across the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Static SQL conf (read once at first codegen): the generated-class
+  // cache defaults to 100 entries, far below one full-suite pass's
+  // working set — every pass re-Janino-compiles and re-JITs each
+  // query's code from scratch, so min-of-2 never records a warm run.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )
