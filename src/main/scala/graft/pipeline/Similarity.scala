@@ -1041,9 +1041,11 @@ object Similarity {
     val fs = hadoopFs(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(tPath))) codes
     else {
-      // the id column is whatever the encode step carried through — by
-      // construction the one column that is neither `cell` nor `code`
-      val idCol = codes.columns.filterNot(Set("cell", "code")).head
+      // the id column is whatever the encode step carried through — the
+      // first column that is none of the artifact's payload columns
+      // (`cell`/`code` for IVFADC/PQ codes, `vec` for IVF-FLAT lists);
+      // every encode shape puts the id first
+      val idCol = codes.columns.filterNot(Set("cell", "code", "vec")).head
       codes.join(
         broadcast(spark.read.parquet(tPath).select(col("id")).distinct()),
         codes(idCol) === col("id"), "left_anti")

@@ -151,6 +151,30 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(dir)
   }
 
+  test("IVF-FLAT (vector-list) artifacts honor tombstones and compact") {
+    import spark.implicits._
+    val corpus = randomCorpus(80, dim = 8, seed = 17L)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      numCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-flat-ivf")
+    try {
+      val path = dir.resolve("list").toString
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", cents), path)
+      Similarity.deleteFromEncodedCorpus(spark, path,
+        corpus.where(col("vec_id") < 10).select(col("vec_id")))
+      val loaded = Similarity.loadEncodedCorpus(spark, path)
+      // id detection must pick vec_id, not the vec payload column
+      assert(loaded.select(col("vec_id")).as[Long].collect().toSet
+        == (10L until 80L).toSet)
+      assert(loaded.columns.toSet == Set("vec_id", "vec", "cell"))
+      Similarity.compactEncodedCorpus(spark, path)
+      assert(Similarity.loadEncodedCorpus(spark, path)
+        .select(col("vec_id")).as[Long].collect().toSet
+        == (10L until 80L).toSet)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("recallProbe arithmetic") {
     import spark.implicits._
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L))
