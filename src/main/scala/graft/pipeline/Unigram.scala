@@ -79,13 +79,28 @@ object Unigram {
   }
 
   /** Compact broadcastable model: piece → index into an unboxed prob
-    * array (tight-loop lookup discipline — no per-probe boxing). */
+    * array (tight-loop lookup discipline — no per-probe boxing). Also
+    * carries a per-executor word → encoded MEMO for the encode UDFs
+    * (the [[Bpe]] EncodeTable rationale: Zipfian word frequencies make
+    * per-occurrence re-segmentation almost always redundant; the
+    * segmentations are pure functions of the word, so memoization
+    * cannot change results, and the cap bounds executor memory). */
   private[pipeline] final class Probs(
       val index: java.util.HashMap[String, Integer], val p: Array[Double])
     extends Serializable {
     def prob(piece: String): Double = {
       val i = index.get(piece)
       if (i == null) -1.0 else p(i.intValue())
+    }
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val MaxEntries = 1 << 20
+    private[pipeline] def memoized(w: String, f: String => String): String = {
+      val hit = memo.get(w)
+      if (hit != null) return hit
+      val enc = f(w)
+      if (memo.size < MaxEntries) memo.put(w, enc)
+      enc
     }
   }
 
@@ -283,7 +298,8 @@ object Unigram {
       .as[(String, Long, Double)].collect().toSeq
     val bc = spark.sparkContext.broadcast(toProbs(rows))
     liveBroadcasts.add(bc)
-    val tokUdf = udf((w: String) => greedyTokens(w, bc.value).mkString("|"))
+    val tokUdf = udf((w: String) =>
+      bc.value.memoized(w, x => greedyTokens(x, bc.value).mkString("|")))
     assemble(docs, idCol, textCol, tokUdf)
   }
 
@@ -478,7 +494,8 @@ object Unigram {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(toProbs(model))
     liveBroadcasts.add(bc)
-    val tokUdf = udf((w: String) => viterbiTokens(w, bc.value).mkString("|"))
+    val tokUdf = udf((w: String) =>
+      bc.value.memoized(w, x => viterbiTokens(x, bc.value).mkString("|")))
     assemble(docs, idCol, textCol, tokUdf)
   }
 
