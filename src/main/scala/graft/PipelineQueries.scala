@@ -2232,7 +2232,11 @@ object PipelineQueries {
           list, e, "vec_id", "embedding", k = 5, loaded,
           nProbe = loaded.length)
       }
-    val labels = e.select(col("vec_id"), col("label"))
+    // null labels carry no vote and get no row (the q107 guard) — also
+    // keeps the vote tie order engine-agnostic (Spark sorts nulls first
+    // ascending, DuckDB last: with nulls excluded the orders coincide)
+    val labels = e.where(col("label").isNotNull)
+      .select(col("vec_id"), col("label"))
     val votes = top.select(col("query_id"), col("neighbor_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("cand")), "neighbor_id")
@@ -2263,12 +2267,13 @@ object PipelineQueries {
       |  FROM scored),
       |votes AS (SELECT r.query_id, e2.label AS cand, count(*)::BIGINT AS v
       |          FROM ranked r JOIN embeddings e2 ON e2.vec_id = r.neighbor_id
-      |          WHERE r.rank <= 5 GROUP BY 1, 2),
+      |          WHERE r.rank <= 5 AND e2.label IS NOT NULL GROUP BY 1, 2),
       |win AS (SELECT query_id, cand,
       |          row_number() OVER (PARTITION BY query_id ORDER BY v DESC, cand ASC) AS wr
       |        FROM votes)
       |SELECT e.vec_id, e.label, w.cand AS pred, (w.cand = e.label) AS correct
-      |FROM embeddings e JOIN win w ON w.query_id = e.vec_id AND w.wr = 1""".stripMargin
+      |FROM embeddings e JOIN win w ON w.query_id = e.vec_id AND w.wr = 1
+      |WHERE e.label IS NOT NULL""".stripMargin
 
   /** q: HARD-NEGATIVE mining over the labeled embeddings
     * ([[graft.pipeline.Similarity.hardNegativesTopK]]) — per anchor in

@@ -50,7 +50,11 @@ case class BestRulesAgg(
   // formulation); the index map is keyed by UTF8String so update-side
   // lookups never re-encode, built once per executor on deserialization.
   @transient private lazy val sortedUtf8: Array[UTF8String] = {
-    val arr = conses.map(UTF8String.fromString)
+    // a null in the vocab (a rule row with an empty consequent array)
+    // could fire nothing anyway — drop it rather than NPE the sort,
+    // matching the formulation this replaced (which skipped null
+    // consequents at aggregation time)
+    val arr = conses.filter(_ != null).map(UTF8String.fromString)
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
     arr
   }

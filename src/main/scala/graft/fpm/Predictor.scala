@@ -196,7 +196,7 @@ object Predictor {
     // aggregate, so no-match groups evaluate to "".
     val pred = BestRulesAgg.best_rules_prediction(
       col("r_cons"), col("r_lift"),
-      ruleRows.map(_._2).distinct)
+      ruleRows.map(_._2).filter(_ != null).distinct)
     val others = data.columns.filterNot(keyCols.contains)
     val aggs = others.map(c => first(col(c)).as(c)) :+ pred.as(predictionCol)
     joined.groupBy(keyCols.map(col): _*)

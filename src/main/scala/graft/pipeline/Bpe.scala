@@ -426,36 +426,15 @@ object Bpe {
     encodeWithMerges(docs, idCol, textCol, merges)
   }
 
-  /** Broadcast payload for the encode UDF: the merge list plus a
-    * per-executor MEMO of word → encoded string. Word frequencies are
-    * Zipfian, so re-running the merge passes per OCCURRENCE wastes
-    * almost every invocation — the memo makes encode cost proportional
-    * to DISTINCT words per executor (measured 2.9 s → sub-second on the
-    * q80 corpus). Broadcast values are one instance per executor, so
-    * the transient map is shared by every task and dies with the
-    * broadcast; entries are capped (beyond the cap, compute directly —
-    * correctness never depends on the cache) and the encode is a pure
-    * function of the word, so memoization cannot change results. */
-  private final class EncodeTable(val merges: Seq[(String, String)])
-      extends Serializable {
-    @transient private lazy val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
-    private val MaxEntries = 1 << 20
-    def encode(w: String): String = {
-      val hit = memo.get(w)
-      if (hit != null) return hit
-      val enc = applyMerges(w, merges).mkString("|")
-      if (memo.size < MaxEntries) memo.put(w, enc)
-      enc
-    }
-  }
-
   private def encodeWithMerges(
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
-    val bc = trackedBroadcast(spark, new EncodeTable(merges))
-    val tokUdf = udf((w: String) => bc.value.encode(w))
+    // per-executor word -> encoded memo (measured 2.9 s -> sub-second
+    // on the q80 corpus at sf0.1) — see [[EncodeMemo]]
+    val bc = trackedBroadcast(spark,
+      new EncodeMemo(w => applyMerges(w, merges).mkString("|")))
+    val tokUdf = udf((w: String) => bc.value(w))
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     docs
       .select(col(idCol), posexplode(words).as(Seq("pos", "word")))

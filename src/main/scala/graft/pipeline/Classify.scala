@@ -65,12 +65,18 @@ object Classify {
       labelCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = labelCentroids(df, vecCol, labelCol)
+    // labels are class INDICES (bounded vocabularies by definition) —
+    // normalized to int internally so integral label columns of any
+    // width work; the output `label`/`pred` columns are int either way
+    val cents = labelCentroids(
+        df.withColumn(labelCol, col(labelCol).cast("int")), vecCol, labelCol)
       .select(col("lab"), col("centroid"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    // empty-input schema mirrors the non-empty branch: id keeps the
+    // INPUT column's type, label/pred are the normalized int
     val emptySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
+        df.schema(idCol).dataType),
       org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("pred",
@@ -93,7 +99,7 @@ object Classify {
         lit(-lab).as("neglab"))
     }: _*)
     df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      .select(col(idCol).as("vec_id"), col(labelCol).cast("int").as("label"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__scores", scores)
       .withColumn("__best", array_max(col("__scores")))

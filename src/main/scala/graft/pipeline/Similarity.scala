@@ -1044,16 +1044,23 @@ object Similarity {
       // the id column is whatever the encode step carried through — the
       // first column that is none of the artifact's payload columns
       // (`cell`/`code` for IVFADC/PQ codes, `vec` for IVF-FLAT lists);
-      // every encode shape puts the id first
+      // every encode shape puts the id first. The tombstone column name
+      // is reserved (`__graft_tombstone_id`), so the join can never be
+      // ambiguous whatever the caller named the id.
       val idCol = codes.columns.filterNot(Set("cell", "code", "vec")).head
       codes.join(
-        broadcast(spark.read.parquet(tPath).select(col("id")).distinct()),
-        codes(idCol) === col("id"), "left_anti")
+        broadcast(spark.read.parquet(tPath)
+          .select(col(TombstoneIdCol)).distinct()),
+        codes(idCol) === col(TombstoneIdCol), "left_anti")
     }
   }
 
   private def tombstoneDir(path: String): String =
     path.stripSuffix("/") + "/_tombstones"
+
+  /** Reserved tombstone column name — never collides with a caller's
+    * id column, so the anti-join is unambiguous by construction. */
+  private val TombstoneIdCol = "__graft_tombstone_id"
 
   private def hadoopFs(
       spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
@@ -1074,7 +1081,7 @@ object Similarity {
       spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"tombstone ids must be a single column, got ${ids.columns.mkString(",")}")
-    ids.toDF("id").repartition(1).write.mode("append")
+    ids.toDF(TombstoneIdCol).repartition(1).write.mode("append")
       .parquet(tombstoneDir(path))
   }
 
@@ -1126,9 +1133,12 @@ object Similarity {
    * |approx ∩ exact| / |exact| over those pairs.
    */
   def recallProbe(approx: DataFrame, exact: DataFrame): DataFrame =
-    exact.select(col("query_id"), col("neighbor_id"))
+    // both sides deduplicated: a candidate list that repeats a pair
+    // (e.g. unioned across probed cells) must not multiply exact rows
+    // or double-count hits — the measurement is over pair SETS
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
       .join(
-        approx.select(col("query_id"), col("neighbor_id"))
+        approx.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(lit(1).as("one"))

@@ -79,28 +79,13 @@ object Unigram {
   }
 
   /** Compact broadcastable model: piece → index into an unboxed prob
-    * array (tight-loop lookup discipline — no per-probe boxing). Also
-    * carries a per-executor word → encoded MEMO for the encode UDFs
-    * (the [[Bpe]] EncodeTable rationale: Zipfian word frequencies make
-    * per-occurrence re-segmentation almost always redundant; the
-    * segmentations are pure functions of the word, so memoization
-    * cannot change results, and the cap bounds executor memory). */
+    * array (tight-loop lookup discipline — no per-probe boxing). */
   private[pipeline] final class Probs(
       val index: java.util.HashMap[String, Integer], val p: Array[Double])
     extends Serializable {
     def prob(piece: String): Double = {
       val i = index.get(piece)
       if (i == null) -1.0 else p(i.intValue())
-    }
-    @transient private lazy val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
-    private val MaxEntries = 1 << 20
-    private[pipeline] def memoized(w: String, f: String => String): String = {
-      val hit = memo.get(w)
-      if (hit != null) return hit
-      val enc = f(w)
-      if (memo.size < MaxEntries) memo.put(w, enc)
-      enc
     }
   }
 
@@ -296,10 +281,12 @@ object Unigram {
     val rows = model.select(col("piece"), col("e").cast("long"),
         col("p").cast("double"))
       .as[(String, Long, Double)].collect().toSeq
-    val bc = spark.sparkContext.broadcast(toProbs(rows))
+    val probs = toProbs(rows)
+    // per-executor memo bound to THIS segmenter — see [[EncodeMemo]]
+    val bc = spark.sparkContext.broadcast(
+      new EncodeMemo(w => greedyTokens(w, probs).mkString("|")))
     liveBroadcasts.add(bc)
-    val tokUdf = udf((w: String) =>
-      bc.value.memoized(w, x => greedyTokens(x, bc.value).mkString("|")))
+    val tokUdf = udf((w: String) => bc.value(w))
     assemble(docs, idCol, textCol, tokUdf)
   }
 
@@ -492,10 +479,12 @@ object Unigram {
       docs: DataFrame, idCol: String, textCol: String,
       model: Seq[(String, Long, Double)]): DataFrame = {
     val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(toProbs(model))
+    val probs = toProbs(model)
+    // per-executor memo bound to THIS segmenter — see [[EncodeMemo]]
+    val bc = spark.sparkContext.broadcast(
+      new EncodeMemo(w => viterbiTokens(w, probs).mkString("|")))
     liveBroadcasts.add(bc)
-    val tokUdf = udf((w: String) =>
-      bc.value.memoized(w, x => viterbiTokens(x, bc.value).mkString("|")))
+    val tokUdf = udf((w: String) => bc.value(w))
     assemble(docs, idCol, textCol, tokUdf)
   }
 

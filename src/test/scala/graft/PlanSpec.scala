@@ -233,6 +233,17 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("centroid classifier: scoring is pure projection, zero shuffles") {
+    // training (the label x dim fixed-point aggregation) runs eagerly at
+    // construction and collects bounded centroids; the DECLARED plan is
+    // the scoring pass only — centroid literals + codegen'd dots + in-row
+    // argmax, nothing exchanged, no join of any kind
+    val p = plan("q107_centroid_classifier")
+    assert(shuffleCount(p) == 0, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("arraydot") || p.contains("array_dot"), p)
+  }
+
   test("winnow fingerprints: zero shuffles, winnow inside whole-stage codegen") {
     val p = plan("q73_winnow_fingerprints")
     assert(shuffleCount(p) == 0, p)
