@@ -1229,6 +1229,43 @@ object PipelineQueries {
        |JOIN cfp f2 ON f2.doc_id = m2
        |WHERE hamming <= 6""".stripMargin
 
+  /** Media dup-CLUSTER resolution + canonical-copy selection
+    * ([[graft.pipeline.Multimodal.mediaDupClusters]]) — q40/q110's
+    * cluster+representative contract on the image side: transitive
+    * closure over the q101 perceptual pairs, largest payload (`nbytes`
+    * desc, id asc) kept per cluster. The oracle replays the
+    * fingerprints (q101's CTEs), walks the same edges with a recursive
+    * CTE, and ranks representatives by payload size. */
+  def mediaClusters(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaDupClusters(
+      Multimodal.documentBlobs(s, d), "media_id", "blob", "nbytes",
+      maxHamming = 6)
+
+  val MediaClustersSql: String =
+    s"""WITH RECURSIVE $MediaPhashPairCtes,
+       |mpairs AS (SELECT m1, m2 FROM ham WHERE hamming <= 6),
+       |e(a, b) AS (SELECT m1, m2 FROM mpairs UNION ALL SELECT m2, m1 FROM mpairs),
+       |mnodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM mnodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node),
+       |sized AS (
+       |  SELECT d.doc_id AS media_id, coalesce(cc.cid, d.doc_id) AS cluster_id,
+       |         octet_length(encode(d.text))::BIGINT AS nbytes
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+       |  WHERE d.text IS NOT NULL),
+       |mreps AS (
+       |  SELECT cluster_id, media_id AS rep_id FROM (
+       |    SELECT cluster_id, media_id,
+       |           row_number() OVER (PARTITION BY cluster_id
+       |                              ORDER BY nbytes DESC, media_id ASC) AS r
+       |    FROM sized)
+       |  WHERE r = 1)
+       |SELECT s.media_id, s.cluster_id, r.rep_id, (s.media_id = r.rep_id) AS keep
+       |FROM sized s JOIN mreps r USING (cluster_id)""".stripMargin
+
   // ------------------------------------------------------------ heavy hitters
 
   /**
@@ -1601,6 +1638,42 @@ object PipelineQueries {
       |       least(1000000, floor(8000000.0 / sqrt(stratum_n))::BIGINT) AS rate_ppm
       |FROM b JOIN s USING (lang)
       |WHERE ppm < least(1000000, floor(8000000.0 / sqrt(stratum_n))::BIGINT)""".stripMargin
+
+  /** Corpus snapshot diff ([[graft.pipeline.Curation.snapshotDiff]]) —
+    * the incremental-crawl manifest: two deterministic corpus versions
+    * (old = ids not divisible by 7; new = ids not divisible by 5, with
+    * every id divisible by 3 re-crawled as `text || ' rev2'`) classified
+    * per id as added / removed / changed / unchanged by presence +
+    * normalized-fingerprint compare. All four classes occur at every
+    * scale factor (the classes are residue arithmetic over the id
+    * range). */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    val neu = base.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    Curation.snapshotDiff(old, neu, "doc_id", "text")
+  }
+
+  val SnapshotDiffSql: String =
+    """WITH o AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(trim(lower(
+      |           CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END)),
+      |           '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.fp = n.fp THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
 
   val PackSequencesSql: String =
     """WITH t AS (

@@ -125,6 +125,8 @@ object SparkEntry {
     "q108_knn_label_vote" -> ((s, d) => PipelineQueries.knnLabelVote(s, d)),
     "q109_hard_negatives" -> ((s, d) => PipelineQueries.hardNegatives(s, d)),
     "q110_cluster_reps" -> ((s, d) => PipelineQueries.clusterRepresentatives(s, d)),
+    "q111_media_clusters" -> ((s, d) => PipelineQueries.mediaClusters(s, d)),
+    "q112_snapshot_diff" -> ((s, d) => PipelineQueries.snapshotDiff(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,5 +402,14 @@ object SparkEntry {
     // curation decision the clusters exist to serve; shares q40's CC
     // cache and oracle CTEs
     "q110_cluster_reps" -> PipelineQueries.ClusterRepresentativesSql,
+    // q111: media dup clusters + canonical copy — q40/q110's contract on
+    // the image side (transitive closure over the q101 perceptual pairs,
+    // largest payload kept per cluster); oracle = fingerprint replay +
+    // recursive CC + payload-ranked representative
+    "q111_media_clusters" -> PipelineQueries.MediaClustersSql,
+    // q112: corpus snapshot diff (incremental-crawl manifest) — presence
+    // + normalized-fingerprint compare across two deterministic corpus
+    // versions; one full-outer join on id, fingerprints only on the wire
+    "q112_snapshot_diff" -> PipelineQueries.SnapshotDiffSql,
   )
 }

@@ -451,6 +451,40 @@ object Curation {
   }
 
   /**
+   * Corpus SNAPSHOT DIFF — the incremental-crawl primitive: given two
+   * versions of a corpus, classify every id as `added` (new only),
+   * `removed` (old only), `changed` (both, content fingerprint differs
+   * under [[Dedup.fingerprint]]'s normalize+md5), or `unchanged`. A
+   * recurring 100 TB pipeline reprocesses ONLY `added`+`changed` docs
+   * (and retracts `removed` ones downstream) instead of re-running
+   * every stage over the full snapshot; this row is the manifest that
+   * decision reads.
+   *
+   * Scale shape: each side reduces in-scan to `(id, 32-hex-char
+   * fingerprint)` — text never crosses the wire — then ONE full-outer
+   * shuffle join on id; the status column is a codegen'd projection of
+   * the two null/equality tests. No window, no collect, no skew beyond
+   * the id distribution itself.
+   */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // Presence flags (not fingerprint nullness) decide added/removed, and
+    // the content compare is null-safe — a doc whose text is null on both
+    // sides is unchanged, not spuriously "changed".
+    val o = oldDocs.select(col(idCol).as("__sd_id"),
+      Dedup.fingerprint(col(textCol)).as("__sd_ofp"), lit(true).as("__sd_o"))
+    val n = newDocs.select(col(idCol).as("__sd_id"),
+      Dedup.fingerprint(col(textCol)).as("__sd_nfp"), lit(true).as("__sd_n"))
+    o.join(n, Seq("__sd_id"), "full_outer")
+      .select(col("__sd_id").as(idCol),
+        when(col("__sd_o").isNull, lit("added"))
+          .when(col("__sd_n").isNull, lit("removed"))
+          .when(col("__sd_ofp") <=> col("__sd_nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Square-root temperature resampling: keep each row with probability
    * `min(1, c / sqrt(|stratum|))` — the standard language-rebalancing
    * law (kept mass per stratum grows as sqrt of its size, so dominant

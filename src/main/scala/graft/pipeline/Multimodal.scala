@@ -193,6 +193,43 @@ object Multimodal {
   }
 
   /**
+   * Media duplicate-CLUSTER resolution + canonical-copy selection — the
+   * image side of q40/q110: perceptual near-dup pairs
+   * ([[perceptualNearDupPairs]]) resolved transitively into clusters
+   * (a~b, b~c dedupes b AND c even when a~c never surfaced as a pair),
+   * then per cluster the LARGEST payload wins (`nbytes` desc, id asc) —
+   * the "keep the highest-resolution copy" policy an image pipeline
+   * applies where the text side keeps the longest article. Media with
+   * no near-dup partner cluster to themselves and are their own
+   * representative.
+   *
+   * Output per media row: `(media_id, cluster_id, rep_id, keep)`.
+   *
+   * Scale shape: cluster resolution rides [[Curation.dupClusters]]'s
+   * shared CC cache (bounded to the PAIRED ids — dup volume, not corpus
+   * volume); the representative argmax is one partial-combined
+   * `max(struct(nbytes, -id))` per cluster, no window over the corpus;
+   * nothing after the banded pair join ever ships a payload.
+   */
+  def mediaDupClusters(
+      media: DataFrame, idCol: String, blobCol: String, sizeCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val pairs = perceptualNearDupPairs(media, idCol, blobCol, maxHamming)
+      .select(col("m1"), col("m2"))
+    val present = media.where(col(blobCol).isNotNull)
+      .select(col(idCol).as("media_id"), col(sizeCol).as("nbytes"))
+    val clusters = Curation.dupClusters(
+      present.select(col("media_id")), "media_id", pairs, "m1", "m2")
+    val sized = clusters.join(present, "media_id")
+    val reps = sized.groupBy(col("cluster_id"))
+      .agg(max(struct(col("nbytes"), (-col("media_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.negid")).as("rep_id"))
+    sized.join(reps, "cluster_id")
+      .select(col("media_id"), col("cluster_id"), col("rep_id"),
+        (col("media_id") === col("rep_id")).as("keep"))
+  }
+
+  /**
    * Frame sampling: fixed-width byte windows every `stride` bytes
    * (the video-frame access pattern), pure slice algebra on the binary
    * column — one row per (media, frame).

@@ -309,6 +309,26 @@ class CurationSpec extends AnyFunSuite {
     assert(salted != full)
   }
 
+  test("snapshot diff: added/removed/changed/unchanged, null-safe content compare") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "gone in new"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "Same   TEXT "),     // normalizes equal -> unchanged
+      (2L, "has changed"),      // fingerprint differs -> changed
+      (4L, "brand new"),        // new only -> added
+      (5L, null.asInstanceOf[String]), // null both sides -> unchanged
+      (6L, "now has text")      // null -> text -> changed
+    ).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
+
   test("dupClusters shares one CC run per edge plan; cached == uncached labels") {
     import spark.implicits._
     val sc = spark.sparkContext

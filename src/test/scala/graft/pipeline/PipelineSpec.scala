@@ -649,6 +649,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("media dup clusters == brute-force CC over pairs; largest payload wins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def doc(words: Int) = Seq.fill(words)("t" + rnd.nextInt(3000)).mkString(" ")
+    val bases = (0 until 15).map(i => (i.toLong, doc(100)))
+    // 100+i: one-word edits of i (same length); 200: base 0 with two
+    // extra words APPENDED — a longer near-copy, so cluster 0's
+    // representative must NOT be the min id
+    val edits = (0 until 4).map { i =>
+      val w = bases(i)._2.split(' '); w(50) = "EDIT" + i
+      (100L + i, w.mkString(" "))
+    }
+    val longer = Seq((200L, bases(0)._2 + " zz zz"))
+    val all = bases ++ edits ++ longer
+    val media = all.toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("blob"))
+      .withColumn("nbytes", octet_length(col("blob")).cast("long"))
+    val got = Multimodal
+      .mediaDupClusters(media, "media_id", "blob", "nbytes", maxHamming = 6)
+      .select($"media_id", $"cluster_id", $"rep_id", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // brute-force truth: union-find over the operator's own pair predicate
+    val fps = all.map { case (id, t) =>
+      (id, Multimodal.perceptualHash64(t.getBytes("UTF-8")))
+    }
+    val parent = scala.collection.mutable.Map(all.map(e => e._1 -> e._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 6
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = all.map { case (id, t) => id -> t.getBytes("UTF-8").length.toLong }.toMap
+    val expClusters = all.map(_._1).groupBy(find)
+    val expRep = expClusters.map { case (_, members) =>
+      find(members.head) -> members.maxBy(m => (sizes(m), -m))
+    }
+    got.foreach { case (id, cid, rep, keep) =>
+      assert(cid == find(id), s"cluster of $id")
+      assert(rep == expRep(cid), s"rep of cluster $cid")
+      assert(keep == (id == rep))
+    }
+    // fixture guards: the appended-copy cluster exists, is multi-member,
+    // and its representative is the LONGER non-min-id copy
+    assert(find(200L) == 0L, "longer copy must join base 0's cluster")
+    assert(expRep(0L) == 200L, "largest payload must win cluster 0")
+  }
+
   test("planted corpus near-dups are caught at the declared threshold (sf0.001)") {
     import spark.implicits._
     // truth: exact n-gram jaccard >= 0.7 pairs (q14's oracle-checked
