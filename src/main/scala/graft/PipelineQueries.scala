@@ -955,6 +955,51 @@ object PipelineQueries {
       |FROM documents WHERE doc_id % 2 = 1
       |HAVING count(*) > 0""".stripMargin
 
+  /**
+   * q: streaming MEDIA near-dup gate, EXECUTED — the image side of q98,
+   * but with a stronger declaration: the perceptual gate
+   * ([[graft.streaming.MediaStreams.phashGateStream]]) is EXACT (q101's
+   * pigeonhole — hamming <= 7 pairs always share one of the 8 8-bit
+   * bands, and the probe verifies `bitCount(xor)` exactly), so the FULL
+   * per-payload flag table is declared and hash-checked, not just a
+   * recall contract. Even media ids are the reference (fingerprints
+   * collected batch-side into the CSR band index), odd ids stream
+   * through under AvailableNow -> parquet sink; the declared row reads
+   * the sink back. The oracle replays every fingerprint (q100's CTEs)
+   * and brute-forces the cross-split exists-within-hamming-6 predicate.
+   */
+  def mediaGateStreamed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.documentBlobs(s, d)
+    val refs = Multimodal.perceptualHashes(
+        media.where(col("media_id") % 2 === 0), "media_id", "blob")
+      .select($"phash").as[Long].collect()
+
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q113-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val out = base.resolve("out")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val arrivals = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .where(col("doc_id") % 2 === 1 && col("text").isNotNull)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("blob"))
+    val q = graft.streaming.MediaStreams
+      .phashGateStream(arrivals, "blob", refs, maxHamming = 6)
+      .select(col("media_id"), col("maybe_near_dup"))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    s.read.schema("media_id BIGINT, maybe_near_dup BOOLEAN")
+      .parquet(out.toString)
+  }
+  // (q113's oracle SQL lives beside the other media oracles, after
+  // MediaPhashPairCtes — a forward val reference would initialize null)
+
   /** ExactSubstr-style span removal (Lee et al., ACL 2022): every word
     * covered by an 8-word span occurring >= 2 times across the corpus is
     * removed, documents reassembled in order — the cleaning half of
@@ -1265,6 +1310,16 @@ object PipelineQueries {
        |  WHERE r = 1)
        |SELECT s.media_id, s.cluster_id, r.rep_id, (s.media_id = r.rep_id) AS keep
        |FROM sized s JOIN mreps r USING (cluster_id)""".stripMargin
+
+  /** q113's oracle: the exact cross-split exists-within-hamming-6
+    * predicate over replayed fingerprints ([[mediaGateStreamed]]). */
+  val MediaGateStreamedSql: String =
+    s"""WITH $MediaPhashPairCtes,
+       |xf AS (SELECT DISTINCT CASE WHEN m1 % 2 = 1 THEN m1 ELSE m2 END AS oid
+       |       FROM ham WHERE hamming <= 6 AND (m1 % 2) <> (m2 % 2))
+       |SELECT d.doc_id AS media_id, (xf.oid IS NOT NULL) AS maybe_near_dup
+       |FROM documents d LEFT JOIN xf ON d.doc_id = xf.oid
+       |WHERE d.doc_id % 2 = 1 AND d.text IS NOT NULL""".stripMargin
 
   // ------------------------------------------------------------ heavy hitters
 
@@ -2573,5 +2628,66 @@ object PipelineQueries {
          |       string_agg(tok, ' ' ORDER BY pos) AS encoded
          |FROM t JOIN enc USING (word)
          |GROUP BY doc_id""").stripMargin
+  }
+
+  /**
+   * q: TOKENIZER SELECTION REPORT — the corpus-level comparison a
+   * pipeline runs before freezing a tokenizer: all three encode regimes
+   * (BPE under 20 trained merges, unigram-LM Viterbi, WordPiece-style
+   * greedy — the q80/q103/q106 operators) aggregated to one row each of
+   * fertility (tokens per word) and compression (chars per token).
+   * Training cost is shared with the declared encode rows through the
+   * keyed model caches; the metric divisions are single IEEE divisions
+   * of exact integer sums, so the report hash-matches cross-engine.
+   *
+   * Scale shape: three in-scan encodes (broadcast frozen models,
+   * per-executor word memos) each reduced by ONE partial-combined
+   * global aggregation — no per-doc rows survive to the driver; the
+   * whole report is three scans and three scalar rows.
+   */
+  def tokenizerReport(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val model = Unigram.trainModel(dd, "text", seedSize = 2000,
+      vocabSize = 500, minSeedCount = 2L)
+    def stats(df: DataFrame, regime: String) =
+      df.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(length(translate(col("encoded"), "| ", ""))).cast("long")
+          .as("n_chars"))
+      .select(lit(regime).as("regime"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      // zero-rows-on-empty convention (EmptyCorpusSpec): an empty corpus
+      // has no report, not a row of nulls
+      .where(col("n_docs") > 0)
+    stats(Bpe.encode(dd, "doc_id", "text", numMerges = 20,
+        minPairCount = 2L), "bpe")
+      .unionAll(stats(Unigram.encode(dd, "doc_id", "text", model), "unigram"))
+      .unionAll(stats(Unigram.encodeGreedy(dd, "doc_id", "text", model),
+        "wordpiece"))
+  }
+
+  /** The report oracle: each regime's full per-doc encode oracle (q80 /
+    * q103 / q106's chains) wrapped as a subquery and aggregated — exact
+    * integer sums, then the same two IEEE divisions. */
+  def tokenizerReportSql(): String = {
+    def wrap(regime: String, q: String) =
+      s"""SELECT '$regime' AS regime, count(*)::BIGINT AS n_docs,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(len(replace(replace(encoded, '|', ''), ' ', '')))::BIGINT AS n_chars,
+         |  (sum(n_tokens)::DOUBLE / sum(n_words)::DOUBLE) AS fertility,
+         |  (sum(len(replace(replace(encoded, '|', ''), ' ', '')))::DOUBLE
+         |     / sum(n_tokens)::DOUBLE) AS chars_per_token
+         |FROM ($q) t
+         |HAVING count(*) > 0""".stripMargin
+    wrap("bpe", bpeEncodeSql()) + "\nUNION ALL\n" +
+      wrap("unigram", unigramEncodeSql()) + "\nUNION ALL\n" +
+      wrap("wordpiece", wordpieceEncodeSql())
   }
 }

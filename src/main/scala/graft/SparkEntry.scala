@@ -127,6 +127,8 @@ object SparkEntry {
     "q110_cluster_reps" -> ((s, d) => PipelineQueries.clusterRepresentatives(s, d)),
     "q111_media_clusters" -> ((s, d) => PipelineQueries.mediaClusters(s, d)),
     "q112_snapshot_diff" -> ((s, d) => PipelineQueries.snapshotDiff(s, d)),
+    "q113_media_gate_stream" -> ((s, d) => PipelineQueries.mediaGateStreamed(s, d)),
+    "q114_tokenizer_report" -> ((s, d) => PipelineQueries.tokenizerReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -411,5 +413,16 @@ object SparkEntry {
     // + normalized-fingerprint compare across two deterministic corpus
     // versions; one full-outer join on id, fingerprints only on the wire
     "q112_snapshot_diff" -> PipelineQueries.SnapshotDiffSql,
+    // q113: streaming media near-dup gate, EXECUTED — exact (pigeonhole
+    // banding + in-probe exact hamming), so the FULL per-payload flag
+    // table is declared, not a recall contract; oracle brute-forces the
+    // cross-split exists-within-hamming-6 predicate on replayed
+    // fingerprints
+    "q113_media_gate_stream" -> PipelineQueries.MediaGateStreamedSql,
+    // q114: tokenizer selection report — all three encode regimes (BPE,
+    // unigram Viterbi, WordPiece greedy) aggregated to fertility +
+    // compression; integer sums then single IEEE divisions, hash-exact;
+    // training shared with q80/q103/q106 via the keyed model caches
+    "q114_tokenizer_report" -> PipelineQueries.tokenizerReportSql(),
   )
 }
