@@ -276,4 +276,41 @@ class UnigramSpec extends AnyFunSuite {
     assert(model.filter(_._1 == "z").forall(_._2 >= 1L))
     Unigram.clearCaches()
   }
+
+  test("tokenizer report: char conservation, token bounds, exact divisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "cats and dogs and cats"),
+      (4L, "the the the cat cat dog"))
+      .toDF("doc_id", "text")
+    val model = Unigram.trainModel(docs, "text", 50, 20, 1L)
+    def stats(df: org.apache.spark.sql.DataFrame, regime: String) =
+      df.agg(count(lit(1)).cast("long"), sum("n_words").cast("long"),
+        sum("n_tokens").cast("long"),
+        sum(length(translate(col("encoded"), "| ", ""))).cast("long"))
+        .as[(Long, Long, Long, Long)].head()
+    val regimes = Map(
+      "bpe" -> Bpe.encode(docs, "doc_id", "text", 5, 1L),
+      "unigram" -> Unigram.encode(docs, "doc_id", "text", model),
+      "wordpiece" -> Unigram.encodeGreedy(docs, "doc_id", "text", model))
+    val wordChars = docs
+      .select(explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("w"))
+      .agg(sum(length(col("w"))).cast("long"), count(lit(1)).cast("long"))
+      .as[(Long, Long)].head()
+    regimes.foreach { case (name, df) =>
+      val (nDocs, nWords, nTokens, nChars) = stats(df, name)
+      assert(nDocs == 4L, s"$name n_docs")
+      assert(nWords == wordChars._2, s"$name must see every corpus word")
+      // encodes PARTITION each word's characters: no regime may create
+      // or drop a character
+      assert(nChars == wordChars._1, s"$name char conservation")
+      assert(nTokens >= nWords && nTokens <= nChars, s"$name token bounds")
+    }
+    Unigram.clearCaches()
+    Bpe.clearCaches()
+  }
 }
