@@ -1027,4 +1027,81 @@ object RelQueries {
       |  FROM rev JOIN customer ON o_custkey = c_custkey)
       |SELECT nationkey, rk::BIGINT AS rk, custkey, revenue
       |FROM r WHERE rk <= 3""".stripMargin
+
+  // ------------------------------------------------------------------ funnel
+
+  /**
+   * Ordered-funnel resolution over an event log — the product-analytics
+   * primitive behind every conversion report: for each user, the
+   * earliest time they completed step k STRICTLY AFTER their recorded
+   * completion of step k-1 (min ts of step 0, then min ts of step 1
+   * greater than that, and so on). A user who performs steps out of
+   * order does not advance — a click before any view is not a
+   * view→click conversion. `stage` counts completed steps; by
+   * construction step k's timestamp is non-null only if step k-1's is.
+   *
+   * Scale shape: one filtered aggregation per step plus an equi-join
+   * against the previous step's (user, ts) frame — every exchange is
+   * keyed by user and carries two columns; the final assembly is k
+   * left joins onto the distinct-user frame. No window over the event
+   * log, no ordering ever materialized. Step count is a constant of
+   * the report (funnels are 3-6 steps), so the plan is a fixed chain.
+   */
+  def funnelStages(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "a funnel needs at least one step")
+    val users = events.select(col(userCol)).distinct()
+    val stepFrames = steps.zipWithIndex
+      .foldLeft(List.empty[DataFrame]) { case (acc, (st, i)) =>
+        val base = events.where(col(typeCol) === st)
+          .select(col(userCol), col(tsCol).as("__t"))
+        val gated = acc match {
+          case Nil => base
+          case prev :: _ =>
+            base.join(prev, Seq(userCol))
+              .where(col("__t") > col(s"step${i - 1}_ts"))
+        }
+        gated.groupBy(col(userCol))
+          .agg(min(col("__t")).as(s"step${i}_ts")) :: acc
+      }.reverse
+    val joined = stepFrames.foldLeft(users)(
+      (acc, f) => acc.join(f, Seq(userCol), "left"))
+    joined.withColumn("stage",
+      steps.indices
+        .map(i => when(col(s"step${i}_ts").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  /** The view → click → purchase conversion funnel over the events log
+    * (strict event-time ordering, per-user micros). */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+          col("event_type")),
+      "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("step0_ts").as("view_ts"),
+        col("step1_ts").as("click_ts"), col("step2_ts").as("purchase_ts"),
+        col("stage"))
+
+  val EventFunnelSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+      |v AS (SELECT user_id, min(tsu) AS view_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(tsu) AS click_ts
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tsu > view_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(tsu) AS purchase_ts
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tsu > click_ts GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |       ((CASE WHEN v.view_ts IS NULL THEN 0 ELSE 1 END) +
+      |        (CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END) +
+      |        (CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END))::BIGINT
+      |         AS stage
+      |FROM u LEFT JOIN v USING (user_id)
+      |       LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)""".stripMargin
 }

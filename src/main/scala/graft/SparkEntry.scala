@@ -129,6 +129,7 @@ object SparkEntry {
     "q112_snapshot_diff" -> ((s, d) => PipelineQueries.snapshotDiff(s, d)),
     "q113_media_gate_stream" -> ((s, d) => PipelineQueries.mediaGateStreamed(s, d)),
     "q114_tokenizer_report" -> ((s, d) => PipelineQueries.tokenizerReport(s, d)),
+    "q115_event_funnel" -> ((s, d) => RelQueries.eventFunnel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,5 +425,9 @@ object SparkEntry {
     // compression; integer sums then single IEEE divisions, hash-exact;
     // training shared with q80/q103/q106 via the keyed model caches
     "q114_tokenizer_report" -> PipelineQueries.tokenizerReportSql(),
+    // q115: ordered conversion funnel (view -> click -> purchase) —
+    // strict event-time ordering per user, one filtered aggregation per
+    // step plus user-keyed joins; no window over the event log
+    "q115_event_funnel" -> RelQueries.EventFunnelSql,
   )
 }
