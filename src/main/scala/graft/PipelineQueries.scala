@@ -1702,13 +1702,22 @@ object PipelineQueries {
     * normalized-fingerprint compare. All four classes occur at every
     * scale factor (the classes are residue arithmetic over the id
     * range). */
-  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+  /** The two deterministic corpus versions shared by q112 and q116:
+    * old = ids not divisible by 7; new = ids not divisible by 5, every
+    * id divisible by 3 re-crawled as `text || ' rev2'`. */
+  private def snapshotVersions(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = docs(s, d).where(col("text").isNotNull)
     val old = base.where(col("doc_id") % 7 =!= 0)
     val neu = base.where(col("doc_id") % 5 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")))
+    (old, neu)
+  }
+
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = snapshotVersions(s, d)
     Curation.snapshotDiff(old, neu, "doc_id", "text")
   }
 
@@ -1729,6 +1738,27 @@ object PipelineQueries {
       |            WHEN o.fp = n.fp THEN 'unchanged'
       |            ELSE 'changed' END AS status
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+
+  /** q: INCREMENTAL AGGREGATE REFRESH from the q112 manifest
+    * ([[graft.pipeline.Curation.incrementalWordCount]]): the word-count
+    * rollup over the NEW snapshot produced by retracting only the
+    * removed/changed docs' old contributions and adding the
+    * added/changed docs' new ones. The oracle recomputes the rollup
+    * DIRECTLY over the new snapshot — the hash match IS the proof that
+    * the delta path equals the full recompute. */
+  def incrementalWordCountRefresh(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = snapshotVersions(s, d)
+    Curation.incrementalWordCount(old, neu, "doc_id", "text")
+  }
+
+  val IncrementalWordCountSql: String =
+    """SELECT word, count(*)::BIGINT AS cnt FROM (
+      |  SELECT unnest(string_split(
+      |    CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END,
+      |    ' ')) AS word
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0)
+      |WHERE word <> ''
+      |GROUP BY word""".stripMargin
 
   val PackSequencesSql: String =
     """WITH t AS (

@@ -130,6 +130,7 @@ object SparkEntry {
     "q113_media_gate_stream" -> ((s, d) => PipelineQueries.mediaGateStreamed(s, d)),
     "q114_tokenizer_report" -> ((s, d) => PipelineQueries.tokenizerReport(s, d)),
     "q115_event_funnel" -> ((s, d) => RelQueries.eventFunnel(s, d)),
+    "q116_incremental_wordcount" -> ((s, d) => PipelineQueries.incrementalWordCountRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,5 +430,10 @@ object SparkEntry {
     // strict event-time ordering per user, one filtered aggregation per
     // step plus user-keyed joins; no window over the event log
     "q115_event_funnel" -> RelQueries.EventFunnelSql,
+    // q116: incremental aggregate refresh from the q112 manifest —
+    // retract removed/changed old contributions, add added/changed new
+    // ones; the oracle recomputes DIRECTLY over the new snapshot, so
+    // the hash match proves delta == full recompute
+    "q116_incremental_wordcount" -> PipelineQueries.IncrementalWordCountSql,
   )
 }

@@ -485,6 +485,43 @@ object Curation {
   }
 
   /**
+   * INCREMENTAL AGGREGATE MAINTENANCE from a snapshot diff — the payoff
+   * of [[snapshotDiff]]: refresh a per-word count rollup by touching
+   * ONLY the changed documents. The new aggregate is
+   * `base - contributions(removed + changed-old) + contributions(added
+   * + changed-new)` merged in one grouped sum; words whose count nets
+   * to zero drop (a direct recompute has no row for them), and the
+   * result is row-for-row EQUAL to recomputing the aggregate over the
+   * new snapshot — which is exactly what the declared row's oracle
+   * checks.
+   *
+   * The `base` word count is recomputed here from `oldDocs` for a
+   * self-contained operator; a production refresh reads it from the
+   * stored rollup, so the data-sized work is bounded by the CHANGED
+   * document set (two id-keyed semi-join-shaped scans) plus a merge
+   * keyed by word — delta cost, not snapshot cost.
+   */
+  def incrementalWordCount(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def wc(docs: DataFrame) = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+    val diff = snapshotDiff(oldDocs, newDocs, idCol, textCol)
+    val retractIds = diff
+      .where(col("status").isin("removed", "changed")).select(col(idCol))
+    val addIds = diff
+      .where(col("status").isin("added", "changed")).select(col(idCol))
+    val retract = wc(oldDocs.join(retractIds, idCol))
+      .select(col("word"), (-col("cnt")).as("cnt"))
+    val add = wc(newDocs.join(addIds, idCol))
+    wc(oldDocs).unionAll(retract).unionAll(add)
+      .groupBy(col("word")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      .where(col("cnt") > 0L)
+  }
+
+  /**
    * Square-root temperature resampling: keep each row with probability
    * `min(1, c / sqrt(|stratum|))` — the standard language-rebalancing
    * law (kept mass per stratum grows as sqrt of its size, so dominant

@@ -329,6 +329,31 @@ class CurationSpec extends AnyFunSuite {
       4L -> "added", 5L -> "unchanged", 6L -> "changed"))
   }
 
+  test("incremental word count == direct recompute; vanished words drop") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta beta"),      // unchanged
+      (2L, "gamma delta"),          // changed below
+      (3L, "unique vanishing word") // removed: its words must net out
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "gamma epsilon"),        // delta -> epsilon
+      (4L, "alpha zeta")            // added
+    ).toDF("doc_id", "text")
+    val got = Curation.incrementalWordCount(old, neu, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    val direct = neu
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == direct)
+    // the removed doc's words are GONE, not zero-count rows
+    assert(!got.contains("vanishing") && !got.contains("delta"))
+    assert(got("alpha") == 2L && got("epsilon") == 1L)
+  }
+
   test("dupClusters shares one CC run per edge plan; cached == uncached labels") {
     import spark.implicits._
     val sc = spark.sparkContext
