@@ -1945,6 +1945,35 @@ object PipelineQueries {
       |         ELSE 0 END), ',') AS qvec
       |FROM s""".stripMargin
 
+  /** Seeded Rademacher random projection 64 -> 16
+    * ([[graft.pipeline.Similarity.randomProject]]): the JL-family
+    * embedding compression before a coarse ANN stage. The sign matrix
+    * derives from md5(seed:k:i) so BOTH engines construct the identical
+    * matrix, and each component is a left-to-right double dot (the
+    * array_dot fold == the oracle's list_reduce fold), so the full
+    * projected vectors hash-match exactly. */
+  def randomProjection(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(embs(s, d), "vec_id", "embedding",
+      inDim = 64, outDim = 16, seed = "jl")
+      // declared exploded to scalar (vec_id, k, val) rows: double-typed
+      // CELLS hash deterministically on any compare harness, where an
+      // array-of-double column's ordering/hashing is harness-defined
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("k", "val")))
+      .select(col("vec_id"), col("k").cast("long").as("k"), col("val"))
+
+  val RandomProjectionSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings
+      |           WHERE embedding IS NOT NULL AND len(embedding) = 64)
+      |SELECT vec_id, k::BIGINT AS k,
+      |  list_reduce(
+      |    list_prepend(0.0,
+      |      list_transform(range(1, 65), i ->
+      |        v[i] * (((('0x' || substr(md5('jl:' || k || ':' || (i - 1)), 1, 8))::BIGINT
+      |                  % 2) * 2 - 1)::DOUBLE))),
+      |    (a, b) -> a + b) AS val
+      |FROM e, generate_series(0, 15) AS g(k)""".stripMargin
+
   /** PII detection + redaction over every document — pure codegen'd scan
     * ([[graft.pipeline.TextStats.piiRedact]]); the full redacted text is
     * hash-checked, so the two engines' regex semantics must agree byte

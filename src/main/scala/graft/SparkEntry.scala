@@ -131,6 +131,7 @@ object SparkEntry {
     "q114_tokenizer_report" -> ((s, d) => PipelineQueries.tokenizerReport(s, d)),
     "q115_event_funnel" -> ((s, d) => RelQueries.eventFunnel(s, d)),
     "q116_incremental_wordcount" -> ((s, d) => PipelineQueries.incrementalWordCountRefresh(s, d)),
+    "q117_random_projection" -> ((s, d) => PipelineQueries.randomProjection(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,5 +436,10 @@ object SparkEntry {
     // ones; the oracle recomputes DIRECTLY over the new snapshot, so
     // the hash match proves delta == full recompute
     "q116_incremental_wordcount" -> PipelineQueries.IncrementalWordCountSql,
+    // q117: seeded Rademacher (JL) random projection 64 -> 16 — md5-derived
+    // sign matrix identical on both engines, left-to-right double dots
+    // (array_dot fold == list_reduce fold), full projected vectors
+    // hash-matched; pure projection, no shuffle
+    "q117_random_projection" -> PipelineQueries.RandomProjectionSql,
   )
 }

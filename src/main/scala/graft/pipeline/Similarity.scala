@@ -1262,6 +1262,45 @@ object Similarity {
           ",").as("qvec"))
   }
 
+  /**
+   * Seeded Rademacher RANDOM PROJECTION (Achlioptas 2003 / the
+   * Johnson-Lindenstrauss family): project each embedding to `outDim`
+   * dimensions through a dense ±1 sign matrix derived DETERMINISTICALLY
+   * from `md5(seed:k:i)` — no RNG state, so the matrix (and therefore
+   * every projected value) is reproducible across runs, partitionings,
+   * and ENGINES (DuckDB derives the identical matrix from the identical
+   * md5 strings, which is what lets the declared row hash-match doubles
+   * exactly). The standard embedding-compression step before a coarse
+   * ANN stage: inner products are preserved in expectation with
+   * variance O(1/outDim), and 4x fewer dims is 4x less ANN scan I/O.
+   *
+   * Each output component is one [[graft.functions.VectorExprs.array_dot]]
+   * against a LITERAL sign row — codegen'd left-to-right accumulation,
+   * mirrored by the oracle's `list_reduce` replay. Pure projection: no
+   * shuffle, no UDF, the matrix is `outDim x inDim` literals baked into
+   * the plan (bounded — projection targets are small by definition).
+   */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: String): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"bad dims ($inDim, $outDim)")
+    val signs: Array[Array[Double]] = Array.tabulate(outDim, inDim) {
+      (k, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$seed:$k:$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 2L) * 2.0 - 1.0
+    }
+    val v = col(vecCol).cast("array<double>")
+    val proj = array(signs.map { row =>
+      graft.functions.VectorExprs.array_dot(col("__v"),
+        org.apache.spark.sql.functions.typedlit(row.toSeq))
+    }: _*)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
+      .select(col(idCol), v.as("__v"))
+      .select(col(idCol), proj.as("proj"))
+  }
+
   /** Embedding summary stats (norm etc.), all-double sequential math. */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)

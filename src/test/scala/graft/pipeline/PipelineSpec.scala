@@ -649,6 +649,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection == independent md5-sign reference; seeded; dims filtered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding") union
+      Seq((99L, Array(1f, 2f))).toDF("vec_id", "embedding") // wrong dim: dropped
+    val got = Similarity.randomProject(df, "vec_id", "embedding", 8, 4, "s1")
+      .as[(Long, Seq[Double])].collect().toMap
+    // independent sign derivation: full-digest BigInteger formatting (not
+    // the production byte-slice path), then an explicit double fold
+    def sign(seed: String, k: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$k:$i".getBytes("UTF-8"))
+      val hex = String.format("%032x", new java.math.BigInteger(1, d))
+      (BigInt(hex.substring(0, 8), 16) % 2).toInt * 2 - 1.0
+    }
+    val exp = rows.map { case (id, v) =>
+      id -> (0 until 4).map { k =>
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { acc += v(i).toDouble * sign("s1", k, i); i += 1 }
+        acc
+      }
+    }.toMap
+    assert(got.keySet == exp.keySet, "wrong-dim vectors must be dropped")
+    got.foreach { case (id, p) =>
+      assert(p == exp(id), s"projection of $id must be bit-exact")
+    }
+    // a different seed draws a different matrix
+    val other = Similarity.randomProject(df, "vec_id", "embedding", 8, 4, "s2")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rows.exists { case (id, _) => other(id) != got(id) })
+  }
+
   test("media dup clusters == brute-force CC over pairs; largest payload wins") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
