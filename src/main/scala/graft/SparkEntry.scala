@@ -132,6 +132,7 @@ object SparkEntry {
     "q115_event_funnel" -> ((s, d) => RelQueries.eventFunnel(s, d)),
     "q116_incremental_wordcount" -> ((s, d) => PipelineQueries.incrementalWordCountRefresh(s, d)),
     "q117_random_projection" -> ((s, d) => PipelineQueries.randomProjection(s, d)),
+    "q118_projected_ann" -> ((s, d) => PipelineQueries.projectedAnnRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,5 +442,9 @@ object SparkEntry {
     // (array_dot fold == list_reduce fold), full projected vectors
     // hash-matched; pure projection, no shuffle
     "q117_random_projection" -> PipelineQueries.RandomProjectionSql,
+    // q118: two-stage retrieval under the q117 projection — shortlist by
+    // projected dot, exact-cosine re-rank; recall contract >= 0.7 vs
+    // brute force (measured 0.942/0.912 at sf0.01/sf0.1)
+    "q118_projected_ann" -> PipelineQueries.ProjectedAnnRecallSql,
   )
 }

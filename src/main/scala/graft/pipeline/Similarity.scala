@@ -1301,6 +1301,49 @@ object Similarity {
       .select(col(idCol), proj.as("proj"))
   }
 
+  /**
+   * TWO-STAGE retrieval under the JL projection — the pipeline
+   * [[randomProject]] exists to serve: stage 1 shortlists by projected
+   * DOT over the COMPRESSED vectors (Rademacher signs preserve inner
+   * products in expectation), so the only corpus-wide scan reads
+   * `projDim/inDim` of the vector bytes; stage 2 re-ranks the shortlist
+   * by exact cosine over raw vectors via the [[lshTopK]] re-attach
+   * pattern (ids-only candidate frame, query side broadcast, corpus
+   * side one narrow shuffle of shortlist ids). Same output shape as
+   * [[bruteForceTopK]]; recall is a measured contract (the q23
+   * adjudication), margin set by `shortlist/k`.
+   */
+  def projectedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      inDim: Int, projDim: Int, seed: String): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val pc = randomProject(corpus, idCol, vecCol, inDim, projDim, seed)
+      .select(col(idCol).as("neighbor_id"), col("proj").as("nproj"))
+    val pq = broadcast(
+      randomProject(queries, idCol, vecCol, inDim, projDim, seed)
+        .select(col(idCol).as("query_id"), col("proj").as("qproj")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pdot").desc, col("neighbor_id").asc)
+    val cand = pc.join(pq, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExprs.array_dot(col("qproj"), col("nproj"))
+          .as("pdot"))
+      .withColumn("prank", row_number().over(w1))
+      .where(col("prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+
   /** Embedding summary stats (norm etc.), all-double sequential math. */
   def embeddingStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)

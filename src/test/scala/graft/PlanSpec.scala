@@ -217,7 +217,12 @@ class PlanSpec extends AnyFunSuite {
       // q109: hard-negative mining is q22's exact broadcast shape with a
       // label anti-filter — bounded query batch broadcast, corpus
       // streamed, the same adjudication
-      "q109_hard_negatives")
+      "q109_hard_negatives",
+      // q118: BOTH sides of the recall contract are the q22 shape — the
+      // stage-1 shortlist scan (bounded projected-query batch broadcast,
+      // compressed corpus streamed) and the embedded exact brute-force
+      // reference the recall is measured against
+      "q118_projected_ann")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

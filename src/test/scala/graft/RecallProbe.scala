@@ -32,7 +32,13 @@ object RecallProbe {
       val ivfpq = pipeline.Similarity.ivfPqTopKReranked(
           e, q, "vec_id", "embedding", 5, 100, cents, cb, nProbe = 12)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-      println(f"[recall-probe] $d q86_pq=${(pq & exact).size.toDouble / exact.size}%.3f q87_ivfpq=${(ivfpq & exact).size.toDouble / exact.size}%.3f")
+      // the DECLARED q118 config: projDim 32, shortlist max(200, n/4)
+      val sl = math.max(200L, e.count() / 4).toInt
+      val proj = pipeline.Similarity.projectedTopK(
+          e, q, "vec_id", "embedding", k = 5, shortlist = sl,
+          inDim = 64, projDim = 32, seed = "jl")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      println(f"[recall-probe] $d q86_pq=${(pq & exact).size.toDouble / exact.size}%.3f q87_ivfpq=${(ivfpq & exact).size.toDouble / exact.size}%.3f q118_proj(32,$sl)=${(proj & exact).size.toDouble / exact.size}%.3f")
     }
     spark.stop()
   }

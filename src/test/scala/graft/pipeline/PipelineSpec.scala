@@ -684,6 +684,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists { case (id, _) => other(id) != got(id) })
   }
 
+  test("projected top-k at full shortlist == brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val e = (0 until 40).map { i =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = e.where($"vec_id" < 5)
+    // stage 1 keeps EVERY candidate -> stage 2's exact re-rank must be
+    // bit-identical to brute force, rank for rank (the full-probe
+    // exactness argument the recall contract's margin rests on)
+    val proj = Similarity.projectedTopK(e, q, "vec_id", "embedding",
+        k = 3, shortlist = 39, inDim = 16, projDim = 8, seed = "t")
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(proj == brute)
+  }
+
   test("media dup clusters == brute-force CC over pairs; largest payload wins") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
