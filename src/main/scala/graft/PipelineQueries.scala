@@ -2784,4 +2784,105 @@ object PipelineQueries {
       wrap("unigram", unigramEncodeSql()) + "\nUNION ALL\n" +
       wrap("wordpiece", wordpieceEncodeSql())
   }
+
+  /** q: TextRank keyword scores — exact fixed-point PageRank over the
+    * word co-occurrence graph (see [[graft.pipeline.GraphRank]]). The
+    * full `(word, rank_micro)` node table is declared and hash-checked:
+    * every arithmetic step is 64-bit integer (1e-6 fixed point, floor
+    * division), so ten damped rounds replay bit-for-bit in the oracle's
+    * unrolled CTE chain. Edge canonicalization orders words
+    * lexicographically — identical cross-engine on this corpus (ASCII;
+    * both engines order ASCII identically). */
+  def textRank(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.GraphRank.textRank(docs(s, d), "text",
+      minEdgeCount = 2L, iterations = 10)
+
+  val TextRankSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""p$k AS (SELECT dg.dst AS word,
+         |  (150000 + (85 * sum((p.score * dg.weight) // dg.wdeg)) // 100)::BIGINT AS score
+         |  FROM dg JOIN p${k - 1} p ON dg.src = p.word GROUP BY dg.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+       |           FROM documents),
+       |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+       |e AS (SELECT least(w1, w2) AS word_a, greatest(w1, w2) AS word_b,
+       |             count(*)::BIGINT AS weight
+       |      FROM b WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS (SELECT word_a AS src, word_b AS dst, weight FROM e
+       |        UNION ALL SELECT word_b, word_a, weight FROM e),
+       |dg AS (SELECT src, dst, weight,
+       |              sum(weight) OVER (PARTITION BY src)::BIGINT AS wdeg
+       |       FROM adj),
+       |p0 AS (SELECT DISTINCT src AS word, 1000000::BIGINT AS score FROM dg),
+       |$rounds
+       |SELECT word, score AS rank_micro FROM p10""".stripMargin
+  }
+
+  /** q: HLL cardinality sketch — distinct word-5-gram count per source,
+    * estimated from the 256-register deterministic HyperLogLog
+    * ([[graft.pipeline.Sketches]]) and adjudicated against the exact
+    * distinct count in-row (the q104 pattern: the contract's truth side
+    * is part of the declared row). Registers and the harmonic sum are
+    * exact integers; the estimate is three pinned IEEE double ops, so
+    * the full table — estimate, exact, rel_err, bound verdict —
+    * hash-matches cross-engine. Bound 0.25 vs the sketch's 6.5% 1-sigma
+    * error (measured 0.132/0.130 max across sources at sf0.01/sf0.1 —
+    * ~2 sigma, as expected for the max of 20 draws). */
+  def shingleCardinalitySketch(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val sk = graft.pipeline.Sketches.shingleCardinality(dd, "text", Seq("source"))
+    val exact = graft.pipeline.Sketches.ngramStream(dd, "text", Seq("source"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("gram")).as("exact_distinct"))
+    sk.join(exact, "source")
+      .withColumn("rel_err",
+        abs(col("estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"))
+      .withColumn("within_bound", col("rel_err") <= 0.25)
+      .select(col("source"), col("nonzero_registers"),
+        col("harmonic_scaled_d"), col("estimate"), col("exact_distinct"),
+        col("rel_err"), col("within_bound"))
+  }
+
+  val ShingleCardinalitySketchSql: String =
+    """WITH w AS (SELECT source,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |           FROM documents),
+      |g AS (SELECT source, unnest([array_to_string(words[i:i+4], ' ')
+      |                             for i in range(1, greatest(len(words) - 3, 1))]) AS gram
+      |      FROM w),
+      |dgr AS (SELECT DISTINCT source, gram FROM g),
+      |h AS (SELECT source, list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, length(gram) + 1),
+      |                         i -> ord(substr(gram, i, 1))::HUGEINT)),
+      |        (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |      FROM dgr),
+      |b AS (SELECT source, (r // 72057594037927936::HUGEINT)::BIGINT AS bucket,
+      |             (r % 72057594037927936::HUGEINT)::BIGINT AS wv
+      |      FROM h),
+      |regs AS (SELECT source, bucket,
+      |           max(CASE WHEN wv = 0 THEN 57 ELSE 57 - length(bin(wv)) END) AS maxrho
+      |         FROM b GROUP BY 1, 2),
+      |agg AS (SELECT source, count(*)::BIGINT AS nonzero_registers,
+      |          sum((1::BIGINT << (57 - maxrho))::HUGEINT) AS pm
+      |        FROM regs GROUP BY 1),
+      |est AS (SELECT source, nonzero_registers,
+      |          (pm + (256 - nonzero_registers)::HUGEINT
+      |                  * 144115188075855872::HUGEINT)::DOUBLE AS harmonic_scaled_d
+      |        FROM agg),
+      |sel AS (SELECT source, nonzero_registers, harmonic_scaled_d,
+      |          (0.7213 / (1.0 + 1.079 / 256.0))
+      |            * (9444732965739290427392.0 / harmonic_scaled_d) AS estimate
+      |        FROM est),
+      |ex AS (SELECT source, count(DISTINCT gram)::BIGINT AS exact_distinct
+      |       FROM g GROUP BY 1)
+      |SELECT s.source, s.nonzero_registers, s.harmonic_scaled_d, s.estimate,
+      |  x.exact_distinct,
+      |  abs(s.estimate - x.exact_distinct::DOUBLE) / x.exact_distinct::DOUBLE AS rel_err,
+      |  (abs(s.estimate - x.exact_distinct::DOUBLE) / x.exact_distinct::DOUBLE) <= 0.25 AS within_bound
+      |FROM sel s JOIN ex x ON s.source = x.source""".stripMargin
 }

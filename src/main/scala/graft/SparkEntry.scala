@@ -133,6 +133,8 @@ object SparkEntry {
     "q116_incremental_wordcount" -> ((s, d) => PipelineQueries.incrementalWordCountRefresh(s, d)),
     "q117_random_projection" -> ((s, d) => PipelineQueries.randomProjection(s, d)),
     "q118_projected_ann" -> ((s, d) => PipelineQueries.projectedAnnRecall(s, d)),
+    "q119_textrank" -> ((s, d) => PipelineQueries.textRank(s, d)),
+    "q120_hll_cardinality" -> ((s, d) => PipelineQueries.shingleCardinalitySketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -446,5 +448,13 @@ object SparkEntry {
     // projected dot, exact-cosine re-rank; recall contract >= 0.7 vs
     // brute force (measured 0.942/0.912 at sf0.01/sf0.1)
     "q118_projected_ann" -> PipelineQueries.ProjectedAnnRecallSql,
+    // q119: TextRank keywords — exact fixed-point PageRank (1e-6 units,
+    // floor division) over the word co-occurrence graph; ten damped
+    // rounds unrolled as chained CTEs, full node table hash-matched
+    "q119_textrank" -> PipelineQueries.TextRankSql,
+    // q120: deterministic 256-register HyperLogLog over the rolling hash
+    // — distinct shingles per source; exact integer registers + pinned
+    // IEEE estimate, in-row exact adjudication, bound 0.25
+    "q120_hll_cardinality" -> PipelineQueries.ShingleCardinalitySketchSql,
   )
 }

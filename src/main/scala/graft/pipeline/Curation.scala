@@ -46,10 +46,12 @@ object Curation {
     df
   }
 
-  private def materializeRound(df: DataFrame): DataFrame =
+  // private[pipeline]: GraphRank's iteration rounds share this registry,
+  // so one clearCheckpoints sweep covers every iterative operator.
+  private[pipeline] def materializeRound(df: DataFrame): DataFrame =
     track(df.localCheckpoint(eager = true))
 
-  private def release(df: DataFrame): Unit = {
+  private[pipeline] def release(df: DataFrame): Unit = {
     df.unpersist()
     val rdds = org.apache.spark.sql.GraftShims.checkpointRDDs(df)
     rdds.foreach(_.unpersist(blocking = false))

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Graph centrality over corpus-derived graphs — the TextRank keyword
+ * scorer (Mihalcea & Tarau, EMNLP 2004): PageRank over the undirected
+ * word co-occurrence graph, the standard unsupervised
+ * keyword/keyphrase-extraction primitive a training-data pipeline uses
+ * to summarize and tag documents at corpus scale.
+ *
+ * The reference engine has no graph operator family at all (its surface
+ * is frequent-itemset mining, `/root/reference/src/main/java/fdu/cst/
+ * bigdata/pfp/FPGrowthCore.scala`); this extends the engine's graph
+ * support beyond connected components ([[Curation.connectedComponents]])
+ * to iterative score propagation — the other half of what production
+ * graph workloads (PageRank crawl prioritization, TextRank keywords,
+ * label propagation) need.
+ *
+ * == Determinism contract ==
+ *
+ * Classic PageRank sums floating-point contributions, whose value
+ * depends on partitioning/merge order. Every quantity here is instead
+ * an exact 64-bit integer in 1e-6 fixed point (the q66/q102 discipline):
+ *
+ *  - scores start at `1000000` (1.0);
+ *  - the contribution of node j to neighbor i is
+ *    `(score_j * w_ji) div wdeg_j` — integral division, exact;
+ *  - the damped update is `150000 + (85 * sum(contribs)) div 100`
+ *    (d = 0.85), again integral.
+ *
+ * Integer sums are associative and commutative, so the result is
+ * bit-identical at any parallelism and replayable in ANSI SQL with
+ * floor division — the declared row's DuckDB oracle unrolls the same
+ * rounds as chained CTEs.
+ *
+ * == Scale shape ==
+ *
+ * Edge extraction is one corpus scan (pairs generated in-scan by
+ * slice+zip, no self-join) feeding one partial-aggregated shuffle down
+ * to the vocabulary-sized edge table; weighted degree attaches via one
+ * window exchange over that already-reduced table (the q53 marginal
+ * lesson — never re-scan the corpus for a marginal). Each iteration is
+ * then one shuffle join + one partial-aggregated groupBy over
+ * vocabulary-sized frames — corpus size never re-enters the loop. The
+ * adjacency persists across rounds; per-round results localCheckpoint
+ * eagerly (lineage truncation, the [[Curation.connectedComponents]]
+ * discipline) and register in the shared sweep registry, so
+ * [[Curation.clearCheckpoints]] / `Caches.clearAll` releases them.
+ */
+object GraphRank {
+
+  /** Damping in percent and the complementary teleport mass in 1e-6
+    * fixed point: d = 0.85, (1 - d) = 0.15 = 150000 micro. */
+  private val DampNum = 85L
+  private val DampDen = 100L
+  private val TeleportMicro = 150000L
+  private val OneMicro = 1000000L
+
+  private def tokens(textCol: String): Column =
+    filter(split(lower(col(textCol)), " "), w => w =!= "")
+
+  /**
+   * Undirected weighted co-occurrence edges between ADJACENT lowercase
+   * words: `(word_a < word_b, weight = pair count)`, self-pairs dropped,
+   * edges seen fewer than `minEdgeCount` times pruned (hapax
+   * co-occurrences are noise for ranking and would otherwise let the
+   * graph grow with the corpus's long tail instead of its vocabulary).
+   */
+  def cooccurrenceEdges(
+      docs: DataFrame, textCol: String, minEdgeCount: Long = 2L): DataFrame = {
+    val pairs = docs.select(tokens(textCol).as("ws"))
+      .select(explode(Signals.sliceNgrams(col("ws"), 2)).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .where(col("w1") =!= col("w2"))
+    pairs
+      .select(least(col("w1"), col("w2")).as("word_a"),
+        greatest(col("w1"), col("w2")).as("word_b"))
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("weight"))
+      .where(col("weight") >= minEdgeCount)
+  }
+
+  /**
+   * TextRank scores over [[cooccurrenceEdges]]: `iterations` rounds of
+   * exact fixed-point PageRank on the symmetric adjacency. Returns one
+   * row per graph node: `(word, rank_micro)` — the score in 1e-6 units
+   * (words that never co-occur above the edge floor have no edges and
+   * are deliberately absent: they'd all carry the teleport constant).
+   *
+   * The iteration count is a FIXED parameter, not a convergence test:
+   * the declared row pins the score table bit-for-bit, and a
+   * data-dependent stopping rule would make the oracle's unrolled
+   * rounds unstatable. Ten damped rounds is past the point where
+   * keyword ORDER stabilizes on co-occurrence graphs.
+   */
+  def textRank(
+      docs: DataFrame, textCol: String,
+      minEdgeCount: Long = 2L, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val edges = cooccurrenceEdges(docs, textCol, minEdgeCount)
+    val sym = edges.select(col("word_a").as("src"), col("word_b").as("dst"),
+        col("weight"))
+      .union(edges.select(col("word_b").as("src"), col("word_a").as("dst"),
+        col("weight")))
+    // Weighted degree via a window over the vocabulary-sized adjacency —
+    // one exchange on src, no second corpus pass, no join against a
+    // second copy of the aggregate subtree.
+    val wdeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adj = sym.withColumn("wdeg", sum(col("weight")).over(wdeg))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted = Curation.materializeRound(
+      adj.select(col("src").as("word")).distinct()
+        .select(col("word"), lit(OneMicro).as("score")))
+    var scores = persisted
+    for (_ <- 1 to iterations) {
+      val contribs = adj.join(scores, adj("src") === scores("word"))
+        .select(col("dst"),
+          expr(s"(score * weight) div wdeg").as("contrib"))
+      val next = Curation.materializeRound(
+        contribs.groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("mass"))
+          .select(col("dst").as("word"),
+            (lit(TeleportMicro) +
+              expr(s"($DampNum * mass) div $DampDen")).as("score")))
+      Curation.release(persisted)
+      persisted = next
+      scores = next
+    }
+    adj.unpersist()
+    scores.select(col("word"), col("score").as("rank_micro"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality sketch — a deterministic HyperLogLog (Flajolet
+ * et al. 2007) over the engine's cross-engine 64-bit rolling hash.
+ * Completes the mergeable-sketch family next to the heavy-hitter
+ * (`functions/HeavyHitters`) and grouped-quantile (q52) aggregates: the
+ * register table is the sketch ARTIFACT — `max`-mergeable across
+ * partitions, corpora, and time, so distinct counts over any union of
+ * already-sketched shards combine without touching the raw data again.
+ *
+ * == Why not `approx_count_distinct` ==
+ *
+ * Spark's built-in HLL++ is the right call in application code, but its
+ * register hashing (xxHash64 of Catalyst's internal binary layout) is
+ * not replayable outside the JVM, so a declared row could never be
+ * oracle-checked value-for-value. This sketch derives every register
+ * from `rolling_hash` — the same Karp-Rabin fold the fingerprint family
+ * (q20) already replays in DuckDB — and does all register/harmonic
+ * arithmetic in exact integers (DECIMAL sums), leaving exactly three
+ * IEEE double operations in a pinned evaluation order for the final
+ * estimate. The result is bit-identical at any parallelism and
+ * hash-matched cross-engine.
+ *
+ * == Layout ==
+ *
+ * m = 256 registers (p = 8 top bits select the bucket); the remaining
+ * 56 bits w give the register value `rho = 57 - bitlength(w)` (w = 0,
+ * probability 2^-56, degenerates to 56 — both engines state the same
+ * rule, see the oracle). Standard error ~ 1.04 / sqrt(256) = 6.5%.
+ *
+ * == Scale shape ==
+ *
+ * One corpus scan generating tokens in-scan, then ONE partial-aggregated
+ * shuffle down to at most `groups x 256` register rows — max() combines
+ * map-side, so the shuffle volume is the register table, not the token
+ * stream, and no distinct/dedup shuffle of the raw values ever happens
+ * (the entire point of the sketch at 100 TB). The estimate is a second
+ * aggregation over the register table itself (sketch-sized, not
+ * data-sized).
+ */
+object Sketches {
+
+  /** Registers per sketch (p = 8 index bits). */
+  val NumRegisters = 256
+
+  private val WMask = (1L << 56) - 1
+  private val TwoPow57 = java.math.BigDecimal.valueOf(1L << 57)
+  /** m^2 * 2^57 = 2^73, exactly representable as a double. */
+  private val ScaledM2 = 9444732965739290427392.0
+
+  /**
+   * HLL register table for the values of `valueCol` within each group:
+   * one row per (group, bucket) with the register value
+   * `maxrho` — the sketch itself, `max`-mergeable on (group, bucket).
+   */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val h = RollingHash.rolling_hash(col(valueCol))
+    val w = h.bitwiseAND(lit(WMask))
+    val rho = when(w === 0L, lit(57))
+      .otherwise(lit(57) - length(bin(w)))
+    df.select(groupCols.map(col) :+
+        shiftrightunsigned(h, 56).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("maxrho"))
+  }
+
+  /**
+   * Cardinality estimate per group from a [[hllRegisters]] table: the
+   * raw HLL estimator `alpha_256 * m^2 / sum(2^-M_j)`, with the
+   * harmonic sum carried exactly (every term `2^(57-M)` is an integer,
+   * summed as DECIMAL with the `(256 - nonempty) * 2^57` empty-register
+   * mass added back) and cast to double once. Emits
+   * `(group..., nonzero_registers, harmonic_scaled_d, estimate)`.
+   */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val term = expr("cast(shiftleft(cast(1 as bigint), 57 - maxrho) as decimal(38,0))")
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("nonzero_registers"),
+        sum(term).as("present_mass"))
+      .select(groupCols.map(col) :+ col("nonzero_registers") :+
+        (col("present_mass") +
+          (lit(NumRegisters) - col("nonzero_registers")) *
+            lit(TwoPow57)).cast("double").as("harmonic_scaled_d"): _*)
+      .withColumn("estimate",
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) *
+          (lit(ScaledM2) / col("harmonic_scaled_d")))
+  }
+
+  /** Convenience: registers + estimate in one call. */
+  def hllCardinality(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** Word n-gram stream per group, generated in-scan (slice+zip, no
+    * shuffle): the element universe the dedup family already indexes —
+    * the right sketch target, both because its cardinality is the
+    * number that sizes a dedup run's inverted index and because
+    * multi-word grams are long enough that the Karp-Rabin hash's top
+    * (bucket-selecting) bits are thoroughly mixed. Very SHORT elements
+    * (1-2 chars) barely wrap the 64-bit fold and pile into low buckets
+    * — sketch grams or other long keys, not raw characters. */
+  def ngramStream(
+      docs: DataFrame, textCol: String, groupCols: Seq[String],
+      n: Int = 5): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    docs.select(groupCols.map(col) :+ ws.as("ws"): _*)
+      .select(groupCols.map(col) :+
+        explode(Signals.sliceNgrams(col("ws"), n)).as("bg"): _*)
+      .select(groupCols.map(col) :+
+        concat_ws(" ", (0 until n).map(k => col(s"bg.$k")): _*).as("gram"): _*)
+  }
+
+  /** Sketch-then-estimate: distinct word-5-gram cardinality per group —
+    * the corpus-datasheet entry that sizes shingle inverted indexes. */
+  def shingleCardinality(
+      docs: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    hllCardinality(ngramStream(docs, textCol, groupCols), groupCols, "gram")
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextRank: edge extraction, hand-computed round arithmetic,
+  * driver-side reference differential, partition invariance. */
+class GraphRankSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graphrank-spec")
+    .getOrCreate()
+
+  /** Driver-side reference: same tokenization, same canonical edges,
+    * same integer fixed-point rounds — plain Scala maps. */
+  private def referenceRank(
+      texts: Seq[String], minEdge: Long, iters: Int): Map[String, Long] = {
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    for (t <- texts) {
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      for (Array(x, y) <- ws.sliding(2) if ws.length >= 2 && x != y) {
+        val k = if (x < y) (x, y) else (y, x)
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val edges = pairCounts.filter(_._2 >= minEdge).toSeq
+    val adj = edges.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = adj.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var score: Map[String, Long] =
+      adj.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val mass = scala.collection.mutable.Map[String, Long]()
+      for ((src, dst, w) <- adj) {
+        val c = (score(src) * w) / wdeg(src)
+        mass(dst) = mass.getOrElse(dst, 0L) + c
+      }
+      score = mass.map { case (n, m) => n -> (150000L + (85L * m) / 100L) }
+        .toMap
+    }
+    score
+  }
+
+  test("co-occurrence edges: canonical order, weights, hapax pruning") {
+    import spark.implicits._
+    val docs = Seq("b a b a", "x y", "c c c").toDF("text")
+    val edges = GraphRank.cooccurrenceEdges(docs, "text", minEdgeCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    // "b a b a": pairs (b,a),(a,b),(b,a) -> canonical (a,b) x3
+    // "x y": weight 1 -> pruned; "c c c": self-pairs -> dropped
+    assert(edges == Set(("a", "b", 3L)))
+  }
+
+  test("one round matches hand-computed fixed-point arithmetic") {
+    import spark.implicits._
+    // path graph a -3- b -3- c; wdeg a=3, b=6, c=3
+    val docs = Seq("a b a b", "b c b c").toDF("text")
+    val out = GraphRank.textRank(docs, "text", minEdgeCount = 2L,
+        iterations = 1)
+      .as[(String, Long)].collect().toMap
+    // a: (1e6*3) div 6 = 500000 -> 150000 + (85*500000) div 100 = 575000
+    // b: (1e6*3) div 3 twice = 2e6 -> 150000 + 1700000 = 1850000
+    assert(out == Map("a" -> 575000L, "b" -> 1850000L, "c" -> 575000L))
+  }
+
+  test("ten rounds equal the driver-side reference on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'p').map(_.toString)
+    val texts = (0 until 120).map { _ =>
+      (0 until (3 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val expected = referenceRank(texts, minEdge = 2L, iters = 10)
+    val got = GraphRank.textRank(texts.toDF("text"), "text",
+        minEdgeCount = 2L, iterations = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("result is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val texts = (0 until 60).map { _ =>
+      (0 until (2 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val one = GraphRank.textRank(
+        texts.toDF("text").coalesce(1), "text", 2L, 5)
+      .as[(String, Long)].collect().toMap
+    val many = GraphRank.textRank(
+        texts.toDF("text").repartition(7), "text", 2L, 5)
+      .as[(String, Long)].collect().toMap
+    assert(one == many)
+  }
+
+  test("isolated and below-floor words are absent; scores bounded below") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "z", "q r").toDF("text")
+    val out = GraphRank.textRank(docs, "text", 2L, 3)
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("a", "b"))
+    assert(out.values.forall(_ >= 150000L), "teleport mass is the floor")
+  }
+}
