@@ -1104,4 +1104,44 @@ object RelQueries {
       |FROM u LEFT JOIN v USING (user_id)
       |       LEFT JOIN c USING (user_id)
       |       LEFT JOIN p USING (user_id)""".stripMargin
+
+  /** q: frequent sequential patterns (length 1-3) over per-user event
+    * histories at an 80% support fraction — GSP-style growth with the
+    * lossless anti-monotone prune; see
+    * [[graft.fpm.SequentialPatterns]]. The oracle states containment
+    * directly as EXISTS-ordered-position joins (no prune — pruning is
+    * lossless, so the frequent sets coincide) with the identical
+    * strict (time, event_id) order and exact rational threshold. */
+  def sequentialPatterns(spark: SparkSession, dir: String): DataFrame =
+    graft.fpm.SequentialPatterns.frequentSequences(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+          col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type",
+      minSupportNum = 4L, minSupportDen = 5L, maxLen = 3)
+
+  val SequentialPatternsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
+      |           FROM events WHERE event_type IS NOT NULL),
+      |n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM e),
+      |m AS (SELECT (nu * 4 + 4) // 5 AS mc FROM n),
+      |u1 AS (SELECT DISTINCT user_id, y FROM e),
+      |l1 AS (SELECT y AS p1, count(*)::BIGINT AS support FROM u1 GROUP BY 1
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u2 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))),
+      |l2 AS (SELECT p1, p2, count(*)::BIGINT AS support FROM u2 GROUP BY 1, 2
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u3 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2, c.y AS p3
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+      |       JOIN e c ON b.user_id = c.user_id
+      |        AND (b.t < c.t OR (b.t = c.t AND b.i < c.i))),
+      |l3 AS (SELECT p1, p2, p3, count(*)::BIGINT AS support FROM u3
+      |       GROUP BY 1, 2, 3
+      |       HAVING count(*) >= (SELECT mc FROM m))
+      |SELECT p1 AS pattern, 1 AS plen, support FROM l1
+      |UNION ALL SELECT p1 || '->' || p2, 2, support FROM l2
+      |UNION ALL SELECT p1 || '->' || p2 || '->' || p3, 3, support FROM l3""".stripMargin
 }

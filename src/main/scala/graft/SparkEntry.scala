@@ -135,6 +135,7 @@ object SparkEntry {
     "q118_projected_ann" -> ((s, d) => PipelineQueries.projectedAnnRecall(s, d)),
     "q119_textrank" -> ((s, d) => PipelineQueries.textRank(s, d)),
     "q120_hll_cardinality" -> ((s, d) => PipelineQueries.shingleCardinalitySketch(s, d)),
+    "q121_sequential_patterns" -> ((s, d) => RelQueries.sequentialPatterns(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -456,5 +457,9 @@ object SparkEntry {
     // — distinct shingles per source; exact integer registers + pinned
     // IEEE estimate, in-row exact adjudication, bound 0.25
     "q120_hll_cardinality" -> PipelineQueries.ShingleCardinalitySketchSql,
+    // q121: GSP/PrefixSpan-family sequential patterns over per-user
+    // event histories — candidate growth with the lossless prune; the
+    // oracle counts ordered-position containment joins directly
+    "q121_sequential_patterns" -> RelQueries.SequentialPatternsSql,
   )
 }

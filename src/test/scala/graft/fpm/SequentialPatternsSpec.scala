@@ -1,0 +1,100 @@
+package graft.fpm
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GSP sequential patterns: hand fixture, repeated-symbol and
+  * non-contiguous containment, brute-force differential (prune
+  * losslessness), tie order, empty input. */
+class SequentialPatternsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("seqpatterns-spec")
+    .getOrCreate()
+
+  private def mine(
+      rows: Seq[(Long, Long, Long, String)], num: Long, den: Long,
+      maxLen: Int = 3): Map[String, (Int, Long)] = {
+    import spark.implicits._
+    SequentialPatterns.frequentSequences(
+        rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y", num, den, maxLen)
+      .as[(String, Int, Long)].collect()
+      .map { case (p, l, s) => p -> (l, s) }.toMap
+  }
+
+  /** Driver-side brute force: enumerate every pattern over the alphabet
+    * up to maxLen, count containment per user sequence, threshold. */
+  private def bruteForce(
+      rows: Seq[(Long, Long, Long, String)], num: Long, den: Long,
+      maxLen: Int): Map[String, (Int, Long)] = {
+    val seqs = rows.groupBy(_._1).map { case (_, rs) =>
+      rs.sortBy(r => (r._2, r._3)).map(_._4)
+    }.toSeq
+    val minCount = (seqs.size * num + den - 1) / den
+    val alphabet = rows.map(_._4).distinct.sorted
+    def contains(s: Seq[String], p: Seq[String]): Boolean = {
+      var m = 0
+      for (x <- s if m < p.length) if (x == p(m)) m += 1
+      m == p.length
+    }
+    def patterns(k: Int): Seq[List[String]] =
+      if (k == 0) Seq(Nil)
+      else for (p <- patterns(k - 1); c <- alphabet) yield c :: p
+    (1 to maxLen).flatMap { k =>
+      patterns(k).map(_.reverse).map { p =>
+        p -> seqs.count(contains(_, p)).toLong
+      }.filter(_._2 >= minCount)
+        .map { case (p, s) => p.mkString("->") -> (k, s) }
+    }.toMap
+  }
+
+  test("hand fixture: frequent 1- and 2-patterns at 50% support") {
+    val rows = Seq(
+      // u1: a b c   u2: a c b   u3: b a   u4: a b
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "c"), (2L, 3L, 6L, "b"),
+      (3L, 1L, 7L, "b"), (3L, 2L, 8L, "a"),
+      (4L, 1L, 9L, "a"), (4L, 2L, 10L, "b"))
+    val got = mine(rows, 1L, 2L)
+    assert(got == Map(
+      "a" -> (1, 4L), "b" -> (1, 4L), "c" -> (1, 2L),
+      "a->b" -> (2, 3L), "a->c" -> (2, 2L)))
+  }
+
+  test("repeated symbols and non-contiguous matches count") {
+    val rows = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "x"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "a"))
+    val got = mine(rows, 1L, 1L) // 100% support
+    assert(got("a->a") == (2, 2L), "a _ a and a a both contain a->a")
+    assert(!got.contains("x"), "x appears for only one of two users")
+  }
+
+  test("matches the driver-side brute force on random logs") {
+    val rnd = new scala.util.Random(13)
+    val types = Seq("v", "c", "p", "e")
+    val rows = for {
+      u <- 1L to 40L
+      k <- 1 to (2 + rnd.nextInt(10))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    for ((num, den) <- Seq((1L, 4L), (1L, 2L), (4L, 5L))) {
+      assert(mine(rows, num, den) == bruteForce(rows, num, den, 3),
+        s"support $num/$den diverged from brute force")
+    }
+  }
+
+  test("equal timestamps order by event id") {
+    // both events at t=1: id order makes the sequence (a, b), so a->b
+    // is contained and b->a is not
+    val rows = Seq((1L, 1L, 1L, "a"), (1L, 1L, 2L, "b"))
+    val got = mine(rows, 1L, 1L)
+    assert(got.contains("a->b") && !got.contains("b->a"))
+  }
+
+  test("empty input yields an empty frame, not a crash") {
+    assert(mine(Nil, 4L, 5L).isEmpty)
+  }
+}
