@@ -2797,6 +2797,17 @@ object PipelineQueries {
     graft.pipeline.GraphRank.textRank(docs(s, d), "text",
       minEdgeCount = 2L, iterations = 10)
 
+  /** DuckDB CTEs: the word co-occurrence edge list (canonical order,
+    * weight counts, hapax pruned) — shared by q119 and q123. */
+  private val CoocEdgeCtes: String =
+    """w AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |      FROM documents),
+      |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+      |e AS (SELECT least(w1, w2) AS word_a, greatest(w1, w2) AS word_b,
+      |             count(*)::BIGINT AS weight
+      |      FROM b WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   val TextRankSql: String = {
     val rounds = (1 to 10).map { k =>
       s"""p$k AS (SELECT dg.dst AS word,
@@ -2804,13 +2815,7 @@ object PipelineQueries {
          |  FROM dg JOIN p${k - 1} p ON dg.src = p.word GROUP BY dg.dst)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-       |           FROM documents),
-       |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
-       |      FROM w, unnest(range(1, len(ws))) AS t(i)),
-       |e AS (SELECT least(w1, w2) AS word_a, greatest(w1, w2) AS word_b,
-       |             count(*)::BIGINT AS weight
-       |      FROM b WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+    s"""WITH $CoocEdgeCtes,
        |adj AS (SELECT word_a AS src, word_b AS dst, weight FROM e
        |        UNION ALL SELECT word_b, word_a, weight FROM e),
        |dg AS (SELECT src, dst, weight,
@@ -2885,4 +2890,48 @@ object PipelineQueries {
       |  abs(s.estimate - x.exact_distinct::DOUBLE) / x.exact_distinct::DOUBLE AS rel_err,
       |  (abs(s.estimate - x.exact_distinct::DOUBLE) / x.exact_distinct::DOUBLE) <= 0.25 AS within_bound
       |FROM sel s JOIN ex x ON s.source = x.source""".stripMargin
+
+  /** q: triangle census of the word co-occurrence graph — nodes, edges,
+    * wedges, triangles, global clustering coefficient (see
+    * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact
+    * integers; the coefficient is one IEEE division. */
+  def graphTriangleCensus(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.GraphRank.triangleCensus(
+      graft.pipeline.GraphRank.cooccurrenceEdges(docs(s, d), "text",
+        minEdgeCount = 2L))
+
+  val GraphTriangleCensusSql: String =
+    s"""WITH $CoocEdgeCtes,
+       |dg2 AS (SELECT node, count(*)::BIGINT AS d FROM
+       |          (SELECT word_a AS node FROM e
+       |           UNION ALL SELECT word_b FROM e) t GROUP BY 1),
+       |nw AS (SELECT count(*)::BIGINT AS nodes,
+       |              coalesce(sum((d * (d - 1)) // 2), 0)::BIGINT AS wedges
+       |       FROM dg2),
+       |em AS (SELECT count(*)::BIGINT AS edges FROM e),
+       |tr AS (SELECT count(*)::BIGINT AS triangles
+       |       FROM e e1 JOIN e e2 ON e1.word_b = e2.word_a
+       |                 JOIN e e3 ON e3.word_a = e1.word_a
+       |                          AND e3.word_b = e2.word_b)
+       |SELECT nodes, edges, wedges, triangles,
+       |  CASE WHEN wedges > 0
+       |       THEN (3 * triangles)::DOUBLE / wedges::DOUBLE END AS clustering
+       |FROM nw, em, tr
+       |WHERE nodes > 0""".stripMargin
+
+  /** q: deterministic exact-k per-source sample — every source
+    * contributes exactly min(k, docs) rows ranked by salted md5 (see
+    * [[graft.pipeline.Curation.exactKSample]]; the fixed-quota
+    * complement of the q42/q50/q88 rate gates). */
+  def exactKPerSource(s: SparkSession, d: String): DataFrame =
+    Curation.exactKSample(docs(s, d), "source", "doc_id", k = 10)
+
+  val ExactKPerSourceSql: String =
+    """SELECT * FROM (
+      |  SELECT source, doc_id, md5('strat:' || doc_id) AS sample_key,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5('strat:' || doc_id), doc_id)
+      |           AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10""".stripMargin
 }

@@ -1144,4 +1144,57 @@ object RelQueries {
       |SELECT p1 AS pattern, 1 AS plen, support FROM l1
       |UNION ALL SELECT p1 || '->' || p2, 2, support FROM l2
       |UNION ALL SELECT p1 || '->' || p2 || '->' || p3, 3, support FROM l3""".stripMargin
+
+  /**
+   * SCD2 dimension history build (slowly-changing-dimension type 2 —
+   * Kimball's history-preserving variant of q57's latest-state
+   * compaction): per key, CHANGE detection first (an event opens a new
+   * version only when its state differs from the previous event's),
+   * then validity-interval assembly — `[valid_from, valid_to)` with the
+   * open current version carrying a null `valid_to`.
+   *
+   * Scale shape: two window passes over the SAME (key) partitioning and
+   * (time, id) ordering — Catalyst plans ONE exchange + one sort and
+   * reuses them for both windows, so the whole history build is a
+   * single shuffle of the event log. Deterministic: ordering is the
+   * strictly-unique (time, eventId) pair.
+   */
+  def scd2History(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = events
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .where(col("__prev").isNull || col(stateCol) =!= col("__prev"))
+      .drop("__prev")
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** q: the user's event-type state history as an SCD2 table. */
+  def userStateHistory(spark: SparkSession, dir: String): DataFrame =
+    scd2History(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+          col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type")
+
+  val UserStateHistorySql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
+      |                  event_type AS y
+      |           FROM events),
+      |c AS (SELECT user_id, tsu, i, y,
+      |             lag(y) OVER (PARTITION BY user_id ORDER BY tsu, i) AS prev
+      |      FROM e),
+      |ch AS (SELECT user_id, tsu, i, y FROM c
+      |       WHERE prev IS NULL OR y <> prev)
+      |SELECT user_id, y AS state, tsu AS valid_from,
+      |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, i) AS valid_to,
+      |  (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, i) IS NULL)
+      |    AS is_current
+      |FROM ch""".stripMargin
 }

@@ -136,6 +136,9 @@ object SparkEntry {
     "q119_textrank" -> ((s, d) => PipelineQueries.textRank(s, d)),
     "q120_hll_cardinality" -> ((s, d) => PipelineQueries.shingleCardinalitySketch(s, d)),
     "q121_sequential_patterns" -> ((s, d) => RelQueries.sequentialPatterns(s, d)),
+    "q122_scd2_history" -> ((s, d) => RelQueries.userStateHistory(s, d)),
+    "q123_triangle_census" -> ((s, d) => PipelineQueries.graphTriangleCensus(s, d)),
+    "q124_exact_k_sample" -> ((s, d) => PipelineQueries.exactKPerSource(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,5 +464,14 @@ object SparkEntry {
     // event histories — candidate growth with the lossless prune; the
     // oracle counts ordered-position containment joins directly
     "q121_sequential_patterns" -> RelQueries.SequentialPatternsSql,
+    // q122: SCD2 history build — change detection + validity intervals,
+    // two windows over one (user) exchange; strict (time, id) order
+    "q122_scd2_history" -> RelQueries.UserStateHistorySql,
+    // q123: triangle census of the co-occurrence graph — node-ordered
+    // two-join triangle count, exact integer wedges, one IEEE division
+    "q123_triangle_census" -> PipelineQueries.GraphTriangleCensusSql,
+    // q124: deterministic exact-k per-source sample — fixed quota via
+    // salted-md5 rank, WindowGroupLimit pre-prunes map-side
+    "q124_exact_k_sample" -> PipelineQueries.ExactKPerSourceSql,
   )
 }

@@ -422,6 +422,36 @@ object Curation {
   }
 
   /**
+   * Deterministic EXACT-k per-stratum sample: every stratum contributes
+   * exactly `min(k, |stratum|)` rows, ranked by a salted md5 of the row
+   * id — the fixed-quota complement of the RATE-based gates
+   * ([[temperatureSample]], [[mixtureSample]], whose per-row keep
+   * decisions are independent and only hit quotas in expectation). The
+   * quota guarantee is what evaluation-set construction and per-domain
+   * audits need ("exactly 10 docs from every source, reproducibly").
+   *
+   * Scale shape: one shuffle on the stratum key; the `row_number <= k`
+   * filter plans as WindowGroupLimit (the q51 rank-limit shape), so
+   * each map task pre-prunes to its local top-k before the exchange —
+   * the shuffle carries O(k x partitions) rows per stratum, not the
+   * corpus. Replayable: same salt, same sample, regardless of
+   * partitioning or corpus growth ORDER (growth can displace ranks, as
+   * with any fixed-quota scheme; the salt isolates experiments).
+   */
+  def exactKSample(
+      df: DataFrame, strataCol: String, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val key = md5(concat_ws(":", lit(s"strat$salt"), col(idCol)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    df.select(col(strataCol), col(idCol), key.as("sample_key"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(strataCol), col(idCol), col("sample_key"),
+        col("__rn").cast("long").as("rk"))
+  }
+
+  /**
    * Leakage-safe train/val/test split: the [[datasetSplit]] md5 gate
    * keyed by the NEAR-DUP CLUSTER id instead of the document id, so
    * every member of a duplicate cluster lands in the same split — the

@@ -132,4 +132,50 @@ object GraphRank {
     adj.unpersist()
     scores.select(col("word"), col("score").as("rank_micro"))
   }
+
+  /**
+   * Triangle census — the graph-shape datasheet: node/edge counts,
+   * wedges (open two-paths, `sum(d*(d-1)/2)`), triangle count, and the
+   * global clustering coefficient `3*triangles / wedges`. Triangles use
+   * the node-ORDERED edge list (`word_a < word_b` from
+   * [[cooccurrenceEdges]]), so every triangle a<b<c is found exactly
+   * once as edges (a,b)+(b,c) closed by (a,c) — two equi-joins over the
+   * vocabulary-sized edge table, never a per-node neighborhood
+   * materialization (hub nodes cost join fan-out, not memory). All
+   * counts are exact integers; the coefficient is one IEEE division.
+   *
+   * Emits ONE row `(nodes, edges, wedges, triangles, clustering)`;
+   * zero rows on an empty graph (the corpus-card convention). The
+   * one-row aggregates combine by union + max, not a cross join — no
+   * cartesian shape anywhere in the plan.
+   */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("word_a"), col("word_b"))
+    val deg = e.select(col("word_a").as("node"))
+      .union(e.select(col("word_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val nw = deg.agg(count(lit(1)).as("nodes"),
+      coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("wedges"))
+    val em = e.agg(count(lit(1)).as("edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.word_b") === col("e2.word_a"))
+      .join(e.as("e3"), col("e3.word_a") === col("e1.word_a") &&
+        col("e3.word_b") === col("e2.word_b"))
+      .agg(count(lit(1)).as("triangles"))
+    val nullL = lit(null).cast("long")
+    nw.select(col("nodes"), nullL.as("edges"), col("wedges"),
+        nullL.as("triangles"))
+      .unionAll(em.select(nullL.as("nodes"), col("edges"),
+        nullL.as("wedges"), nullL.as("triangles")))
+      .unionAll(tri.select(nullL.as("nodes"), nullL.as("edges"),
+        nullL.as("wedges"), col("triangles")))
+      .agg(max(col("nodes")).as("nodes"), max(col("edges")).as("edges"),
+        max(col("wedges")).as("wedges"),
+        max(col("triangles")).as("triangles"))
+      .withColumn("clustering",
+        when(col("wedges") > 0L,
+          (lit(3) * col("triangles")).cast("double") /
+            col("wedges").cast("double")))
+      .where(col("nodes") > 0L)
+  }
 }

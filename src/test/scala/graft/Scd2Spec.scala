@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCD2 history build: change detection, interval assembly, tie order,
+  * coverage invariants, driver-side reference differential. */
+class Scd2Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("scd2-spec")
+    .getOrCreate()
+
+  private def build(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    RelQueries.scd2History(rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+  }
+
+  test("repeats merge; versions carry half-open validity intervals") {
+    // user 1: a@1 a@2 b@3 a@4 — the repeat at t=2 opens no version
+    val got = build(Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "a"),
+      (1L, 3L, 3L, "b"), (1L, 4L, 4L, "a")))
+    assert(got == Set(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(4L), false),
+      (1L, "a", 4L, None, true)))
+  }
+
+  test("equal timestamps order by event id") {
+    // both at t=5: id 1 (x) precedes id 2 (y) -> two versions, y current
+    val got = build(Seq((1L, 5L, 1L, "x"), (1L, 5L, 2L, "y")))
+    assert(got == Set((1L, "x", 5L, Some(5L), false),
+      (1L, "y", 5L, None, true)))
+  }
+
+  test("random histories: contiguous coverage and one current per key") {
+    val rnd = new scala.util.Random(17)
+    val rows = for {
+      u <- 1L to 25L
+      k <- 1 to (1 + rnd.nextInt(15))
+    } yield (u, k.toLong * 10, u * 1000 + k, s"s${rnd.nextInt(3)}")
+    val got = build(rows)
+    val byUser = got.groupBy(_._1)
+    for ((u, vs) <- byUser) {
+      assert(vs.count(_._5) == 1, s"user $u must have exactly one current")
+      val sorted = vs.toSeq.sortBy(_._3)
+      assert(sorted.head._3 == rows.filter(_._1 == u).map(_._2).min,
+        "history starts at the first event")
+      for (Seq(p, n) <- sorted.sliding(2) if sorted.size >= 2)
+        assert(p._4.contains(n._3), "valid_to chains to the next valid_from")
+      assert(sorted.last._4.isEmpty, "the last version is open")
+      for (Seq(p, n) <- sorted.sliding(2) if sorted.size >= 2)
+        assert(p._2 != n._2, "consecutive versions differ in state")
+    }
+    // differential: replay states driver-side
+    val expect = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      val changes = ordered.foldLeft(List.empty[(Long, String)]) {
+        case (acc, r) =>
+          if (acc.headOption.exists(_._2 == r._4)) acc
+          else (r._2, r._4) :: acc
+      }.reverse
+      changes.zipWithIndex.map { case ((t, s), ix) =>
+        val to = changes.lift(ix + 1).map(_._1)
+        (u, s, t, to, to.isEmpty)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+}

@@ -411,4 +411,34 @@ class CurationSpec extends AnyFunSuite {
       s"${leaked.size} persistent RDDs leaked after sweep: ${leaked.take(5)}")
     assert(warm.size + frames.size == 8) // keeps the frames live past the sweep
   }
+
+  test("exactKSample: exact quota per stratum, short strata kept whole") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(i => (i, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "source")
+    val got = Curation.exactKSample(df, "source", "doc_id", k = 5)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val bySrc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 5, "small" -> 2),
+      "exactly k from the big stratum, all of the short one")
+  }
+
+  test("exactKSample is replayable and partition-invariant; salts differ") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    def ids(parts: Int, salt: String) = Curation.exactKSample(
+        df.repartition(parts), "source", "doc_id", 7, salt)
+      .select($"doc_id", $"rk").as[(Long, Long)].collect().toSet
+    assert(ids(1, "") == ids(11, ""), "same sample at any parallelism")
+    assert(ids(3, "") != ids(3, "x"),
+      "a different salt draws a different sample")
+  }
+
+  test("exactKSample ranks are contiguous from 1 within each stratum") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, "s")).toDF("doc_id", "source")
+    val rks = Curation.exactKSample(df, "source", "doc_id", 10)
+      .select($"rk").as[Long].collect().sorted
+    assert(rks.toSeq == (1L to 10L))
+  }
 }

@@ -105,4 +105,47 @@ class GraphRankSpec extends AnyFunSuite {
     assert(out.keySet == Set("a", "b"))
     assert(out.values.forall(_ >= 150000L), "teleport mass is the floor")
   }
+
+  test("triangle census on a hand graph: triangle + pendant") {
+    import spark.implicits._
+    // a-b, a-c, b-c (triangle) + c-d (pendant)
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "d", 1L)).toDF("word_a", "word_b", "weight")
+    val row = GraphRank.triangleCensus(edges)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    // degrees a=2 b=2 c=3 d=1 -> wedges 1+1+3+0 = 5; clustering 3*1/5
+    assert(row.toSeq == Seq((4L, 4L, 5L, 1L, Some(0.6))))
+  }
+
+  test("triangle census matches brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val nodes = ('a' to 'l').map(_.toString)
+    val edgeSet = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if rnd.nextDouble() < 0.35
+    } yield (nodes(i), nodes(j))).toSet
+    val got = GraphRank.triangleCensus(
+        edgeSet.toSeq.map { case (a, b) => (a, b, 1L) }
+          .toDF("word_a", "word_b", "weight"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    val present = edgeSet ++ edgeSet.map(_.swap)
+    val ns = present.map(_._1)
+    val deg = ns.map(n => n -> present.count(_._1 == n)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val nsq = ns.toSeq.sorted
+    val tris = (for {
+      a <- nsq; b <- nsq if a < b && edgeSet((a, b))
+      c <- nsq if b < c && edgeSet((b, c)) && edgeSet((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(got == ((ns.size.toLong, edgeSet.size.toLong, wedges, tris,
+      if (wedges > 0) Some(3.0 * tris / wedges) else None)))
+  }
+
+  test("triangle census emits zero rows on an empty graph") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("word_a", "word_b", "weight")
+    assert(GraphRank.triangleCensus(empty).count() == 0L)
+  }
 }
