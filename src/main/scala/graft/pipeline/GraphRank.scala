@@ -95,12 +95,65 @@ object GraphRank {
    * data-dependent stopping rule would make the oracle's unrolled
    * rounds unstatable. Ten damped rounds is past the point where
    * keyword ORDER stabilizes on co-occurrence graphs.
+   *
+   * == Size-gated routing (the BPE trainer discipline) ==
+   *
+   * Edge extraction is always the distributed scan+aggregate; the
+   * ITERATION then routes on the aggregated edge count. At or below
+   * `distributedThreshold` edges (vocabulary-sized graphs — the common
+   * TextRank case) the rounds run driver-side over the collected edge
+   * list: same integer arithmetic to the bit (spec-enforced against the
+   * distributed path), no per-round job/shuffle/checkpoint overhead.
+   * Above the gate — web-scale link graphs — each round is one shuffle
+   * join + one partial-aggregated groupBy over vocabulary-sized frames
+   * with eager localCheckpoint truncation (the CC round discipline);
+   * corpus size never re-enters the loop either way.
    */
   def textRank(
       docs: DataFrame, textCol: String,
-      minEdgeCount: Long = 2L, iterations: Int = 10): DataFrame = {
+      minEdgeCount: Long = 2L, iterations: Int = 10,
+      distributedThreshold: Long = 100000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val edges = cooccurrenceEdges(docs, textCol, minEdgeCount)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // One long of metadata: the aggregated edge count that routes the
+      // iteration regime.
+      if (edges.count() <= distributedThreshold) textRankLocal(edges, iterations)
+      else textRankDistributed(edges, iterations)
+    } finally edges.unpersist()
+  }
+
+  /** Driver-side rounds over a bounded collected edge list — identical
+    * arithmetic to [[textRankDistributed]] (spec-enforced). */
+  private def textRankLocal(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("word_a"), col("word_b"), col("weight"))
+      .as[(String, String, Long)].collect()
+    val adj = es.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = scala.collection.mutable.HashMap.empty[String, Long]
+    adj.foreach { case (s, _, w) =>
+      wdeg.update(s, wdeg.getOrElse(s, 0L) + w)
+    }
+    var score: scala.collection.Map[String, Long] =
+      wdeg.map { case (k, _) => k -> OneMicro }
+    for (_ <- 1 to iterations) {
+      val mass = scala.collection.mutable.HashMap.empty[String, Long]
+      adj.foreach { case (s, d, w) =>
+        mass.update(d, mass.getOrElse(d, 0L) + score(s) * w / wdeg(s))
+      }
+      score = mass.map { case (k, m) =>
+        k -> (TeleportMicro + DampNum * m / DampDen)
+      }
+    }
+    score.toSeq.toDF("word", "rank_micro")
+  }
+
+  /** Distributed rounds: one join + one partial-aggregated groupBy per
+    * round over vocabulary-sized frames, localCheckpoint-truncated. */
+  private def textRankDistributed(
+      edges: DataFrame, iterations: Int): DataFrame = {
     val sym = edges.select(col("word_a").as("src"), col("word_b").as("dst"),
         col("weight"))
       .union(edges.select(col("word_b").as("src"), col("word_a").as("dst"),

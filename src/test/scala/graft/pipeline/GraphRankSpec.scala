@@ -106,6 +106,23 @@ class GraphRankSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= 150000L), "teleport mass is the floor")
   }
 
+  test("distributed rounds equal the in-memory path bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'n').map(_.toString)
+    val texts = (0 until 90).map { _ =>
+      (0 until (3 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = texts.toDF("text")
+    val local = GraphRank.textRank(docs, "text", 2L, 6)
+      .as[(String, Long)].collect().toMap
+    val dist = GraphRank.textRank(docs, "text", 2L, 6,
+        distributedThreshold = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(local == dist)
+  }
+
   test("triangle census on a hand graph: triangle + pendant") {
     import spark.implicits._
     // a-b, a-c, b-c (triangle) + c-d (pendant)
