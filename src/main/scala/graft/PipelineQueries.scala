@@ -2919,6 +2919,47 @@ object PipelineQueries {
        |FROM nw, em, tr
        |WHERE nodes > 0""".stripMargin
 
+  /** q: distribution DRIFT report between the q112 snapshot versions —
+    * text-length shares per 100-char bucket (last bucket open), compared
+    * side by side with exact counts, pinned IEEE share arithmetic, and
+    * a 2% drift flag per bucket (see
+    * [[graft.pipeline.Curation.histogramDrift]]; deliberately no summed
+    * PSI/KL — that needs libm logs and an unordered float sum). */
+  def snapshotDrift(s: SparkSession, d: String): DataFrame = {
+    val (old, neu) = snapshotVersions(s, d)
+    Curation.histogramDrift(
+      old.select(length(col("text")).cast("long").as("len")),
+      neu.select(length(col("text")).cast("long").as("len")),
+      "len", bucketWidth = 100L, numBuckets = 10, threshold = 0.02)
+  }
+
+  val SnapshotDriftSql: String =
+    """WITH o AS (SELECT length(text)::BIGINT AS len FROM documents
+      |           WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+      |n2 AS (SELECT length(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+      |                          ELSE text END)::BIGINT AS len
+      |       FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+      |ho AS (SELECT least(len // 100, 9)::BIGINT AS bucket,
+      |              count(*)::BIGINT AS c_old FROM o GROUP BY 1),
+      |hn AS (SELECT least(len // 100, 9)::BIGINT AS bucket,
+      |              count(*)::BIGINT AS c_new FROM n2 GROUP BY 1),
+      |j AS (SELECT coalesce(ho.bucket, hn.bucket) AS bucket,
+      |             coalesce(c_old, 0)::BIGINT AS c_old,
+      |             coalesce(c_new, 0)::BIGINT AS c_new
+      |      FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket),
+      |t AS (SELECT bucket, c_old, c_new,
+      |             sum(c_old) OVER ()::BIGINT AS n_old,
+      |             sum(c_new) OVER ()::BIGINT AS n_new
+      |      FROM j),
+      |sh AS (SELECT bucket, c_old, c_new, n_old, n_new,
+      |              c_old::DOUBLE / n_old::DOUBLE AS share_old,
+      |              c_new::DOUBLE / n_new::DOUBLE AS share_new
+      |       FROM t)
+      |SELECT bucket, c_old, c_new, n_old, n_new, share_old, share_new,
+      |  abs(share_old - share_new) AS share_delta_abs,
+      |  (abs(share_old - share_new) > 0.02) AS drifted
+      |FROM sh""".stripMargin
+
   /** q: deterministic exact-k per-source sample — every source
     * contributes exactly min(k, docs) rows ranked by salted md5 (see
     * [[graft.pipeline.Curation.exactKSample]]; the fixed-quota

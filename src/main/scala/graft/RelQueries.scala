@@ -1183,6 +1183,50 @@ object RelQueries {
           col("event_id"), col("event_type")),
       "user_id", "tsu", "event_id", "event_type")
 
+  /**
+   * q122's SCD2 build computed by an EXECUTED STREAMING QUERY (the q84
+   * pattern): [[graft.streaming.EventStreams.scd2Stream]] under
+   * `AvailableNow` into a parquet sink, read back. Only versions CLOSED
+   * by a state-changing event flow through the sink (the open version
+   * lives in state when the bounded run ends), so the oracle is q122's
+   * window algebra restricted to `valid_to IS NOT NULL`.
+   */
+  def userStateHistoryStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q126-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val out = base.resolve("out")
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.scd2Stream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("user_id BIGINT, state STRING, valid_from BIGINT, " +
+        "valid_to BIGINT")
+      .parquet(out.toString)
+  }
+
+  val UserStateHistoryClosedSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
+      |                  event_type AS y
+      |           FROM events),
+      |c AS (SELECT user_id, tsu, i, y,
+      |             lag(y) OVER (PARTITION BY user_id ORDER BY tsu, i) AS prev
+      |      FROM e),
+      |ch AS (SELECT user_id, tsu, i, y FROM c
+      |       WHERE prev IS NULL OR y <> prev),
+      |v AS (SELECT user_id, y AS state, tsu AS valid_from,
+      |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, i)
+      |          AS valid_to
+      |      FROM ch)
+      |SELECT user_id, state, valid_from, valid_to FROM v
+      |WHERE valid_to IS NOT NULL""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

@@ -139,6 +139,8 @@ object SparkEntry {
     "q122_scd2_history" -> ((s, d) => RelQueries.userStateHistory(s, d)),
     "q123_triangle_census" -> ((s, d) => PipelineQueries.graphTriangleCensus(s, d)),
     "q124_exact_k_sample" -> ((s, d) => PipelineQueries.exactKPerSource(s, d)),
+    "q125_snapshot_drift" -> ((s, d) => PipelineQueries.snapshotDrift(s, d)),
+    "q126_scd2_stream" -> ((s, d) => RelQueries.userStateHistoryStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -473,5 +475,12 @@ object SparkEntry {
     // q124: deterministic exact-k per-source sample — fixed quota via
     // salted-md5 rank, WindowGroupLimit pre-prunes map-side
     "q124_exact_k_sample" -> PipelineQueries.ExactKPerSourceSql,
+    // q125: length-distribution drift between the q112 snapshot versions
+    // — exact per-bucket counts, pinned IEEE shares, 2% per-bucket flag
+    "q125_snapshot_drift" -> PipelineQueries.SnapshotDriftSql,
+    // q126: q122's SCD2 build EXECUTED as a stream (flatMapGroupsWithState,
+    // one open version of state per key, availableNow -> parquet sink);
+    // the oracle restricts q122's algebra to versions closed by an event
+    "q126_scd2_stream" -> RelQueries.UserStateHistoryClosedSql,
   )
 }

@@ -517,6 +517,53 @@ object Curation {
   }
 
   /**
+   * Distribution DRIFT report between two corpus snapshots — the
+   * monitoring row a recurring ingest runs next to [[snapshotDiff]]'s
+   * id-level manifest: bucket a numeric measure on both sides (fixed
+   * integer-division buckets, the last one open-ended), compare the
+   * bucket SHARES, and flag buckets whose share moved more than
+   * `threshold`. Catches the shifts an id-diff can't see (a new crawler
+   * truncating documents changes every length share while the id sets
+   * barely move).
+   *
+   * Determinism: counts are exact integers from one partial-aggregated
+   * groupBy per side (histogram-sized frames after the scan); each
+   * share/delta is a pinned sequence of IEEE double ops per OUTPUT ROW
+   * — there is deliberately NO order-sensitive float reduction (no
+   * summed PSI/KL: those need libm logs and an unordered float sum; the
+   * per-bucket table carries strictly more information anyway).
+   */
+  def histogramDrift(
+      oldSide: DataFrame, newSide: DataFrame, valueCol: String,
+      bucketWidth: Long, numBuckets: Int,
+      threshold: Double): DataFrame = {
+    require(bucketWidth > 0 && numBuckets > 1,
+      s"need positive width and > 1 buckets: $bucketWidth/$numBuckets")
+    def hist(df: DataFrame, cName: String) =
+      df.where(col(valueCol).isNotNull)
+        .select(least(expr(s"$valueCol div $bucketWidth"),
+          lit(numBuckets - 1L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    val all = Window.partitionBy()
+    hist(oldSide, "c_old")
+      .join(hist(newSide, "c_new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      // side totals re-derived over the joined histogram (sum of the
+      // coalesced counts == the side's total; histogram-sized window)
+      .withColumn("n_old", sum(col("c_old")).over(all))
+      .withColumn("n_new", sum(col("c_new")).over(all))
+      .withColumn("share_old",
+        col("c_old").cast("double") / col("n_old").cast("double"))
+      .withColumn("share_new",
+        col("c_new").cast("double") / col("n_new").cast("double"))
+      .withColumn("share_delta_abs",
+        abs(col("share_old") - col("share_new")))
+      .withColumn("drifted", col("share_delta_abs") > threshold)
+  }
+
+  /**
    * INCREMENTAL AGGREGATE MAINTENANCE from a snapshot diff — the payoff
    * of [[snapshotDiff]]: refresh a per-word count rollup by touching
    * ONLY the changed documents. The new aggregate is

@@ -437,4 +437,65 @@ object EventStreams {
           expr("ts div 1000L").as("ts"), col("event_type"))
         .as[AttrEvent])
   }
+
+  /** The open SCD2 version a key's stream currently holds. */
+  case class Scd2Open(state: String, validFrom: Long)
+  case class Scd2Closed(
+      user_id: Long, state: String, valid_from: Long, valid_to: Long)
+
+  /** Per-group SCD2 pass: change detection over the batch's events in
+    * (ts, event_id) order against the carried open version; returns the
+    * versions CLOSED by this batch and the new open version. */
+  private def scd2Group(
+      uid: Long, evs: Iterator[AttrEvent], prior: Scd2Open)
+      : (scala.collection.mutable.ArrayBuffer[Scd2Closed], Scd2Open) = {
+    val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
+    val out = new scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+    var cur = prior
+    for (e <- sorted) {
+      if (cur == null) cur = Scd2Open(e.event_type, e.ts)
+      else if (e.event_type != cur.state) {
+        out += Scd2Closed(uid, cur.state, cur.validFrom, e.ts)
+        cur = Scd2Open(e.event_type, e.ts)
+      }
+      // a repeat extends the open version; nothing closes, nothing emits
+    }
+    (out, cur)
+  }
+
+  /**
+   * STREAMING SCD2 history build — the streaming twin of q122's batch
+   * `scd2History`: per-key change detection maintained as ONE open
+   * version of state per key (`flatMapGroupsWithState`), emitting a
+   * version the moment a state-changing event CLOSES it. The open
+   * (current) version stays in state — append-mode streams can only
+   * emit finished facts, exactly the closed-versions restriction the
+   * declared row's oracle states.
+   *
+   * State is O(keys) fixed width (the [[attributionFromEvents]]
+   * property); the same cross-batch ordering contract applies (batches
+   * arrive in event-time order; ties within a batch order by event id).
+   */
+  def scd2FromEvents(events: Dataset[AttrEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[AttrEvent], state: GroupState[Scd2Open]) => {
+          val (out, cur) = scd2Group(uid, evs, state.getOption.orNull)
+          if (cur != null) state.update(cur)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scd2FromEvents(
+      eventStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000L").as("ts"), col("event_type"))
+        .as[AttrEvent])
+  }
 }

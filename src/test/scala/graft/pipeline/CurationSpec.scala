@@ -412,6 +412,31 @@ class CurationSpec extends AnyFunSuite {
     assert(warm.size + frames.size == 8) // keeps the frames live past the sweep
   }
 
+  test("histogramDrift: buckets, one-sided buckets, planted drift flag") {
+    import spark.implicits._
+    // width 10, 3 buckets (last open): old = 4x[0], 4x[1]; new = 4x[0],
+    // 4x[2-open] (incl. an overflow value 95 clamped into bucket 2)
+    val old = Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L).toDF("v")
+    val neu = Seq(5L, 6L, 7L, 8L, 21L, 22L, 23L, 95L).toDF("v")
+    val got = Curation.histogramDrift(old, neu, "v", 10L, 3, 0.3)
+      .select($"bucket", $"c_old", $"c_new", $"share_old", $"share_new",
+        $"drifted")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 4L, 4L, 0.5, 0.5, false),
+      (1L, 4L, 0L, 0.5, 0.0, true),
+      (2L, 0L, 4L, 0.0, 0.5, true)))
+  }
+
+  test("histogramDrift: identical sides show zero drift everywhere") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("v")
+    val got = Curation.histogramDrift(df, df, "v", 25L, 5, 0.0001)
+      .select($"share_delta_abs", $"drifted").as[(Double, Boolean)].collect()
+    assert(got.nonEmpty && got.forall(r => r._1 == 0.0 && !r._2))
+  }
+
   test("exactKSample: exact quota per stratum, short strata kept whole") {
     import spark.implicits._
     val df = ((1L to 20L).map(i => (i, "big")) ++

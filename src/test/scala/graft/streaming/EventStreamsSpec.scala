@@ -242,4 +242,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(10L) == 10L)  // the purchase attributes to itself
     assert(rows(12L) == -1L)  // past the horizon: stale state NOT used
   }
+
+  test("streaming SCD2 == batch closed versions, incl. cross-batch closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.AttrEvent
+    val rnd = new scala.util.Random(29)
+    val types = Seq("a", "b", "c")
+    val evs = (for {
+      u <- 1L to 12L
+      k <- 1 to (2 + rnd.nextInt(10))
+    } yield AttrEvent(u, u * 100 + k, k.toLong * 1000,
+      types(rnd.nextInt(types.size)))).toIndexedSeq
+    // cut between distinct timestamps so no tie group straddles batches
+    val cut = 5000L
+    val chunks = Seq(evs.filter(_.ts <= cut), evs.filter(_.ts > cut))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[AttrEvent]
+    val q = EventStreams.scd2FromEvents(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_batches").start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("scd2_batches")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = graft.RelQueries.scd2History(
+        evs.toDF("user_id", "event_id", "ts", "event_type")
+          .select($"user_id", $"ts", $"event_id", $"event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .where($"valid_to".isNotNull)
+      .select($"user_id", $"state", $"valid_from", $"valid_to")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // at least one version must OPEN before the cut and CLOSE after it —
+    // the carried-state case the single-batch declared row can't exercise
+    assert(streamed.exists(v => v._3 <= cut && v._4 > cut),
+      "no cross-batch version close exercised")
+  }
 }
