@@ -2891,6 +2891,64 @@ object PipelineQueries {
       |  (abs(s.estimate - x.exact_distinct::DOUBLE) / x.exact_distinct::DOUBLE) <= 0.25 AS within_bound
       |FROM sel s JOIN ex x ON s.source = x.source""".stripMargin
 
+  /** q: count-min word-frequency sketch probed at the exact top-20
+    * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256
+    * counter table is built in one pass (shuffle carries 1024 counters,
+    * not the token stream), estimates are min-of-counters, and the
+    * one-sided error contract — CMS never underestimates — is pinned
+    * true per probe. All integers; fully hash-matched. */
+  def cmsWordFrequency(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(
+      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("word"))
+    val counters = graft.pipeline.Sketches.cmsCounters(words, "word")
+    val probes = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("word")).limit(20)
+    graft.pipeline.Sketches.cmsEstimate(counters, probes, "word")
+      .withColumn("never_under", col("est_count") >= col("exact_count"))
+      .withColumn("overshoot", col("est_count") - col("exact_count"))
+  }
+
+  val CmsWordFrequencySql: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                               x -> x <> '')) AS word
+      |           FROM documents),
+      |h AS (SELECT word, list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, length('cms:' || word) + 1),
+      |                         i -> ord(substr('cms:' || word, i, 1))::HUGEINT)),
+      |        (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT)
+      |        AS hv
+      |      FROM t),
+      |c AS (SELECT u.r, ((hv // u.p) % 256)::BIGINT AS bucket,
+      |             count(*)::BIGINT AS counter
+      |      FROM h, (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
+      |                      (2, 65536::HUGEINT), (3, 16777216::HUGEINT))
+      |               AS u(r, p)
+      |      GROUP BY 1, 2),
+      |ex AS (SELECT word, count(*)::BIGINT AS exact_count FROM t GROUP BY 1),
+      |pr AS (SELECT word, exact_count FROM ex
+      |       ORDER BY exact_count DESC, word LIMIT 20),
+      |ph AS (SELECT word, exact_count, list_reduce(
+      |         list_prepend(0::HUGEINT,
+      |           list_transform(range(1, length('cms:' || word) + 1),
+      |                          i -> ord(substr('cms:' || word, i, 1))::HUGEINT)),
+      |         (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT)
+      |         AS hv
+      |       FROM pr),
+      |pb AS (SELECT word, exact_count, u.r,
+      |              ((hv // u.p) % 256)::BIGINT AS bucket
+      |       FROM ph, (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
+      |                        (2, 65536::HUGEINT), (3, 16777216::HUGEINT))
+      |                 AS u(r, p))
+      |SELECT pb.word, pb.exact_count,
+      |  min(coalesce(c.counter, 0))::BIGINT AS est_count,
+      |  (min(coalesce(c.counter, 0)) >= pb.exact_count) AS never_under,
+      |  (min(coalesce(c.counter, 0)) - pb.exact_count)::BIGINT AS overshoot
+      |FROM pb LEFT JOIN c ON pb.r = c.r AND pb.bucket = c.bucket
+      |GROUP BY 1, 2""".stripMargin
+
   /** q: triangle census of the word co-occurrence graph — nodes, edges,
     * wedges, triangles, global clustering coefficient (see
     * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact

@@ -142,6 +142,7 @@ object SparkEntry {
     "q125_snapshot_drift" -> ((s, d) => PipelineQueries.snapshotDrift(s, d)),
     "q126_scd2_stream" -> ((s, d) => RelQueries.userStateHistoryStreamed(s, d)),
     "q127_co_engagement" -> ((s, d) => RelQueries.itemCoEngagement(s, d)),
+    "q128_cms_frequency" -> ((s, d) => PipelineQueries.cmsWordFrequency(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -487,5 +488,9 @@ object SparkEntry {
     // distinct (user, item) reduction first bounds the self-join fan-out;
     // Jaccard over user sets as a ratio of exact counts
     "q127_co_engagement" -> RelQueries.ItemCoEngagementSql,
+    // q128: count-min frequency sketch (4x256 exact integer counters,
+    // +-mergeable) probed at the exact top-20 words; the CMS
+    // never-underestimates contract pinned true per probe
+    "q128_cms_frequency" -> PipelineQueries.CmsWordFrequencySql,
   )
 }

@@ -121,4 +121,70 @@ object Sketches {
   def shingleCardinality(
       docs: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     hllCardinality(ngramStream(docs, textCol, groupCols), groupCols, "gram")
+
+  // ------------------------------------------------------- count-min sketch
+
+  /** Count-min geometry: depth 4 hash rows x width 256 counters.
+    * Error: overestimate only, by ~N/256 per row, min-of-4 in practice
+    * far less.
+    *
+    * The four rows are the four low BYTE-FIELDS of one salted rolling
+    * hash, not four salted hashes: Karp-Rabin is linear
+    * (`h(s||t) = h(s)*B^|t| + h(t)`), so any per-row salt string yields
+    * hashes that are AFFINE shifts of each other per length class —
+    * two same-length values colliding in one row would collide in
+    * every row, and the min degenerates (measured: overshoot the size
+    * of a full colliding word's count). Distinct byte-fields of one
+    * well-mixed 64-bit hash make a cross-row collision a 32-bit event;
+    * the salt prefix guarantees even 1-char values wrap the modulus so
+    * all four bytes mix. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  private def cmsBucket(valueCol: Column, row: Int): Column =
+    shiftrightunsigned(
+      RollingHash.rolling_hash(concat_ws(":", lit("cms"), valueCol)),
+      8 * row).bitwiseAND(lit((CmsWidth - 1).toLong))
+
+  /**
+   * Count-min counter table for the VALUES (with multiplicity) of
+   * `valueCol`: one row per (hash row, bucket) with the summed counter
+   * — the frequency-sketch artifact, `+`-mergeable on (row, bucket)
+   * across shards and time (the additive complement of
+   * [[hllRegisters]]'s max-merge).
+   *
+   * Scale shape: the scan emits `CmsDepth` (row, bucket) keys per value
+   * occurrence, but the partial aggregation collapses them map-side
+   * onto at most `CmsDepth x CmsWidth` = 1024 distinct keys — the
+   * shuffle carries the COUNTER TABLE, not the token stream, no matter
+   * the corpus size.
+   */
+  def cmsCounters(df: DataFrame, valueCol: String): DataFrame =
+    df.select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(valueCol), r).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("counter"))
+
+  /**
+   * Probe a [[cmsCounters]] table: the estimate for each probe value is
+   * the MINIMUM of its `CmsDepth` counters — never an underestimate
+   * (every counter includes all of the value's own occurrences). The
+   * counter table is sketch-sized, so it broadcasts; probing is one
+   * broadcast equi-join per hash row over the probe set.
+   */
+  def cmsEstimate(
+      counters: DataFrame, probes: DataFrame, valueCol: String): DataFrame = {
+    val withBuckets = (0 until CmsDepth).foldLeft(probes) { (df, r) =>
+      df.withColumn(s"__b$r", cmsBucket(col(valueCol), r))
+    }
+    val joined = (0 until CmsDepth).foldLeft(withBuckets) { (df, r) =>
+      df.join(broadcast(counters.where(col("r") === r)
+          .select(col("bucket").as(s"__b$r"), col("counter").as(s"__c$r"))),
+        Seq(s"__b$r"), "left")
+    }
+    joined.select(probes.columns.map(col) :+
+      least((0 until CmsDepth).map(r => coalesce(col(s"__c$r"), lit(0L))): _*)
+        .as("est_count"): _*)
+  }
 }

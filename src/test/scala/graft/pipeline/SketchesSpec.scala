@@ -79,6 +79,56 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  /** Driver-side CMS reference: bucket r = byte r of the salted hash. */
+  private def referenceCms(values: Seq[String]): Map[(Int, Long), Long] = {
+    val c = scala.collection.mutable.Map[(Int, Long), Long]()
+    for (v <- values; r <- 0 until Sketches.CmsDepth) {
+      val h = RollingHash.hashString(s"cms:$v")
+      val b = (h >>> (8 * r)) & 255L
+      c((r, b)) = c.getOrElse((r, b), 0L) + 1L
+    }
+    c.toMap
+  }
+
+  test("count-min counters match the driver-side byte-field reference") {
+    import spark.implicits._
+    val vals = randomStrings(2000, 6) ++ Seq("a", "b", "a") // short values too
+    val got = Sketches.cmsCounters(vals.toDF("v"), "v")
+      .select($"r", $"bucket", $"counter").as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(got == referenceCms(vals))
+  }
+
+  test("count-min counters are sum-mergeable across shards") {
+    import spark.implicits._
+    val a = randomStrings(1500, 7)
+    val b = randomStrings(1500, 8)
+    def c(vs: Seq[String]) = Sketches.cmsCounters(vs.toDF("v"), "v")
+      .select($"r", $"bucket", $"counter").as[(Int, Long, Long)].collect()
+      .map { case (r, bk, ct) => (r, bk) -> ct }.toMap
+    val merged = (c(a).toSeq ++ c(b).toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(c(a ++ b) == merged)
+  }
+
+  test("count-min never underestimates; exact when buckets are sparse") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vocab = randomStrings(50, 10)
+    val occurrences = (0 until 5000).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val exact = occurrences.groupBy(identity).view.mapValues(_.size.toLong)
+    val counters = Sketches.cmsCounters(occurrences.toDF("v"), "v")
+    val probes = vocab.distinct.toDF("v")
+    val est = Sketches.cmsEstimate(counters, probes, "v")
+      .select($"v", $"est_count").as[(String, Long)].collect().toMap
+    for ((v, e) <- exact) {
+      assert(est(v) >= e, s"CMS underestimated $v: ${est(v)} < $e")
+    }
+    // 50 values over 4x256 buckets: a full 32-bit cross-row collision is
+    // a ~1e-7 event, so the min must be exact here
+    assert(exact.forall { case (v, e) => est(v) == e })
+  }
+
   test("ngram stream matches the dedup family's 5-gram construction") {
     import spark.implicits._
     val docs = Seq(("a b c d e f", "s1"), ("x y", "s2")).toDF("text", "source")
