@@ -2949,6 +2949,80 @@ object PipelineQueries {
       |FROM pb LEFT JOIN c ON pb.r = c.r AND pb.bucket = c.bucket
       |GROUP BY 1, 2""".stripMargin
 
+  /** q: INCREMENTAL sketch-artifact refresh — the q116 maintenance story
+    * applied to the q120 HLL: base registers over the OLD snapshot are
+    * persisted (save -> load, the artifact lifecycle), the docs ADDED
+    * since sketch separately, and the served estimate comes from the
+    * register-wise max merge. Max is associative, so merged registers
+    * EQUAL the full-recompute registers bit for bit — which is exactly
+    * what the oracle states: it computes the sketch directly over the
+    * union corpus, and the hash match proves delta-refresh == full
+    * recompute. (Insert-only, like any HLL: the removed/changed docs of
+    * q112's manifest require a rebuild, not a merge — documented at
+    * [[graft.pipeline.Sketches.mergeRegisters]].) */
+  def hllIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    // ids absent from the old snapshot and present in the new one,
+    // carrying the new snapshot's (possibly re-crawled) text
+    val added = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val sk = graft.pipeline.Sketches
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q129-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    sk.saveRegisters(
+      sk.hllRegisters(sk.ngramStream(old, "text", Seq("source")),
+        Seq("source"), "gram"),
+      dir.resolve("registers").toString)
+    val loaded = sk.loadRegisters(s, dir.resolve("registers").toString)
+    val delta = sk.hllRegisters(sk.ngramStream(added, "text", Seq("source")),
+      Seq("source"), "gram")
+    sk.hllEstimate(sk.mergeRegisters(loaded, delta, Seq("source")),
+      Seq("source"))
+  }
+
+  val HllIncrementalRefreshSql: String =
+    """WITH uni AS (
+      |  SELECT source, text FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT source,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id % 5 <> 0),
+      |w AS (SELECT source,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |      FROM uni),
+      |g AS (SELECT source, unnest([array_to_string(words[i:i+4], ' ')
+      |                             for i in range(1, greatest(len(words) - 3, 1))]) AS gram
+      |      FROM w),
+      |dgr AS (SELECT DISTINCT source, gram FROM g),
+      |h AS (SELECT source, list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, length(gram) + 1),
+      |                         i -> ord(substr(gram, i, 1))::HUGEINT)),
+      |        (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |      FROM dgr),
+      |b AS (SELECT source, (r // 72057594037927936::HUGEINT)::BIGINT AS bucket,
+      |             (r % 72057594037927936::HUGEINT)::BIGINT AS wv
+      |      FROM h),
+      |regs AS (SELECT source, bucket,
+      |           max(CASE WHEN wv = 0 THEN 57 ELSE 57 - length(bin(wv)) END) AS maxrho
+      |         FROM b GROUP BY 1, 2),
+      |agg AS (SELECT source, count(*)::BIGINT AS nonzero_registers,
+      |          sum((1::BIGINT << (57 - maxrho))::HUGEINT) AS pm
+      |        FROM regs GROUP BY 1)
+      |SELECT source, nonzero_registers,
+      |  (pm + (256 - nonzero_registers)::HUGEINT
+      |          * 144115188075855872::HUGEINT)::DOUBLE AS harmonic_scaled_d,
+      |  (0.7213 / (1.0 + 1.079 / 256.0))
+      |    * (9444732965739290427392.0
+      |         / (pm + (256 - nonzero_registers)::HUGEINT
+      |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
+      |FROM agg""".stripMargin
+
   /** q: triangle census of the word co-occurrence graph — nodes, edges,
     * wedges, triangles, global clustering coefficient (see
     * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact

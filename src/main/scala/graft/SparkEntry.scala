@@ -143,6 +143,7 @@ object SparkEntry {
     "q126_scd2_stream" -> ((s, d) => RelQueries.userStateHistoryStreamed(s, d)),
     "q127_co_engagement" -> ((s, d) => RelQueries.itemCoEngagement(s, d)),
     "q128_cms_frequency" -> ((s, d) => PipelineQueries.cmsWordFrequency(s, d)),
+    "q129_hll_refresh" -> ((s, d) => PipelineQueries.hllIncrementalRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -492,5 +493,9 @@ object SparkEntry {
     // +-mergeable) probed at the exact top-20 words; the CMS
     // never-underestimates contract pinned true per probe
     "q128_cms_frequency" -> PipelineQueries.CmsWordFrequencySql,
+    // q129: incremental HLL refresh — persisted base registers + delta
+    // shard merged register-wise; the oracle sketches the union corpus
+    // directly, so the hash match proves delta-refresh == full recompute
+    "q129_hll_refresh" -> PipelineQueries.HllIncrementalRefreshSql,
   )
 }

@@ -122,6 +122,29 @@ object Sketches {
       docs: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     hllCardinality(ngramStream(docs, textCol, groupCols), groupCols, "gram")
 
+  // ------------------------------------------- register artifact lifecycle
+
+  /** Persist a [[hllRegisters]] table — the sketch ARTIFACT (tiny:
+    * <= groups x 256 rows). A recurring ingest stores this next to the
+    * snapshot manifest and never rescans history to count distincts. */
+  def saveRegisters(registers: DataFrame, path: String): Unit =
+    registers.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadRegisters(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Merge register tables by register-wise max — EXACTLY the sketch of
+    * the union of the sketched multisets (max is associative and
+    * commutative), so an incremental refresh (stored registers + a
+    * delta shard's registers) equals the full recompute bit for bit.
+    * Insert-only, like any HLL: deletions need a rebuild. */
+  def mergeRegisters(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("maxrho")).as("maxrho"))
+
   // ------------------------------------------------------- count-min sketch
 
   /** Count-min geometry: depth 4 hash rows x width 256 counters.

@@ -79,6 +79,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("register artifact round-trips; stored+delta merge == full recompute") {
+    import spark.implicits._
+    val a = randomStrings(2500, 41).map(("g1", _)) ++
+      randomStrings(500, 42).map(("g2", _))
+    val b = randomStrings(800, 43).map(("g1", _))
+    def regs(vs: Seq[(String, String)]) =
+      Sketches.hllRegisters(vs.toDF("g", "v"), Seq("g"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("hll-artifact")
+      .resolve("regs").toString
+    Sketches.saveRegisters(regs(a), dir)
+    val loaded = Sketches.loadRegisters(spark, dir)
+    assert(loaded.select($"g", $"bucket", $"maxrho")
+        .as[(String, Long, Int)].collect().toSet ==
+      regs(a).select($"g", $"bucket", $"maxrho")
+        .as[(String, Long, Int)].collect().toSet,
+      "artifact must round-trip bit-exactly")
+    val served = Sketches.hllEstimate(
+        Sketches.mergeRegisters(loaded, regs(b), Seq("g")), Seq("g"))
+      .select($"g", $"estimate", $"harmonic_scaled_d")
+      .as[(String, Double, Double)].collect().toSet
+    val direct = Sketches.hllEstimate(regs(a ++ b), Seq("g"))
+      .select($"g", $"estimate", $"harmonic_scaled_d")
+      .as[(String, Double, Double)].collect().toSet
+    assert(served == direct,
+      "stored-registers + delta merge must equal the full recompute")
+  }
+
   /** Driver-side CMS reference: bucket r = byte r of the salted hash. */
   private def referenceCms(values: Seq[String]): Map[(Int, Long), Long] = {
     val c = scala.collection.mutable.Map[(Int, Long), Long]()
