@@ -3023,6 +3023,25 @@ object PipelineQueries {
       |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
       |FROM agg""".stripMargin
 
+  /** q: typo-variant near-dup pairs over the corpus vocabulary —
+    * FastSS deletion-neighborhood blocking + exact Levenshtein verify
+    * (see [[graft.pipeline.Dedup.editDistancePairs]]). The oracle
+    * brute-forces the vocabulary cross join, so the hash match is a
+    * cross-ALGORITHM differential (blocked join == exhaustive scan). */
+  def typoVariantPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(docs(s, d), "text", maxDist = 2, minCount = 5L)
+
+  val TypoVariantPairsSql: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                               x -> x <> '')) AS w
+      |           FROM documents),
+      |v AS (SELECT w, count(*)::BIGINT AS cnt FROM t GROUP BY 1
+      |      HAVING count(*) >= 5)
+      |SELECT a.w AS word_a, b.w AS word_b, a.cnt AS cnt_a, b.cnt AS cnt_b,
+      |       levenshtein(a.w, b.w)::INTEGER AS dist
+      |FROM v a JOIN v b ON a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin
+
   /** q: triangle census of the word co-occurrence graph — nodes, edges,
     * wedges, triangles, global clustering coefficient (see
     * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact

@@ -144,6 +144,7 @@ object SparkEntry {
     "q127_co_engagement" -> ((s, d) => RelQueries.itemCoEngagement(s, d)),
     "q128_cms_frequency" -> ((s, d) => PipelineQueries.cmsWordFrequency(s, d)),
     "q129_hll_refresh" -> ((s, d) => PipelineQueries.hllIncrementalRefresh(s, d)),
+    "q130_typo_variants" -> ((s, d) => PipelineQueries.typoVariantPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,5 +498,9 @@ object SparkEntry {
     // shard merged register-wise; the oracle sketches the union corpus
     // directly, so the hash match proves delta-refresh == full recompute
     "q129_hll_refresh" -> PipelineQueries.HllIncrementalRefreshSql,
+    // q130: FastSS typo-variant pairs — deletion-neighborhood blocking
+    // + exact Levenshtein verify; the oracle brute-forces the cross
+    // join, so the hash match is a cross-algorithm differential
+    "q130_typo_variants" -> PipelineQueries.TypoVariantPairsSql,
   )
 }

@@ -419,4 +419,54 @@ object Dedup {
     val prev = indexCache.putIfAbsent(key, persisted)
     if (prev != null) { persisted.unpersist(); prev } else persisted
   }
+
+  /**
+   * Edit-distance near-dup pairs over the corpus VOCABULARY — the
+   * typo/spelling-variant dedup family member (token normalization,
+   * OCR-noise collapse), found by FastSS DELETION-NEIGHBORHOOD blocking
+   * (Bocek et al. 2007): two strings within Levenshtein distance k
+   * share a member of their k-deletion neighborhoods, so candidate
+   * generation is an equi-join on deletion variants and the exact
+   * distance is verified only on bucket collisions — never an all-pairs
+   * scan.
+   *
+   * Scale shape: one corpus scan reduces to the (word, count)
+   * vocabulary (`minCount` floors it); variants generate IN-SCAN by
+   * nested array transforms (<= 1 + L + L^2/2 keys per word at length
+   * L); the self-join is key-equi (shuffle-hash on the variant), and
+   * the levenshtein verify runs on candidate pairs only. Distance
+   * arithmetic is the classic unit-cost Levenshtein — identical in
+   * Spark and DuckDB, so the declared row hash-matches against a
+   * brute-force oracle (a cross-ALGORITHM differential: blocked join
+   * here, exhaustive cross join there).
+   */
+  def editDistancePairs(
+      docs: DataFrame, textCol: String, maxDist: Int = 2,
+      minCount: Long = 1L): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion blocking implemented for distance 1 or 2: $maxDist")
+    val vocab = docs
+      .select(explode(filter(split(lower(col(textCol)), " "), w => w =!= ""))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val d1 =
+      "transform(sequence(1, length(w)), i -> concat(substr(w, 1, i - 1), substr(w, i + 1, length(w))))"
+    val keys =
+      if (maxDist == 1) s"array_distinct(concat(array(w), $d1))"
+      else {
+        val d2 = s"flatten(transform($d1, v -> " +
+          "transform(sequence(1, length(v)), j -> concat(substr(v, 1, j - 1), substr(v, j + 1, length(v))))))"
+        s"array_distinct(concat(array(w), $d1, $d2))"
+      }
+    val keyed = vocab.select(col("w"), col("cnt"),
+      explode(expr(keys)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("word_a"), col("b.w").as("word_b"),
+        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .where(col("dist") <= maxDist)
+  }
 }
