@@ -1298,6 +1298,43 @@ object RelQueries {
       |FROM p JOIN sz sa ON p.item_a = sa.it
       |       JOIN sz sb ON p.item_b = sb.it""".stripMargin
 
+  /** q115's conversions computed by an EXECUTED STREAMING QUERY (the
+    * q84 pattern): [[graft.streaming.EventStreams.funnelStream]] under
+    * availableNow into a parquet sink, read back — the oracle is the
+    * batch funnel restricted to COMPLETED (stage 3) users. */
+  def eventFunnelStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q131-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val out = base.resolve("out")
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.funnelStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("user_id BIGINT, view_ts BIGINT, click_ts BIGINT, " +
+        "purchase_ts BIGINT")
+      .parquet(out.toString)
+  }
+
+  val EventFunnelCompletedSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+      |v AS (SELECT user_id, min(tsu) AS view_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(tsu) AS click_ts
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tsu > view_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(tsu) AS purchase_ts
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tsu > click_ts GROUP BY 1)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+      |FROM v JOIN c USING (user_id) JOIN p USING (user_id)""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

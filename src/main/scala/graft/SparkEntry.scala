@@ -145,6 +145,7 @@ object SparkEntry {
     "q128_cms_frequency" -> ((s, d) => PipelineQueries.cmsWordFrequency(s, d)),
     "q129_hll_refresh" -> ((s, d) => PipelineQueries.hllIncrementalRefresh(s, d)),
     "q130_typo_variants" -> ((s, d) => PipelineQueries.typoVariantPairs(s, d)),
+    "q131_funnel_stream" -> ((s, d) => RelQueries.eventFunnelStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -502,5 +503,9 @@ object SparkEntry {
     // + exact Levenshtein verify; the oracle brute-forces the cross
     // join, so the hash match is a cross-algorithm differential
     "q130_typo_variants" -> PipelineQueries.TypoVariantPairsSql,
+    // q131: q115's funnel EXECUTED as a stream — per-key stage machine
+    // in flatMapGroupsWithState emits one conversion row on completion;
+    // oracle = the batch funnel joined down to completed users
+    "q131_funnel_stream" -> RelQueries.EventFunnelCompletedSql,
   )
 }

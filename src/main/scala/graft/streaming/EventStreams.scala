@@ -498,4 +498,75 @@ object EventStreams {
           expr("ts div 1000L").as("ts"), col("event_type"))
         .as[AttrEvent])
   }
+
+  /** Funnel progress per key: timestamps of the completed step prefix
+    * (`stepTs(i)` set iff step i matched), plus the done flag that
+    * makes completion emit exactly once. */
+  case class FunnelProgress(stepTs: Seq[Long], done: Boolean)
+  case class FunnelConversion(
+      user_id: Long, view_ts: Long, click_ts: Long, purchase_ts: Long)
+
+  /** Per-group funnel pass. Greedy in-order matching equals the batch
+    * q115 chain (each step takes the FIRST qualifying event after the
+    * previous step's time, which is that step's minimum). */
+  private def funnelGroup(
+      uid: Long, evs: Iterator[AttrEvent], steps: Seq[String],
+      prior: FunnelProgress)
+      : (Option[FunnelConversion], FunnelProgress) = {
+    val sorted = evs.toArray.sortBy(e => (e.ts, e.event_id))
+    var ts = if (prior == null) Vector.empty[Long] else prior.stepTs.toVector
+    var done = prior != null && prior.done
+    var emit: Option[FunnelConversion] = None
+    for (e <- sorted if !done) {
+      val k = ts.length
+      if (k < steps.length && e.event_type == steps(k) &&
+          (k == 0 || e.ts > ts(k - 1))) {
+        ts = ts :+ e.ts
+        if (ts.length == steps.length) {
+          done = true
+          emit = Some(FunnelConversion(uid, ts(0), ts(1), ts(2)))
+        }
+      }
+    }
+    (emit, FunnelProgress(ts, done))
+  }
+
+  /**
+   * STREAMING conversion detection — the streaming twin of q115's batch
+   * funnel, restricted (as append mode demands) to COMPLETED funnels:
+   * each key holds its step-prefix timestamps as fixed-width state and
+   * emits ONE conversion row the moment the final step matches. The
+   * strict `ts > previous step` comparison and first-match-wins
+   * greediness reproduce the batch min-chain exactly, so the declared
+   * row's oracle is q115 at `stage = 3`.
+   *
+   * Same cross-batch ordering contract as [[attributionFromEvents]].
+   */
+  def funnelFromEvents(
+      events: Dataset[AttrEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "the typed conversion row is three-step")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[AttrEvent],
+         state: GroupState[FunnelProgress]) => {
+          val (emit, next) = funnelGroup(uid, evs, steps,
+            state.getOption.orNull)
+          state.update(next)
+          emit.iterator
+        })
+      .toDF()
+  }
+
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnelFromEvents(
+      eventStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000L").as("ts"), col("event_type"))
+        .as[AttrEvent])
+  }
 }

@@ -279,4 +279,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exists(v => v._3 <= cut && v._4 > cut),
       "no cross-batch version close exercised")
   }
+
+  test("streaming funnel == batch completed conversions across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.AttrEvent
+    val rnd = new scala.util.Random(41)
+    val types = Seq("view", "click", "purchase", "error")
+    val evs = (for {
+      u <- 1L to 30L
+      k <- 1 to (2 + rnd.nextInt(8))
+    } yield AttrEvent(u, u * 100 + k, k.toLong * 1000,
+      types(rnd.nextInt(types.size)))).toIndexedSeq
+    val cut = 4000L
+    val chunks = Seq(evs.filter(_.ts <= cut), evs.filter(_.ts > cut))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[AttrEvent]
+    val q = EventStreams.funnelFromEvents(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_batches").start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("funnel_batches")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.RelQueries.funnelStages(
+        evs.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .where($"stage" === 3L)
+      .select($"user_id", $"step0_ts", $"step1_ts", $"step2_ts")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture produced no completed funnels")
+    // a conversion must straddle the cut (view before, purchase after)
+    assert(streamed.exists(v => v._2 <= cut && v._4 > cut),
+      "no cross-batch conversion exercised")
+  }
 }
