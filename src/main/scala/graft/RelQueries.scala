@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -1334,6 +1334,66 @@ object RelQueries {
       |      WHERE event_type = 'purchase' AND tsu > click_ts GROUP BY 1)
       |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
       |FROM v JOIN c USING (user_id) JOIN p USING (user_id)""".stripMargin
+
+  /**
+   * Per-COLUMN data-profiler card — the relational-table counterpart of
+   * q77's one-row corpus datasheet: for each profiled column its row
+   * count, null count, EXACT distinct count, and canonical-rendering
+   * bounds. Columns profile under a caller-chosen canonical STRING
+   * rendering (zero-padded integers so lexicographic bounds equal
+   * numeric ones; ISO dates likewise) — the cross-engine-stable form.
+   *
+   * Scale shape: the table unpivots IN-SCAN (k struct rows per input
+   * row, one generate, no join), then reduces in TWO stacked
+   * partial-aggregated groupBys: first to the per-column VALUE
+   * vocabulary (this one shuffle is what exact distinct costs — the
+   * sketch-based alternative is q120), then to the per-column card.
+   * Everything after the first aggregation is vocabulary-sized.
+   */
+  def profileColumns(
+      df: DataFrame, columns: Seq[(String, Column)]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    val stacked = df.select(explode(array(columns.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.cast("string").as("val"))
+      }: _*)).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.val").as("val"))
+    stacked.groupBy(col("column_name"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L))
+          .as("n_null"),
+        count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+  }
+
+  /** q: the orders table profiled over five columns in canonical
+    * renderings (zero-padded keys, ISO order date). */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables.load(spark, dir, "orders"), Seq(
+      "o_orderkey" -> lpad(col("o_orderkey").cast("string"), 12, "0"),
+      "o_custkey" -> lpad(col("o_custkey").cast("string"), 12, "0"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd")))
+
+  val OrdersProfileSql: String =
+    """WITH s AS (
+      |  SELECT 'o_orderkey' AS column_name,
+      |         lpad(o_orderkey::VARCHAR, 12, '0') AS val FROM orders
+      |  UNION ALL SELECT 'o_custkey', lpad(o_custkey::VARCHAR, 12, '0')
+      |  FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d')
+      |  FROM orders),
+      |v AS (SELECT column_name, val, count(*)::BIGINT AS cnt
+      |      FROM s GROUP BY 1, 2)
+      |SELECT column_name, sum(cnt)::BIGINT AS n_rows,
+      |  coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)::BIGINT AS n_null,
+      |  count(CASE WHEN val IS NOT NULL THEN 1 END)::BIGINT AS n_distinct,
+      |  min(val) AS min_val, max(val) AS max_val
+      |FROM v GROUP BY 1""".stripMargin
 
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,

@@ -146,6 +146,7 @@ object SparkEntry {
     "q129_hll_refresh" -> ((s, d) => PipelineQueries.hllIncrementalRefresh(s, d)),
     "q130_typo_variants" -> ((s, d) => PipelineQueries.typoVariantPairs(s, d)),
     "q131_funnel_stream" -> ((s, d) => RelQueries.eventFunnelStreamed(s, d)),
+    "q132_column_profile" -> ((s, d) => RelQueries.ordersProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,5 +508,8 @@ object SparkEntry {
     // in flatMapGroupsWithState emits one conversion row on completion;
     // oracle = the batch funnel joined down to completed users
     "q131_funnel_stream" -> RelQueries.EventFunnelCompletedSql,
+    // q132: per-column profiler card over orders — in-scan unpivot,
+    // value-vocabulary reduction, exact distincts and canonical bounds
+    "q132_column_profile" -> RelQueries.OrdersProfileSql,
   )
 }

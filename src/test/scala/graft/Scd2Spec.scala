@@ -71,4 +71,19 @@ class Scd2Spec extends AnyFunSuite {
     }.toSet
     assert(got == expect)
   }
+
+  test("column profiler: nulls, exact distincts, canonical bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(7L), "A"), (Some(100L), "B"), (None, "A"), (Some(7L), null))
+      .toDF("k", "s")
+    val got = RelQueries.profileColumns(df, Seq(
+        "k" -> lpad($"k".cast("string"), 4, "0"), "s" -> $"s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    // zero-padding makes the numeric order the lexicographic one
+    assert(got("k") == (("k", 4L, 1L, 2L, Some("0007"), Some("0100"))))
+    assert(got("s") == (("s", 4L, 1L, 2L, Some("A"), Some("B"))))
+  }
 }
