@@ -1395,6 +1395,51 @@ object RelQueries {
       |  min(val) AS min_val, max(val) AS max_val
       |FROM v GROUP BY 1""".stripMargin
 
+  /**
+   * INCREMENTAL refresh of a JOIN-aggregate materialized view — the
+   * q116 maintenance story extended across a join: the revenue-per-
+   * nation view (orders x customer rollup) refreshes by joining ONLY
+   * the newly-arrived orders to the (broadcast) dimension and merging
+   * their contributions into the stored view with one grouped sum —
+   * delta-bounded work, never a fact-table rescan. Revenue sums carry
+   * as exact DECIMAL(18,4) until the final double cast (the q92
+   * discipline), so the merged view equals a direct recompute bit for
+   * bit — exactly what the declared row's oracle states by recomputing
+   * the view over the full fact table.
+   *
+   * The base view is rebuilt here to keep the row self-contained; a
+   * production refresh reads it from storage, leaving the data-sized
+   * work at O(delta).
+   */
+  def incrementalJoinAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_custkey").isNotNull)
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    def contrib(o: DataFrame) =
+      o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), lit(1L).as("n"),
+          col("o_totalprice").cast("decimal(18,4)").as("rev"))
+    val baseView = contrib(orders.where(col("o_orderkey") % 10 =!= 0))
+      .groupBy(col("nation"))
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+    baseView
+      .unionByName(contrib(orders.where(col("o_orderkey") % 10 === 0))
+        .select(col("nation"), col("n"), col("rev").cast("decimal(28,4)")))
+      .groupBy(col("nation"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val IncrementalJoinAggSql: String =
+    """WITH j AS (SELECT cu.c_nationkey AS nation,
+      |                  o.o_totalprice::DECIMAL(18,4) AS rev
+      |           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      |           WHERE o.o_custkey IS NOT NULL)
+      |SELECT nation, count(*)::BIGINT AS n_orders,
+      |       sum(rev)::DOUBLE AS revenue
+      |FROM j GROUP BY 1""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

@@ -147,6 +147,7 @@ object SparkEntry {
     "q130_typo_variants" -> ((s, d) => PipelineQueries.typoVariantPairs(s, d)),
     "q131_funnel_stream" -> ((s, d) => RelQueries.eventFunnelStreamed(s, d)),
     "q132_column_profile" -> ((s, d) => RelQueries.ordersProfile(s, d)),
+    "q133_ivm_join_agg" -> ((s, d) => RelQueries.incrementalJoinAggRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -511,5 +512,9 @@ object SparkEntry {
     // q132: per-column profiler card over orders — in-scan unpivot,
     // value-vocabulary reduction, exact distincts and canonical bounds
     "q132_column_profile" -> RelQueries.OrdersProfileSql,
+    // q133: join-aggregate materialized view refreshed from a delta —
+    // exact decimal sums make merge == direct recompute; the oracle
+    // recomputes over the full fact table, proving it
+    "q133_ivm_join_agg" -> RelQueries.IncrementalJoinAggSql,
   )
 }

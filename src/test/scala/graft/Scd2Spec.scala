@@ -72,6 +72,38 @@ class Scd2Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("join-agg view: delta merge == direct recompute on a fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // contributions via the public operator shape: exact decimal sums
+    val orders = Seq((1L, 10L, 10.5), (2L, 10L, 1.25), (10L, 20L, 3.75),
+      (20L, 10L, 2.0), (11L, 99L, 7.0)) // 99 has no customer row
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Seq((10L, 1), (20L, 2)).toDF("c_custkey", "c_nationkey")
+    def direct = orders.join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+      .as[(Int, Long, Double)].collect().toSet
+    // base = keys not divisible by 10, delta = the rest (the q133 split)
+    val base = orders.where($"o_orderkey" % 10 =!= 0)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"))
+      .agg(sum(lit(1L)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,4)")).as("rev"))
+    val delta = orders.where($"o_orderkey" % 10 === 0)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nation"), lit(1L).as("n"),
+        $"o_totalprice".cast("decimal(28,4)").as("rev"))
+    val merged = base.unionByName(delta)
+      .groupBy($"nation")
+      .agg(sum($"n").as("n_orders"), sum($"rev").cast("double").as("revenue"))
+      .as[(Int, Long, Double)].collect().toSet
+    assert(merged == direct)
+    assert(direct.exists(_._1 == 2), "delta-only nation must appear")
+  }
+
   test("column profiler: nulls, exact distincts, canonical bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
