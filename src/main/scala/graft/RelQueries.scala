@@ -1440,6 +1440,104 @@ object RelQueries {
       |       sum(rev)::DOUBLE AS revenue
       |FROM j GROUP BY 1""".stripMargin
 
+  /**
+   * Declarative data-QUALITY check suite — the expectation-style gate a
+   * warehouse runs per ingest, as one declared table: each check emits
+   * `(check_name, n_rows, n_violations, passed)`. Check classes: null
+   * constraints, value ranges, accepted sets, and REFERENTIAL integrity
+   * (orphan children via left-anti joins).
+   *
+   * Scale shape: predicate checks are conditional aggregates inside ONE
+   * scan per table (no per-check scan); the orphan checks are key-equi
+   * left-anti joins — the customer side broadcasts when small, the
+   * lineitem-orders side is the standard shuffled anti join. One-row
+   * results assemble by unionAll (the q123 discipline — no cartesian).
+   */
+  def qualityCheckSuite(spark: SparkSession, dir: String): DataFrame =
+    qualityChecks(Tables.load(spark, dir, "orders"),
+      Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "customer"))
+
+  def qualityChecks(
+      orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def checkRow(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), col("n_rows"),
+        col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+    val predicateChecks = orders.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("v_null_custkey"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0,
+          1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v_status"))
+    val liChecks = lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") < 1.0 ||
+          col("l_quantity") > 50.0, 1L).otherwise(0L)).as("v_qty"))
+    def slice(src: DataFrame, v: String) =
+      src.select(col("n_rows"), coalesce(col(v), lit(0L)).as("n_violations"))
+    // Orphan checks as LEFT join + conditional aggregate (not anti join
+    // + separate row count): one pass, and the single-row assembly
+    // stays cartesian-free.
+    val ordersOrphanRow = orders
+      .join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("v_orphan"))
+    val liOrphanRow = lineitem
+      .join(orders.select(col("o_orderkey").as("__ok")),
+        col("l_orderkey") === col("__ok"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("v_orphan"))
+    checkRow("orders.custkey_not_null", slice(predicateChecks, "v_null_custkey"))
+      .unionAll(checkRow("orders.totalprice_positive",
+        slice(predicateChecks, "v_price")))
+      .unionAll(checkRow("orders.status_in_set",
+        slice(predicateChecks, "v_status")))
+      .unionAll(checkRow("lineitem.quantity_in_range",
+        slice(liChecks, "v_qty")))
+      .unionAll(checkRow("orders.fk_customer",
+        slice(ordersOrphanRow, "v_orphan")))
+      .unionAll(checkRow("lineitem.fk_orders",
+        slice(liOrphanRow, "v_orphan")))
+  }
+
+  val QualityCheckSuiteSql: String =
+    """WITH o AS (SELECT count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null,
+      |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+      |             THEN 1 ELSE 0 END)::BIGINT AS v_price,
+      |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+      |             THEN 1 ELSE 0 END)::BIGINT AS v_status
+      |  FROM orders),
+      |l AS (SELECT count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+      |             OR l_quantity > 50.0 THEN 1 ELSE 0 END)::BIGINT AS v_qty
+      |  FROM lineitem),
+      |ofk AS (SELECT count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+      |  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey),
+      |lfk AS (SELECT count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN o3.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+      |  FROM lineitem li LEFT JOIN orders o3 ON li.l_orderkey = o3.o_orderkey)
+      |SELECT 'orders.custkey_not_null' AS check_name, n_rows,
+      |       coalesce(v_null, 0) AS n_violations,
+      |       coalesce(v_null, 0) = 0 AS passed FROM o
+      |UNION ALL SELECT 'orders.totalprice_positive', n_rows,
+      |       coalesce(v_price, 0), coalesce(v_price, 0) = 0 FROM o
+      |UNION ALL SELECT 'orders.status_in_set', n_rows,
+      |       coalesce(v_status, 0), coalesce(v_status, 0) = 0 FROM o
+      |UNION ALL SELECT 'lineitem.quantity_in_range', n_rows,
+      |       coalesce(v_qty, 0), coalesce(v_qty, 0) = 0 FROM l
+      |UNION ALL SELECT 'orders.fk_customer', n_rows,
+      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM ofk
+      |UNION ALL SELECT 'lineitem.fk_orders', n_rows,
+      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM lfk""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

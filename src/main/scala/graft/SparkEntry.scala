@@ -148,6 +148,7 @@ object SparkEntry {
     "q131_funnel_stream" -> ((s, d) => RelQueries.eventFunnelStreamed(s, d)),
     "q132_column_profile" -> ((s, d) => RelQueries.ordersProfile(s, d)),
     "q133_ivm_join_agg" -> ((s, d) => RelQueries.incrementalJoinAggRefresh(s, d)),
+    "q134_quality_checks" -> ((s, d) => RelQueries.qualityCheckSuite(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -516,5 +517,9 @@ object SparkEntry {
     // exact decimal sums make merge == direct recompute; the oracle
     // recomputes over the full fact table, proving it
     "q133_ivm_join_agg" -> RelQueries.IncrementalJoinAggSql,
+    // q134: declarative data-quality suite — null/range/set checks as
+    // conditional aggregates (one scan per table) plus FK-orphan checks
+    // as left joins; (check, n_rows, n_violations, passed) per check
+    "q134_quality_checks" -> RelQueries.QualityCheckSuiteSql,
   )
 }

@@ -104,6 +104,29 @@ class Scd2Spec extends AnyFunSuite {
     assert(direct.exists(_._1 == 2), "delta-only nation must appear")
   }
 
+  test("quality suite: planted violations count per check class") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, Some(10L), "O", 5.0),     // clean
+      (2L, None, "F", 1.0),          // null custkey
+      (3L, Some(99L), "X", -2.0),    // orphan + bad status + bad price
+      (4L, Some(10L), "P", 3.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq((1L, 10.0), (1L, 0.5), (77L, 51.0))
+      .toDF("l_orderkey", "l_quantity") // orphan 77, two range violations
+    val customer = Seq(10L).toDF("c_custkey")
+    val got = RelQueries.qualityChecks(orders, lineitem, customer)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("orders.custkey_not_null") == ((4L, 1L, false)))
+    assert(got("orders.totalprice_positive") == ((4L, 1L, false)))
+    assert(got("orders.status_in_set") == ((4L, 1L, false)))
+    assert(got("lineitem.quantity_in_range") == ((3L, 2L, false)))
+    // null-custkey rows are orphans too (no customer matches null)
+    assert(got("orders.fk_customer") == ((4L, 2L, false)))
+    assert(got("lineitem.fk_orders") == ((3L, 1L, false)))
+  }
+
   test("column profiler: nulls, exact distincts, canonical bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
