@@ -1461,10 +1461,13 @@ object RelQueries {
   def qualityChecks(
       orders: DataFrame, lineitem: DataFrame,
       customer: DataFrame): DataFrame = {
+    // zero-rows-on-empty convention (EmptyCorpusSpec): an empty table
+    // has no checks to report, not a row of zeros
     def checkRow(name: String, agg: DataFrame): DataFrame =
       agg.select(lit(name).as("check_name"), col("n_rows"),
         col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
+        .where(col("n_rows") > 0L)
     val predicateChecks = orders.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
@@ -1526,17 +1529,20 @@ object RelQueries {
       |  FROM lineitem li LEFT JOIN orders o3 ON li.l_orderkey = o3.o_orderkey)
       |SELECT 'orders.custkey_not_null' AS check_name, n_rows,
       |       coalesce(v_null, 0) AS n_violations,
-      |       coalesce(v_null, 0) = 0 AS passed FROM o
+      |       coalesce(v_null, 0) = 0 AS passed FROM o WHERE n_rows > 0
       |UNION ALL SELECT 'orders.totalprice_positive', n_rows,
       |       coalesce(v_price, 0), coalesce(v_price, 0) = 0 FROM o
+      |WHERE n_rows > 0
       |UNION ALL SELECT 'orders.status_in_set', n_rows,
       |       coalesce(v_status, 0), coalesce(v_status, 0) = 0 FROM o
+      |WHERE n_rows > 0
       |UNION ALL SELECT 'lineitem.quantity_in_range', n_rows,
       |       coalesce(v_qty, 0), coalesce(v_qty, 0) = 0 FROM l
+      |WHERE n_rows > 0
       |UNION ALL SELECT 'orders.fk_customer', n_rows,
-      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM ofk
+      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM ofk WHERE n_rows > 0
       |UNION ALL SELECT 'lineitem.fk_orders', n_rows,
-      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM lfk""".stripMargin
+      |       coalesce(v, 0), coalesce(v, 0) = 0 FROM lfk WHERE n_rows > 0""".stripMargin
 
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
