@@ -3042,6 +3042,93 @@ object PipelineQueries {
       |FROM v a JOIN v b ON a.w < b.w
       |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin
 
+  /** q: STREAMING sketch maintenance, EXECUTED — the q129 register
+    * artifact kept fresh by a STREAM: each micro-batch sketches its
+    * documents and merges into the persisted register table via
+    * foreachBatch (read artifact -> max-merge -> write-to-sibling ->
+    * swap, the compaction discipline), and the served estimate reads
+    * the final artifact. Max-merge is associative AND commutative, so
+    * the result is independent of batch boundaries and arrival order —
+    * the oracle sketches the whole corpus in one pass and the hash
+    * match proves it. The declared row splits the corpus into two
+    * files and streams `maxFilesPerTrigger=1`, so the merge path
+    * (not just the bootstrap write) is exercised under the driver. */
+  def hllStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val sk = graft.pipeline.Sketches
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q135-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val in = base.resolve("in").toString
+    val dd = docs(s, d).where(col("text").isNotNull)
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val regDir = base.resolve("registers")
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val regs = sk.hllRegisters(
+          sk.ngramStream(batch, "text", Seq("source")), Seq("source"), "gram")
+        val merged =
+          if (java.nio.file.Files.exists(regDir))
+            sk.mergeRegisters(sk.loadRegisters(s, regDir.toString), regs,
+              Seq("source"))
+          else regs
+        val sibling = base.resolve(s"registers-next-$id")
+        sk.saveRegisters(merged, sibling.toString)
+        graft.Fs.deleteRecursively(regDir)
+        java.nio.file.Files.move(sibling, regDir)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(regDir)) {
+      // empty corpus: no batch ever fired — serve the empty sketch
+      sk.hllEstimate(sk.hllRegisters(
+        sk.ngramStream(dd, "text", Seq("source")), Seq("source"), "gram"),
+        Seq("source"))
+    } else {
+      sk.hllEstimate(sk.loadRegisters(s, regDir.toString), Seq("source"))
+    }
+  }
+
+  /** The one-pass whole-corpus sketch — q129's chain over ALL documents
+    * (batch boundaries must not matter; this oracle says so). */
+  val HllStreamMaintainedSql: String =
+    """WITH w AS (SELECT source,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |      FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT source, unnest([array_to_string(words[i:i+4], ' ')
+      |                             for i in range(1, greatest(len(words) - 3, 1))]) AS gram
+      |      FROM w),
+      |dgr AS (SELECT DISTINCT source, gram FROM g),
+      |h AS (SELECT source, list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, length(gram) + 1),
+      |                         i -> ord(substr(gram, i, 1))::HUGEINT)),
+      |        (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT) AS r
+      |      FROM dgr),
+      |b AS (SELECT source, (r // 72057594037927936::HUGEINT)::BIGINT AS bucket,
+      |             (r % 72057594037927936::HUGEINT)::BIGINT AS wv
+      |      FROM h),
+      |regs AS (SELECT source, bucket,
+      |           max(CASE WHEN wv = 0 THEN 57 ELSE 57 - length(bin(wv)) END) AS maxrho
+      |         FROM b GROUP BY 1, 2),
+      |agg AS (SELECT source, count(*)::BIGINT AS nonzero_registers,
+      |          sum((1::BIGINT << (57 - maxrho))::HUGEINT) AS pm
+      |        FROM regs GROUP BY 1)
+      |SELECT source, nonzero_registers,
+      |  (pm + (256 - nonzero_registers)::HUGEINT
+      |          * 144115188075855872::HUGEINT)::DOUBLE AS harmonic_scaled_d,
+      |  (0.7213 / (1.0 + 1.079 / 256.0))
+      |    * (9444732965739290427392.0
+      |         / (pm + (256 - nonzero_registers)::HUGEINT
+      |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
+      |FROM agg""".stripMargin
+
   /** q: triangle census of the word co-occurrence graph — nodes, edges,
     * wedges, triangles, global clustering coefficient (see
     * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact

@@ -149,6 +149,7 @@ object SparkEntry {
     "q132_column_profile" -> ((s, d) => RelQueries.ordersProfile(s, d)),
     "q133_ivm_join_agg" -> ((s, d) => RelQueries.incrementalJoinAggRefresh(s, d)),
     "q134_quality_checks" -> ((s, d) => RelQueries.qualityCheckSuite(s, d)),
+    "q135_hll_stream" -> ((s, d) => PipelineQueries.hllStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,5 +522,10 @@ object SparkEntry {
     // conditional aggregates (one scan per table) plus FK-orphan checks
     // as left joins; (check, n_rows, n_violations, passed) per check
     "q134_quality_checks" -> RelQueries.QualityCheckSuiteSql,
+    // q135: streaming sketch maintenance — per-batch registers merged
+    // into the persisted artifact via foreachBatch; max-merge is
+    // associative+commutative, so the oracle's one-pass whole-corpus
+    // sketch proves batch boundaries don't matter
+    "q135_hll_stream" -> PipelineQueries.HllStreamMaintainedSql,
   )
 }

@@ -106,6 +106,47 @@ class SketchesSpec extends AnyFunSuite {
       "stored-registers + delta merge must equal the full recompute")
   }
 
+  test("stream-maintained registers == one-pass sketch, any batch order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = randomStrings(1200, 51).map(("g", _))
+    val b = randomStrings(1200, 52).map(("g", _))
+    def maintained(chunks: Seq[Seq[(String, String)]]): Set[(String, Long, Int)] = {
+      val base = java.nio.file.Files.createTempDirectory("hll-stream")
+      val regDir = base.resolve("registers")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(String, String)]
+      val q = source.toDS().toDF("g", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val regs = Sketches.hllRegisters(batch, Seq("g"), "v")
+          val merged =
+            if (java.nio.file.Files.exists(regDir))
+              Sketches.mergeRegisters(
+                Sketches.loadRegisters(spark, regDir.toString), regs, Seq("g"))
+            else regs
+          val sib = base.resolve(s"next-$id")
+          Sketches.saveRegisters(merged, sib.toString)
+          graft.Fs.deleteRecursively(regDir)
+          java.nio.file.Files.move(sib, regDir)
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      Sketches.loadRegisters(spark, regDir.toString)
+        .select($"g", $"bucket", $"maxrho").as[(String, Long, Int)]
+        .collect().toSet
+    }
+    val direct = Sketches.hllRegisters((a ++ b).toDF("g", "v"), Seq("g"), "v")
+      .select($"g", $"bucket", $"maxrho").as[(String, Long, Int)]
+      .collect().toSet
+    val ab = maintained(Seq(a, b)) // two real batches: merge path fires
+    val ba = maintained(Seq(b, a))
+    assert(ab == direct, "stream-maintained must equal the one-pass sketch")
+    assert(ba == direct, "batch ORDER must not matter (max-merge commutes)")
+  }
+
   /** Driver-side CMS reference: bucket r = byte r of the salted hash. */
   private def referenceCms(values: Seq[String]): Map[(Int, Long), Long] = {
     val c = scala.collection.mutable.Map[(Int, Long), Long]()
