@@ -3129,6 +3129,45 @@ object PipelineQueries {
       |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
       |FROM agg""".stripMargin
 
+  /** q: greedy k-center coreset selection over the embeddings (see
+    * [[graft.pipeline.Similarity.kCenterSelect]]) — five farthest-first
+    * picks; the oracle unrolls the five rounds as chained CTEs with the
+    * identical left-to-right squared-L2 folds and least-chains (min of
+    * doubles carries no rounding), so ranks, ids, AND the selection
+    * distances hash-match bit for bit. */
+  def coresetSelect(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenterSelect(embs(s, d), "vec_id", "embedding", k = 5,
+      dim = 64)
+
+  val CoresetSelectSql: String = {
+    def sq(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |    (acc, x) -> acc + x)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val (prevD, prevS) = (s"d${r - 1}", s"s$r")
+      val distExpr =
+        if (r == 2) sq("e.v", "s1.v")
+        else s"least(d${r - 2}.md, ${sq(s"d${r - 2}.v", s"s${r - 1}.v")})"
+      val src = if (r == 2) "e, s1 WHERE e.vec_id <> s1.vec_id"
+        else s"d${r - 2}, s${r - 1} WHERE d${r - 2}.vec_id <> s${r - 1}.vec_id"
+      val proj = if (r == 2) "e.vec_id, e.v" else s"d${r - 2}.vec_id, d${r - 2}.v"
+      s"""d${r - 1} AS (SELECT $proj, $distExpr AS md FROM $src),
+         |s$r AS (SELECT vec_id, v, md FROM d${r - 1}
+         |        ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings
+       |           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT 1 AS rank, vec_id, NULL::DOUBLE AS min_dist FROM s1
+       |UNION ALL SELECT 2, vec_id, md FROM s2
+       |UNION ALL SELECT 3, vec_id, md FROM s3
+       |UNION ALL SELECT 4, vec_id, md FROM s4
+       |UNION ALL SELECT 5, vec_id, md FROM s5""".stripMargin
+  }
+
   /** q: triangle census of the word co-occurrence graph — nodes, edges,
     * wedges, triangles, global clustering coefficient (see
     * [[graft.pipeline.GraphRank.triangleCensus]]). All counts exact

@@ -150,6 +150,7 @@ object SparkEntry {
     "q133_ivm_join_agg" -> ((s, d) => RelQueries.incrementalJoinAggRefresh(s, d)),
     "q134_quality_checks" -> ((s, d) => RelQueries.qualityCheckSuite(s, d)),
     "q135_hll_stream" -> ((s, d) => PipelineQueries.hllStreamMaintained(s, d)),
+    "q136_coreset_select" -> ((s, d) => PipelineQueries.coresetSelect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,5 +528,8 @@ object SparkEntry {
     // associative+commutative, so the oracle's one-pass whole-corpus
     // sketch proves batch boundaries don't matter
     "q135_hll_stream" -> PipelineQueries.HllStreamMaintainedSql,
+    // q136: greedy k-center coreset (farthest-first) — five unrolled
+    // oracle rounds, identical fold order; distances hash-match exactly
+    "q136_coreset_select" -> PipelineQueries.CoresetSelectSql,
   )
 }

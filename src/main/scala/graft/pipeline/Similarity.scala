@@ -1355,4 +1355,66 @@ object Similarity {
       sqrt(sumSq).as("l2_norm"),
       (s / size(v)).as("mean_val"))
   }
+
+  /**
+   * Greedy k-CENTER coreset selection (Gonzalez 1985 farthest-first
+   * traversal) — the diverse-subset curation primitive: pick k points
+   * such that every corpus point is close to some pick (2-approximation
+   * of the optimal k-center cover). Training-data pipelines use it to
+   * choose representative/diverse examples where random sampling
+   * oversamples dense clusters.
+   *
+   * Seed = the lowest id; each round adds the point FARTHEST (squared
+   * L2) from the current picks, ties to the lowest id. Returns
+   * `(rank, vec_id, min_dist)` — the distance at selection (null for
+   * the seed). Every arithmetic step is IEEE double in a pinned
+   * left-to-right fold, and `least` chains carry no rounding, so the
+   * declared row replays bit-for-bit against k unrolled oracle rounds.
+   *
+   * Scale shape: k rounds, each ONE partial-combined top-1 aggregation
+   * (`TakeOrderedAndProject`) over the cached corpus with the picked
+   * vectors as bounded plan literals — no shuffle of the corpus, no
+   * pairwise materialization; cost is k scans, the standard
+   * farthest-first trade (k is small by definition of a coreset seed).
+   */
+  def kCenterSelect(
+      embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val e = embs
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Int, Long, Option[Double])]
+      val seed = e.orderBy(col("vec_id")).limit(1)
+        .as[(Long, Seq[Double])].collect()
+      if (seed.nonEmpty) {
+        var selected = List(seed(0))
+        out += ((1, seed(0)._1, None))
+        for (r <- 2 to k) {
+          val dists = selected.map { case (_, sv) =>
+            val litV = array(sv.map(lit): _*)
+            aggregate(zip_with(col("v"), litV, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)
+          }
+          val minD = if (dists.lengthCompare(1) == 0) dists.head
+            else least(dists: _*)
+          val best = e.where(!col("vec_id").isin(selected.map(_._1): _*))
+            .select(col("vec_id"), col("v"), minD.as("md"))
+            .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+            .as[(Long, Seq[Double], Double)].collect()
+          if (best.nonEmpty) {
+            selected = (best(0)._1, best(0)._2) :: selected
+            out += ((r, best(0)._1, Some(best(0)._3)))
+          }
+        }
+      }
+      out.toSeq.toDF("rank", "vec_id", "min_dist")
+    } finally e.unpersist()
+  }
 }
