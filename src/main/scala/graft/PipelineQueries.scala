@@ -3129,6 +3129,77 @@ object PipelineQueries {
       |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
       |FROM agg""".stripMargin
 
+  /** q: CMS join-cardinality estimation — the counter inner product
+    * (AMS-style) bounds the orders-x-customer equi-join size from
+    * above without touching either table; the declared row adjudicates
+    * against the true join count in-row (the q104 pattern) and pins
+    * the one-sided never-underestimates contract. Overshoot is the
+    * documented width trade: `~|A|x|B|/width` extra mass — a planner
+    * sizes the sketch width to its key cardinalities. */
+  def cmsJoinCardinality(s: SparkSession, d: String): DataFrame = {
+    val sk = graft.pipeline.Sketches
+    val orders = Tables.load(s, d, "orders")
+    val customer = Tables.load(s, d, "customer")
+    val est = sk.cmsJoinSizeEstimate(
+      sk.cmsCounters(orders.where(col("o_custkey").isNotNull)
+        .select(col("o_custkey").cast("string").as("k")), "k"),
+      sk.cmsCounters(customer.where(col("c_custkey").isNotNull)
+        .select(col("c_custkey").cast("string").as("k")), "k"))
+    val truth = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("true_join_size"))
+    val nullD = lit(null).cast("decimal(38,0)")
+    est.select(col("est_join_size"), lit(null).cast("long")
+        .as("true_join_size"))
+      .unionAll(truth.select(nullD.as("est_join_size"),
+        col("true_join_size")))
+      .agg(max(col("est_join_size")).as("est"),
+        max(col("true_join_size")).as("true_join_size"))
+      .select(col("est").cast("double").as("est_join_size"),
+        col("true_join_size"),
+        (col("est") >= col("true_join_size")).as("never_under"),
+        (col("est").cast("double") /
+          col("true_join_size").cast("double")).as("overshoot_ratio"))
+  }
+
+  val CmsJoinCardinalitySql: String =
+    """WITH ak AS (SELECT o_custkey::VARCHAR AS k FROM orders
+      |            WHERE o_custkey IS NOT NULL),
+      |bk AS (SELECT c_custkey::VARCHAR AS k FROM customer
+      |       WHERE c_custkey IS NOT NULL),
+      |ha AS (SELECT list_reduce(
+      |         list_prepend(0::HUGEINT,
+      |           list_transform(range(1, length('cms:' || k) + 1),
+      |                          i -> ord(substr('cms:' || k, i, 1))::HUGEINT)),
+      |         (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT)
+      |         AS hv
+      |       FROM ak),
+      |hb AS (SELECT list_reduce(
+      |         list_prepend(0::HUGEINT,
+      |           list_transform(range(1, length('cms:' || k) + 1),
+      |                          i -> ord(substr('cms:' || k, i, 1))::HUGEINT)),
+      |         (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT)
+      |         AS hv
+      |       FROM bk),
+      |u(r, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
+      |                   (2, 65536::HUGEINT), (3, 16777216::HUGEINT)),
+      |ca AS (SELECT u.r, ((hv // u.p) % 256)::BIGINT AS bucket,
+      |              count(*)::BIGINT AS counter
+      |       FROM ha, u GROUP BY 1, 2),
+      |cb AS (SELECT u.r, ((hv // u.p) % 256)::BIGINT AS bucket,
+      |              count(*)::BIGINT AS counter
+      |       FROM hb, u GROUP BY 1, 2),
+      |ip AS (SELECT ca.r, sum(ca.counter * cb.counter) AS re
+      |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+      |       GROUP BY 1),
+      |e AS (SELECT min(re) AS est FROM ip WHERE re IS NOT NULL),
+      |t AS (SELECT count(*)::BIGINT AS tj
+      |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT e.est::DOUBLE AS est_join_size, t.tj AS true_join_size,
+      |  (e.est >= t.tj) AS never_under,
+      |  e.est::DOUBLE / t.tj::DOUBLE AS overshoot_ratio
+      |FROM e, t""".stripMargin
+
   /** q: greedy k-center coreset selection over the embeddings (see
     * [[graft.pipeline.Similarity.kCenterSelect]]) — five farthest-first
     * picks; the oracle unrolls the five rounds as chained CTEs with the

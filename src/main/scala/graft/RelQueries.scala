@@ -1544,6 +1544,61 @@ object RelQueries {
       |UNION ALL SELECT 'lineitem.fk_orders', n_rows,
       |       coalesce(v, 0), coalesce(v, 0) = 0 FROM lfk WHERE n_rows > 0""".stripMargin
 
+  /**
+   * Per-group OLS TREND fit — "is this event type's volume growing?"
+   * as data: ordinary least squares of hourly counts against the hour
+   * index, per event type. The moment sums (n, Σx, Σy, Σxy, Σx²) are
+   * EXACT integers carried as DECIMAL(38,0) (order-free, overflow-safe
+   * at any scale), and the closed-form slope/intercept are a pinned
+   * handful of IEEE double ops on those exact sums — bit-reproducible
+   * cross-engine with no iterative fitting anywhere.
+   *
+   * Scale shape: one partial-aggregated groupBy to hourly cells (q26's
+   * shape), then one groupBy to the per-type moment sums — the
+   * regression itself is a projection of five exact numbers per group.
+   */
+  def volumeTrend(spark: SparkSession, dir: String): DataFrame =
+    volumeTrendFromEvents(Tables.load(spark, dir, "events"))
+
+  def volumeTrendFromEvents(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val d = "decimal(20,0)"
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum(col("h").cast(d)).as("sx"),
+        sum(col("c").cast(d)).as("sy"),
+        sum((col("h") * col("c")).cast(d)).as("sxy"),
+        sum((col("h") * col("h")).cast(d)).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+      .select(col("event_type"), col("n").cast("long").as("n_hours"),
+        col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+  }
+
+  val VolumeTrendSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*)::HUGEINT AS n,
+      |        sum(h::HUGEINT) AS sx, sum(c::HUGEINT) AS sy,
+      |        sum((h * c)::HUGEINT) AS sxy, sum((h * h)::HUGEINT) AS sxx
+      |      FROM hourly GROUP BY 1),
+      |sl AS (SELECT event_type, n, sx, sy,
+      |         (n * sxy - sx * sy)::DOUBLE
+      |           / (n * sxx - sx * sx)::DOUBLE AS slope
+      |       FROM m)
+      |SELECT event_type, n::BIGINT AS n_hours, slope,
+      |  (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS intercept
+      |FROM sl""".stripMargin
+
   val UserStateHistorySql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id AS i,
       |                  event_type AS y

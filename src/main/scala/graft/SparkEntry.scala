@@ -151,6 +151,8 @@ object SparkEntry {
     "q134_quality_checks" -> ((s, d) => RelQueries.qualityCheckSuite(s, d)),
     "q135_hll_stream" -> ((s, d) => PipelineQueries.hllStreamMaintained(s, d)),
     "q136_coreset_select" -> ((s, d) => PipelineQueries.coresetSelect(s, d)),
+    "q137_cms_join_size" -> ((s, d) => PipelineQueries.cmsJoinCardinality(s, d)),
+    "q138_volume_trend" -> ((s, d) => RelQueries.volumeTrend(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,5 +533,11 @@ object SparkEntry {
     // q136: greedy k-center coreset (farthest-first) — five unrolled
     // oracle rounds, identical fold order; distances hash-match exactly
     "q136_coreset_select" -> PipelineQueries.CoresetSelectSql,
+    // q137: CMS join-cardinality estimate — counter inner product,
+    // min over depth rows; never-under contract + true size in-row
+    "q137_cms_join_size" -> PipelineQueries.CmsJoinCardinalitySql,
+    // q138: per-type OLS volume trend — exact decimal moment sums, a
+    // pinned handful of IEEE ops for slope/intercept; no iteration
+    "q138_volume_trend" -> RelQueries.VolumeTrendSql,
   )
 }

@@ -190,6 +190,35 @@ object Sketches {
       .agg(count(lit(1)).as("counter"))
 
   /**
+   * JOIN-CARDINALITY estimate from two [[cmsCounters]] tables over the
+   * join key: per hash row, the counter inner product
+   * `sum_b cA[r][b] * cB[r][b]` bounds the true equi-join size
+   * `sum_k fA(k) * fB(k)` from ABOVE (collisions only add nonnegative
+   * cross terms), so `min` over the depth rows is a never-under
+   * estimate — the sketch-based join-size oracle a planner consults
+   * without touching either table (AMS/CMS inner-product estimation,
+   * Alon-Matias-Szegedy / Cormode-Muthukrishnan).
+   *
+   * One row per hash row plus the min: all exact integer arithmetic
+   * over two 1024-entry sketches — the estimate costs nothing at any
+   * table size once the sketches exist.
+   */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    // DECIMAL products: counters are table-sized, so ca*cb overflows a
+    // long beyond ~3e9 rows — the sketch must survive the tables it
+    // summarizes
+    val perRow = a.select(col("r"), col("bucket"),
+        col("counter").cast("decimal(19,0)").as("ca"))
+      .join(b.select(col("r"), col("bucket"),
+        col("counter").cast("decimal(19,0)").as("cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).as("row_estimate"))
+    perRow.agg(min(col("row_estimate")).as("est_join_size"))
+      .where(col("est_join_size").isNotNull)
+  }
+
+  /**
    * Probe a [[cmsCounters]] table: the estimate for each probe value is
    * the MINIMUM of its `CmsDepth` counters — never an underestimate
    * (every counter includes all of the value's own occurrences). The

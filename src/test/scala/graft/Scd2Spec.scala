@@ -104,6 +104,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(direct.exists(_._1 == 2), "delta-only nation must appear")
   }
 
+  test("volume trend: exact OLS on a perfect line and a planted ramp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts forming the exact line c = 2h + 3 at hours 0..4 for type
+    // "up"; constant 5 for type "flat". ts nanos = h * 3600e9.
+    val rows = (for {
+      h <- 0L to 4L
+      i <- 1L to (2 * h + 3)
+    } yield ("up", h * 3600000000000L, i)) ++
+      (for { h <- 0L to 4L; i <- 1L to 5L }
+        yield ("flat", h * 3600000000000L, i))
+    val df = rows.toDF("event_type", "ts", "i")
+    val res = RelQueries.volumeTrendFromEvents(df)
+      .select($"event_type", $"slope", $"intercept")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(res("up") == ((2.0, 3.0)), "a perfect line fits exactly")
+    assert(res("flat") == ((0.0, 5.0)))
+  }
+
   test("quality suite: planted violations count per check class") {
     import spark.implicits._
     val orders = Seq(

@@ -197,6 +197,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.forall { case (v, e) => est(v) == e })
   }
 
+  test("join-size estimate: min of per-row inner products on hand counters") {
+    import spark.implicits._
+    // row 0: 2*3 + 1*4 = 10; row 1: 5*2 = 10; row 2: 1*1 = 1 -> min 1
+    val a = Seq((0, 0L, 2L), (0, 1L, 1L), (1, 7L, 5L), (2, 3L, 1L))
+      .toDF("r", "bucket", "counter")
+    val b = Seq((0, 0L, 3L), (0, 1L, 4L), (1, 7L, 2L), (2, 3L, 1L))
+      .toDF("r", "bucket", "counter")
+    val est = Sketches.cmsJoinSizeEstimate(a, b)
+      .select($"est_join_size".cast("long")).as[Long].head()
+    assert(est == 1L)
+  }
+
+  test("join-size estimate never underestimates the true equi-join size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val ka = (0 until 4000).map(_ => s"k${rnd.nextInt(300)}")
+    val kb = (0 until 2000).map(_ => s"k${rnd.nextInt(500)}")
+    val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsCounters(ka.toDF("k"), "k"),
+        Sketches.cmsCounters(kb.toDF("k"), "k"))
+      .select($"est_join_size".cast("long")).as[Long].head()
+    val fa = ka.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = kb.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    assert(est >= truth, s"estimate $est under true $truth")
+    // and it matches the driver-side reference inner product exactly
+    val ra = referenceCms(ka.map(identity))
+    val rb = referenceCms(kb)
+    val expected = (0 until Sketches.CmsDepth).map { r =>
+      ra.collect { case ((`r`, b), c) => c * rb.getOrElse((r, b), 0L) }.sum
+    }.min
+    assert(est == expected)
+  }
+
   test("ngram stream matches the dedup family's 5-gram construction") {
     import spark.implicits._
     val docs = Seq(("a b c d e f", "s1"), ("x y", "s2")).toDF("text", "source")
