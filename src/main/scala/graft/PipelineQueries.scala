@@ -3129,6 +3129,45 @@ object PipelineQueries {
       |                   * 144115188075855872::HUGEINT)::DOUBLE) AS estimate
       |FROM agg""".stripMargin
 
+  /** q: per-source length WINSORIZATION — every doc's n_chars clipped
+    * to its source's exact [p05, p95] order statistics: the standard
+    * outlier treatment before length-sensitive curation (packing,
+    * token budgeting). Thresholds come from ONE
+    * [[graft.pipeline.Curation.groupedQuantiles]] pass (per-source
+    * histogram, never raw-row buffering) and join back broadcast; the
+    * clip itself is a codegen'd projection. Clamp arithmetic is
+    * integer, thresholds are decimal-exact order statistics — the full
+    * clipped table hash-matches. */
+  def lengthWinsorize(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).where(col("text").isNotNull)
+    val thresholds = Curation.groupedQuantiles(dd, "source",
+      col("n_chars"), Seq("p05" -> 0.05, "p95" -> 0.95))
+    dd.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(thresholds.select(col("source"),
+        col("p05"), col("p95"))), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p05"), col("p95"),
+        least(greatest(col("n_chars"), col("p05")), col("p95"))
+          .as("clipped"))
+  }
+
+  val LengthWinsorizeSql: String =
+    """WITH s AS (SELECT doc_id, source, n_chars FROM documents
+      |           WHERE text IS NOT NULL),
+      |h AS (SELECT source, n_chars AS v, count(*) AS cnt FROM s
+      |      GROUP BY 1, 2),
+      |c AS (SELECT source, v,
+      |        sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cc,
+      |        sum(cnt) OVER (PARTITION BY source) AS n
+      |      FROM h),
+      |t AS (SELECT source,
+      |        min(CASE WHEN cc >= cast(ceil(0.05 * n) AS BIGINT) THEN v END) AS p05,
+      |        min(CASE WHEN cc >= cast(ceil(0.95 * n) AS BIGINT) THEN v END) AS p95
+      |      FROM c GROUP BY source)
+      |SELECT s.doc_id, s.source, s.n_chars, t.p05, t.p95,
+      |  least(greatest(s.n_chars, t.p05), t.p95) AS clipped
+      |FROM s JOIN t ON s.source = t.source""".stripMargin
+
   /** q: CMS join-cardinality estimation — the counter inner product
     * (AMS-style) bounds the orders-x-customer equi-join size from
     * above without touching either table; the declared row adjudicates

@@ -153,6 +153,7 @@ object SparkEntry {
     "q136_coreset_select" -> ((s, d) => PipelineQueries.coresetSelect(s, d)),
     "q137_cms_join_size" -> ((s, d) => PipelineQueries.cmsJoinCardinality(s, d)),
     "q138_volume_trend" -> ((s, d) => RelQueries.volumeTrend(s, d)),
+    "q139_length_winsorize" -> ((s, d) => PipelineQueries.lengthWinsorize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,5 +540,8 @@ object SparkEntry {
     // q138: per-type OLS volume trend — exact decimal moment sums, a
     // pinned handful of IEEE ops for slope/intercept; no iteration
     "q138_volume_trend" -> RelQueries.VolumeTrendSql,
+    // q139: per-source length winsorization — exact [p05, p95] order
+    // statistics from the q52 histogram machinery, broadcast clip
+    "q139_length_winsorize" -> PipelineQueries.LengthWinsorizeSql,
   )
 }

@@ -124,6 +124,22 @@ class Scd2Spec extends AnyFunSuite {
     assert(res("flat") == ((0.0, 5.0)))
   }
 
+  test("winsorization clips into the per-source band and keeps every row") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.PipelineQueries.lengthWinsorize(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where($"text".isNotNull).count()
+    assert(got.length.toLong == docs, "clipping drops no rows")
+    assert(got.forall(r => r._6 >= r._4 && r._6 <= r._5),
+      "every clipped value sits inside [p05, p95]")
+    assert(got.exists(r => r._6 != r._3),
+      "the tails actually clip on this distribution")
+    assert(got.filter(r => r._3 >= r._4 && r._3 <= r._5)
+      .forall(r => r._6 == r._3), "in-band values pass through unchanged")
+  }
+
   test("quality suite: planted violations count per check class") {
     import spark.implicits._
     val orders = Seq(
