@@ -1582,6 +1582,65 @@ object RelQueries {
           / col("n").cast("double")).as("intercept"))
   }
 
+  /**
+   * MULTI-TOUCH linear attribution — the marketing-analytics sibling of
+   * q44's last-touch as-of: every view/click within the horizon BEFORE
+   * a purchase (inclusive bounds) shares the conversion credit equally
+   * (`1 / n_touches`). Built on the q45 interval-join operator
+   * (bucketized, never a raw per-user cross product); the per-purchase
+   * touch count attaches by one window over the already-joined pairs.
+   * Credit is a single IEEE division of exact counts — hash-exact.
+   */
+  def multiTouchAttribution(
+      spark: SparkSession, dir: String,
+      horizonUs: Long = 86400000000L): DataFrame =
+    multiTouchFromEvents(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000L").as("tsu"), col("event_type")),
+      horizonUs)
+
+  /** Core over a (user_id, event_id, tsu, event_type) frame. */
+  def multiTouchFromEvents(
+      events: DataFrame, horizonUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+    val touches = e.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("tsu").as("touch_ts"), col("event_type").as("touch_type"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("tsu").as("purchase_ts"))
+      .withColumn("window_start", col("purchase_ts") - horizonUs)
+    val joined = graft.operators.IntervalJoin.intervalJoin(
+      touches, purchases, Seq("user_id"), col("touch_ts"),
+      col("window_start"), col("purchase_ts"), bucketWidth = horizonUs)
+    val w = Window.partitionBy(col("purchase_id"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        col("n_touches"),
+        (lit(1.0) / col("n_touches").cast("double")).as("credit"))
+  }
+
+  val MultiTouchAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      |           FROM events),
+      |t AS (SELECT user_id, event_id AS touch_id, tsu AS touch_ts,
+      |             event_type AS touch_type
+      |      FROM e WHERE event_type IN ('view', 'click')),
+      |p AS (SELECT user_id, event_id AS purchase_id, tsu AS purchase_ts
+      |      FROM e WHERE event_type = 'purchase'),
+      |j AS (SELECT p.purchase_id, t.touch_id, t.touch_type
+      |      FROM p JOIN t ON p.user_id = t.user_id
+      |       AND t.touch_ts BETWEEN p.purchase_ts - 86400000000 AND p.purchase_ts),
+      |n AS (SELECT purchase_id, touch_id, touch_type,
+      |             count(*) OVER (PARTITION BY purchase_id)::BIGINT AS n_touches
+      |      FROM j)
+      |SELECT purchase_id, touch_id, touch_type, n_touches,
+      |       1.0::DOUBLE / n_touches::DOUBLE AS credit
+      |FROM n""".stripMargin
+
   val VolumeTrendSql: String =
     """WITH hourly AS (
       |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,

@@ -154,6 +154,7 @@ object SparkEntry {
     "q137_cms_join_size" -> ((s, d) => PipelineQueries.cmsJoinCardinality(s, d)),
     "q138_volume_trend" -> ((s, d) => RelQueries.volumeTrend(s, d)),
     "q139_length_winsorize" -> ((s, d) => PipelineQueries.lengthWinsorize(s, d)),
+    "q140_multitouch_attribution" -> ((s, d) => RelQueries.multiTouchAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -543,5 +544,8 @@ object SparkEntry {
     // q139: per-source length winsorization — exact [p05, p95] order
     // statistics from the q52 histogram machinery, broadcast clip
     "q139_length_winsorize" -> PipelineQueries.LengthWinsorizeSql,
+    // q140: multi-touch linear attribution — q45's interval join +
+    // one per-purchase window; credit = one IEEE division
+    "q140_multitouch_attribution" -> RelQueries.MultiTouchAttributionSql,
   )
 }

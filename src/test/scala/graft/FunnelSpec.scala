@@ -59,4 +59,26 @@ class FunnelSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map(1L -> ((Some(4L), 1L)), 2L -> ((None, 0L))))
   }
+
+  test("multi-touch attribution: horizon bounds, equal credit, no-touch purchases absent") {
+    import spark.implicits._
+    val h = 100L
+    val rows = Seq(
+      // user 1: purchase at 200; touches at 100 (in, boundary), 150 (in),
+      // 99 (out), 200 (in, same instant), plus an error event (never a touch)
+      (1L, 10L, 100L, "view"), (1L, 11L, 150L, "click"),
+      (1L, 12L, 99L, "view"), (1L, 13L, 200L, "view"),
+      (1L, 14L, 160L, "error"), (1L, 20L, 200L, "purchase"),
+      // user 2: purchase with no touches in horizon
+      (2L, 30L, 500L, "purchase"), (2L, 31L, 10L, "view"))
+      .toDF("user_id", "event_id", "tsu", "event_type")
+    val got = RelQueries.multiTouchFromEvents(rows, h)
+      .as[(Long, Long, String, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(20L), "only the touched purchase appears")
+    assert(got.map(_._2).toSet == Set(10L, 11L, 13L),
+      "boundary-inclusive window; out-of-horizon and error events excluded")
+    assert(got.forall(r => r._4 == 3L && r._5 == 1.0 / 3.0))
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-12,
+      "credits sum to one conversion")
+  }
 }
