@@ -1426,6 +1426,56 @@ object PipelineQueries {
        |SELECT s.doc_id, s.cluster_id, r.rep_id, (s.doc_id = r.rep_id) AS keep
        |FROM sized s JOIN reps r USING (cluster_id)""".stripMargin
 
+  /** q: dedup SAVINGS card — the one-row business case for the dedup
+    * family: documents, near-dup clusters, redundant copies (non-
+    * representatives under q110's keep-the-longest policy), and the
+    * characters a rep-only corpus saves. Shares q40's cached CC labels
+    * (one cluster resolution serves q40/q89/q110 and this row); the
+    * card is one partial-combined aggregate over the labeled corpus.
+    * Savings ratio is a single IEEE division of exact character sums. */
+  def dedupSavingsCard(s: SparkSession, d: String): DataFrame = {
+    val labeled = clusterRepresentatives(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    labeled.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_redundant"),
+        sum(col("n_chars")).as("chars_total"),
+        coalesce(sum(when(!col("keep"), col("n_chars"))), lit(0L))
+          .as("chars_saved"))
+      .withColumn("savings_ratio",
+        col("chars_saved").cast("double") /
+          col("chars_total").cast("double"))
+      .where(col("n_docs") > 0L)
+  }
+
+  val DedupSavingsCardSql: String =
+    s"""WITH RECURSIVE $DupClusterCtes,
+       |sized AS (
+       |  SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id, d.n_chars
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+       |reps AS (
+       |  SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |           row_number() OVER (PARTITION BY cluster_id
+       |                              ORDER BY n_chars DESC, doc_id ASC) AS r
+       |    FROM sized)
+       |  WHERE r = 1),
+       |lab AS (SELECT s.doc_id, s.cluster_id, s.n_chars,
+       |               (s.doc_id = r.rep_id) AS keep
+       |        FROM sized s JOIN reps r USING (cluster_id)),
+       |card AS (SELECT count(*)::BIGINT AS n_docs,
+       |           count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       |           sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT
+       |             AS n_redundant,
+       |           sum(n_chars)::BIGINT AS chars_total,
+       |           coalesce(sum(CASE WHEN NOT keep THEN n_chars END), 0)::BIGINT
+       |             AS chars_saved
+       |         FROM lab)
+       |SELECT n_docs, n_clusters, n_redundant, chars_total, chars_saved,
+       |       chars_saved::DOUBLE / chars_total::DOUBLE AS savings_ratio
+       |FROM card WHERE n_docs > 0""".stripMargin
+
   /** q40's cluster resolution on the O(log n) alternating-star CC instead
     * of min-label propagation — identical labels (same oracle), rounds
     * independent of component diameter. */
@@ -3194,6 +3244,9 @@ object PipelineQueries {
         col("true_join_size")))
       .agg(max(col("est_join_size")).as("est"),
         max(col("true_join_size")).as("true_join_size"))
+      // zero-rows-on-empty convention: no joinable rows -> no estimate
+      // row (the ratio adjudication needs a nonzero denominator anyway)
+      .where(col("true_join_size") > 0L)
       .select(col("est").cast("double").as("est_join_size"),
         col("true_join_size"),
         (col("est") >= col("true_join_size")).as("never_under"),
@@ -3237,7 +3290,7 @@ object PipelineQueries {
       |SELECT e.est::DOUBLE AS est_join_size, t.tj AS true_join_size,
       |  (e.est >= t.tj) AS never_under,
       |  e.est::DOUBLE / t.tj::DOUBLE AS overshoot_ratio
-      |FROM e, t""".stripMargin
+      |FROM e, t WHERE t.tj > 0""".stripMargin
 
   /** q: greedy k-center coreset selection over the embeddings (see
     * [[graft.pipeline.Similarity.kCenterSelect]]) — five farthest-first

@@ -155,6 +155,7 @@ object SparkEntry {
     "q138_volume_trend" -> ((s, d) => RelQueries.volumeTrend(s, d)),
     "q139_length_winsorize" -> ((s, d) => PipelineQueries.lengthWinsorize(s, d)),
     "q140_multitouch_attribution" -> ((s, d) => RelQueries.multiTouchAttribution(s, d)),
+    "q141_dedup_savings" -> ((s, d) => PipelineQueries.dedupSavingsCard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,5 +548,8 @@ object SparkEntry {
     // q140: multi-touch linear attribution — q45's interval join +
     // one per-purchase window; credit = one IEEE division
     "q140_multitouch_attribution" -> RelQueries.MultiTouchAttributionSql,
+    // q141: dedup savings card — one row from the shared CC labels:
+    // clusters, redundant copies, characters a rep-only corpus saves
+    "q141_dedup_savings" -> PipelineQueries.DedupSavingsCardSql,
   )
 }
