@@ -1641,6 +1641,78 @@ object RelQueries {
       |       1.0::DOUBLE / n_touches::DOUBLE AS credit
       |FROM n""".stripMargin
 
+  /**
+   * ROBUST volume anomalies — q70's z-score screen re-done with
+   * breakdown-resistant statistics: per event type, the hourly count's
+   * deviation from the MEDIAN in units of the MAD (median absolute
+   * deviation), both EXACT order statistics from the q52 histogram
+   * machinery (two histogram-shaped passes, never raw-row buffering).
+   * Mean/sigma z-scores mask anomalies when the anomaly itself inflates
+   * sigma; median/MAD have a 50% breakdown point. The ratio is one
+   * IEEE division of exact integers; a zero MAD (constant series)
+   * yields a null ratio and never flags.
+   */
+  def robustVolumeAnomalies(
+      spark: SparkSession, dir: String, flagAt: Double = 5.0): DataFrame =
+    robustAnomaliesFromEvents(Tables.load(spark, dir, "events"), flagAt)
+
+  def robustAnomaliesFromEvents(
+      events: DataFrame, flagAt: Double = 5.0): DataFrame = {
+    val cells = events
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val med = graft.pipeline.Curation.groupedQuantiles(cells, "event_type", col("c"),
+      Seq("med" -> 0.5))
+    val resid = cells.join(broadcast(med), "event_type")
+      .withColumn("r", abs(col("c") - col("med")))
+    val mad = graft.pipeline.Curation.groupedQuantiles(resid, "event_type", col("r"),
+      Seq("mad" -> 0.5))
+    resid.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("h"), col("c"), col("med"), col("mad"),
+        when(col("mad") > 0L,
+          col("r").cast("double") / col("mad").cast("double"))
+          .as("dev_ratio"))
+      .withColumn("flagged",
+        coalesce(col("dev_ratio") > flagAt, lit(false)))
+  }
+
+  val RobustVolumeAnomaliesSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |h1 AS (SELECT event_type, c AS v, count(*) AS cnt FROM cells
+      |       GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, v,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |       FROM h1),
+      |med AS (SELECT event_type,
+      |          min(CASE WHEN cc >= cast(ceil(0.5 * n) AS BIGINT) THEN v END)
+      |            AS med
+      |        FROM c1 GROUP BY 1),
+      |resid AS (SELECT cells.event_type, cells.h, cells.c, med.med,
+      |                 abs(cells.c - med.med)::BIGINT AS r
+      |          FROM cells JOIN med ON cells.event_type = med.event_type),
+      |h2 AS (SELECT event_type, r AS v, count(*) AS cnt FROM resid
+      |       GROUP BY 1, 2),
+      |c2 AS (SELECT event_type, v,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |       FROM h2),
+      |mad AS (SELECT event_type,
+      |          min(CASE WHEN cc >= cast(ceil(0.5 * n) AS BIGINT) THEN v END)
+      |            AS mad
+      |        FROM c2 GROUP BY 1)
+      |SELECT resid.event_type, resid.h, resid.c, resid.med, mad.mad,
+      |  CASE WHEN mad.mad > 0
+      |       THEN resid.r::DOUBLE / mad.mad::DOUBLE END AS dev_ratio,
+      |  coalesce(CASE WHEN mad.mad > 0
+      |                THEN resid.r::DOUBLE / mad.mad::DOUBLE END > 5.0,
+      |           false) AS flagged
+      |FROM resid JOIN mad ON resid.event_type = mad.event_type""".stripMargin
+
   val VolumeTrendSql: String =
     """WITH hourly AS (
       |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,

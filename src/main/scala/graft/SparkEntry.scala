@@ -156,6 +156,7 @@ object SparkEntry {
     "q139_length_winsorize" -> ((s, d) => PipelineQueries.lengthWinsorize(s, d)),
     "q140_multitouch_attribution" -> ((s, d) => RelQueries.multiTouchAttribution(s, d)),
     "q141_dedup_savings" -> ((s, d) => PipelineQueries.dedupSavingsCard(s, d)),
+    "q142_robust_anomalies" -> ((s, d) => RelQueries.robustVolumeAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,5 +552,8 @@ object SparkEntry {
     // q141: dedup savings card — one row from the shared CC labels:
     // clusters, redundant copies, characters a rep-only corpus saves
     "q141_dedup_savings" -> PipelineQueries.DedupSavingsCardSql,
+    // q142: robust (median/MAD) volume anomalies — two exact
+    // order-statistic passes, 50% breakdown point vs q70's mean/sigma
+    "q142_robust_anomalies" -> RelQueries.RobustVolumeAnomaliesSql,
   )
 }

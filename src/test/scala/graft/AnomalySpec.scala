@@ -44,4 +44,26 @@ class AnomalySpec extends AnyFunSuite {
     // type a has plenty of earlier hours
     assert(got(("b", 1L)) == ((None, None, false)))
   }
+
+  test("robust anomalies: planted spike flags, constant series never does") {
+    import spark.implicits._
+    val H = 3600000000000L // one hour in ts nanos
+    // type "a": nine calm hours of 10-12 events (the wiggle keeps the
+    // MAD nonzero) + one 100-event spike hour; type "b": constant 5
+    // events across 10 hours — MAD 0, the degenerate guard path
+    val rows =
+      (for { h <- 0L to 8L; i <- 1L to (10L + h % 3) } yield ("a", h * H, i)) ++
+        (for { i <- 1L to 100L } yield ("a", 9L * H, i)) ++
+        (for { h <- 0L to 9L; i <- 1L to 5L } yield ("b", h * H, i))
+    val got = RelQueries.robustAnomaliesFromEvents(
+        rows.toDF("event_type", "ts", "i"), flagAt = 5.0)
+      .as[(String, Long, Long, Long, Long, Option[Double], Boolean)]
+      .collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.count(_._7) == 1, "exactly one hour of type a flags")
+    assert(a.filter(_._7).head._2 == 9L, "and it is the spike hour")
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(r => r._5 == 0L && r._6.isEmpty && !r._7),
+      "a constant series has MAD 0, null ratio, and never flags")
+  }
 }
