@@ -1426,6 +1426,34 @@ object PipelineQueries {
        |SELECT s.doc_id, s.cluster_id, r.rep_id, (s.doc_id = r.rep_id) AS keep
        |FROM sized s JOIN reps r USING (cluster_id)""".stripMargin
 
+  /** q: rendezvous-hash SHARD ROUTING under a shard-set change (see
+    * [[graft.pipeline.Curation.rendezvousShard]]): every doc routed at
+    * 8 and at 9 shards in one projection, with the move flag. The HRW
+    * property — a key moves IFF the NEW shard wins it, so only
+    * ~1/(n+1) of keys relocate — is spec-pinned; the declared table
+    * hash-matches the oracle's md5-weight argmax replay. */
+  def shardRouting(s: SparkSession, d: String): DataFrame = {
+    val ids = docs(s, d).select(col("doc_id"))
+    val eight = Curation.rendezvousShard(ids, "doc_id", 8,
+      shardCol = "shard_8")
+    Curation.rendezvousShard(eight, "doc_id", 9, shardCol = "shard_9")
+      .select(col("doc_id"), col("shard_8"), col("shard_9"),
+        (col("shard_8") =!= col("shard_9")).as("moved"))
+  }
+
+  val ShardRoutingSql: String =
+    """WITH e AS (SELECT doc_id FROM documents),
+      |w AS (SELECT doc_id,
+      |        list_transform(range(0, 9),
+      |          s -> md5('hrw:' || s || ':' || doc_id)) AS hs
+      |      FROM e),
+      |r AS (SELECT doc_id,
+      |        (list_position(hs[1:8], list_max(hs[1:8])) - 1)::INTEGER AS shard_8,
+      |        (list_position(hs, list_max(hs)) - 1)::INTEGER AS shard_9
+      |      FROM w)
+      |SELECT doc_id, shard_8, shard_9, (shard_8 <> shard_9) AS moved
+      |FROM r""".stripMargin
+
   /** q: dedup SAVINGS card — the one-row business case for the dedup
     * family: documents, near-dup clusters, redundant copies (non-
     * representatives under q110's keep-the-longest policy), and the

@@ -157,6 +157,7 @@ object SparkEntry {
     "q140_multitouch_attribution" -> ((s, d) => RelQueries.multiTouchAttribution(s, d)),
     "q141_dedup_savings" -> ((s, d) => PipelineQueries.dedupSavingsCard(s, d)),
     "q142_robust_anomalies" -> ((s, d) => RelQueries.robustVolumeAnomalies(s, d)),
+    "q143_shard_routing" -> ((s, d) => PipelineQueries.shardRouting(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -555,5 +556,8 @@ object SparkEntry {
     // q142: robust (median/MAD) volume anomalies — two exact
     // order-statistic passes, 50% breakdown point vs q70's mean/sigma
     "q142_robust_anomalies" -> RelQueries.RobustVolumeAnomaliesSql,
+    // q143: rendezvous (HRW) shard routing at 8 vs 9 shards — pure
+    // projection, unsigned argmax; only keys the new shard wins move
+    "q143_shard_routing" -> PipelineQueries.ShardRoutingSql,
   )
 }

@@ -452,6 +452,40 @@ object Curation {
   }
 
   /**
+   * RENDEZVOUS (highest-random-weight) shard routing — consistent
+   * assignment of keys to shards: each key goes to the shard whose
+   * salted hash of (shard, key) is highest. Unlike `hash(key) mod n`
+   * (which moves (n-1)/n of all keys when n changes), growing the
+   * shard set relocates ONLY the keys the new shard now wins —
+   * 1/(n+1) in expectation — because every surviving shard's weight
+   * for a key is unchanged. The routing table for index shards,
+   * stateful-stream partition maps, and cache rings.
+   *
+   * Determinism AND independence: weights are md5 hex strings compared
+   * lexicographically (fixed width — string order IS numeric order),
+   * so per-shard weights are genuinely independent. A rolling-hash
+   * weight would NOT be: Karp-Rabin is linear, so per-shard salted
+   * hashes are affine shifts of one another and the winner
+   * distribution skews (measured 18% moved where HRW predicts 11% —
+   * the q128 lesson in routing form). Argmax ties break to the first
+   * shard via `array_position`. Pure projection — one codegen'd md5
+   * per (key, shard) over a shard-count-bounded literal set, no
+   * shuffle, no state.
+   */
+  def rendezvousShard(
+      df: DataFrame, keyCol: String, numShards: Int,
+      salt: String = "", shardCol: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val weights = (0 until numShards).map { s =>
+      md5(concat_ws(":", lit(s"hrw$salt"), lit(s),
+        col(keyCol).cast("string")))
+    }
+    val arr = array(weights: _*)
+    df.withColumn(shardCol,
+      (array_position(arr, array_max(arr)) - 1L).cast("int"))
+  }
+
+  /**
    * Leakage-safe train/val/test split: the [[datasetSplit]] md5 gate
    * keyed by the NEAR-DUP CLUSTER id instead of the document id, so
    * every member of a duplicate cluster lands in the same split — the

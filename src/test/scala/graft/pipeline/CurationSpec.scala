@@ -437,6 +437,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r => r._1 == 0.0 && !r._2))
   }
 
+  test("rendezvous routing: only keys the new shard wins ever move") {
+    import spark.implicits._
+    val ids = (1L to 3000L).toDF("k")
+    val r8 = Curation.rendezvousShard(ids, "k", 8, shardCol = "s8")
+    val both = Curation.rendezvousShard(r8, "k", 9, shardCol = "s9")
+      .as[(Long, Int, Int)].collect()
+    assert(both.forall { case (_, s8, s9) => s8 == s9 || s9 == 8 },
+      "HRW: a surviving shard's weight is unchanged, so moves only go " +
+        "to the new shard")
+    val movedFrac = both.count(r => r._2 != r._3).toDouble / both.length
+    assert(movedFrac > 0.06 && movedFrac < 0.17,
+      s"moved fraction $movedFrac should sit near 1/9")
+    assert(both.map(_._2).forall(s => s >= 0 && s < 8))
+  }
+
+  test("rendezvous routing is partition-invariant and salt-keyed") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("k")
+    def route(parts: Int, salt: String) =
+      Curation.rendezvousShard(ids.repartition(parts), "k", 8, salt)
+        .as[(Long, Int)].collect().toMap
+    assert(route(1, "") == route(7, ""))
+    assert(route(3, "") != route(3, "x"),
+      "a different salt draws a different ring")
+  }
+
   test("exactKSample: exact quota per stratum, short strata kept whole") {
     import spark.implicits._
     val df = ((1L to 20L).map(i => (i, "big")) ++
