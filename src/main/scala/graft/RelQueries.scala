@@ -1713,6 +1713,56 @@ object RelQueries {
       |           false) AS flagged
       |FROM resid JOIN mad ON resid.event_type = mad.event_type""".stripMargin
 
+  /**
+   * RECENCY-WEIGHTED popularity — exponential half-life scoring of
+   * items (`props.k`): an interaction aged d days contributes 2^-d of
+   * an interaction today (one-day half-life against the corpus's max
+   * event time). The decay weight is an exact SHIFTED INTEGER —
+   * `(1 << 40) >> min(d, 63)` — so per-item sums are order-free long
+   * arithmetic and the final score is ONE division by 2^40: no libm
+   * pow, no float accumulation, bit-reproducible (the engine's
+   * fixed-point discipline applied to decay curves).
+   *
+   * Scale shape: the anchor (max event time) is a one-row aggregate
+   * broadcast into the scan; scoring is one partial-aggregated groupBy
+   * on the item — the same cost as a plain popularity count.
+   */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame =
+    decayedPopularityFromEvents(
+      Tables.load(spark, dir, "events")
+        .select(expr("ts div 1000L").as("tsu"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")))
+
+  def decayedPopularityFromEvents(events: DataFrame): DataFrame = {
+    val e = events.where(col("item").isNotNull)
+    val anchor = e.agg(max(col("tsu")).as("max_tsu"))
+    e.join(broadcast(anchor))
+      .withColumn("age_d",
+        expr("(max_tsu - tsu) div 86400000000L"))
+      .withColumn("w",
+        expr("shiftright(cast(1099511627776 as bigint), " +
+          "cast(least(age_d, 63L) as int))"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("w_sum"))
+      .select(col("item"), col("n_events"),
+        (col("w_sum").cast("double") / lit(1099511627776.0))
+          .as("score"))
+  }
+
+  val DecayedPopularitySql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu,
+      |             json_extract_string(props, '$.k')::BIGINT AS item
+      |           FROM events
+      |           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |a AS (SELECT max(tsu) AS max_tsu FROM e),
+      |w AS (SELECT item,
+      |        (1099511627776::BIGINT >> least((a.max_tsu - e.tsu) // 86400000000,
+      |                                        63)::INTEGER) AS wv
+      |      FROM e, a)
+      |SELECT item, count(*)::BIGINT AS n_events,
+      |       sum(wv)::DOUBLE / 1099511627776.0 AS score
+      |FROM w GROUP BY 1""".stripMargin
+
   val VolumeTrendSql: String =
     """WITH hourly AS (
       |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,

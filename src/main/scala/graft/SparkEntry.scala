@@ -158,6 +158,7 @@ object SparkEntry {
     "q141_dedup_savings" -> ((s, d) => PipelineQueries.dedupSavingsCard(s, d)),
     "q142_robust_anomalies" -> ((s, d) => RelQueries.robustVolumeAnomalies(s, d)),
     "q143_shard_routing" -> ((s, d) => PipelineQueries.shardRouting(s, d)),
+    "q144_decayed_popularity" -> ((s, d) => RelQueries.decayedPopularity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -559,5 +560,8 @@ object SparkEntry {
     // q143: rendezvous (HRW) shard routing at 8 vs 9 shards — pure
     // projection, unsigned argmax; only keys the new shard wins move
     "q143_shard_routing" -> PipelineQueries.ShardRoutingSql,
+    // q144: half-life popularity — exact shifted-integer decay weights
+    // (no libm pow), one grouped sum, one final division
+    "q144_decayed_popularity" -> RelQueries.DecayedPopularitySql,
   )
 }

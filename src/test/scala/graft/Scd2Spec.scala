@@ -104,6 +104,25 @@ class Scd2Spec extends AnyFunSuite {
     assert(direct.exists(_._1 == 2), "delta-only nation must appear")
   }
 
+  test("decayed popularity: exact half-life weights, anchor at max time") {
+    import spark.implicits._
+    val D = 86400000000L // one day in micros
+    // item 1: one event today + one a day ago + one 2 days ago
+    // item 2: two events 3 days ago; item 3: one 70-days-old (weight 0
+    // under the 63-shift clamp)
+    val rows = Seq(
+      (3L * D, 1L), (2L * D, 1L), (1L * D, 1L),
+      (0L * D, 2L), (0L * D, 2L),
+      (-67L * D, 3L)) // ages relative to max tsu = 3 days
+      .map { case (tsu, it) => (tsu, it) }
+    val got = RelQueries.decayedPopularityFromEvents(rows.toDF("tsu", "item"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((3L, 1.0 + 0.5 + 0.25)))
+    assert(got(2L) == ((2L, 2 * 0.125)))
+    assert(got(3L) == ((1L, 0.0)), "ancient events clamp to zero weight")
+  }
+
   test("volume trend: exact OLS on a perfect line and a planted ramp") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
