@@ -1735,10 +1735,12 @@ object RelQueries {
 
   def decayedPopularityFromEvents(events: DataFrame): DataFrame = {
     val e = events.where(col("item").isNotNull)
-    val anchor = e.agg(max(col("tsu")).as("max_tsu"))
-    e.join(broadcast(anchor))
-      .withColumn("age_d",
-        expr("(max_tsu - tsu) div 86400000000L"))
+    // One long of metadata: the decay anchor (the q96 maxId discipline —
+    // a 1-row cross join would plan as a nested-loop shape the plan
+    // sweep rightly rejects)
+    val maxTsu = e.agg(coalesce(max(col("tsu")), lit(0L))).head().getLong(0)
+    e.withColumn("age_d",
+        expr(s"(${maxTsu}L - tsu) div 86400000000L"))
       .withColumn("w",
         expr("shiftright(cast(1099511627776 as bigint), " +
           "cast(least(age_d, 63L) as int))"))
