@@ -1765,6 +1765,60 @@ object RelQueries {
       |       sum(wv)::DOUBLE / 1099511627776.0 AS score
       |FROM w GROUP BY 1""".stripMargin
 
+  /**
+   * INTER-ARRIVAL gap distribution — the empirical basis for choosing a
+   * session gap (q27/q91 use 30 minutes; this row is how a pipeline
+   * would justify the number): per-user consecutive event gaps in
+   * strict (time, id) order, reduced to exact p50/p90/p99 order
+   * statistics via the q52 histogram machinery. One user-keyed window
+   * (the q122 exchange) to form gaps, one histogram-shaped quantile
+   * pass — no joins, no raw-row quantile buffering.
+   */
+  def interArrivalGaps(spark: SparkSession, dir: String): DataFrame =
+    interArrivalFromEvents(Tables.load(spark, dir, "events"))
+
+  def interArrivalFromEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        col("event_id"))
+      .withColumn("gap_us", lead(col("tsu"), 1).over(w) - col("tsu"))
+      .where(col("gap_us").isNotNull)
+      .withColumn("scope", lit("all"))
+    val q = graft.pipeline.Curation.groupedQuantiles(gaps, "scope",
+      col("gap_us"), Seq("p50_us" -> 0.5, "p90_us" -> 0.9, "p99_us" -> 0.99))
+    val n = gaps.groupBy(col("scope")).agg(count(lit(1)).as("n_gaps"))
+    // union+max assembly (the q123 discipline): joining two one-row
+    // frames on their constant scope key folds to a nested-loop shape
+    val nullL = lit(null).cast("long")
+    q.select(col("scope"), nullL.as("n_gaps"), col("p50_us"),
+        col("p90_us"), col("p99_us"))
+      .unionAll(n.select(col("scope"), col("n_gaps"), nullL.as("p50_us"),
+        nullL.as("p90_us"), nullL.as("p99_us")))
+      .groupBy(col("scope"))
+      .agg(max(col("n_gaps")).as("n_gaps"), max(col("p50_us")).as("p50_us"),
+        max(col("p90_us")).as("p90_us"), max(col("p99_us")).as("p99_us"))
+  }
+
+  val InterArrivalGapsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      |g AS (SELECT lead(tsu) OVER (PARTITION BY user_id
+      |                             ORDER BY tsu, event_id) - tsu AS gap
+      |      FROM e),
+      |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+      |h AS (SELECT gap AS v, count(*) AS cnt FROM gg GROUP BY 1),
+      |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc,
+      |             sum(cnt) OVER () AS n
+      |      FROM h)
+      |SELECT 'all' AS scope, (SELECT count(*) FROM gg)::BIGINT AS n_gaps,
+      |  min(CASE WHEN cc >= cast(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50_us,
+      |  min(CASE WHEN cc >= cast(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90_us,
+      |  min(CASE WHEN cc >= cast(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99_us
+      |FROM c
+      |HAVING count(*) > 0""".stripMargin
+
   val VolumeTrendSql: String =
     """WITH hourly AS (
       |  SELECT event_type, (epoch_us(ts) // 3600000000) AS h,

@@ -159,6 +159,7 @@ object SparkEntry {
     "q142_robust_anomalies" -> ((s, d) => RelQueries.robustVolumeAnomalies(s, d)),
     "q143_shard_routing" -> ((s, d) => PipelineQueries.shardRouting(s, d)),
     "q144_decayed_popularity" -> ((s, d) => RelQueries.decayedPopularity(s, d)),
+    "q145_interarrival_gaps" -> ((s, d) => RelQueries.interArrivalGaps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -563,5 +564,8 @@ object SparkEntry {
     // q144: half-life popularity — exact shifted-integer decay weights
     // (no libm pow), one grouped sum, one final division
     "q144_decayed_popularity" -> RelQueries.DecayedPopularitySql,
+    // q145: inter-arrival gap distribution — exact p50/p90/p99 order
+    // statistics; the empirical basis for the session-gap choice
+    "q145_interarrival_gaps" -> RelQueries.InterArrivalGapsSql,
   )
 }

@@ -104,6 +104,20 @@ class Scd2Spec extends AnyFunSuite {
     assert(direct.exists(_._1 == 2), "delta-only nation must appear")
   }
 
+  test("inter-arrival gaps: hand-computed order statistics, per-user scope") {
+    import spark.implicits._
+    // user 1 at 0,10,30,100 -> gaps 10,20,70; user 2 at 5,6 -> gap 1;
+    // gaps never cross users (no 5-100 artifact)
+    val rows = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (1L, 100L, 4L), (2L, 5L, 5L), (2L, 6L, 6L))
+      .map { case (u, tsu, i) => (u, tsu * 1000, i) } // ts nanos
+      .toDF("user_id", "ts", "event_id")
+    val got = RelQueries.interArrivalFromEvents(rows)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // sorted gaps: 1, 10, 20, 70 -> p50 = 2nd = 10, p90 = p99 = 4th = 70
+    assert(got.toSeq == Seq(("all", 4L, 10L, 70L, 70L)))
+  }
+
   test("decayed popularity: exact half-life weights, anchor at max time") {
     import spark.implicits._
     val D = 86400000000L // one day in micros
