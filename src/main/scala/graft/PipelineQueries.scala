@@ -2889,7 +2889,7 @@ object PipelineQueries {
   val TextRankSql: String = {
     val rounds = (1 to 10).map { k =>
       s"""p$k AS (SELECT dg.dst AS word,
-         |  (150000 + (85 * sum((p.score * dg.weight) // dg.wdeg)) // 100)::BIGINT AS score
+         |  (150000 + (85 * sum((p.score::HUGEINT * dg.weight) // dg.wdeg)) // 100)::BIGINT AS score
          |  FROM dg JOIN p${k - 1} p ON dg.src = p.word GROUP BY dg.dst)"""
         .stripMargin
     }.mkString(",\n")

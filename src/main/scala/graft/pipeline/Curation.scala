@@ -481,8 +481,15 @@ object Curation {
         col(keyCol).cast("string")))
     }
     val arr = array(weights: _*)
+    // A null key yields a NULL shard — never a silent default route:
+    // concat_ws SKIPS null args (every shard would hash the same
+    // key-less string) while SQL `||` NULL-propagates, so any concrete
+    // shard picked here would diverge between engines. Routing a null
+    // key is a caller decision, and null makes the unrouted rows
+    // filterable instead of silently co-locating them on one shard.
     df.withColumn(shardCol,
-      (array_position(arr, array_max(arr)) - 1L).cast("int"))
+      when(col(keyCol).isNull, lit(null).cast("int")).otherwise(
+        (array_position(arr, array_max(arr)) - 1L).cast("int")))
   }
 
   /**
@@ -588,10 +595,16 @@ object Curation {
       // coalesced counts == the side's total; histogram-sized window)
       .withColumn("n_old", sum(col("c_old")).over(all))
       .withColumn("n_new", sum(col("c_new")).over(all))
+      // An EMPTY side has zero share everywhere (not 0/0 = NaN, which
+      // Spark orders above every threshold and would flag every bucket
+      // drifted): against an empty snapshot each bucket's delta is the
+      // other side's share — full drift, reported deterministically.
       .withColumn("share_old",
-        col("c_old").cast("double") / col("n_old").cast("double"))
+        when(col("n_old") === 0L, lit(0.0)).otherwise(
+          col("c_old").cast("double") / col("n_old").cast("double")))
       .withColumn("share_new",
-        col("c_new").cast("double") / col("n_new").cast("double"))
+        when(col("n_new") === 0L, lit(0.0)).otherwise(
+          col("c_new").cast("double") / col("n_new").cast("double")))
       .withColumn("share_delta_abs",
         abs(col("share_old") - col("share_new")))
       .withColumn("drifted", col("share_delta_abs") > threshold)

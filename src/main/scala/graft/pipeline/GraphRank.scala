@@ -125,8 +125,15 @@ object GraphRank {
   }
 
   /** Driver-side rounds over a bounded collected edge list — identical
-    * arithmetic to [[textRankDistributed]] (spec-enforced). */
-  private def textRankLocal(edges: DataFrame, iterations: Int): DataFrame = {
+    * arithmetic to [[textRankDistributed]] (spec-enforced). The
+    * `score * weight` product is carried as BigInt (the distributed twin
+    * uses decimal(38,0)): on a skewed hub graph a concentrated score
+    * (~total mass, up to ~1e14 micro at web vocabulary) times a hub edge
+    * weight (~1e10) exceeds Long and would wrap silently — while DuckDB
+    * errors — breaking the cross-engine contract exactly at scale. The
+    * per-node RESULT (≤ teleport + 0.85 × total mass) stays well inside
+    * Long; only the intermediates widen. */
+  private[graft] def textRankLocal(edges: DataFrame, iterations: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val es = edges.select(col("word_a"), col("word_b"), col("weight"))
@@ -139,20 +146,25 @@ object GraphRank {
     var score: scala.collection.Map[String, Long] =
       wdeg.map { case (k, _) => k -> OneMicro }
     for (_ <- 1 to iterations) {
-      val mass = scala.collection.mutable.HashMap.empty[String, Long]
+      val mass = scala.collection.mutable.HashMap.empty[String, BigInt]
       adj.foreach { case (s, d, w) =>
-        mass.update(d, mass.getOrElse(d, 0L) + score(s) * w / wdeg(s))
+        mass.update(d,
+          mass.getOrElse(d, BigInt(0)) + BigInt(score(s)) * w / wdeg(s))
       }
       score = mass.map { case (k, m) =>
-        k -> (TeleportMicro + DampNum * m / DampDen)
+        k -> (TeleportMicro + (DampNum * m / DampDen).toLong)
       }
     }
     score.toSeq.toDF("word", "rank_micro")
   }
 
   /** Distributed rounds: one join + one partial-aggregated groupBy per
-    * round over vocabulary-sized frames, localCheckpoint-truncated. */
-  private def textRankDistributed(
+    * round over vocabulary-sized frames, localCheckpoint-truncated.
+    * Intermediates (`score * weight` product, per-node mass sum, damped
+    * numerator) are decimal(38,0) — see [[textRankLocal]]'s overflow
+    * note; `div` (IntegralDivide) returns the Long the next round
+    * consumes, so the node-table schema is unchanged. */
+  private[graft] def textRankDistributed(
       edges: DataFrame, iterations: Int): DataFrame = {
     val sym = edges.select(col("word_a").as("src"), col("word_b").as("dst"),
         col("weight"))
@@ -171,10 +183,11 @@ object GraphRank {
     for (_ <- 1 to iterations) {
       val contribs = adj.join(scores, adj("src") === scores("word"))
         .select(col("dst"),
-          expr(s"(score * weight) div wdeg").as("contrib"))
+          expr(s"(cast(score as decimal(38,0)) * weight) div wdeg")
+            .as("contrib"))
       val next = Curation.materializeRound(
         contribs.groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("mass"))
+          .agg(sum(col("contrib").cast("decimal(38,0)")).as("mass"))
           .select(col("dst").as("word"),
             (lit(TeleportMicro) +
               expr(s"($DampNum * mass) div $DampDen")).as("score")))

@@ -57,14 +57,19 @@ object Sketches {
    * HLL register table for the values of `valueCol` within each group:
    * one row per (group, bucket) with the register value
    * `maxrho` — the sketch itself, `max`-mergeable on (group, bucket).
+   * Null values are excluded before hashing — cardinality counts
+   * distinct VALUES, and hashing null would mint a phantom register
+   * (the null row's bucket/rho) that inflates the nonzero-register
+   * mass of every group containing a null.
    */
   def hllRegisters(
       df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val h = RollingHash.rolling_hash(col(valueCol))
+    val nonNull = df.where(col(valueCol).isNotNull)
     val w = h.bitwiseAND(lit(WMask))
     val rho = when(w === 0L, lit(57))
       .otherwise(lit(57) - length(bin(w)))
-    df.select(groupCols.map(col) :+
+    nonNull.select(groupCols.map(col) :+
         shiftrightunsigned(h, 56).as("bucket") :+ rho.as("rho"): _*)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("rho")).as("maxrho"))

@@ -437,6 +437,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r => r._1 == 0.0 && !r._2))
   }
 
+  test("histogramDrift: an empty side yields zero shares, never NaN") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("v")
+    val neu = Seq(1L, 2L, 11L, 12L).toDF("v")
+    val got = Curation.histogramDrift(empty, neu, "v", 10L, 3, 0.3)
+      .select($"bucket", $"share_old", $"share_new", $"share_delta_abs",
+        $"drifted")
+      .as[(Long, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.forall(r => !r._2.isNaN && !r._3.isNaN && !r._4.isNaN),
+      "0/0 must not surface as NaN (Spark orders NaN above any threshold)")
+    assert(got.toSeq == Seq(
+      (0L, 0.0, 0.5, 0.5, true),
+      (1L, 0.0, 0.5, 0.5, true)))
+    assert(Curation.histogramDrift(empty, empty, "v", 10L, 3, 0.3)
+      .count() == 0L, "two empty sides have no buckets, not a NaN table")
+  }
+
+  test("rendezvous routing: a null key routes to a NULL shard") {
+    import spark.implicits._
+    val ids = Seq(Some("a"), Some("b"), None).toDF("k")
+    val got = Curation.rendezvousShard(ids, "k", 8)
+      .as[(Option[String], Option[Int])].collect().toMap
+    assert(got(Some("a")).isDefined && got(Some("b")).isDefined)
+    assert(got(None).isEmpty,
+      "a null key must not silently co-locate on a concrete shard " +
+        "(concat_ws skips nulls; SQL || null-propagates)")
+  }
+
   test("rendezvous routing: only keys the new shard wins ever move") {
     import spark.implicits._
     val ids = (1L to 3000L).toDF("k")

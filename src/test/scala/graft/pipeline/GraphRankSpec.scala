@@ -123,6 +123,36 @@ class GraphRankSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("hub edges past Long: both paths match a BigInt reference, no wrap") {
+    import spark.implicits._
+    // Round one multiplies score 1e6 by weight 1e13 = 1e19 > Long.MaxValue;
+    // unwidened arithmetic wraps negative and poisons every later round.
+    val es = Seq(("a", "b", 10000000000000L), ("b", "c", 3000000000000L))
+    val adj = es.flatMap { case (a, b, w) =>
+      Seq((a, b, BigInt(w)), (b, a, BigInt(w)))
+    }
+    val wdeg = adj.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    var score: Map[String, BigInt] =
+      wdeg.map { case (k, _) => k -> BigInt(1000000) }
+    for (_ <- 1 to 2) {
+      val mass = scala.collection.mutable.Map[String, BigInt]()
+      for ((s, d, w) <- adj)
+        mass(d) = mass.getOrElse(d, BigInt(0)) + score(s) * w / wdeg(s)
+      score = mass.map { case (k, m) =>
+        k -> (BigInt(150000) + BigInt(85) * m / 100)
+      }.toMap
+    }
+    val expected = score.map { case (k, v) => k -> v.toLong }
+    assert(expected.values.forall(_ > 0L))
+    val edges = es.toDF("word_a", "word_b", "weight")
+    val local = GraphRank.textRankLocal(edges, 2)
+      .as[(String, Long)].collect().toMap
+    val dist = GraphRank.textRankDistributed(edges, 2)
+      .as[(String, Long)].collect().toMap
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
   test("triangle census on a hand graph: triangle + pendant") {
     import spark.implicits._
     // a-b, a-c, b-c (triangle) + c-d (pendant)

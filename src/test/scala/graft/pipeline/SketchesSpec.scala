@@ -44,6 +44,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == referenceRegisters(vals))
   }
 
+  test("null values mint no register: sketch equals the non-null-only one") {
+    import spark.implicits._
+    val vals = randomStrings(300, 9)
+    def regs(vs: Seq[Option[String]]) = Sketches.hllRegisters(
+        vs.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+      .select($"bucket", $"maxrho").as[(Long, Int)].collect().toMap
+    assert(regs(vals.map(Some(_)) ++ Seq.fill(25)(None)) ==
+      regs(vals.map(Some(_))),
+      "hashing null would add a phantom (bucket, rho) and inflate the " +
+        "nonzero-register mass")
+  }
+
   test("registers are max-mergeable across shards") {
     import spark.implicits._
     val a = randomStrings(2000, 2)
