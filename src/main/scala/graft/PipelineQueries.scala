@@ -886,11 +886,12 @@ object PipelineQueries {
    * The streaming NEAR-dup gate EXECUTED as a CONTRACT row (completing
    * the streaming module: every DocStreams/EventStreams member now has
    * an executed declared row): the even-doc_id half of the corpus is
-   * the reference (its MinHash `(band, bucket)` keys collected batch-
-   * side and broadcast), the odd half streams through
-   * [[graft.streaming.DocStreams.nearDupGateStream]] under
-   * `AvailableNow`, and the declared row pins the gate's recall
-   * contract — every odd doc with an exact cross-split near-dup
+   * the reference (its distinct MinHash `(band, bucket)` keys PERSISTED
+   * as a distributed parquet artifact — never collected to the driver),
+   * the odd half streams through
+   * [[graft.streaming.DocStreams.nearDupGateStreamIndexed]]'s per-batch
+   * equi-join under `AvailableNow`, and the declared row pins the
+   * gate's recall contract — every odd doc with an exact cross-split near-dup
    * (n-gram jaccard >= 0.7 against an even doc, the oracle-expressible
    * truth via [[graft.pipeline.Signals.incrementalDedup]], q49's
    * operator) must be flagged. The gate bands its 64 hashes as
@@ -906,15 +907,20 @@ object PipelineQueries {
    * not oracle-expressible — the contract boolean is.
    */
   def nearDupGateStreamed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val dd = docs(s, d)
-    val corpusBuckets = Dedup
-      .minHashBuckets(dd.where(col("doc_id") % 2 === 0), "doc_id", "text",
-        n = 5, bands = 32, rowsPerBand = 2)
-      .select($"band", $"bucket").as[(Int, Int)].collect().toSet
-
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q98-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    // The reference index is a PERSISTED DISTRIBUTED artifact — the
+    // distinct (band, bucket) table, never a driver-side collect (at a
+    // 100 TB reference corpus the set is multi-TB; the artifact stays
+    // on disk and the gate equi-joins it per micro-batch).
+    val idxPath = base.resolve("bucket_index").toString
+    Dedup.minHashBuckets(dd.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 5, bands = 32, rowsPerBand = 2)
+      .select(col("band"), col("bucket")).distinct()
+      .write.mode("overwrite").parquet(idxPath)
+    val bucketIndex = s.read.parquet(idxPath)
+
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val arrivals = s.readStream.schema(schema)
@@ -922,11 +928,11 @@ object PipelineQueries {
       .where(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("text"))
     val q = graft.streaming.DocStreams
-      .nearDupGateStream(arrivals, "text", corpusBuckets,
-        n = 5, bands = 32, rowsPerBand = 2)
-      .select(col("doc_id"), col("n_shingles"), col("maybe_near_dup"))
-      .writeStream.format("parquet")
-      .option("path", out.toString)
+      .nearDupGateStreamIndexed(arrivals, "text", "doc_id", bucketIndex,
+        n = 5, bands = 32, rowsPerBand = 2) { (probed, _) =>
+        probed.select(col("doc_id"), col("n_shingles"), col("maybe_near_dup"))
+          .write.mode("append").parquet(out.toString)
+      }
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -963,20 +969,27 @@ object PipelineQueries {
    * bands, and the probe verifies `bitCount(xor)` exactly), so the FULL
    * per-payload flag table is declared and hash-checked, not just a
    * recall contract. Even media ids are the reference (fingerprints
-   * collected batch-side into the CSR band index), odd ids stream
-   * through under AvailableNow -> parquet sink; the declared row reads
-   * the sink back. The oracle replays every fingerprint (q100's CTEs)
+   * PERSISTED as the distributed [[graft.streaming.MediaStreams
+   * .phashBandIndex]] artifact — never collected to the driver), odd
+   * ids stream through the per-batch equi-join gate under AvailableNow
+   * -> parquet sink; the declared row reads the sink back. The oracle replays every fingerprint (q100's CTEs)
    * and brute-forces the cross-split exists-within-hamming-6 predicate.
    */
   def mediaGateStreamed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val media = Multimodal.documentBlobs(s, d)
-    val refs = Multimodal.perceptualHashes(
-        media.where(col("media_id") % 2 === 0), "media_id", "blob")
-      .select($"phash").as[Long].collect()
-
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q113-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    // Reference fingerprints persisted as the DISTRIBUTED band-index
+    // artifact — one (band, key, phash) row per fingerprint per band,
+    // never a driver-side collect of the reference corpus.
+    val idxPath = base.resolve("band_index").toString
+    graft.streaming.MediaStreams.phashBandIndex(
+        Multimodal.perceptualHashes(
+          media.where(col("media_id") % 2 === 0), "media_id", "blob"),
+        "phash")
+      .write.mode("overwrite").parquet(idxPath)
+    val bandIndex = s.read.parquet(idxPath)
+
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val arrivals = s.readStream.schema(schema)
@@ -985,10 +998,11 @@ object PipelineQueries {
       .select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("blob"))
     val q = graft.streaming.MediaStreams
-      .phashGateStream(arrivals, "blob", refs, maxHamming = 6)
-      .select(col("media_id"), col("maybe_near_dup"))
-      .writeStream.format("parquet")
-      .option("path", out.toString)
+      .phashGateStreamIndexed(arrivals, "blob", "media_id", bandIndex,
+        maxHamming = 6) { (probed, _) =>
+        probed.select(col("media_id"), col("maybe_near_dup"))
+          .write.mode("append").parquet(out.toString)
+      }
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -3443,4 +3457,137 @@ object PipelineQueries {
       |           AS rk
       |  FROM documents) t
       |WHERE rk <= 10""".stripMargin
+
+  /** q: mergeable QUANTILE SKETCH vs exact order statistics — document
+    * length p50/p90/p99 per source from the log-bucketed sketch
+    * ([[graft.pipeline.Sketches.qsketchBuckets]]), joined in-row against
+    * the exact histogram quantiles ([[graft.pipeline.Curation
+    * .groupedQuantiles]]) with the sketch's ONE-SIDED tolerance pinned
+    * as all-integer data: `exact <= est` and `(est - exact) * 64 <=
+    * exact` (relative error ≤ 2^-6). Retires the q36 scale caveat: the
+    * sketch shuffle is bounded by groups × ~1.9k buckets regardless of
+    * the value domain, where the exact histogram's (group, value) cells
+    * grow with it. `sketch_buckets` declares the boundedness as data.
+    * The oracle replays the bucket arithmetic (bit length + shifts, no
+    * libm) and the exact side's cumulative-histogram rank walk. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    val lens = docs(s, d).where(col("text").isNotNull)
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+    val sk = graft.pipeline.Sketches
+    val est = sk.qsketchQuantiles(
+      sk.qsketchBuckets(lens, Seq("source"), "len"), Seq("source"),
+      Seq(("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)))
+    val exact = Curation.groupedQuantiles(lens, "source", col("len"),
+      Seq(("p50_exact", 0.5), ("p90_exact", 0.9), ("p99_exact", 0.99)))
+    def ok(q: String) =
+      (col(s"${q}_est") >= col(s"${q}_exact") &&
+        (col(s"${q}_est") - col(s"${q}_exact")) * 64 <= col(s"${q}_exact"))
+        .as(s"${q}_ok")
+    est.join(broadcast(exact), "source")
+      .select(col("source"), col("sketch_buckets"),
+        col("p50_est"), col("p50_exact"), ok("p50"),
+        col("p90_est"), col("p90_exact"), ok("p90"),
+        col("p99_est"), col("p99_exact"), ok("p99"))
+  }
+
+  /** Shared DuckDB CTE prefix: per-source doc-length stream `v`, its
+    * log-bucketed sketch `sk` (HDR indexing: exact below 128, top-7
+    * mantissa bits above), and the cumulative walk `skc` — the estimate
+    * side of q147/q148. `uni` is parameterized so q148 can sketch the
+    * union snapshot. */
+  private def qsketchSqlCtes(fromSql: String): String =
+    s"""v AS (SELECT source, length(text)::BIGINT AS len FROM $fromSql),
+       |sk AS (SELECT source,
+       |         CASE WHEN len < 128 THEN len
+       |              ELSE (len // (1::BIGINT << (length(bin(len)) - 7)))
+       |                   + (length(bin(len)) - 7)::BIGINT * 64 END AS qbucket,
+       |         count(*)::BIGINT AS cnt
+       |       FROM v GROUP BY 1, 2),
+       |skc AS (SELECT source, qbucket, cnt,
+       |          sum(cnt) OVER (PARTITION BY source ORDER BY qbucket)::BIGINT AS cc,
+       |          sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+       |        FROM sk),
+       |eb AS (SELECT source, count(*)::BIGINT AS sketch_buckets,
+       |         min(CASE WHEN cc >= ceil(n * 0.5) THEN qbucket END)::BIGINT AS b50,
+       |         min(CASE WHEN cc >= ceil(n * 0.9) THEN qbucket END)::BIGINT AS b90,
+       |         min(CASE WHEN cc >= ceil(n * 0.99) THEN qbucket END)::BIGINT AS b99
+       |       FROM skc GROUP BY 1),
+       |est AS (SELECT source, sketch_buckets,
+       |          CASE WHEN b50 < 128 THEN b50
+       |               ELSE ((b50 - (b50 // 64 - 1) * 64) + 1)
+       |                    * (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
+       |          CASE WHEN b90 < 128 THEN b90
+       |               ELSE ((b90 - (b90 // 64 - 1) * 64) + 1)
+       |                    * (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
+       |          CASE WHEN b99 < 128 THEN b99
+       |               ELSE ((b99 - (b99 // 64 - 1) * 64) + 1)
+       |                    * (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
+       |        FROM eb)""".stripMargin
+
+  val QuantileSketchSql: String =
+    s"""WITH ${qsketchSqlCtes("documents WHERE text IS NOT NULL")},
+       |h AS (SELECT source, len, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+       |hc AS (SELECT source, len,
+       |         sum(cnt) OVER (PARTITION BY source ORDER BY len)::BIGINT AS cc,
+       |         sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+       |       FROM h),
+       |ex AS (SELECT source,
+       |         min(CASE WHEN cc >= ceil(n * 0.5) THEN len END)::BIGINT AS p50_exact,
+       |         min(CASE WHEN cc >= ceil(n * 0.9) THEN len END)::BIGINT AS p90_exact,
+       |         min(CASE WHEN cc >= ceil(n * 0.99) THEN len END)::BIGINT AS p99_exact
+       |       FROM hc GROUP BY 1)
+       |SELECT e.source, e.sketch_buckets,
+       |  e.p50_est, x.p50_exact,
+       |  (e.p50_est >= x.p50_exact
+       |     AND (e.p50_est - x.p50_exact) * 64 <= x.p50_exact) AS p50_ok,
+       |  e.p90_est, x.p90_exact,
+       |  (e.p90_est >= x.p90_exact
+       |     AND (e.p90_est - x.p90_exact) * 64 <= x.p90_exact) AS p90_ok,
+       |  e.p99_est, x.p99_exact,
+       |  (e.p99_est >= x.p99_exact
+       |     AND (e.p99_est - x.p99_exact) * 64 <= x.p99_exact) AS p99_ok
+       |FROM est e JOIN ex x ON e.source = x.source""".stripMargin
+
+  /** q: INCREMENTAL quantile-sketch refresh — the q129 artifact
+    * lifecycle applied to the q147 sketch: the OLD snapshot's bucket
+    * table is persisted (save -> load), the ADDED docs sketch
+    * separately, and the served quantiles come from the cell-wise count
+    * SUM merge ([[graft.pipeline.Sketches.qsketchMerge]]). Sum is
+    * associative, so the merged sketch EQUALS the full-recompute sketch
+    * bit for bit — which is exactly what the oracle states: it sketches
+    * the union corpus directly, and the hash match proves delta-refresh
+    * == full recompute. Insert-only, like the HLL registers. */
+  def qsketchIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    val added = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    def lens(df: DataFrame) =
+      df.select(col("source"), length(col("text")).cast("long").as("len"))
+    val sk = graft.pipeline.Sketches
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q148-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    sk.saveRegisters(sk.qsketchBuckets(lens(old), Seq("source"), "len"),
+      dir.resolve("qsketch").toString)
+    val loaded = sk.loadRegisters(s, dir.resolve("qsketch").toString)
+    val delta = sk.qsketchBuckets(lens(added), Seq("source"), "len")
+    sk.qsketchQuantiles(sk.qsketchMerge(loaded, delta, Seq("source")),
+      Seq("source"),
+      Seq(("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)))
+  }
+
+  val QsketchIncrementalRefreshSql: String =
+    s"""WITH uni AS (
+       |  SELECT source, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT source,
+       |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id % 5 <> 0),
+       |${qsketchSqlCtes("uni")}
+       |SELECT source, sketch_buckets, p50_est, p90_est, p99_est
+       |FROM est""".stripMargin
 }

@@ -1802,6 +1802,86 @@ object RelQueries {
         max(col("p90_us")).as("p90_us"), max(col("p99_us")).as("p99_us"))
   }
 
+  /**
+   * DATA-DERIVED sessionization — q145's gap distribution put to work:
+   * the session timeout is the exact p99 inter-arrival gap (not a
+   * hand-picked 30 minutes), and the events then sessionize under that
+   * derived timeout in the same job. Emits one row per user —
+   * `(user_id, n_sessions, n_events, longest_session_events,
+   * derived_timeout_us)` — all integers, with the timeout carried as a
+   * column so the declared row pins the derivation AND its consequence.
+   *
+   * Scale shape: gaps form on one user-keyed window exchange; the
+   * timeout reduces to ONE LONG of driver metadata via the histogram
+   * quantile (the q144 anchor discipline — a 1-row literal, never a
+   * constant-key join that would plan nested-loop); session numbering
+   * is a second window pass over the SAME user partitioning, and the
+   * two groupBys cluster on user_id so no further exchange follows.
+   */
+  def derivedSessions(spark: SparkSession, dir: String): DataFrame =
+    derivedSessionsFromEvents(Tables.load(spark, dir, "events"))
+
+  def derivedSessionsFromEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        col("event_id"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
+    val gapRows = gaps.where(col("gap_us").isNotNull)
+      .withColumn("scope", lit("all"))
+    // one long of metadata: the exact p99 gap (empty corpus -> no
+    // timeout can be derived; every event is its own session)
+    val timeout = graft.pipeline.Curation
+      .groupedQuantiles(gapRows, "scope", col("gap_us"),
+        Seq("p99_us" -> 0.99))
+      .select(col("p99_us")).collect().headOption
+      .map(_.getLong(0)).getOrElse(Long.MaxValue)
+    gaps
+      .withColumn("is_start",
+        when(col("gap_us").isNull || col("gap_us") > timeout, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("is_start")).over(w))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("longest_session_events"))
+      .withColumn("derived_timeout_us", lit(timeout))
+  }
+
+  val DerivedSessionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      |g AS (SELECT user_id, tsu, event_id,
+      |        tsu - lag(tsu) OVER (PARTITION BY user_id
+      |                             ORDER BY tsu, event_id) AS gap
+      |      FROM e),
+      |h AS (SELECT gap AS v, count(*) AS cnt FROM g
+      |      WHERE gap IS NOT NULL GROUP BY 1),
+      |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc,
+      |             sum(cnt) OVER () AS n
+      |      FROM h),
+      |t AS (SELECT min(CASE WHEN cc >= cast(ceil(0.99 * n) AS BIGINT)
+      |                      THEN v END) AS timeout
+      |      FROM c),
+      |s AS (SELECT user_id, tsu, event_id,
+      |        CASE WHEN gap IS NULL OR gap > t.timeout THEN 1 ELSE 0 END
+      |          AS is_start
+      |      FROM g, t),
+      |sn AS (SELECT user_id,
+      |         sum(is_start) OVER (PARTITION BY user_id
+      |                             ORDER BY tsu, event_id) AS sess_no
+      |       FROM s),
+      |se AS (SELECT user_id, sess_no, count(*)::BIGINT AS sess_events
+      |       FROM sn GROUP BY 1, 2)
+      |SELECT user_id, count(*)::BIGINT AS n_sessions,
+      |  sum(sess_events)::BIGINT AS n_events,
+      |  max(sess_events)::BIGINT AS longest_session_events,
+      |  (SELECT timeout FROM t)::BIGINT AS derived_timeout_us
+      |FROM se GROUP BY 1""".stripMargin
+
   val InterArrivalGapsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
       |g AS (SELECT lead(tsu) OVER (PARTITION BY user_id

@@ -160,6 +160,9 @@ object SparkEntry {
     "q143_shard_routing" -> ((s, d) => PipelineQueries.shardRouting(s, d)),
     "q144_decayed_popularity" -> ((s, d) => RelQueries.decayedPopularity(s, d)),
     "q145_interarrival_gaps" -> ((s, d) => RelQueries.interArrivalGaps(s, d)),
+    "q146_derived_sessions" -> ((s, d) => RelQueries.derivedSessions(s, d)),
+    "q147_quantile_sketch" -> ((s, d) => PipelineQueries.quantileSketch(s, d)),
+    "q148_qsketch_refresh" -> ((s, d) => PipelineQueries.qsketchIncrementalRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -567,5 +570,14 @@ object SparkEntry {
     // q145: inter-arrival gap distribution — exact p50/p90/p99 order
     // statistics; the empirical basis for the session-gap choice
     "q145_interarrival_gaps" -> RelQueries.InterArrivalGapsSql,
+    // q146: sessionization under the DERIVED p99-gap timeout — q145's
+    // distribution put to work; timeout pinned as a column
+    "q146_derived_sessions" -> RelQueries.DerivedSessionsSql,
+    // q147: log-bucketed mergeable quantile sketch vs exact order
+    // statistics — all-integer one-sided tolerance (est-exact)*64 <= exact
+    "q147_quantile_sketch" -> PipelineQueries.QuantileSketchSql,
+    // q148: quantile-sketch artifact save/load + delta merge — cell-wise
+    // count sum, so delta-refresh == full recompute bit for bit
+    "q148_qsketch_refresh" -> PipelineQueries.QsketchIncrementalRefreshSql,
   )
 }

@@ -244,4 +244,134 @@ object Sketches {
       least((0 until CmsDepth).map(r => coalesce(col(s"__c$r"), lit(0L))): _*)
         .as("est_count"): _*)
   }
+
+  // ------------------------------------------- log-bucketed quantile sketch
+
+  /**
+   * Sub-bucket bits `s` of the quantile sketch: each power of two splits
+   * into `2^(s-1)` buckets, so a quantile estimate's relative error is
+   * bounded by `2^-(s-1)` (1/64 at the default s = 7) and the sketch
+   * holds at most `2^s + (63 - s) * 2^(s-1)` ≈ 1.9k buckets over the
+   * full non-negative Long domain — in practice a few hundred.
+   */
+  val QSketchSubBits = 7
+
+  /**
+   * Log-bucketed quantile-sketch table — the mergeable complement of the
+   * exact grouped-quantile histogram ([[Curation.groupedQuantiles]]),
+   * whose (group, value) cell shuffle grows with the measure's value
+   * DOMAIN. One row per (group, qbucket) with the bucket's occupancy
+   * count; bucket boundaries follow the HDR-histogram indexing (Tene,
+   * HdrHistogram; the same geometric-bucket idea as DDSketch, Masson et
+   * al., VLDB 2019): values below `2^s` map to themselves (exact
+   * region), larger values keep their top `s` mantissa bits —
+   * `idx = (v >> (bitlen - s)) + (bitlen - s) * 2^(s-1)` — so bucket
+   * width is relative, giving the `2^-(s-1)` relative-error bound at a
+   * size independent of both row count and value domain.
+   *
+   * == Why this and not KLL/GK ==
+   *
+   * KLL's compactors sample, so merge order is visible in the register
+   * state (merge(A, B) need not equal sketch(A ∪ B) bit for bit) and a
+   * compaction schedule cannot be replayed in ANSI SQL. The log
+   * histogram is strictly deterministic: the bucket of a value is a
+   * pure integer function of the value (bit length + shifts — no libm
+   * log, which the engine's cross-engine contract forbids), counts are
+   * exact integers, and the merge is a cell-wise SUM — associative and
+   * commutative, so sketch(A ∪ B) EQUALS the merged sketch exactly and
+   * incremental refresh is provably identical to full recompute. The
+   * price is a relative-error (not rank-error) guarantee — the right
+   * trade for the pipeline's measures (lengths, token counts,
+   * latencies: non-negative integers spanning decades).
+   *
+   * Scale shape: one in-scan projection computes the bucket, then one
+   * partial-aggregated groupBy — the shuffle carries at most
+   * groups × ~1.9k cells no matter the corpus. Values must be
+   * non-negative (raise_error otherwise — silently clamping would
+   * corrupt the sketch); nulls are excluded like every sketch here.
+   */
+  def qsketchBuckets(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(subBits >= 2 && subBits <= 30, s"subBits out of range: $subBits")
+    val m = 1L << subBits
+    val half = 1L << (subBits - 1)
+    val guarded = when(col(valueCol).cast("long") < 0L,
+        raise_error(concat(lit("qsketch: negative value "),
+          col(valueCol).cast("string"))))
+      .otherwise(col(valueCol).cast("long"))
+    val base = df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ guarded.as("__qv"): _*)
+    val idx = when(col("__qv") < m, col("__qv")).otherwise(
+      expr(s"(__qv div shiftleft(cast(1 as bigint), length(bin(__qv)) - $subBits))" +
+        s" + (length(bin(__qv)) - $subBits) * cast($half as bigint)"))
+    base.select(groupCols.map(col) :+ idx.as("qbucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("qbucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Merge quantile-sketch tables by cell-wise count SUM — EXACTLY the
+   * sketch of the concatenation of the sketched multisets (sum is
+   * associative and commutative), so stored-artifact + delta-shard
+   * merge equals the full recompute bit for bit. Insert-only, like the
+   * HLL registers: deletions need a rebuild (or a paired negative-count
+   * sketch, which this engine does not maintain).
+   */
+  def qsketchMerge(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("qbucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Quantile estimates from a [[qsketchBuckets]] table: for each
+   * requested `p`, the smallest bucket whose cumulative count reaches
+   * the EXACT rank threshold `ceil(p * n)` (decimal, never IEEE — the
+   * [[Curation.groupedQuantiles]] lesson), reported as that bucket's
+   * UPPER bound. The bucket mapping is monotone, so the true order
+   * statistic lies inside the selected bucket and the estimate is
+   * one-sided: `exact <= est` and `(est - exact) * 2^(s-1) <= exact` —
+   * an all-integer tolerance contract a cross-engine oracle can pin
+   * without a single floating-point operation.
+   *
+   * Emits one row per group: `(group..., sketch_buckets, <one long
+   * column per quantile>)` — `sketch_buckets` declares the artifact's
+   * boundedness as data. Cost: one window + one pivot aggregate over
+   * the sketch-sized table; the raw data is never touched.
+   */
+  def qsketchQuantiles(
+      sketch: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Double)],
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val m = 1L << subBits
+    val half = 1L << (subBits - 1)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("qbucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = sketch.select(groupCols.map(col) :+ col("qbucket") :+
+      sum(col("cnt")).over(wOrd).as("cc") :+
+      sum(col("cnt")).over(wAll).as("n"): _*)
+    val aggs = quantiles.map { case (name, p) =>
+      val pDec = lit(new java.math.BigDecimal(p.toString))
+      min(when(col("cc") >= ceil(col("n") * pDec).cast("long"),
+        col("qbucket"))).as(s"__b_$name")
+    } :+ count(lit(1)).as("sketch_buckets")
+    val picked = cum.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // bucket -> inclusive upper value bound: exact region returns the
+    // value itself; above it, e = idx div 2^(s-1) - 1 recovers the shift
+    // and u = idx - e * 2^(s-1) the mantissa, hi = (u + 1) << e - 1.
+    val withVals = quantiles.foldLeft(picked) { case (acc, (name, _)) =>
+      acc.withColumn(name,
+        when(col(s"__b_$name") < m, col(s"__b_$name")).otherwise(
+          expr(s"((__b_$name - (__b_$name div $half - 1) * $half) + 1)" +
+            s" * shiftleft(cast(1 as bigint), __b_$name div $half - 1) - 1")))
+        .drop(s"__b_$name")
+    }
+    withVals.select((groupCols.map(col) :+ col("sketch_buckets")) ++
+      quantiles.map(q => col(q._1)): _*)
+  }
 }

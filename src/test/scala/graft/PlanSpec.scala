@@ -238,6 +238,25 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("quantile sketch: bounded sketch agg, exact side broadcast-joined") {
+    val p = plan("q147_quantile_sketch")
+    // sketch side: partial-aggregated groupBy (shuffle carries at most
+    // groups x ~1.9k bucket cells); exact side joins in via broadcast
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only (source, text) read from the documents scan
+    assert(!p.contains("doc_id"), p)
+  }
+
+  test("derived sessions: gaps, numbering, and aggs share one user exchange") {
+    val p = plan("q146_derived_sessions")
+    // the user-keyed exchange feeds both window passes and the groupBys;
+    // the timeout is driver metadata, never a joined constant-key frame
+    assert(shuffleCount(p) <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("centroid classifier: scoring is pure projection, zero shuffles") {
     // training (the label x dim fixed-point aggregation) runs eagerly at
     // construction and collects bounded centroids; the DECLARED plan is

@@ -118,6 +118,31 @@ class Scd2Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(("all", 4L, 10L, 70L, 70L)))
   }
 
+  test("derived sessions: p99-gap timeout splits exactly the outlier gaps") {
+    import spark.implicits._
+    // user 1 at 0,10,30,100; user 2 at 5,6 -> gaps 10,20,70,1; p99 = 70,
+    // so ONLY gaps > 70 split. No gap exceeds it -> each user one session.
+    val rows = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (1L, 100L, 4L), (2L, 5L, 5L), (2L, 6L, 6L))
+      .map { case (u, tsu, i) => (u, tsu * 1000, i) } // ts nanos
+      .toDF("user_id", "ts", "event_id")
+    val got = RelQueries.derivedSessionsFromEvents(rows)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 4L, 4L, 70L), (2L, 1L, 2L, 2L, 70L)))
+    // shrink the largest gap's rank: drop user 2 so gaps are 10,20,70
+    // -> p99 still 70; now plant a 200 gap -> p99=200? instead lower the
+    // timeout by adding many small gaps so 70 becomes the >p99 outlier
+    val many = (0 until 120).map(k => (3L, (1000L + k) * 1000, 100L + k))
+    val rows2 = (Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (1L, 100L, 4L)).map { case (u, t, i) => (u, t * 1000, i) } ++ many)
+      .toDF("user_id", "ts", "event_id")
+    // gaps: 119 x 1 (user 3) + 10, 20, 70 (user 1); n=122, p99 rank 121
+    // -> sorted 120th/121st/122nd are 10/20/70 -> p99 = 20; 70 splits
+    val got2 = RelQueries.derivedSessionsFromEvents(rows2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 2L, 4L, 3L, 20L), (3L, 1L, 120L, 120L, 20L)))
+  }
+
   test("decayed popularity: exact half-life weights, anchor at max time") {
     import spark.implicits._
     val D = 86400000000L // one day in micros

@@ -56,6 +56,136 @@ class SketchesSpec extends AnyFunSuite {
         "nonzero-register mass")
   }
 
+  // ------------------------------------------- log-bucketed quantile sketch
+
+  /** Driver-side bucket index: exact below 2^s, top-s-mantissa above. */
+  private def refIdx(v: Long, s: Int): Long = {
+    val half = 1L << (s - 1)
+    if (v < (1L << s)) v
+    else {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (v >> (b - s)) + (b - s).toLong * half
+    }
+  }
+
+  /** Driver-side inclusive upper bound of bucket `idx`. */
+  private def refHi(idx: Long, s: Int): Long = {
+    val half = 1L << (s - 1)
+    if (idx < (1L << s)) idx
+    else {
+      val e = idx / half - 1
+      val u = idx - e * half
+      ((u + 1) << e) - 1
+    }
+  }
+
+  private def qskValues(n: Int, seed: Int): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      // mix exact-region, mid-range, and huge values across decades
+      rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(128).toLong
+        case 1 => rnd.nextInt(1000000).toLong
+        case _ => math.abs(rnd.nextLong()) % 1000000000000L
+      }
+    }
+  }
+
+  test("qsketch buckets match the driver-side index on all value ranges") {
+    import spark.implicits._
+    val vals = qskValues(4000, 31) ++ Seq(0L, 1L, 127L, 128L, 129L,
+      255L, 256L, Long.MaxValue)
+    val got = Sketches.qsketchBuckets(
+        vals.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+      .select($"qbucket", $"cnt").as[(Long, Long)].collect().toMap
+    val exp = vals.groupBy(refIdx(_, 7)).map { case (k, vs) =>
+      k -> vs.size.toLong
+    }
+    assert(got == exp)
+    // every bucket's span actually contains its members (hi is an upper
+    // bound and the previous bucket's hi is strictly below)
+    for (v <- vals) {
+      val idx = refIdx(v, 7)
+      assert(v <= refHi(idx, 7))
+      if (idx > 0) assert(refHi(idx - 1, 7) < v)
+    }
+  }
+
+  test("qsketch merge property: sketch(A ++ B) == merge(sketch A, sketch B)") {
+    import spark.implicits._
+    val a = qskValues(2500, 32)
+    val b = qskValues(2500, 33)
+    def sk(vs: Seq[Long]) = Sketches.qsketchBuckets(
+      vs.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+    val merged = Sketches.qsketchMerge(sk(a), sk(b), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = sk(a ++ b).as[(String, Long, Long)].collect().toSet
+    assert(merged == full,
+      "cell-wise count sum must equal the sketch of the union bit for bit")
+  }
+
+  test("qsketch quantiles: one-sided with (est - exact) * 64 <= exact") {
+    import spark.implicits._
+    val vals = qskValues(6000, 34)
+    val sorted = vals.sorted
+    val n = sorted.size
+    def exactQ(p: Double): Long = {
+      val k = (BigDecimal(p.toString) * n)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      sorted(k - 1)
+    }
+    val sk = Sketches.qsketchBuckets(
+      vals.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+    val got = Sketches.qsketchQuantiles(sk, Seq("g"),
+        Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .select($"sketch_buckets", $"p50", $"p90", $"p99")
+      .as[(Long, Long, Long, Long)].head()
+    val ests = Seq(got._2 -> exactQ(0.5), got._3 -> exactQ(0.9),
+      got._4 -> exactQ(0.99))
+    for ((est, exact) <- ests) {
+      assert(est >= exact, s"estimate $est must not undershoot $exact")
+      assert((est - exact) * 64 <= exact,
+        s"estimate $est must be within 1/64 relative of $exact")
+    }
+    assert(got._1 <= 1920L, "sketch must stay domain-bounded")
+  }
+
+  test("qsketch quantiles are exact in the exact region (v < 2^s)") {
+    import spark.implicits._
+    val vals = (1L to 100L) ++ (1L to 100L)
+    val sk = Sketches.qsketchBuckets(
+      vals.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+    val got = Sketches.qsketchQuantiles(sk, Seq("g"),
+        Seq(("p50", 0.5), ("p100", 1.0)))
+      .select($"p50", $"p100").as[(Long, Long)].head()
+    assert(got == ((50L, 100L)))
+  }
+
+  test("qsketch rejects negative values loudly and excludes nulls") {
+    import spark.implicits._
+    val bad = Seq(5L, -3L).toDF("v").withColumn("g", lit("x"))
+    val e = intercept[Exception] {
+      Sketches.qsketchBuckets(bad, Seq("g"), "v").collect()
+    }
+    assert(e.getMessage != null)
+    val withNull = Seq(Some(5L), None).toDF("v").withColumn("g", lit("x"))
+    val rows = Sketches.qsketchBuckets(withNull, Seq("g"), "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("x", 5L, 1L)))
+  }
+
+  test("qsketch estimates are bit-identical at any parallelism") {
+    import spark.implicits._
+    val vals = qskValues(3000, 35)
+    def run(parts: Int) = Sketches.qsketchQuantiles(
+        Sketches.qsketchBuckets(
+          vals.toDF("v").repartition(parts).withColumn("g", lit("x")),
+          Seq("g"), "v"),
+        Seq("g"), Seq(("p50", 0.5), ("p99", 0.99)))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
+
   test("registers are max-mergeable across shards") {
     import spark.implicits._
     val a = randomStrings(2000, 2)
