@@ -124,6 +124,78 @@ object DocStreams {
   }
 
   /**
+   * [[nearDupGateStream]] with the reference index as a PERSISTED,
+   * DISTRIBUTED artifact instead of a driver-collected broadcast set —
+   * the 100 TB shape. The frozen variant materializes the corpus's
+   * `(band, bucket)` set on the driver (reference-corpus-cardinality ×
+   * 8 B: a multi-TB collect at web scale); this one takes the DISTINCT
+   * bucket artifact as a DataFrame (typically `spark.read.parquet` over
+   * the index [[graft.pipeline.Dedup.minHashBuckets]] persisted) and
+   * probes it per micro-batch with an EQUI-JOIN — the driver never
+   * holds a row of it.
+   *
+   * Join shape per batch (all batch-bounded broadcasts; the artifact
+   * only ever streams distributed): the batch's per-row band buckets
+   * explode to `(id, band, bucket)` keys — batch × bands rows — which
+   * BROADCAST into one inner equi-join against the artifact; matched
+   * ids distinct (≤ batch-sized), broadcast back onto the batch for the
+   * flag column. Same predicate as the frozen gate (same signature
+   * expressions, same "shares ≥ 1 band" semantics — spec-pinned equal),
+   * stateless per batch, no streaming state.
+   *
+   * `foreachBatch` rather than an unbatched stream-static join because
+   * the per-DOC flag needs "any band matched" — an aggregation that
+   * would demand watermarked streaming state, while inside the batch
+   * callback it is a plain bounded groupBy (the q135 artifact-
+   * maintenance pattern). Callers own trigger/checkpoint/start.
+   */
+  def nearDupGateStreamIndexed(
+      docs: DataFrame, textCol: String, idCol: String,
+      bucketIndex: DataFrame,
+      n: Int, bands: Int, rowsPerBand: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(nearDupGateIndexProbe(batch.toDF(), textCol, idCol, bucketIndex,
+          n, bands, rowsPerBand), batchId.longValue())
+    }
+
+  /** The equi-join probe of [[nearDupGateStreamIndexed]] over one
+    * bounded batch — package-visible so the spec can pin it equal to
+    * the broadcast-set probe on identical input. */
+  private[graft] def nearDupGateIndexProbe(
+      batch: DataFrame, textCol: String, idCol: String,
+      bucketIndex: DataFrame,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // identical signature expressions to the frozen gate's probe
+    val grams = transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(col("__grams"), x => xxhash64(lit(i), x)))): _*)
+    val buckets = array((0 until bands).map { b =>
+      hash((0 until rowsPerBand)
+        .map(r => col("__sig").getItem(b * rowsPerBand + r)): _*)
+    }: _*)
+    val withSig = batch
+      .withColumn("__grams", grams)
+      .withColumn("__sig", sig)
+      .withColumn("n_shingles", size(col("__grams")).cast("long"))
+      .withColumn("__buckets", buckets)
+      .drop("__grams", "__sig")
+    val exploded = withSig.where(col("n_shingles") > 0)
+      .select(col(idCol), posexplode(col("__buckets")).as(Seq("band", "bucket")))
+    val flagged = bucketIndex
+      .join(broadcast(exploded), Seq("band", "bucket"))
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    withSig.drop("__buckets")
+      .join(broadcast(flagged), Seq(idCol), "left_outer")
+      .withColumn("maybe_near_dup",
+        col("n_shingles") > 0 && coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /**
    * [[nearDupGateStream]] with a reference corpus that GROWS while the
    * gate runs: the frozen variant broadcasts its `(band, bucket)` set
    * once at stream start, so a long-lived gate slowly goes stale as the

@@ -90,4 +90,84 @@ object MediaStreams {
     }
     media.withColumn("maybe_near_dup", gate(col(blobCol)))
   }
+
+  private val phashUdf = udf { (blob: Array[Byte]) =>
+    if (blob == null) null
+    else java.lang.Long.valueOf(Multimodal.perceptualHash64(blob))
+  }
+
+  /**
+   * The reference fingerprints exploded into the DISTRIBUTED band-index
+   * artifact of [[phashGateStreamIndexed]]: one row per
+   * `(band, key, phash)` — each fingerprint appears 8×, once per 8-bit
+   * band (the [[Multimodal.perceptualNearDupPairs]] banding). Persist
+   * this next to the corpus (ideally partitioned by `band`) and the
+   * gate never needs the fingerprints on the driver.
+   */
+  def phashBandIndex(refs: DataFrame, phashCol: String): DataFrame =
+    refs.select(col(phashCol).as("phash"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col(phashCol), b * 8) bitwiseAND lit(0xffL))
+              .as("key"))
+        }: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.key"), col("phash"))
+      .distinct()
+
+  /**
+   * [[phashGateStream]] with the reference index as a PERSISTED,
+   * DISTRIBUTED artifact — the 100 TB shape (the frozen variant
+   * collects EVERY reference fingerprint into a driver-side CSR index:
+   * 8 B × reference cardinality, a multi-TB collect at web scale).
+   * Per micro-batch: each payload's fingerprint explodes to its 8
+   * `(band, key)` probes, which BROADCAST into one inner equi-join
+   * against the [[phashBandIndex]] artifact; the exact
+   * `bit_count(xor) <= maxHamming` verify runs IN the join projection
+   * (the gate stays exact — pigeonhole-complete to hamming 7, q101's
+   * adjudication), matched ids distinct and broadcast back for the
+   * flag. All broadcasts batch-bounded; the artifact only ever streams
+   * distributed. Null payload -> null flag, the frozen gate's
+   * convention. `foreachBatch` for the same reason as
+   * [[DocStreams.nearDupGateStreamIndexed]]: the per-payload "any
+   * reference within hamming" flag is a bounded batch aggregation, not
+   * watermarked streaming state.
+   */
+  def phashGateStreamIndexed(
+      media: DataFrame, blobCol: String, idCol: String,
+      bandIndex: DataFrame, maxHamming: Int = 6)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxHamming <= 7, "8 x 8-bit bands are pigeonhole-complete only to 7")
+    media.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(phashGateIndexProbe(batch.toDF(), blobCol, idCol, bandIndex,
+          maxHamming), batchId.longValue())
+    }
+  }
+
+  /** The equi-join probe of [[phashGateStreamIndexed]] over one bounded
+    * batch — package-visible so the spec can pin it equal to the
+    * CSR-broadcast probe on identical input. */
+  private[graft] def phashGateIndexProbe(
+      batch: DataFrame, blobCol: String, idCol: String,
+      bandIndex: DataFrame, maxHamming: Int): DataFrame = {
+    val withP = batch.withColumn("__phash", phashUdf(col(blobCol)))
+    val probes = withP.where(col("__phash").isNotNull)
+      .select(col(idCol), col("__phash"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col("__phash"), b * 8) bitwiseAND lit(0xffL))
+              .as("key"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("__phash"), col("bb.band"), col("bb.key"))
+    val flagged = bandIndex
+      .join(broadcast(probes), Seq("band", "key"))
+      .where(bit_count(col("phash") bitwiseXOR col("__phash")) <= maxHamming)
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    withP.join(broadcast(flagged), Seq(idCol), "left_outer")
+      .withColumn("maybe_near_dup",
+        when(col("__phash").isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__hit"), lit(false))))
+      .drop("__phash", "__hit")
+  }
 }

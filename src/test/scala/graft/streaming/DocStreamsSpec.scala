@@ -118,6 +118,62 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(flagged.contains(2L), "near-copy should collide in some band")
   }
 
+  test("indexed near-dup gate == frozen broadcast gate, no driver collect") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten eleven"),
+      (102L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten twelve"),
+      (3L, "completely unrelated text about mountains and rivers flowing"),
+      (4L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (5L, "short"),
+      (6L, "different words entirely with no overlap whatsoever present here"))
+    val (n, bands, rows) = (5, 8, 4)
+    val bucketIndex = graft.pipeline.Dedup
+      .minHashBuckets(corpus, "doc_id", "text", n, bands, rows)
+      .select($"band", $"bucket").distinct()
+
+    // 1) the per-batch equi-join probe must equal the broadcast-set
+    // probe row for row on identical input
+    val batchDF = arrivals.toDF("doc_id", "text")
+    val viaJoin = DocStreams.nearDupGateIndexProbe(
+        batchDF, "text", "doc_id", bucketIndex, n, bands, rows)
+      .select($"doc_id", $"n_shingles", $"maybe_near_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val corpusSet = bucketIndex.as[(Int, Int)].collect().toSet
+    val viaSet = DocStreams.nearDupGateStream(batchDF, "text", corpusSet,
+        n, bands, rows)
+      .select($"doc_id", $"n_shingles", $"maybe_near_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaJoin == viaSet,
+      "equi-join probe must reproduce the broadcast-set gate exactly")
+
+    // 2) streamed end to end through foreachBatch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]
+    val q = DocStreams.nearDupGateStreamIndexed(
+        source.toDS().toDF("doc_id", "text"), "text", "doc_id",
+        bucketIndex, n, bands, rows) { (probed, _) =>
+        val batch = probed.select(col("doc_id"), col("n_shingles"),
+            col("maybe_near_dup"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        got.synchronized { got ++= batch }
+      }
+      .start()
+    try {
+      source.addData(arrivals)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == viaSet,
+      "streamed indexed gate must equal the batch probe")
+  }
+
   test("refreshing near-dup gate tracks a growing reference corpus") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
