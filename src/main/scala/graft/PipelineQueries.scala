@@ -32,9 +32,9 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))""".stripMargin
 
   /** DuckDB CTEs: distinct word 5-gram inverted index + sizes. */
-  private val GramCtes: String =
-    """w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
-      |      FROM documents),
+  private def gramCtes(from: String): String =
+    s"""w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |      FROM $from),
       |g AS (SELECT doc_id,
       |        list_distinct([array_to_string(words[i:i+4], ' ')
       |                       for i in range(1, greatest(len(words) - 3, 1))]) AS grams
@@ -44,6 +44,8 @@ object PipelineQueries {
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
       |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
+
+  private val GramCtes: String = gramCtes("documents")
 
   private def jaccardSql(threshold: Double): String =
     s"""WITH $GramCtes
@@ -1382,9 +1384,10 @@ object PipelineQueries {
         .select(col("d1"), col("d2")))
 
   /** The jaccard-pair + recursive-CC chain shared by the q40/q40b
-    * cluster oracles and the q110 representative oracle. */
-  private val DupClusterCtes: String =
-    s"""$GramCtes,
+    * cluster oracles, the q110 representative oracle, and (over the
+    * `uni` snapshot) the q150 refresh oracle. */
+  private def dupClusterCtes(from: String): String =
+    s"""${gramCtes(from)},
        |pairs AS (
        |  SELECT d1, d2
        |  FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
@@ -1396,6 +1399,8 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
        |cc AS (SELECT node, min(r) AS cid FROM reach GROUP BY node)""".stripMargin
+
+  private val DupClusterCtes: String = dupClusterCtes("documents")
 
   val DupClustersSql: String =
     s"""WITH RECURSIVE $DupClusterCtes
@@ -3442,6 +3447,46 @@ object PipelineQueries {
       |  (abs(share_old - share_new) > 0.02) AS drifted
       |FROM sh""".stripMargin
 
+  /** q: STREAM-MAINTAINED exact-k sample, EXECUTED — q124's artifact
+    * kept fresh by a stream (the q135 pattern; see
+    * [[graft.pipeline.Curation.exactKSampleMaintain]]): the corpus
+    * splits into two files, streams `maxFilesPerTrigger=1` so the
+    * merge-and-evict path fires under the driver, and the declared row
+    * reads the final artifact back. Hash-gated sampling (salted md5
+    * rank), NOT reservoir sampling: the reservoir's eviction coin
+    * depends on arrival order, while the hash rank makes top-k
+    * associative under a total order — so the oracle is simply q124's
+    * whole-corpus SQL, and the hash match proves batch-boundary AND
+    * arrival-order independence (eviction arithmetic included: a
+    * second-file doc with a smaller key must displace a first-file
+    * rank-k row or the ranks would not match). */
+  def sampleStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q151-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val in = base.resolve("in").toString
+    val dd = docs(s, d)
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val artDir = base.resolve("sample")
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Curation.exactKSampleMaintain(s, artDir, batch,
+          "source", "doc_id", k = 10, batchId = id)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(artDir))
+      Curation.exactKSample(dd, "source", "doc_id", k = 10)
+    else s.read.parquet(artDir.toString)
+  }
+
   /** q: deterministic exact-k per-source sample — every source
     * contributes exactly min(k, docs) rows ranked by salted md5 (see
     * [[graft.pipeline.Curation.exactKSample]]; the fixed-quota
@@ -3547,6 +3592,98 @@ object PipelineQueries {
        |  (e.p99_est >= x.p99_exact
        |     AND (e.p99_est - x.p99_exact) * 64 <= x.p99_exact) AS p99_ok
        |FROM est e JOIN ex x ON e.source = x.source""".stripMargin
+
+  /** q: CANONICAL exact dedup — q12's exact-dedup row keyed by the
+    * [[graft.pipeline.Canonicalize.canonicalFingerprint]] (Unicode NFC
+    * + typographic-punct fold + case + whitespace) instead of the plain
+    * case/whitespace fingerprint: the documented FIRST dedup stage on
+    * corpora where the same text arrives NFC/NFD/full-width/typographic.
+    * The oracle replays the identical fold chain via DuckDB's
+    * `nfc_normalize` + `translate` (both engines implement UAX #15, so
+    * NFC is byte-identical cross-engine); the NFKC strength has no
+    * DuckDB twin and is spec-pinned instead (CanonicalizeSpec's planted
+    * mixed-width/diacritic fixtures, which CHANGE the dup pairs). */
+  def canonicalDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text",
+      graft.pipeline.Canonicalize.canonicalFingerprint)
+
+  val CanonicalDedupSql: String =
+    """WITH p AS (SELECT
+      |  chr(8216)||chr(8217)||chr(8218)||chr(8219)
+      |    ||chr(8220)||chr(8221)||chr(8222)||chr(8223)
+      |    ||chr(8210)||chr(8211)||chr(8212)||chr(8213)||chr(160) AS pf,
+      |  repeat(chr(39), 4)||repeat(chr(34), 4)||repeat(chr(45), 4)
+      |    ||chr(32) AS pt),
+      |c AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(translate(nfc_normalize(text),
+      |    p.pf, p.pt)), '\s+', ' ', 'g'))) AS fingerprint
+      |  FROM documents, p)
+      |SELECT doc_id, fingerprint,
+      |  count(*) OVER w AS group_size,
+      |  min(doc_id) OVER w AS keeper,
+      |  doc_id = min(doc_id) OVER w AS keep
+      |FROM c
+      |WINDOW w AS (PARTITION BY fingerprint)""".stripMargin
+
+  /** q: INCREMENTAL dup-cluster refresh — the q129/q148 artifact
+    * lifecycle applied to q40's components: the OLD snapshot's
+    * `(doc, cluster)` table is persisted (save -> load), the union
+    * snapshot's near-dup pairs that TOUCH an added doc form the delta
+    * (old-old pairs cannot change when docs are added — Jaccard is
+    * pairwise), and [[graft.pipeline.Curation.mergeComponents]] folds
+    * them in: contract through stored labels, CC over the delta-sized
+    * contracted graph, compose back. CC is partition-insensitive over
+    * its edge set, so the refreshed table is BIT-EQUAL to full
+    * recompute — which is what the oracle states by running the
+    * recursive-CC chain directly over the union snapshot. (The declared
+    * pair generator rescans the union for pairs; a production delta
+    * generator probes the persisted LSH bucket artifact (q98's index)
+    * with only the added docs — the merge fold is identical either
+    * way.) */
+  def dupClustersRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    val added = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val uni = old.unionByName(added)
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q150-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = dir.resolve("clusters").toString
+    Curation.dupClusters(old, "doc_id",
+        Dedup.ngramJaccardPairs(old, "doc_id", "text", n = 5, threshold = 0.5)
+          .select(col("d1"), col("d2")))
+      .select(col("doc_id").as("node"), col("cluster_id"))
+      .write.mode("overwrite").parquet(artPath)
+    val stored = s.read.parquet(artPath)
+    val uniPairs = Dedup.ngramJaccardPairs(uni, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select(col("d1"), col("d2"))
+    val addedIds = added.select(col("doc_id").as("__aid"))
+    val deltaPairs = uniPairs
+      .join(addedIds, uniPairs("d1") === col("__aid"), "left_semi")
+      .union(uniPairs
+        .join(addedIds, uniPairs("d2") === col("__aid"), "left_semi"))
+      .distinct()
+    val merged = Curation.mergeComponents(stored, deltaPairs)
+    uni.select(col("doc_id"))
+      .join(merged, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  val DupClustersRefreshSql: String =
+    s"""WITH RECURSIVE uni AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+       |  FROM documents
+       |  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0),
+       |${dupClusterCtes("uni")}
+       |SELECT u.doc_id, coalesce(cc.cid, u.doc_id) AS cluster_id
+       |FROM uni u LEFT JOIN cc ON u.doc_id = cc.node""".stripMargin
 
   /** q: INCREMENTAL quantile-sketch refresh — the q129 artifact
     * lifecycle applied to the q147 sketch: the OLD snapshot's bucket

@@ -163,6 +163,9 @@ object SparkEntry {
     "q146_derived_sessions" -> ((s, d) => RelQueries.derivedSessions(s, d)),
     "q147_quantile_sketch" -> ((s, d) => PipelineQueries.quantileSketch(s, d)),
     "q148_qsketch_refresh" -> ((s, d) => PipelineQueries.qsketchIncrementalRefresh(s, d)),
+    "q149_canonical_dedup" -> ((s, d) => PipelineQueries.canonicalDedup(s, d)),
+    "q150_dup_clusters_refresh" -> ((s, d) => PipelineQueries.dupClustersRefresh(s, d)),
+    "q151_sample_stream" -> ((s, d) => PipelineQueries.sampleStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -579,5 +582,15 @@ object SparkEntry {
     // q148: quantile-sketch artifact save/load + delta merge — cell-wise
     // count sum, so delta-refresh == full recompute bit for bit
     "q148_qsketch_refresh" -> PipelineQueries.QsketchIncrementalRefreshSql,
+    // q149: exact dedup keyed by the NFC + punct/case/space canonical
+    // fingerprint — the documented first dedup stage; NFKC strength is
+    // spec-pinned (no DuckDB twin)
+    "q149_canonical_dedup" -> PipelineQueries.CanonicalDedupSql,
+    // q150: dup-cluster artifact + delta union-find fold — CC is edge-
+    // partition-insensitive, so delta refresh == full recompute
+    "q150_dup_clusters_refresh" -> PipelineQueries.DupClustersRefreshSql,
+    // q151: stream-maintained exact-k sample — hash-ranked top-k is
+    // associative, so the oracle is q124's whole-corpus SQL verbatim
+    "q151_sample_stream" -> PipelineQueries.ExactKPerSourceSql,
   )
 }

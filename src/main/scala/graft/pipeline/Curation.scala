@@ -51,9 +51,17 @@ object Curation {
   private[pipeline] def materializeRound(df: DataFrame): DataFrame =
     track(df.localCheckpoint(eager = true))
 
+  // Releases the frame's OWN storage only: its cache entry plus the
+  // checkpoint RDD at the frame's ROOT (what materializeRound produced).
+  // Never the deep LogicalRDD leaves — a round built OVER a caller's
+  // checkpoint-backed input (mergeComponents contracts delta pairs
+  // through the stored dupClusters artifact) carries the INPUT's
+  // LogicalRDD in its lineage, and sweeping leaves would yank the
+  // caller's blocks out from under every later consumer
+  // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at the next action).
   private[pipeline] def release(df: DataFrame): Unit = {
     df.unpersist()
-    val rdds = org.apache.spark.sql.GraftShims.checkpointRDDs(df)
+    val rdds = org.apache.spark.sql.GraftShims.ownCheckpointRDD(df)
     rdds.foreach(_.unpersist(blocking = false))
     rdds.foreach(liveCheckpoints.remove)
   }
@@ -276,6 +284,60 @@ object Curation {
   }
 
   /**
+   * INCREMENTAL component refresh — fold a DELTA batch of near-dup
+   * pairs into a persisted `(node, cluster_id)` artifact ([[dupClusters]]
+   * output, saved as parquet) without recomputing components over the
+   * full history: the union-find merge, O(delta) amortized.
+   *
+   * The algebra that makes it exact: connected components are
+   * insensitive to how the edge set is partitioned, so folding
+   * `deltaPairs` into the stored labels equals full recompute over
+   * (old pairs ∪ delta pairs) PROVIDED every old edge's information
+   * survives — and it does, contracted into the stored labels. Steps:
+   *
+   *  1. CONTRACT each delta endpoint through the stored labels (an
+   *     already-clustered node is represented by its cluster id; an
+   *     unseen node stands for itself) — one join per side against the
+   *     artifact, delta-sized output;
+   *  2. run components over the CONTRACTED graph only — delta-sized
+   *     work regardless of history size;
+   *  3. COMPOSE: stored labels re-map through the (delta-bounded,
+   *     broadcast) relabel table; delta-only nodes take their
+   *     contracted label directly.
+   *
+   * Labels stay canonical min-ids: the contracted CC minimizes over
+   * old cluster minima and new node ids, and min-of-mins is the global
+   * min — so the refreshed table is BIT-EQUAL to [[dupClusters]] over
+   * the union pair set (spec-pinned, and q150's oracle recomputes the
+   * union directly). Insert-only like every artifact here: REMOVING an
+   * edge can split a cluster, which needs a rebuild of that cluster's
+   * component, not a merge.
+   */
+  def mergeComponents(
+      stored: DataFrame, deltaPairs: DataFrame,
+      d1: String = "d1", d2: String = "d2"): DataFrame = {
+    val contracted = deltaPairs
+      .join(stored.select(col("node").as("__n1"), col("cluster_id").as("__c1")),
+        col(d1) === col("__n1"), "left")
+      .join(stored.select(col("node").as("__n2"), col("cluster_id").as("__c2")),
+        col(d2) === col("__n2"), "left")
+      .select(coalesce(col("__c1"), col(d1)).as("m1"),
+        coalesce(col("__c2"), col(d2)).as("m2"))
+    val remap = connectedComponents(contracted, "m1", "m2")
+      .select(col("node").as("__rep"), col("cluster_id").as("__new"))
+    val storedNew = stored
+      .join(broadcast(remap), col("cluster_id") === col("__rep"), "left")
+      .select(col("node"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    val freshNodes = deltaPairs.select(col(d1).as("node"))
+      .union(deltaPairs.select(col(d2).as("node"))).distinct()
+      .join(stored.select(col("node")), Seq("node"), "left_anti")
+    val freshLabeled = freshNodes
+      .join(broadcast(remap), col("node") === col("__rep"))
+      .select(col("node"), col("__new").as("cluster_id"))
+    storedNew.unionByName(freshLabeled)
+  }
+
+  /**
    * Exact quantile-band filter: keep rows whose integer measure lies in
    * [p_lo, p_hi], thresholds defined as the smallest value whose cumulative
    * count reaches ceil(p * n) — exact order statistics, no approximate
@@ -449,6 +511,45 @@ object Curation {
       .where(col("__rn") <= k)
       .select(col(strataCol), col(idCol), col("sample_key"),
         col("__rn").cast("long").as("rk"))
+  }
+
+  /**
+   * STREAMING maintenance of the [[exactKSample]] artifact — q124's
+   * streaming twin, the q135 foreachBatch pattern: per micro-batch,
+   * the stored sample (≤ strata × k rows — tiny) unions with the
+   * batch's rows, [[exactKSample]] re-selects the k best per stratum,
+   * and the artifact swaps via write-sibling → rename.
+   *
+   * Batch-boundary AND arrival-order independence are exact, not
+   * approximate: the sample key is a deterministic salted md5 of the
+   * id (no RNG state — the reason hash-gated sampling was chosen over
+   * reservoir sampling, whose eviction coin depends on arrival order),
+   * and top-k under a TOTAL order (key, id) is associative —
+   * `topk(A ∪ B) == topk(topk(A) ∪ B)` — so any batching of the
+   * corpus converges to the one-pass batch sample bit for bit (the
+   * q151 oracle runs q124's SQL over the whole corpus and says
+   * exactly that). A newly-arrived id with a smaller key EVICTS the
+   * stratum's rank-k row; ranks are recomputed at each merge so `rk`
+   * stays contiguous. Insert-only, like every artifact here: deleting
+   * a sampled doc needs a rebuild from the surviving corpus.
+   */
+  def exactKSampleMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      artifactDir: java.nio.file.Path, batch: DataFrame,
+      strataCol: String, idCol: String, k: Int,
+      batchId: Long, salt: String = ""): Unit = {
+    val cand = batch.select(col(strataCol), col(idCol))
+    val merged =
+      if (java.nio.file.Files.exists(artifactDir))
+        spark.read.parquet(artifactDir.toString)
+          .select(col(strataCol), col(idCol)).unionByName(cand)
+      else cand
+    val kept = exactKSample(merged, strataCol, idCol, k, salt)
+    val sibling = artifactDir.resolveSibling(
+      artifactDir.getFileName.toString + s"-next-$batchId")
+    kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
+    graft.Fs.deleteRecursively(artifactDir)
+    java.nio.file.Files.move(sibling, artifactDir)
   }
 
   /**

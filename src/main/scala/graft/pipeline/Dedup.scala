@@ -69,11 +69,19 @@ object Dedup {
   /**
    * Exact dedup: every row keyed by its fingerprint, with the group's
    * canonical keeper (min id) and size. `keep = (id == keeper)`.
+   *
+   * `key` defaults to [[fingerprint]] (case + whitespace folding only);
+   * pass [[Canonicalize.canonicalFingerprint]] (NFC + punct folds, the
+   * q149 stage) or [[Canonicalize.canonicalNfkcFingerprint]] (adds
+   * width/ligature folding) as the first dedup stage on corpora where
+   * the same text arrives in different Unicode spellings.
    */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exact(
+      docs: DataFrame, idCol: String, textCol: String,
+      key: Column => Column = fingerprint): DataFrame = {
     val w = Window.partitionBy(col("fingerprint"))
     docs
-      .select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .select(col(idCol), key(col(textCol)).as("fingerprint"))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keeper", min(col(idCol)).over(w))
       .withColumn("keep", col(idCol) === col("keeper"))

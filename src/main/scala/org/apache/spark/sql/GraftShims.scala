@@ -57,4 +57,14 @@ object GraftShims {
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
+
+  /** The checkpoint RDD of THIS frame only — the `LogicalRDD` at the
+    * plan root that `localCheckpoint` returns — and never the leaves of
+    * a longer lineage, which belong to the frame's INPUTS. Releasing a
+    * derived frame must not sweep its inputs' storage. */
+  def ownCheckpointRDD(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd)
+      case _ => Nil
+    }
 }

@@ -437,6 +437,54 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r => r._1 == 0.0 && !r._2))
   }
 
+  test("mergeComponents: delta fold == full recompute on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val nodes = (1L to 40L)
+      val oldPairs = (1 to 25).map(_ =>
+        (nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30)))).filter(p => p._1 != p._2)
+      // delta touches new nodes (31..40) AND bridges old clusters
+      val deltaPairs = ((1 to 10).map(_ =>
+        (nodes(30 + rnd.nextInt(10)), nodes(rnd.nextInt(40)))) ++
+        (1 to 4).map(_ => (nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30)))))
+        .filter(p => p._1 != p._2)
+      val oldDocs = (1L to 30L).toDF("doc_id")
+      val stored = Curation.dupClusters(oldDocs, "doc_id",
+          oldPairs.toDF("d1", "d2"))
+        .select($"doc_id".as("node"), $"cluster_id")
+      val merged = Curation.mergeComponents(stored, deltaPairs.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      val fullDocs = (1L to 30L).map(i => i) ++
+        deltaPairs.flatMap(p => Seq(p._1, p._2)).filter(_ > 30L).distinct
+      val full = Curation.dupClusters(fullDocs.distinct.toDF("doc_id"), "doc_id",
+          (oldPairs ++ deltaPairs).toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(merged == full,
+        s"trial $trial: delta fold must equal full recompute")
+    }
+  }
+
+  test("mergeComponents: empty delta is the identity; bridge merges relabel") {
+    import spark.implicits._
+    val stored = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("node", "cluster_id")
+    val noop = Curation.mergeComponents(stored,
+        Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    // one bridge pair merges clusters {1,2} and {3,4} under min id 1
+    val bridged = Curation.mergeComponents(stored,
+        Seq((2L, 4L)).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    // a pair inside one cluster changes nothing
+    val internal = Curation.mergeComponents(stored,
+        Seq((3L, 4L)).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(internal == noop)
+  }
+
   test("histogramDrift: an empty side yields zero shares, never NaN") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")
@@ -511,6 +559,55 @@ class CurationSpec extends AnyFunSuite {
     assert(ids(1, "") == ids(11, ""), "same sample at any parallelism")
     assert(ids(3, "") != ids(3, "x"),
       "a different salt draws a different sample")
+  }
+
+  test("stream-maintained exact-k sample == one-pass batch, any order, evicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val (half1, half2) = all.splitAt(30)
+    val k = 3
+    val batchRef = Curation.exactKSample(
+        all.toDF("doc_id", "source"), "source", "doc_id", k)
+      .as[(String, Long, String, Long)].collect().toSet
+
+    def run(first: Seq[(Long, String)], second: Seq[(Long, String)],
+        tag: String): (Set[(String, Long, String, Long)], Set[(String, Long, String, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ekstream-$tag")
+      val art = dir.resolve("sample")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(Long, String)]
+      val q = source.toDS().toDF("doc_id", "source").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Curation.exactKSampleMaintain(spark, art, batch,
+            "source", "doc_id", k, batchId = id)
+          ()
+        }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      try {
+        source.addData(first)
+        q.processAllAvailable()
+        val mid = spark.read.parquet(art.toString)
+          .as[(String, Long, String, Long)].collect().toSet
+        source.addData(second)
+        q.processAllAvailable()
+        val fin = spark.read.parquet(art.toString)
+          .as[(String, Long, String, Long)].collect().toSet
+        (mid, fin)
+      } finally q.stop()
+    }
+
+    val (mid12, fin12) = run(half1, half2, "fwd")
+    val (_, fin21) = run(half2, half1, "rev")
+    assert(fin12 == batchRef, "streamed sample must equal one-pass batch")
+    assert(fin21 == batchRef, "arrival order must not matter")
+    assert((mid12 -- fin12).nonEmpty,
+      "a later-arriving smaller key must EVICT a first-batch rank-k row")
+    assert(mid12 == Curation.exactKSample(
+        half1.toDF("doc_id", "source"), "source", "doc_id", k)
+      .as[(String, Long, String, Long)].collect().toSet,
+      "after one batch the artifact is that batch's exact sample")
   }
 
   test("exactKSample ranks are contiguous from 1 within each stratum") {
