@@ -2688,6 +2688,102 @@ object PipelineQueries {
         (col("recall") >= 0.7).as("recall_ok"))
   }
 
+  /** q: quantizer AUTO-REBUILD — the closed loop q104's measurement
+    * exists to drive, executed end to end: a STALE index (quantizer,
+    * codebook, and inverted file all built before the odd half of the
+    * corpus arrived) is probed against the full-corpus exact truth;
+    * its recall is structurally low (every exact neighbor living in
+    * the unindexed half is unfindable — measured ~0.45 against the
+    * 0.7 floor), so the rebuild policy TRIGGERS deterministically;
+    * the index then retrains and re-encodes over the full corpus and
+    * the declared row pins the post-rebuild recall back above the
+    * floor. Recall values themselves are engine-specific (driver
+    * k-means), so the row carries the tolerance CONTRACT as data (the
+    * q36/q104 discipline): integer counts + the trigger and
+    * post-rebuild verdict booleans. Scale shape: both probes are the
+    * q104 machinery (cell-pruned ADC scans + one bounded-query
+    * brute-force reference); the rebuild is one retrain + one full
+    * re-encode — exactly the cost the trigger exists to amortize. */
+  def annAutoRebuild(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val indexed = e.where(col("vec_id") % 2 === 0) // pre-arrival world
+    val q = e.where(col("vec_id") < 200)
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_queries",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pairs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rebuild_triggered",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("fresh_recall_ok",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    def empty() = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val staleCents = Similarity.trainIvfCentroids(indexed, "vec_id", "embedding")
+    if (staleCents.isEmpty) return empty()
+    val staleCb = Similarity.trainPqCodebookResidual(
+      indexed, "vec_id", "embedding", staleCents)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q152-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    def buildAndProbe(
+        corpus: DataFrame, cents: Array[Array[Double]],
+        cb: Array[Array[Array[Double]]], tag: String): DataFrame = {
+      val dir = base.resolve(tag)
+      Similarity.saveIvfIndex(s, cents, s"$dir/ivf")
+      Similarity.savePqCodebook(s, cb, s"$dir/pq")
+      Similarity.saveEncodedCorpus(
+        Similarity.ivfPqEncode(corpus, "vec_id", "embedding", cents, cb),
+        s"$dir/codes")
+      Similarity.ivfPqTopKRerankedFromCodes(
+        Similarity.loadEncodedCorpus(s, s"$dir/codes"), corpus, q,
+        "vec_id", "embedding", k = 5, shortlist = 100,
+        Similarity.loadIvfIndex(s, s"$dir/ivf"),
+        Similarity.loadPqCodebook(s, s"$dir/pq"), nProbe = 12)
+    }
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+    val staleRow = Similarity
+      .recallProbe(buildAndProbe(indexed, staleCents, staleCb, "stale"), exact)
+      .collect().headOption
+    if (staleRow.isEmpty) return empty()
+    val staleRecall = staleRow.get.getAs[Double]("recall")
+    val rebuildTriggered = staleRecall < 0.7
+    // the policy's action: retrain + re-encode over the CURRENT corpus
+    // (when the trigger somehow doesn't fire, serve the stale index —
+    // the declared row still reports honestly)
+    val servedRecall =
+      if (!rebuildTriggered) staleRecall
+      else {
+        val freshCents = Similarity.trainIvfCentroids(e, "vec_id", "embedding")
+        val freshCb = Similarity.trainPqCodebookResidual(
+          e, "vec_id", "embedding", freshCents)
+        Similarity
+          .recallProbe(buildAndProbe(e, freshCents, freshCb, "fresh"), exact)
+          .collect().head.getAs[Double]("recall")
+      }
+    s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(
+          staleRow.get.getAs[Long]("n_queries"),
+          staleRow.get.getAs[Long]("n_pairs"),
+          rebuildTriggered, servedRecall >= 0.7)),
+      emptySchema)
+  }
+
+  /** Counts re-derived (each query scores min(5, |corpus|-1) exact
+    * full-corpus neighbors); trigger and post-rebuild verdicts pinned
+    * true — the stale index cannot reach the unindexed half, the
+    * rebuilt one serves its own training distribution (q104's harder
+    * cross-split setting already pins >= 0.7). HAVING mirrors the
+    * zero-rows conventions. */
+  val AnnAutoRebuildSql: String =
+    """WITH alln AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+      |qn AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id < 200),
+      |tr AS (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT qn.n AS n_queries,
+      |       (qn.n * least(5, alln.n - 1))::BIGINT AS n_pairs,
+      |       true AS rebuild_triggered, true AS fresh_recall_ok
+      |FROM qn, alln, tr
+      |WHERE tr.n > 0 AND qn.n > 0 AND alln.n > 1""".stripMargin
+
   /** The oracle re-derives the measurement arithmetic — query count and
     * exact-pair count (each query scores min(5, |served|-1) exact
     * neighbors) — and pins the drift verdict true; HAVING mirrors the
@@ -3191,6 +3287,62 @@ object PipelineQueries {
       sk.hllEstimate(sk.loadRegisters(s, regDir.toString), Seq("source"))
     }
   }
+
+  /** q: STREAM-MAINTAINED quantile sketch, EXECUTED — the q135
+    * maintenance pattern applied to the q147 artifact, completing its
+    * lifecycle (build q147, save/load/merge q148, stream q154): each
+    * micro-batch's doc-length buckets fold into the persisted bucket
+    * table by cell-wise count SUM (write-sibling -> swap), and the
+    * declared row serves p50/p90/p99 from the final artifact. Sum is
+    * associative AND commutative, so batch boundaries and arrival
+    * order cannot matter — the oracle computes the sketch over the
+    * whole corpus in one pass and the hash match says exactly that. */
+  def qsketchStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val sk = graft.pipeline.Sketches
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q154-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val in = base.resolve("in").toString
+    val dd = docs(s, d).where(col("text").isNotNull)
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val skDir = base.resolve("qsketch")
+    def lens(df: DataFrame) =
+      df.select(col("source"), length(col("text")).cast("long").as("len"))
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val buckets = sk.qsketchBuckets(lens(batch), Seq("source"), "len")
+        val merged =
+          if (java.nio.file.Files.exists(skDir))
+            sk.qsketchMerge(sk.loadRegisters(s, skDir.toString), buckets,
+              Seq("source"))
+          else buckets
+        val sibling = base.resolve(s"qsketch-next-$id")
+        sk.saveRegisters(merged, sibling.toString)
+        graft.Fs.deleteRecursively(skDir)
+        java.nio.file.Files.move(sibling, skDir)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val table =
+      if (!java.nio.file.Files.exists(skDir))
+        sk.qsketchBuckets(lens(dd), Seq("source"), "len")
+      else sk.loadRegisters(s, skDir.toString)
+    sk.qsketchQuantiles(table, Seq("source"),
+      Seq(("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)))
+  }
+
+  /** One-pass whole-corpus sketch estimates — q148's oracle shape. */
+  val QsketchStreamMaintainedSql: String =
+    s"""WITH ${qsketchSqlCtes("documents WHERE text IS NOT NULL")}
+       |SELECT source, sketch_buckets, p50_est, p90_est, p99_est
+       |FROM est""".stripMargin
 
   /** The one-pass whole-corpus sketch — q129's chain over ALL documents
     * (batch boundaries must not matter; this oracle says so). */

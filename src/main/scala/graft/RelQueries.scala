@@ -1803,6 +1803,49 @@ object RelQueries {
   }
 
   /**
+   * BUCKETED fact-fact join — the co-located-layout row (see
+   * [[graft.operators.Layout.writeBucketed]]): orders and lineitem are
+   * written bucketed by their join key into the session catalog, then
+   * the revenue-per-orderstatus rollup joins them. Because BOTH scans
+   * report the same 8-bucket hash distribution on the key, the
+   * sort-merge join plans with ZERO exchanges below it (PlanSpec pins
+   * exactly one shuffle in the whole plan — the final groupBy) — the
+   * shuffle a fact-fact join normally pays per query was paid once at
+   * write. The `merge` hint pins the SMJ shape so the plan contract
+   * doesn't depend on size estimates at toy scale. Values are the q06
+   * exact-decimal money discipline, so the oracle (a plain join over
+   * the raw parquet — layout must never change results) hash-matches.
+   */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q153-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    graft.operators.Layout.writeBucketed(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_orders_bucketed", base.resolve("orders").toString,
+      "o_orderkey", numBuckets = 8)
+    graft.operators.Layout.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "graft_lineitem_bucketed", base.resolve("lineitem").toString,
+      "l_orderkey", numBuckets = 8)
+    spark.table("graft_orders_bucketed").hint("merge")
+      .join(spark.table("graft_lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dec("l_quantity").cast("double").as("sum_qty"),
+        dec("l_extendedprice").cast("double").as("revenue"))
+  }
+
+  val BucketedJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /**
    * DATA-DERIVED sessionization — q145's gap distribution put to work:
    * the session timeout is the exact p99 inter-arrival gap (not a
    * hand-picked 30 minutes), and the events then sessionize under that

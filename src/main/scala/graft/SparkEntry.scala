@@ -166,6 +166,9 @@ object SparkEntry {
     "q149_canonical_dedup" -> ((s, d) => PipelineQueries.canonicalDedup(s, d)),
     "q150_dup_clusters_refresh" -> ((s, d) => PipelineQueries.dupClustersRefresh(s, d)),
     "q151_sample_stream" -> ((s, d) => PipelineQueries.sampleStreamMaintained(s, d)),
+    "q152_ann_auto_rebuild" -> ((s, d) => PipelineQueries.annAutoRebuild(s, d)),
+    "q153_bucketed_join" -> ((s, d) => RelQueries.bucketedJoin(s, d)),
+    "q154_qsketch_stream" -> ((s, d) => PipelineQueries.qsketchStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -592,5 +595,17 @@ object SparkEntry {
     // q151: stream-maintained exact-k sample — hash-ranked top-k is
     // associative, so the oracle is q124's whole-corpus SQL verbatim
     "q151_sample_stream" -> PipelineQueries.ExactKPerSourceSql,
+    // q152: the q104 drift measurement driving its rebuild: stale index
+    // misses the unindexed half -> trigger fires; rebuilt index pinned
+    // back above the recall floor
+    "q152_ann_auto_rebuild" -> PipelineQueries.AnnAutoRebuildSql,
+    // q153: co-located bucketed fact-fact join — layout pre-pays the
+    // join shuffle; oracle joins the raw parquet (layout never changes
+    // results)
+    "q153_bucketed_join" -> RelQueries.BucketedJoinSql,
+    // q154: quantile-sketch artifact maintained by a stream — count-sum
+    // merge is associative+commutative, so the oracle's one-pass sketch
+    // proves boundary and order independence
+    "q154_qsketch_stream" -> PipelineQueries.QsketchStreamMaintainedSql,
   )
 }

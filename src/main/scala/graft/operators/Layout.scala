@@ -19,6 +19,39 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /**
+   * BUCKETED table layout — pre-pay the join/aggregation shuffle ONCE
+   * at write time. The table is hash-partitioned into `numBuckets`
+   * files per write-partition by `bucketCol` and registered with its
+   * bucket spec in the session catalog; every later equi-join or
+   * aggregation keyed on the bucket column reads co-located buckets
+   * and plans WITHOUT an Exchange on that key (Spark's bucketed scan
+   * reports the hash distribution; two tables bucketed by the same key
+   * with the same bucket count sort-merge join shuffle-free —
+   * plan-pinned in PlanSpec for q153).
+   *
+   * The 100 TB arithmetic: a fact-fact join (orders ⋈ lineitem) at
+   * that scale shuffles BOTH tables every query; bucketing moves that
+   * cost to one write, after which the daily joins, incremental-view
+   * refreshes, and dedup-by-key passes on the same key are exchange-
+   * free forever. `sortBy` additionally pre-sorts each bucket file so
+   * the sort-merge join's per-partition sort reads mostly-ordered
+   * input. Bucket count is a LAYOUT property (files per partition),
+   * decoupled from `spark.sql.shuffle.partitions` — pick it for file
+   * sizing at the table's scale.
+   */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /**
    * Morton key of two dimensions, `bits` bits each: x's bit i lands at
    * output bit 2i, y's at 2i+1. Inputs are masked to `bits` bits first
    * (callers bucket raw values into [0, 2^bits) — rank, day number,

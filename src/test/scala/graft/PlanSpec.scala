@@ -238,6 +238,15 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("bucketed join: co-located scans, zero exchanges below the SMJ") {
+    val p = plan("q153_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the layout pre-paid the join shuffle: the only exchange in the
+    // whole plan is the final groupBy on o_orderstatus
+    assert(shuffleCount(p) == 1, p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("quantile sketch: bounded sketch agg, exact side broadcast-joined") {
     val p = plan("q147_quantile_sketch")
     // sketch side: partial-aggregated groupBy (shuffle carries at most

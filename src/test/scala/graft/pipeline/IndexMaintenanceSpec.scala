@@ -228,4 +228,17 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(freshRecall >= 0.8, s"fresh index unexpectedly weak: $freshRecall")
     served.unpersist()
   }
+
+  test("auto-rebuild row: stale half-corpus index triggers, rebuilt passes") {
+    // q152 end to end at sf0.001: the stale index cannot reach the
+    // unindexed odd half, so the trigger must fire and the rebuilt
+    // index must clear the floor — the exact booleans the oracle pins.
+    val row = graft.PipelineQueries
+      .annAutoRebuild(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_queries") > 0L)
+    assert(row.getAs[Boolean]("rebuild_triggered"),
+      "an index missing half the corpus must trip the 0.7 recall floor")
+    assert(row.getAs[Boolean]("fresh_recall_ok"),
+      "the rebuilt full-corpus index must clear the floor")
+  }
 }

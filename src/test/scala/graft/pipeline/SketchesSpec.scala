@@ -248,6 +248,46 @@ class SketchesSpec extends AnyFunSuite {
       "stored-registers + delta merge must equal the full recompute")
   }
 
+  test("stream-maintained qsketch buckets == one-pass sketch, any order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = qskValues(1500, 61).map(("g", _))
+    val b = qskValues(1500, 62).map(("g", _))
+    def maintained(chunks: Seq[Seq[(String, Long)]]): Set[(String, Long, Long)] = {
+      val base = java.nio.file.Files.createTempDirectory("qsk-stream")
+      val skDir = base.resolve("qsketch")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(String, Long)]
+      val q = source.toDS().toDF("g", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val sk = Sketches.qsketchBuckets(batch, Seq("g"), "v")
+          val merged =
+            if (java.nio.file.Files.exists(skDir))
+              Sketches.qsketchMerge(
+                Sketches.loadRegisters(spark, skDir.toString), sk, Seq("g"))
+            else sk
+          val sib = base.resolve(s"next-$id")
+          Sketches.saveRegisters(merged, sib.toString)
+          graft.Fs.deleteRecursively(skDir)
+          java.nio.file.Files.move(sib, skDir)
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      Sketches.loadRegisters(spark, skDir.toString)
+        .select($"g", $"qbucket", $"cnt").as[(String, Long, Long)]
+        .collect().toSet
+    }
+    val direct = Sketches.qsketchBuckets((a ++ b).toDF("g", "v"), Seq("g"), "v")
+      .select($"g", $"qbucket", $"cnt").as[(String, Long, Long)]
+      .collect().toSet
+    assert(maintained(Seq(a, b)) == direct,
+      "stream-folded counts must equal the one-pass sketch")
+    assert(maintained(Seq(b, a)) == direct, "arrival order must not matter")
+  }
+
   test("stream-maintained registers == one-pass sketch, any batch order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
