@@ -774,9 +774,34 @@ object PipelineQueries {
    * factor — a fixed horizon would break silently once doc ids outgrow
    * it. Same temp-dir discipline as q84/q91/q92.
    */
-  def dedupStreamFingerprints(s: SparkSession, d: String): DataFrame = {
+  def dedupStreamFingerprints(s: SparkSession, d: String): DataFrame =
+    streamedDedupFingerprints(s, d, "q96", graft.pipeline.Dedup.fingerprint)
+
+  /** q: the q96 streaming dedup under the CANONICAL key — q149's
+    * NFC + punct/case/space fingerprint applied at INGEST time (the
+    * place cross-source Unicode spellings actually arrive); the oracle
+    * is the canonical fingerprint algebra deduplicated. */
+  def canonicalDedupStream(s: SparkSession, d: String): DataFrame =
+    streamedDedupFingerprints(s, d, "q155",
+      graft.pipeline.Canonicalize.canonicalFingerprint)
+
+  val CanonicalDedupStreamSql: String =
+    """WITH p AS (SELECT
+      |  chr(8216)||chr(8217)||chr(8218)||chr(8219)
+      |    ||chr(8220)||chr(8221)||chr(8222)||chr(8223)
+      |    ||chr(8210)||chr(8211)||chr(8212)||chr(8213)||chr(160) AS pf,
+      |  repeat(chr(39), 4)||repeat(chr(34), 4)||repeat(chr(45), 4)
+      |    ||chr(32) AS pt)
+      |SELECT DISTINCT
+      |  md5(trim(regexp_replace(lower(translate(nfc_normalize(text),
+      |    p.pf, p.pt)), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents, p""".stripMargin
+
+  private def streamedDedupFingerprints(
+      s: SparkSession, d: String, tag: String,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
-      "/tmp", "graft-q96-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+      "/tmp", s"graft-$tag-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
     val out = base.resolve("out")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     // arrival is (doc_id + 1) seconds, so a horizon of span + 2 seconds
@@ -793,7 +818,7 @@ object PipelineQueries {
       .withColumn("arrival", expr("timestamp_micros((doc_id + 1) * 1000000)"))
     graft.streaming.StreamRun.withStatePartitions(s, 8) {
       val q = graft.streaming.DocStreams
-        .dedupStream(stream, "text", "arrival", s"${maxId + 2} seconds")
+        .dedupStream(stream, "text", "arrival", s"${maxId + 2} seconds", key)
         .select(col("fingerprint"))
         .writeStream.format("parquet")
         .option("path", out.toString)

@@ -169,6 +169,7 @@ object SparkEntry {
     "q152_ann_auto_rebuild" -> ((s, d) => PipelineQueries.annAutoRebuild(s, d)),
     "q153_bucketed_join" -> ((s, d) => RelQueries.bucketedJoin(s, d)),
     "q154_qsketch_stream" -> ((s, d) => PipelineQueries.qsketchStreamMaintained(s, d)),
+    "q155_canonical_dedup_stream" -> ((s, d) => PipelineQueries.canonicalDedupStream(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,5 +608,8 @@ object SparkEntry {
     // merge is associative+commutative, so the oracle's one-pass sketch
     // proves boundary and order independence
     "q154_qsketch_stream" -> PipelineQueries.QsketchStreamMaintainedSql,
+    // q155: streaming dedup under the q149 canonical key — ingest-time
+    // canonicalization; oracle = canonical fingerprints deduplicated
+    "q155_canonical_dedup_stream" -> PipelineQueries.CanonicalDedupStreamSql,
   )
 }

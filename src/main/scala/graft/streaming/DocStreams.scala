@@ -25,12 +25,20 @@ object DocStreams {
    * over the landed corpus.
    *
    * Output keeps the input columns plus the `fingerprint` used as the key.
+   *
+   * `key` defaults to the case/whitespace [[Dedup.fingerprint]]; pass
+   * [[graft.pipeline.Canonicalize.canonicalFingerprint]] (or the NFKC
+   * strength) to make the STREAM dedupe across Unicode spellings — the
+   * q149 canonicalization applied at ingest time, where cross-source
+   * duplicate spellings actually arrive.
    */
   def dedupStream(
       docs: DataFrame, textCol: String, eventTimeCol: String,
-      delay: String): DataFrame =
+      delay: String,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Dedup.fingerprint): DataFrame =
     docs
-      .withColumn("fingerprint", Dedup.fingerprint(col(textCol)))
+      .withColumn("fingerprint", key(col(textCol)))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 

@@ -60,6 +60,38 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 4L).intersect(kept.map(_._1).toSet).size == 1)
   }
 
+  test("canonical-key streaming dedup collapses Unicode spelling variants") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // NFC vs NFD, typographic vs ASCII punct: same text, four spellings
+    val docs = Seq(
+      Doc(1L, ts(10), "caf\u00e9 \u2014 the \u201Cbest\u201D"),
+      Doc(2L, ts(11), "cafe\u0301 - the \"best\""),
+      Doc(3L, ts(12), "caf\u00e9 - the\u00A0\"best\""),
+      Doc(4L, ts(13), "genuinely different"))
+    def run(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        name: String): Set[Long] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[Doc]
+      val q = DocStreams.dedupStream(
+          source.toDS().toDF(), "text", "arrival", "1 hour", key)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        source.addData(docs)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select($"doc_id").as[Long].collect().toSet
+    }
+    val plain = run(graft.pipeline.Dedup.fingerprint, "cdedup_plain")
+    assert(plain == Set(1L, 2L, 3L, 4L),
+      "plain fingerprints see four distinct spellings")
+    val canon = run(graft.pipeline.Canonicalize.canonicalFingerprint,
+      "cdedup_canon")
+    assert(canon == Set(1L, 4L),
+      "the canonical key folds NFD and typographic punct into doc 1")
+  }
+
   test("streaming near-dup gate: flags == batch MinHash candidates on planted fixtures") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
