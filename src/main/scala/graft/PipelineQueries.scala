@@ -3712,13 +3712,15 @@ object PipelineQueries {
         col("p99_est"), col("p99_exact"), ok("p99"))
   }
 
-  /** Shared DuckDB CTE prefix: per-source doc-length stream `v`, its
+  /** Shared DuckDB CTE prefix: the grouped value stream `v`, its
     * log-bucketed sketch `sk` (HDR indexing: exact below 128, top-7
     * mantissa bits above), and the cumulative walk `skc` — the estimate
-    * side of q147/q148. `uni` is parameterized so q148 can sketch the
-    * union snapshot. */
-  private def qsketchSqlCtes(fromSql: String): String =
-    s"""v AS (SELECT source, length(text)::BIGINT AS len FROM $fromSql),
+    * side of q147/q148/q154/q156. Parameterized over the source
+    * relation, group column, and value expression. */
+  private def qsketchSqlCtes(
+      fromSql: String, groupCol: String = "source",
+      valueSql: String = "length(text)::BIGINT"): String =
+    s"""v AS (SELECT $groupCol AS source, $valueSql AS len FROM $fromSql),
        |sk AS (SELECT source,
        |         CASE WHEN len < 128 THEN len
        |              ELSE (len // (1::BIGINT << (length(bin(len)) - 7)))
@@ -3746,8 +3748,11 @@ object PipelineQueries {
        |                    * (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
        |        FROM eb)""".stripMargin
 
-  val QuantileSketchSql: String =
-    s"""WITH ${qsketchSqlCtes("documents WHERE text IS NOT NULL")},
+  /** The full estimate-vs-exact statement over a [[qsketchSqlCtes]]
+    * prefix, emitting the group column as `outGroup` — shared by q147
+    * (doc lengths) and q156 (price cents). */
+  private def qsketchVsExactSql(ctes: String, outGroup: String): String =
+    s"""WITH $ctes,
        |h AS (SELECT source, len, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
        |hc AS (SELECT source, len,
        |         sum(cnt) OVER (PARTITION BY source ORDER BY len)::BIGINT AS cc,
@@ -3758,7 +3763,7 @@ object PipelineQueries {
        |         min(CASE WHEN cc >= ceil(n * 0.9) THEN len END)::BIGINT AS p90_exact,
        |         min(CASE WHEN cc >= ceil(n * 0.99) THEN len END)::BIGINT AS p99_exact
        |       FROM hc GROUP BY 1)
-       |SELECT e.source, e.sketch_buckets,
+       |SELECT e.source AS $outGroup, e.sketch_buckets,
        |  e.p50_est, x.p50_exact,
        |  (e.p50_est >= x.p50_exact
        |     AND (e.p50_est - x.p50_exact) * 64 <= x.p50_exact) AS p50_ok,
@@ -3769,6 +3774,41 @@ object PipelineQueries {
        |  (e.p99_est >= x.p99_exact
        |     AND (e.p99_est - x.p99_exact) * 64 <= x.p99_exact) AS p99_ok
        |FROM est e JOIN ex x ON e.source = x.source""".stripMargin
+
+  val QuantileSketchSql: String = qsketchVsExactSql(
+    qsketchSqlCtes("documents WHERE text IS NOT NULL"), "source")
+
+  /** q: the quantile sketch on q36's ACTUAL caveat domain — price
+    * CENTS per returnflag, whose distinct-value count grows with the
+    * corpus (the histogram shuffle the q36 scale caveat named), while
+    * the sketch stays at ≤ ~1.9k cells per group. Same one-sided
+    * all-integer tolerance contract as q147; `sketch_buckets` pins the
+    * boundedness AS DATA on the domain where it actually bites. */
+  def priceQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") * 100).cast("long").as("cents"))
+    val sk = graft.pipeline.Sketches
+    val est = sk.qsketchQuantiles(
+      sk.qsketchBuckets(li, Seq("l_returnflag"), "cents"),
+      Seq("l_returnflag"),
+      Seq(("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)))
+    val exact = Curation.groupedQuantiles(li, "l_returnflag", col("cents"),
+      Seq(("p50_exact", 0.5), ("p90_exact", 0.9), ("p99_exact", 0.99)))
+    def ok(q: String) =
+      (col(s"${q}_est") >= col(s"${q}_exact") &&
+        (col(s"${q}_est") - col(s"${q}_exact")) * 64 <= col(s"${q}_exact"))
+        .as(s"${q}_ok")
+    est.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("sketch_buckets"),
+        col("p50_est"), col("p50_exact"), ok("p50"),
+        col("p90_est"), col("p90_exact"), ok("p90"),
+        col("p99_est"), col("p99_exact"), ok("p99"))
+  }
+
+  val PriceQuantileSketchSql: String = qsketchVsExactSql(
+    qsketchSqlCtes("lineitem", "l_returnflag",
+      "(l_extendedprice * 100)::BIGINT"), "l_returnflag")
 
   /** q: CANONICAL exact dedup — q12's exact-dedup row keyed by the
     * [[graft.pipeline.Canonicalize.canonicalFingerprint]] (Unicode NFC

@@ -170,6 +170,7 @@ object SparkEntry {
     "q153_bucketed_join" -> ((s, d) => RelQueries.bucketedJoin(s, d)),
     "q154_qsketch_stream" -> ((s, d) => PipelineQueries.qsketchStreamMaintained(s, d)),
     "q155_canonical_dedup_stream" -> ((s, d) => PipelineQueries.canonicalDedupStream(s, d)),
+    "q156_price_quantile_sketch" -> ((s, d) => PipelineQueries.priceQuantileSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -611,5 +612,9 @@ object SparkEntry {
     // q155: streaming dedup under the q149 canonical key — ingest-time
     // canonicalization; oracle = canonical fingerprints deduplicated
     "q155_canonical_dedup_stream" -> PipelineQueries.CanonicalDedupStreamSql,
+    // q156: the quantile sketch on q36's actual caveat domain (price
+    // cents — corpus-growing distinct values); bounded cells pinned as
+    // data, same all-integer one-sided contract
+    "q156_price_quantile_sketch" -> PipelineQueries.PriceQuantileSketchSql,
   )
 }

@@ -84,6 +84,38 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("canonicalization is idempotent on generated mixed-unicode text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // pieces that exercise every fold: composed/decomposed accents,
+    // full-width, ligature, typographic punct, NBSP, case, whitespace
+    val pieces = Vector("caf\u00e9", "cafe\u0301", "\uFF21\uFF22",
+      "\uFB01ne", "\u2018x\u2019", "\u201Cy\u201D", "a\u2014b", "A\u00A0B",
+      "MiXeD", "  spaced  ", "plain", "ß", "Straße", "")
+    val texts = (0 until 200).map { _ =>
+      Seq.fill(1 + rnd.nextInt(6))(pieces(rnd.nextInt(pieces.length)))
+        .mkString(" ")
+    }
+    val once = canon(texts)
+    val twice = texts.toDF("t")
+      .select(Canonicalize.canonical(Canonicalize.canonical(col("t"))))
+      .as[String].collect()
+    assert(once.toSeq == twice.toSeq,
+      "canonical(canonical(x)) must equal canonical(x) — a non-idempotent " +
+        "fold would re-dedup differently on already-canonical corpora")
+    val onceK = canonK(texts)
+    val twiceK = texts.toDF("t")
+      .select(Canonicalize.canonicalNfkc(Canonicalize.canonicalNfkc(col("t"))))
+      .as[String].collect()
+    assert(onceK.toSeq == twiceK.toSeq, "NFKC strength must be idempotent too")
+    // canonical never yields null on non-null input; no leading/trailing
+    // space; no double spaces; no typographic punct survivors
+    for (c <- once) {
+      assert(c != null && c == c.trim && !c.contains("  "))
+      assert(!c.exists(ch => "\u2018\u2019\u201C\u201D\u2014\u00A0".contains(ch)))
+    }
+  }
+
   test("fold chain matches the q149 oracle order on ASCII (identity)") {
     // On pure ASCII the canonical form equals the plain normalized form,
     // so the canonical fingerprint degrades gracefully to q12's
