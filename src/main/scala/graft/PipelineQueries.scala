@@ -3128,6 +3128,59 @@ object PipelineQueries {
       .withColumn("overshoot", col("est_count") - col("exact_count"))
   }
 
+  /** q: INCREMENTAL count-min refresh — the q129/q148 artifact
+    * lifecycle for the additive sketch: base counters over the OLD
+    * snapshot persisted (save -> load), the ADDED docs' words counted
+    * separately, served table from the cell-wise SUM merge
+    * ([[graft.pipeline.Sketches.mergeCounters]]). Sum associativity
+    * makes merged counters EQUAL full-recompute counters bit for bit —
+    * and unlike the HLL/qsketch refresh rows, the ENTIRE 1024-cell
+    * counter table is declared and hash-checked against the oracle's
+    * one-pass union-corpus counters: the strongest possible delta ==
+    * full statement. */
+  def cmsIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    val added = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    def words(df: DataFrame) = df.select(
+      explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+    val sk = graft.pipeline.Sketches
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q157-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    sk.saveRegisters(sk.cmsCounters(words(old), "word"),
+      dir.resolve("counters").toString)
+    sk.mergeCounters(
+      sk.loadRegisters(s, dir.resolve("counters").toString),
+      sk.cmsCounters(words(added), "word"))
+  }
+
+  val CmsIncrementalRefreshSql: String =
+    """WITH uni AS (
+      |  SELECT text FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id % 5 <> 0),
+      |t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                                x -> x <> '')) AS word
+      |      FROM uni),
+      |h AS (SELECT word, list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, length('cms:' || word) + 1),
+      |                         i -> ord(substr('cms:' || word, i, 1))::HUGEINT)),
+      |        (a, c) -> (a * 1000000007 + c) % 18446744073709551616::HUGEINT)
+      |        AS hv
+      |      FROM t)
+      |SELECT u.r, ((hv // u.p) % 256)::BIGINT AS bucket,
+      |       count(*)::BIGINT AS counter
+      |FROM h, (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT),
+      |                (2, 65536::HUGEINT), (3, 16777216::HUGEINT)) AS u(r, p)
+      |GROUP BY 1, 2""".stripMargin
+
   val CmsWordFrequencySql: String =
     """WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
       |                               x -> x <> '')) AS word

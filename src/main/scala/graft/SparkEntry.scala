@@ -171,6 +171,7 @@ object SparkEntry {
     "q154_qsketch_stream" -> ((s, d) => PipelineQueries.qsketchStreamMaintained(s, d)),
     "q155_canonical_dedup_stream" -> ((s, d) => PipelineQueries.canonicalDedupStream(s, d)),
     "q156_price_quantile_sketch" -> ((s, d) => PipelineQueries.priceQuantileSketch(s, d)),
+    "q157_cms_refresh" -> ((s, d) => PipelineQueries.cmsIncrementalRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -616,5 +617,8 @@ object SparkEntry {
     // cents — corpus-growing distinct values); bounded cells pinned as
     // data, same all-integer one-sided contract
     "q156_price_quantile_sketch" -> PipelineQueries.PriceQuantileSketchSql,
+    // q157: count-min artifact save/load + delta sum-merge — the FULL
+    // 1024-cell counter table hash-checked vs one-pass union counters
+    "q157_cms_refresh" -> PipelineQueries.CmsIncrementalRefreshSql,
   )
 }

@@ -150,6 +150,17 @@ object Sketches {
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("maxrho")).as("maxrho"))
 
+  /** Merge count-min counter tables by cell-wise SUM — EXACTLY the
+    * counters of the concatenated multisets (the additive complement of
+    * [[mergeRegisters]]' max and [[qsketchMerge]]'s count-sum), so the
+    * persisted artifact refreshes from a delta shard bit-for-bit equal
+    * to full recompute. Insert-only; deletions need a rebuild (or a
+    * paired negative-count sketch). */
+  def mergeCounters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("counter")).as("counter"))
+
   // ------------------------------------------------------- count-min sketch
 
   /** Count-min geometry: depth 4 hash rows x width 256 counters.

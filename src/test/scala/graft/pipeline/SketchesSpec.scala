@@ -349,6 +349,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == referenceCms(vals))
   }
 
+  test("count-min artifact: stored + delta sum-merge == full recompute") {
+    import spark.implicits._
+    val a = randomStrings(1500, 71) ++ randomStrings(300, 71) // repeats
+    val b = randomStrings(700, 72)
+    def counters(vs: Seq[String]) = Sketches.cmsCounters(vs.toDF("v"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("cms-artifact")
+      .resolve("counters").toString
+    Sketches.saveRegisters(counters(a), dir)
+    val merged = Sketches.mergeCounters(
+        Sketches.loadRegisters(spark, dir), counters(b))
+      .as[(Int, Long, Long)].collect().toSet
+    val full = counters(a ++ b).as[(Int, Long, Long)].collect().toSet
+    assert(merged == full,
+      "cell-wise counter sum must equal the one-pass counters bit for bit")
+  }
+
   test("count-min counters are sum-mergeable across shards") {
     import spark.implicits._
     val a = randomStrings(1500, 7)
