@@ -1112,6 +1112,15 @@ object PipelineQueries {
     * (p50 in [q49, q51], p99 in [q98, max]). The oracle cross-checks the
     * exact count and pins the booleans true.
     *
+    * SCALE PATH: this row's exact quantile side deliberately shuffles
+    * the (group, value) histogram — correct, but the cell count grows
+    * with the value domain. The engine's mergeable log-bucketed
+    * quantile sketch (q147/q156, [[graft.pipeline.Sketches
+    * .qsketchBuckets]]) is the bounded-cell answer for consumers that
+    * can take a 1/64 relative error; this row keeps the exact side
+    * because its POINT is adjudicating Spark's built-in sketches
+    * against exact truth.
+    *
     * The exact side is itself scale-safe: distinct count is the shuffle
     * path, and the quantile windows come from the histogram-based
     * [[graft.pipeline.Curation.groupedQuantiles]] (shuffles only
