@@ -1846,6 +1846,40 @@ object RelQueries {
       |GROUP BY o_orderstatus""".stripMargin
 
   /**
+   * BUCKETED rollup — the aggregation face of the q153 layout: the
+   * per-order item/quantity rollup over the bucketed lineitem groups on
+   * the BUCKET KEY, so the hash aggregate runs bucket-local and the
+   * whole plan has ZERO exchanges (PlanSpec pins it; q153 pins the join
+   * face at one). At 100 TB this is the recurring aggregation a
+   * pre-bucketed fact table serves for free — per-key rollups,
+   * dedup-by-key, incremental-view groupings — where the unbucketed
+   * plan re-shuffles the fact table every time. The `>= 5` floor keeps
+   * the declared row order-cardinality-bounded; values are the q06
+   * exact-decimal discipline.
+   */
+  def bucketedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q158-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    graft.operators.Layout.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "graft_lineitem_rollup_b", base.resolve("lineitem").toString,
+      "l_orderkey", numBuckets = 8)
+    spark.table("graft_lineitem_rollup_b")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dec("l_quantity").cast("double").as("sum_qty"))
+      .where(col("n_items") >= 5)
+  }
+
+  val BucketedRollupSql: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING count(*) >= 5""".stripMargin
+
+  /**
    * DATA-DERIVED sessionization — q145's gap distribution put to work:
    * the session timeout is the exact p99 inter-arrival gap (not a
    * hand-picked 30 minutes), and the events then sessionize under that

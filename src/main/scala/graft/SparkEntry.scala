@@ -172,6 +172,7 @@ object SparkEntry {
     "q155_canonical_dedup_stream" -> ((s, d) => PipelineQueries.canonicalDedupStream(s, d)),
     "q156_price_quantile_sketch" -> ((s, d) => PipelineQueries.priceQuantileSketch(s, d)),
     "q157_cms_refresh" -> ((s, d) => PipelineQueries.cmsIncrementalRefresh(s, d)),
+    "q158_bucketed_rollup" -> ((s, d) => RelQueries.bucketedRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -620,5 +621,8 @@ object SparkEntry {
     // q157: count-min artifact save/load + delta sum-merge — the FULL
     // 1024-cell counter table hash-checked vs one-pass union counters
     "q157_cms_refresh" -> PipelineQueries.CmsIncrementalRefreshSql,
+    // q158: bucket-local rollup on the bucket key — zero exchanges in
+    // the whole plan; layout must never change results
+    "q158_bucketed_rollup" -> RelQueries.BucketedRollupSql,
   )
 }

@@ -247,6 +247,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("bucketed rollup: bucket-local aggregate, zero exchanges anywhere") {
+    val p = plan("q158_bucketed_rollup")
+    assert(shuffleCount(p) == 0, p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("quantile sketch: bounded sketch agg, exact side broadcast-joined") {
     val p = plan("q147_quantile_sketch")
     // sketch side: partial-aggregated groupBy (shuffle carries at most

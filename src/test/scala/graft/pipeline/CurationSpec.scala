@@ -465,6 +465,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeComponents: three sequential delta folds == one full recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def randPairs(n: Int, lo: Long, hi: Long) = (1 to n).map { _ =>
+      (lo + rnd.nextInt((hi - lo).toInt), lo + rnd.nextInt((hi - lo).toInt))
+    }.filter(p => p._1 != p._2)
+    val base = randPairs(20, 1L, 25L)
+    val deltas = Seq(randPairs(8, 1L, 35L), randPairs(8, 10L, 45L),
+      randPairs(8, 1L, 50L))
+    var artifact = Curation.dupClusters((1L to 25L).toDF("doc_id"), "doc_id",
+        base.toDF("d1", "d2"))
+      .select($"doc_id".as("node"), $"cluster_id")
+    for (delta <- deltas)
+      artifact = Curation.mergeComponents(artifact, delta.toDF("d1", "d2"))
+    val got = artifact.as[(Long, Long)].collect().toMap
+    val allPairs = base ++ deltas.flatten
+    val allNodes = ((1L to 25L) ++ allPairs.flatMap(p => Seq(p._1, p._2)))
+      .distinct
+    val full = Curation.dupClusters(allNodes.toDF("doc_id"), "doc_id",
+        allPairs.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full,
+      "repeated O(delta) folds must compose to the full recompute — " +
+        "the amortized-maintenance claim")
+  }
+
   test("mergeComponents: empty delta is the identity; bridge merges relabel") {
     import spark.implicits._
     val stored = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
