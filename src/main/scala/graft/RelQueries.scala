@@ -653,6 +653,83 @@ object RelQueries {
       |HAVING (hb + 1) * 3600000000 <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
 
   /**
+   * q: WINDOWED quantile sketch computed by an EXECUTED STREAMING QUERY
+   * — the fourth watermarked-aggregation family member (q92 tumbling
+   * counts, q94 hopping, q91 sessions, now a SKETCH in the window
+   * state): [[graft.streaming.EventStreams.hourlyQsketchStream]] folds
+   * each event's value-cents into its hour window's log-bucket cell;
+   * append mode emits a window's finished cell table once the watermark
+   * passes its end, and the declared row serves per-hour p50/p90/p99
+   * from the emitted cells. The oracle is the one-pass per-hour sketch
+   * restricted to windows CLOSED by the final watermark — q92's
+   * append-mode eviction arithmetic, applied to sketch cells. State
+   * while running: live windows × occupied cells (≤ ~1.9k each) — the
+   * per-hour-latency-quantiles shape an SLO monitor runs forever.
+   */
+  def windowedQsketchStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q159-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val out = base.resolve("out")
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.hourlyQsketchStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.createDirectories(out)
+    val cells = spark.read
+      .schema("hour_bucket BIGINT, qbucket BIGINT, cnt BIGINT")
+      .parquet(out.toString)
+    graft.pipeline.Sketches.qsketchQuantiles(cells, Seq("hour_bucket"),
+      Seq(("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)))
+  }
+
+  /** Per-hour sketch estimates over the windows the final watermark
+    * closed (q92's eviction restriction), replaying the bucket algebra
+    * on value cents. */
+  val WindowedQsketchStreamedSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tus,
+      |                  epoch_ns(ts) // 3600000000000 AS hb,
+      |                  (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+      |           FROM events),
+      |wm AS (SELECT max(tus // 1000) - 3600000 AS wm_ms FROM e),
+      |closed AS (SELECT hb, cents FROM e
+      |           WHERE cents >= 0
+      |             AND (hb + 1) * 3600000000 <= (SELECT wm_ms FROM wm) * 1000),
+      |v AS (SELECT hb AS source, cents AS len FROM closed),
+      |sk AS (SELECT source,
+      |         CASE WHEN len < 128 THEN len
+      |              ELSE (len // (1::BIGINT << (length(bin(len)) - 7)))
+      |                   + (length(bin(len)) - 7)::BIGINT * 64 END AS qbucket,
+      |         count(*)::BIGINT AS cnt
+      |       FROM v GROUP BY 1, 2),
+      |skc AS (SELECT source, qbucket, cnt,
+      |          sum(cnt) OVER (PARTITION BY source ORDER BY qbucket)::BIGINT AS cc,
+      |          sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+      |        FROM sk),
+      |eb AS (SELECT source, count(*)::BIGINT AS sketch_buckets,
+      |         min(CASE WHEN cc >= ceil(n * 0.5) THEN qbucket END)::BIGINT AS b50,
+      |         min(CASE WHEN cc >= ceil(n * 0.9) THEN qbucket END)::BIGINT AS b90,
+      |         min(CASE WHEN cc >= ceil(n * 0.99) THEN qbucket END)::BIGINT AS b99
+      |       FROM skc GROUP BY 1),
+      |est AS (SELECT source, sketch_buckets,
+      |          CASE WHEN b50 < 128 THEN b50
+      |               ELSE ((b50 - (b50 // 64 - 1) * 64) + 1)
+      |                    * (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
+      |          CASE WHEN b90 < 128 THEN b90
+      |               ELSE ((b90 - (b90 // 64 - 1) * 64) + 1)
+      |                    * (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
+      |          CASE WHEN b99 < 128 THEN b99
+      |               ELSE ((b99 - (b99 // 64 - 1) * 64) + 1)
+      |                    * (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
+      |        FROM eb)
+      |SELECT source AS hour_bucket, sketch_buckets, p50_est, p90_est, p99_est
+      |FROM est""".stripMargin
+
+  /**
    * q60's hopping-window counts computed by an EXECUTED STREAMING QUERY
    * — the overlapping-window sibling of q92's tumbling aggregation
    * (same append-mode eviction discipline, but each event feeds THREE

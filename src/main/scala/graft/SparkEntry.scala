@@ -173,6 +173,7 @@ object SparkEntry {
     "q156_price_quantile_sketch" -> ((s, d) => PipelineQueries.priceQuantileSketch(s, d)),
     "q157_cms_refresh" -> ((s, d) => PipelineQueries.cmsIncrementalRefresh(s, d)),
     "q158_bucketed_rollup" -> ((s, d) => RelQueries.bucketedRollup(s, d)),
+    "q159_windowed_qsketch_stream" -> ((s, d) => RelQueries.windowedQsketchStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -624,5 +625,9 @@ object SparkEntry {
     // q158: bucket-local rollup on the bucket key — zero exchanges in
     // the whole plan; layout must never change results
     "q158_bucketed_rollup" -> RelQueries.BucketedRollupSql,
+    // q159: watermarked windowed quantile sketch — the sketch cell IS
+    // the streaming aggregation key; oracle = per-hour sketch over
+    // watermark-closed windows (q92's eviction arithmetic)
+    "q159_windowed_qsketch_stream" -> RelQueries.WindowedQsketchStreamedSql,
   )
 }

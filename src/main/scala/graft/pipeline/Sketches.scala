@@ -313,12 +313,22 @@ object Sketches {
       .otherwise(col(valueCol).cast("long"))
     val base = df.where(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ guarded.as("__qv"): _*)
-    val idx = when(col("__qv") < m, col("__qv")).otherwise(
-      expr(s"(__qv div shiftleft(cast(1 as bigint), length(bin(__qv)) - $subBits))" +
-        s" + (length(bin(__qv)) - $subBits) * cast($half as bigint)"))
-    base.select(groupCols.map(col) :+ idx.as("qbucket"): _*)
+    base.select(groupCols.map(col) :+
+        qsketchIndexExpr("__qv", subBits).as("qbucket"): _*)
       .groupBy(groupCols.map(col) :+ col("qbucket"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The bucket index of a non-negative LONG column (by name) — shared
+    * by the batch constructor and the streaming windowed aggregation
+    * (q159), which puts this expression directly into a watermarked
+    * groupBy key. Pure integer bit algebra; codegen'd builtins only. */
+  def qsketchIndexExpr(colName: String, subBits: Int = QSketchSubBits): Column = {
+    val m = 1L << subBits
+    val half = 1L << (subBits - 1)
+    when(col(colName) < m, col(colName)).otherwise(
+      expr(s"($colName div shiftleft(cast(1 as bigint), length(bin($colName)) - $subBits))" +
+        s" + (length(bin($colName)) - $subBits) * cast($half as bigint)"))
   }
 
   /**

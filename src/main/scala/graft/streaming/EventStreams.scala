@@ -63,6 +63,40 @@ object EventStreams {
   }
 
   /**
+   * WATERMARKED WINDOWED quantile-SKETCH aggregation — the q92 shape
+   * with the sketch CELL in the grouping key: each event folds into its
+   * hour window's `(qbucket, cnt)` cell via the log-bucket index of its
+   * value cents ([[graft.pipeline.Sketches.qsketchIndexExpr]]), and
+   * append mode emits a window's finished cell table once the
+   * watermark passes its end. This is a NATIVE streaming sketch (state
+   * machinery, not a foreachBatch artifact fold): per-hour latency/size
+   * quantiles over an unbounded stream with state bounded by
+   * live windows × occupied cells (≤ ~1.9k per window, the sketch's
+   * domain bound) — the shape an SLO monitor runs forever. Quantile
+   * extraction stays a batch read over the emitted cells
+   * ([[graft.pipeline.Sketches.qsketchQuantiles]]).
+   *
+   * Cents via decimal, never double×100 (a double product truncates
+   * where DECIMAL rounds — the q92 value discipline).
+   */
+  def hourlyQsketchStream(spark: SparkSession, dir: String): DataFrame = {
+    eventCols(eventStream(spark, dir))
+      .withColumn("__qv",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      // nulls and negatives excluded up front: the batch constructor
+      // raises on negatives, but a raise inside a streaming query kills
+      // the stream — a monitor drops them at the gate instead
+      .where(col("__qv") >= 0L)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"),
+        graft.pipeline.Sketches.qsketchIndexExpr("__qv").as("qbucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        expr(s"(unix_micros(window.start) * 1000L) div ${HourNs}L").as("hour_bucket"),
+        col("qbucket"), col("cnt"))
+  }
+
+  /**
    * Streaming twin of the hopping-window counts (q60): 30-minute windows
    * sliding every 10, watermarked — each window closes and emits once the
    * watermark passes its end, so state is bounded by window/slide x the

@@ -37,6 +37,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("windowed quantile-sketch stream == batch cells per hour window") {
+    import spark.implicits._
+    // complete mode (the hourly-test convention) so EOF-open windows
+    // surface too; the q159 declared row instead pins append-mode
+    // eviction against the watermark-restricted oracle.
+    runToMemory(EventStreams.hourlyQsketchStream(spark, sf), "hqsk", "complete")
+    val streamed = spark.table("hqsk")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.pipeline.Sketches.qsketchBuckets(
+        graft.Tables.load(spark, sf, "events")
+          .select(org.apache.spark.sql.functions.expr(
+            s"ts div ${3600L * 1000 * 1000 * 1000}L").as("hour_bucket"),
+            org.apache.spark.sql.functions.expr(
+              "cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+          .where($"cents" >= 0),
+        Seq("hour_bucket"), "cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "per-window sketch cells must equal the batch construction")
+    assert(batch.nonEmpty)
+  }
+
   test("hopping-window streaming aggregation == batch hopping counts (q60)") {
     import spark.implicits._
     runToMemory(EventStreams.hoppingStream(spark, sf), "hopping", "complete")
