@@ -603,6 +603,56 @@ object RelQueries {
       |   OR (sess.end_us + 1800000000 + 999) // 1000 < (SELECT wm_ms FROM wm)""".stripMargin
 
   /**
+   * q: sessionization by the NATIVE `session_window` operator, EXECUTED
+   * — the declarative sibling of q91's flatMapGroupsWithState path (the
+   * engine declares BOTH: custom state for bespoke lifecycles, the
+   * built-in for the common case). Append mode emits a session once the
+   * watermark (delay 0) passes its end = last event + 30 min; the
+   * oracle replays the built-in's semantics exactly — gap-EQUAL events
+   * start a new session (`>=` split, where q27/q91 split strictly
+   * `>`; measure-zero at microsecond timestamps but stated, not
+   * papered over) — restricted to sessions the final watermark closed.
+   */
+  def sessionWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q160-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val out = base.resolve("out")
+    graft.streaming.StreamRun.withStatePartitions(spark, 8) {
+      val q = graft.streaming.EventStreams.sessionWindowStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.createDirectories(out)
+    spark.read
+      .schema("user_id BIGINT, start_us BIGINT, end_us BIGINT, n_events BIGINT")
+      .parquet(out.toString)
+  }
+
+  val SessionWindowStreamedSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |x AS (SELECT user_id, event_id, tus,
+      |        CASE WHEN lag(tus) OVER w IS NULL
+      |                  OR tus - lag(tus) OVER w >= 1800000000
+      |             THEN 1 ELSE 0 END AS is_start
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT user_id, tus,
+      |        sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS sno
+      |      FROM x),
+      |sess AS (SELECT user_id, min(tus) AS start_us,
+      |                max(tus) + 1800000000 AS end_us,
+      |                count(*)::BIGINT AS n_events
+      |         FROM s GROUP BY user_id, sno),
+      |wm AS (SELECT max(tus) // 1000 AS wm_ms FROM e)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM sess
+      |WHERE end_us <= (SELECT wm_ms FROM wm) * 1000""".stripMargin
+
+  /**
    * q26's hourly aggregation computed by an EXECUTED STREAMING QUERY —
    * the third graduated streaming family (q84 as-of, q91 sessions, now
    * WATERMARKED WINDOWED AGGREGATION, the canonical structured-streaming

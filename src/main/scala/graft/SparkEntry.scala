@@ -174,6 +174,7 @@ object SparkEntry {
     "q157_cms_refresh" -> ((s, d) => PipelineQueries.cmsIncrementalRefresh(s, d)),
     "q158_bucketed_rollup" -> ((s, d) => RelQueries.bucketedRollup(s, d)),
     "q159_windowed_qsketch_stream" -> ((s, d) => RelQueries.windowedQsketchStreamed(s, d)),
+    "q160_session_window_stream" -> ((s, d) => RelQueries.sessionWindowStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -629,5 +630,8 @@ object SparkEntry {
     // the streaming aggregation key; oracle = per-hour sketch over
     // watermark-closed windows (q92's eviction arithmetic)
     "q159_windowed_qsketch_stream" -> RelQueries.WindowedQsketchStreamedSql,
+    // q160: native session_window sessionization — built-in semantics
+    // (>= gap splits) replayed exactly, watermark-closed sessions only
+    "q160_session_window_stream" -> RelQueries.SessionWindowStreamedSql,
   )
 }

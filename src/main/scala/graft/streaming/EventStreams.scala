@@ -63,6 +63,33 @@ object EventStreams {
   }
 
   /**
+   * NATIVE session-window aggregation — Spark's built-in
+   * `session_window` operator, the declarative complement of
+   * [[sessionsClosedStream]]'s flatMapGroupsWithState machinery (q91):
+   * the engine surfaces BOTH ways to sessionize a stream, custom state
+   * for bespoke lifecycle logic and the built-in for the common case.
+   * Semantics differ at one boundary, deliberately NOT papered over:
+   * `session_window` merges an event into the session only when it
+   * STRICTLY overlaps (gap-equal events start a NEW session), while the
+   * q27/q91 gap-split keeps a gap-equal event (`> gap` splits) — at
+   * microsecond timestamps the boundary case is measure-zero, and the
+   * q160 oracle replays the built-in's `>=`-split semantics exactly.
+   * Append mode emits a session once the watermark passes its end
+   * (last event + gap); state is the open-session set, gap-bounded.
+   */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    eventCols(eventStream(spark, dir))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
+  /**
    * WATERMARKED WINDOWED quantile-SKETCH aggregation — the q92 shape
    * with the sketch CELL in the grouping key: each event folds into its
    * hour window's `(qbucket, cnt)` cell via the log-bucket index of its

@@ -89,6 +89,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("native session_window == gap-split batch sessions (>= boundary)") {
+    import spark.implicits._
+    runToMemory(EventStreams.sessionWindowStream(spark, sf), "swin", "complete")
+    val streamed = spark.table("swin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch replay of the BUILT-IN's semantics: gap-equal events split
+    val e = graft.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.expr("ts div 1000L").as("tus"))
+      .as[(Long, Long, Long)].collect()
+    val expected = e.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(r => (r._3, r._2)).sortBy(identity).map(_._1)
+      val sessions = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      for (t <- ts) {
+        if (cur.nonEmpty && t - cur.last >= 1800000000L) {
+          sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long]()
+        }
+        cur += t
+      }
+      if (cur.nonEmpty) sessions += cur.toSeq
+      sessions.map(s =>
+        (u, s.head, s.last + 1800000000L, s.size.toLong))
+    }.toSet
+    assert(streamed == expected,
+      "built-in session windows must equal the >=-split gap replay")
+    assert(expected.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization == batch window sessionization") {
     import spark.implicits._
     runToMemory(EventStreams.sessionsStream(spark, sf), "sessions")
