@@ -2319,6 +2319,66 @@ object PipelineQueries {
       |       array_to_string(ws[i : i + 63], ' ') AS chunk_text
       |FROM w, unnest(range(1, len(ws) + 1, 48)) AS t(i)""".stripMargin
 
+  /** C4-style boilerplate strip: 3-token tumbling chunks, any chunk text
+    * occurring in >= 4 distinct documents across the corpus is dropped,
+    * and every document is reassembled from its surviving chunks in
+    * original order — the full cleaned text is hash-checked
+    * ([[graft.pipeline.Curation.stripFrequentChunks]]). */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame =
+    Curation.stripFrequentChunks(docs(s, d), "doc_id", "text",
+      chunk = 3, minDocs = 4L)
+
+  val BoilerplateStripSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |ch AS (SELECT doc_id, i, array_to_string(ws[i : i + 2], ' ') AS t
+      |       FROM w, unnest(range(1, len(ws) + 1, 3)) AS u(i)),
+      |cnt AS (SELECT t, count(DISTINCT doc_id) AS nd FROM ch GROUP BY t)
+      |SELECT doc_id,
+      |       count(*)::BIGINT AS n_chunks,
+      |       sum(CASE WHEN nd >= 4 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |       coalesce(string_agg(CASE WHEN nd < 4 THEN t END, ' ' ORDER BY i), '')
+      |         AS clean_text
+      |FROM ch JOIN cnt USING (t)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Poisson-bootstrap CI for mean document length per language
+    * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
+    * every replica mean and both order-statistic band edges are
+    * IEEE divisions of exact integer sums, hash-checked. */
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame =
+    Curation.poissonBootstrapCI(docs(s, d), "doc_id", "lang", "n_chars",
+      replicas = 32)
+
+  val PoissonBootstrapSql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars, j AS replica
+      |           FROM documents, unnest(range(0, 32)) AS u(j)),
+      |p AS (SELECT lang, replica, n_chars,
+      |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || replica::VARCHAR),
+      |                        1, 8))::BIGINT % 1000000 AS ppm
+      |      FROM r),
+      |d AS (SELECT lang, replica, n_chars,
+      |        CASE WHEN ppm < 367880 THEN 0 WHEN ppm < 735759 THEN 1
+      |             WHEN ppm < 919699 THEN 2 WHEN ppm < 981012 THEN 3
+      |             WHEN ppm < 996340 THEN 4 WHEN ppm < 999406 THEN 5
+      |             WHEN ppm < 999917 THEN 6 WHEN ppm < 999990 THEN 7
+      |             WHEN ppm < 999999 THEN 8 ELSE 9 END AS w
+      |      FROM p),
+      |reps AS (SELECT lang, replica,
+      |           sum(w * n_chars)::DOUBLE / sum(w)::DOUBLE AS rep_mean
+      |         FROM d GROUP BY lang, replica HAVING sum(w) > 0),
+      |ms AS (SELECT lang, count(*)::BIGINT AS n_replicas,
+      |         list_sort(list(rep_mean)) AS m
+      |       FROM reps GROUP BY lang),
+      |pt AS (SELECT lang, sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_value
+      |       FROM documents GROUP BY lang)
+      |SELECT lang, n_replicas,
+      |       CASE WHEN n_replicas >= 3 THEN m[2] END AS boot_lo,
+      |       CASE WHEN n_replicas >= 3 THEN m[-2] END AS boot_hi,
+      |       mean_value
+      |FROM ms JOIN pt USING (lang)""".stripMargin
+
   /** Semantic dedup at the exact-bucket limit: identical int8 embedding
     * codes collide; per row the bucket's canonical keeper, size, and dup
     * flag ([[graft.pipeline.Dedup.semanticDedup]]). */

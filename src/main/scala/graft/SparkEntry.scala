@@ -175,6 +175,8 @@ object SparkEntry {
     "q158_bucketed_rollup" -> ((s, d) => RelQueries.bucketedRollup(s, d)),
     "q159_windowed_qsketch_stream" -> ((s, d) => RelQueries.windowedQsketchStreamed(s, d)),
     "q160_session_window_stream" -> ((s, d) => RelQueries.sessionWindowStreamed(s, d)),
+    "q161_boilerplate_strip" -> ((s, d) => PipelineQueries.boilerplateStrip(s, d)),
+    "q162_poisson_bootstrap" -> ((s, d) => PipelineQueries.poissonBootstrap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -633,5 +635,11 @@ object SparkEntry {
     // q160: native session_window sessionization — built-in semantics
     // (>= gap splits) replayed exactly, watermark-closed sessions only
     "q160_session_window_stream" -> RelQueries.SessionWindowStreamedSql,
+    // q161: C4-style corpus-frequent chunk removal + in-order document
+    // reassembly — the cleaned text is hash-checked chunk-for-chunk
+    "q161_boilerplate_strip" -> PipelineQueries.BoilerplateStripSql,
+    // q162: Poisson bootstrap — frozen ppm inverse-CDF multiplicities,
+    // every replica mean one IEEE division of exact integer sums
+    "q162_poisson_bootstrap" -> PipelineQueries.PoissonBootstrapSql,
   )
 }

@@ -884,4 +884,135 @@ object Curation {
         array_join(slice(col("ws"), col("start"), lit(window)), " ")
           .as("chunk_text"))
   }
+
+  /**
+   * Corpus-frequent chunk removal — the C4 cleaning step "drop any line
+   * that occurs in three or more documents", word-chunk-ified because
+   * this corpus has no newlines: each document is cut into TUMBLING
+   * `chunk`-token windows ([[chunkDocuments]] with stride == window), a
+   * chunk is boilerplate when its exact text occurs in at least
+   * `minDocs` DISTINCT documents, and each document is reassembled from
+   * its surviving chunks in original order. Output: one row per
+   * non-empty document with total/dropped chunk counts and the cleaned
+   * text — an empty string when every chunk dropped, so "the document
+   * died in cleaning" stays a visible, auditable row rather than a
+   * silent disappearance.
+   *
+   * Scale shape: one scan-bound chunk generate, one count-distinct
+   * aggregate keyed by chunk text (partial aggregation collapses each
+   * task's repeats before the exchange), one shuffle join of chunks to
+   * their corpus counts on the chunk text, one per-document reassembly
+   * aggregate — every stage keyed and shuffle-shaped, no driver state,
+   * no corpus-sized broadcast. At 100 TB the join key would be a
+   * 64/128-bit chunk hash instead of the raw text (a far smaller
+   * exchange with the same behavior at any realistic cardinality); the
+   * declared row keeps the text key so the DuckDB oracle replays it
+   * verbatim.
+   */
+  def stripFrequentChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, minDocs: Long): DataFrame = {
+    require(chunk > 0, s"chunk size must be positive, got $chunk")
+    require(minDocs > 0, s"minDocs must be positive, got $minDocs")
+    val chunks = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(chunk)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("ws"), col("start"), lit(chunk)), " ")
+          .as("chunk_text"))
+    val corpusCounts = chunks
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    chunks
+      .join(corpusCounts, Seq("chunk_text"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_dropped"),
+        // when() without otherwise() is null for boilerplate chunks and
+        // collect_list drops nulls, so only survivors are reassembled.
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("n_docs") < minDocs,
+              struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")),
+          " ").as("clean_text"))
+  }
+
+  /**
+   * Cumulative ppm thresholds of Poisson(1) — `P(X <= k) * 1e6` for
+   * k = 0..9, the 1-ppm rounding remainder folded into k = 0 so the
+   * masses sum to exactly 1e6. Frozen integer constants (replayed
+   * verbatim by the oracle): cross-engine exactness never depends on
+   * either engine evaluating `exp(-1)`.
+   */
+  private[pipeline] val PoissonCumPpm: Seq[Long] = Seq(
+    367880L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L, 999990L, 999999L, 1000000L)
+
+  /**
+   * Poisson bootstrap confidence interval for a per-stratum mean — the
+   * bootstrap that actually runs at corpus scale: classical resampling
+   * needs `n` i.i.d. draws WITH replacement per replica (a global
+   * shuffle per replica), while the Poisson approximation gives each row
+   * an independent Poisson(1) multiplicity per replica, turning all
+   * `replicas` resamples into ONE scan + ONE aggregate with no global
+   * count anywhere. Each row's multiplicity is drawn deterministically:
+   * md5(id ":" replica) -> ppm in [0, 1e6) -> inverse-CDF lookup against
+   * [[PoissonCumPpm]] (hash-gated like [[stratifiedSample]] —
+   * reproducible across runs, engines, and partitionings). Per
+   * (stratum, replica) the weighted mean is a single IEEE division of
+   * two exact longs; the interval is the order-statistic band
+   * [2nd smallest, 2nd largest] of the replica means (~93.75% coverage
+   * at 32 replicas), reported next to the full-sample point estimate.
+   * A replica whose weights all drew 0 is dropped (visible via
+   * `n_replicas`), and `boot_lo`/`boot_hi` are null when fewer than 3
+   * replica means survive — never silently wrong.
+   *
+   * Scale shape: the replica explode multiplies the SCAN, not the
+   * exchange — partial aggregation collapses each task's rows to
+   * (stratum, replica) pairs before the shuffle, so the exchange
+   * carries `|strata| * replicas` rows regardless of corpus size; the
+   * final per-stratum fold sorts a bounded `replicas`-length array.
+   */
+  def poissonBootstrapCI(
+      df: DataFrame, idCol: String, stratumCol: String, valueCol: String,
+      replicas: Int): DataFrame = {
+    require(replicas >= 4, s"need >= 4 replicas for the CI, got $replicas")
+    val ppm = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), col("replica").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val w = PoissonCumPpm.init.zipWithIndex.foldRight(
+      lit(PoissonCumPpm.size - 1): Column) { case ((thr, k), acc) =>
+      when(col("ppm") < thr, lit(k)).otherwise(acc)
+    }.cast("long")
+    val reps = df
+      .select(col(stratumCol), col(idCol),
+        col(valueCol).cast("long").as("v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("replica"))
+      .withColumn("ppm", ppm)
+      .withColumn("w", w)
+      .groupBy(col(stratumCol), col("replica"))
+      .agg(sum(col("w") * col("v")).as("wsum"), sum(col("w")).as("wn"))
+      .where(col("wn") > 0L)
+      .withColumn("rep_mean",
+        col("wsum").cast("double") / col("wn").cast("double"))
+    val point = df.groupBy(col(stratumCol))
+      .agg((sum(col(valueCol)).cast("double") /
+        count(lit(1)).cast("double")).as("mean_value"))
+    reps
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_replicas"),
+        sort_array(collect_list(col("rep_mean"))).as("__ms"))
+      .select(col(stratumCol), col("n_replicas"),
+        when(col("n_replicas") >= 3, element_at(col("__ms"), 2))
+          .as("boot_lo"),
+        when(col("n_replicas") >= 3, element_at(col("__ms"), -2))
+          .as("boot_hi"))
+      .join(point, Seq(stratumCol))
+  }
 }

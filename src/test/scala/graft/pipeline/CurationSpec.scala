@@ -643,4 +643,96 @@ class CurationSpec extends AnyFunSuite {
       .select($"rk").as[Long].collect().sorted
     assert(rks.toSeq == (1L to 10L))
   }
+
+  test("stripFrequentChunks: hot chunks drop, order holds, dead doc stays") {
+    import spark.implicits._
+    // chunk = 3: "a b c" occurs in docs 1-4 (hot at minDocs = 4);
+    // "x y z" occurs in docs 1-3 only (kept). Doc 4 is ONLY the hot
+    // chunk, so it must survive as an auditable empty row; doc 6 has no
+    // tokens at all and produces no row.
+    val docs = Seq(
+      (1L, "a b c x y z p q r"),
+      (2L, "x y z a b c"),
+      (3L, "q q q a b c x y z"),
+      (4L, "a b c"),
+      (5L, "u v w"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = Curation
+      .stripFrequentChunks(docs, "doc_id", "text", chunk = 3, minDocs = 4L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, "x y z p q r")),
+      2L -> ((2L, 1L, "x y z")),
+      3L -> ((3L, 1L, "q q q x y z")),
+      4L -> ((1L, 1L, "")),
+      5L -> ((1L, 0L, "u v w"))))
+  }
+
+  test("stripFrequentChunks: no-drop reassembly is the identity; minDocs too low kills all") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { i =>
+      val n = rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tokenized = concat_ws(" ",
+      filter(split(lower(col("text")), " "), t => t =!= ""))
+    val keepAll = Curation
+      .stripFrequentChunks(docs, "doc_id", "text", chunk = 3,
+        minDocs = Long.MaxValue)
+    assert(keepAll.join(docs, "doc_id")
+      .where(col("clean_text") =!= tokenized || col("n_dropped") =!= 0L)
+      .count() == 0L, "with an unreachable threshold, reassembly must be identity")
+    assert(keepAll.count() ==
+      docs.where(size(filter(split(lower(col("text")), " "),
+        t => t =!= "")) > 0).count())
+    val killAll = Curation
+      .stripFrequentChunks(docs, "doc_id", "text", chunk = 3, minDocs = 1L)
+    assert(killAll
+      .where(col("clean_text") =!= "" || col("n_dropped") =!= col("n_chunks"))
+      .count() == 0L, "every chunk occurs in >= 1 doc, so all must drop")
+  }
+
+  test("poissonBootstrapCI: deterministic, ordered band, exact point estimate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 100L + rnd.nextInt(900)))
+      .toDF("doc_id", "lang", "n_chars")
+    def run() = Curation
+      .poissonBootstrapCI(df, "doc_id", "lang", "n_chars", replicas = 16)
+      .as[(String, Long, Option[Double], Option[Double], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val a = run()
+    assert(a == run(), "hash-gated draws must be bit-identical across runs")
+    a.foreach { case (lang, (n, lo, hi, mean)) =>
+      assert(n == 16L, s"$lang: all replicas must survive on a 200-row stratum")
+      assert(lo.get <= hi.get && lo.get > 0 && hi.get < 1000)
+      val exact = df.where($"lang" === lang)
+        .agg((sum($"n_chars") / count(lit(1))).as("m"))
+        .as[Double].head()
+      assert(mean == exact, s"$lang point estimate must be the exact mean")
+    }
+  }
+
+  test("poissonBootstrapCI: constant stratum collapses the band; tiny stratum guards") {
+    import spark.implicits._
+    val df = ((1L to 50L).map(i => (i, "const", 7L)) :+ ((99L, "one", 5L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Curation
+      .poissonBootstrapCI(df, "doc_id", "lang", "n_chars", replicas = 8)
+      .as[(String, Long, Option[Double], Option[Double], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (nc, loC, hiC, meanC) = got("const")
+    assert(nc == 8L && loC.contains(7.0) && hiC.contains(7.0) && meanC == 7.0)
+    val (n1, lo1, hi1, mean1) = got("one")
+    // a single-row stratum draws w = 0 on ~37% of replicas; every
+    // surviving replica mean is exactly 5.0, and the band is null
+    // whenever fewer than 3 replicas survive
+    assert(n1 <= 8L && mean1 == 5.0)
+    if (n1 >= 3) assert(lo1.contains(5.0) && hi1.contains(5.0))
+    else assert(lo1.isEmpty && hi1.isEmpty)
+  }
 }
