@@ -2343,6 +2343,30 @@ object PipelineQueries {
       |FROM ch JOIN cnt USING (t)
       |GROUP BY doc_id""".stripMargin
 
+  /** The q161 count table's ARTIFACT lifecycle: build the chunk-count
+    * table over the even-doc half, save -> load it, fold the odd-doc
+    * half's table in ([[graft.pipeline.Curation.mergeChunkCounts]] —
+    * disjoint batches, so distinct-doc counts are exactly additive), and
+    * serve the strip of the FULL corpus from the merged artifact
+    * ([[graft.pipeline.Curation.stripWithChunkCounts]]). Output == q161
+    * by construction, so it shares q161's oracle: the hash match IS the
+    * delta == full proof at full strength. */
+  def boilerplateStripRefresh(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q163-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    Curation.saveChunkCounts(
+      Curation.chunkCounts(dd.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", chunk = 3),
+      dir.resolve("counts").toString)
+    val merged = Curation.mergeChunkCounts(
+      Curation.loadChunkCounts(s, dir.resolve("counts").toString),
+      Curation.chunkCounts(dd.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", chunk = 3))
+    Curation.stripWithChunkCounts(dd, merged, "doc_id", "text",
+      chunk = 3, minDocs = 4L)
+  }
+
   /** Poisson-bootstrap CI for mean document length per language
     * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
     * every replica mean and both order-statistic band edges are

@@ -177,6 +177,7 @@ object SparkEntry {
     "q160_session_window_stream" -> ((s, d) => RelQueries.sessionWindowStreamed(s, d)),
     "q161_boilerplate_strip" -> ((s, d) => PipelineQueries.boilerplateStrip(s, d)),
     "q162_poisson_bootstrap" -> ((s, d) => PipelineQueries.poissonBootstrap(s, d)),
+    "q163_boilerplate_refresh" -> ((s, d) => PipelineQueries.boilerplateStripRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -641,5 +642,9 @@ object SparkEntry {
     // q162: Poisson bootstrap — frozen ppm inverse-CDF multiplicities,
     // every replica mean one IEEE division of exact integer sums
     "q162_poisson_bootstrap" -> PipelineQueries.PoissonBootstrapSql,
+    // q163: the q161 strip served from a saved -> loaded -> delta-folded
+    // chunk-count artifact; shares q161's oracle, so the hash match IS
+    // the delta == full-recompute proof
+    "q163_boilerplate_refresh" -> PipelineQueries.BoilerplateStripSql,
   )
 }

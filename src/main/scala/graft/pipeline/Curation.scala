@@ -911,10 +911,18 @@ object Curation {
    */
   def stripFrequentChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      chunk: Int, minDocs: Long): DataFrame = {
+      chunk: Int, minDocs: Long): DataFrame =
+    stripWithChunkCounts(docs, chunkCounts(docs, idCol, textCol, chunk),
+      idCol, textCol, chunk, minDocs)
+
+  /** The tumbling-chunk generate shared by [[chunkCounts]] and
+    * [[stripWithChunkCounts]]: `(id, chunk_idx, chunk_text)`, one row
+    * per `chunk`-token window, token-empty docs excluded. */
+  private def tumblingChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int): DataFrame = {
     require(chunk > 0, s"chunk size must be positive, got $chunk")
-    require(minDocs > 0, s"minDocs must be positive, got $minDocs")
-    val chunks = docs
+    docs
       .select(col(idCol), Dedup.tokens(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col(idCol), col("ws"),
@@ -923,11 +931,57 @@ object Curation {
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("ws"), col("start"), lit(chunk)), " ")
           .as("chunk_text"))
-    val corpusCounts = chunks
+  }
+
+  /**
+   * Per-chunk corpus document frequency `(chunk_text, n_docs)` — the
+   * maintainable state behind [[stripFrequentChunks]]. Over DISJOINT
+   * document batches the counts are ADDITIVE (each doc contributes at
+   * most 1 per chunk text, so distinct-doc counts sum exactly across a
+   * partition of the corpus) — the same contract as the count-min
+   * counter artifact: persist a batch's table, fold each new disjoint
+   * batch in with [[mergeChunkCounts]], and the merged table equals the
+   * full-corpus recompute row for row. Re-ingesting an already-counted
+   * document double-counts; deletions need a rebuild (insert-only, like
+   * any additive sketch).
+   */
+  def chunkCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int): DataFrame =
+    tumblingChunks(docs, idCol, textCol, chunk)
       .groupBy(col("chunk_text"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
-    chunks
-      .join(corpusCounts, Seq("chunk_text"))
+
+  /** Cell-wise additive fold of two [[chunkCounts]] tables (batches must
+    * cover disjoint document sets). Associative and commutative, so
+    * batching and arrival order are irrelevant. */
+  def mergeChunkCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("chunk_text"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+
+  /** Persist / reload a [[chunkCounts]] table. Deliberately NOT
+    * coalesced: the table is corpus-vocabulary-sized, so it stays a
+    * distributed parquet dataset (contrast the register-sized sketch
+    * artifacts, which collapse to one file). */
+  def saveChunkCounts(counts: DataFrame, path: String): Unit =
+    counts.write.mode("overwrite").parquet(path)
+
+  def loadChunkCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[stripFrequentChunks]] served against an EXTERNAL count table
+    * (persisted artifact, possibly incrementally folded): a chunk absent
+    * from the table counts 0 (kept) — a stale artifact under-strips,
+    * never invents a hot chunk. */
+  def stripWithChunkCounts(
+      docs: DataFrame, counts: DataFrame, idCol: String, textCol: String,
+      chunk: Int, minDocs: Long): DataFrame = {
+    require(minDocs > 0, s"minDocs must be positive, got $minDocs")
+    tumblingChunks(docs, idCol, textCol, chunk)
+      .join(counts.select(col("chunk_text"), col("n_docs")),
+        Seq("chunk_text"), "left_outer")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),

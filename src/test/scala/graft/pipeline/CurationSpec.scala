@@ -695,6 +695,53 @@ class CurationSpec extends AnyFunSuite {
       .count() == 0L, "every chunk occurs in >= 1 doc, so all must drop")
   }
 
+  test("chunkCounts: disjoint-batch merge == full recompute; artifact round trip") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Curation.chunkCounts(df, "doc_id", "text", chunk = 2)
+    val full = counts(docs).as[(String, Long)].collect().toMap
+    // three disjoint batches folded in two merges, one through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-spec")
+    try {
+      Curation.saveChunkCounts(counts(docs.where($"doc_id" % 3 === 0)),
+        dir.toString)
+      val merged = Curation.mergeChunkCounts(
+        Curation.mergeChunkCounts(
+          Curation.loadChunkCounts(spark, dir.toString),
+          counts(docs.where($"doc_id" % 3 === 1))),
+        counts(docs.where($"doc_id" % 3 === 2)))
+      assert(merged.as[(String, Long)].collect().toMap == full,
+        "additive fold over a corpus partition must equal one-pass counts")
+    } finally graft.Fs.deleteRecursively(dir)
+    // serving from the full table == the self-counting strip
+    val viaCounts = Curation.stripWithChunkCounts(docs, counts(docs),
+      "doc_id", "text", chunk = 2, minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val direct = Curation.stripFrequentChunks(docs, "doc_id", "text",
+      chunk = 2, minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaCounts == direct)
+  }
+
+  test("stripWithChunkCounts: a chunk missing from a stale artifact is kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    // stale artifact knows only "a b" (hot); "c d" / "x y" are absent ->
+    // count 0 -> kept, never invented as hot
+    val stale = Seq(("a b", 5L)).toDF("chunk_text", "n_docs")
+    val got = Curation.stripWithChunkCounts(docs, stale, "doc_id", "text",
+      chunk = 2, minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 1L, "c d")), 2L -> ((2L, 1L, "x y"))))
+  }
+
   test("poissonBootstrapCI: deterministic, ordered band, exact point estimate") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
