@@ -2367,6 +2367,26 @@ object PipelineQueries {
       chunk = 3, minDocs = 4L)
   }
 
+  /** Deterministic 3-epoch shuffle order over 8 shards
+    * ([[graft.pipeline.Curation.epochShuffleOrder]]) — every
+    * (doc, epoch) shard assignment and intra-shard position is
+    * hash-checked, so the full training order is pinned. */
+  def epochOrder(s: SparkSession, d: String): DataFrame =
+    Curation.epochShuffleOrder(docs(s, d), "doc_id", epochs = 3,
+      numShards = 8)
+
+  val EpochOrderSql: String =
+    """WITH r AS (SELECT doc_id, j AS epoch
+      |           FROM documents, unnest(range(0, 3)) AS u(j)),
+      |h AS (SELECT doc_id, epoch,
+      |        ('0x' || substr(md5(doc_id::VARCHAR || '#' || epoch::VARCHAR),
+      |                        1, 8))::BIGINT AS hv
+      |      FROM r)
+      |SELECT doc_id, epoch, hv % 8 AS shard,
+      |       row_number() OVER (PARTITION BY epoch, hv % 8
+      |                          ORDER BY hv, doc_id)::BIGINT AS pos
+      |FROM h""".stripMargin
+
   /** Poisson-bootstrap CI for mean document length per language
     * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
     * every replica mean and both order-statistic band edges are

@@ -178,6 +178,7 @@ object SparkEntry {
     "q161_boilerplate_strip" -> ((s, d) => PipelineQueries.boilerplateStrip(s, d)),
     "q162_poisson_bootstrap" -> ((s, d) => PipelineQueries.poissonBootstrap(s, d)),
     "q163_boilerplate_refresh" -> ((s, d) => PipelineQueries.boilerplateStripRefresh(s, d)),
+    "q164_epoch_order" -> ((s, d) => PipelineQueries.epochOrder(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -646,5 +647,8 @@ object SparkEntry {
     // chunk-count artifact; shares q161's oracle, so the hash match IS
     // the delta == full-recompute proof
     "q163_boilerplate_refresh" -> PipelineQueries.BoilerplateStripSql,
+    // q164: per-epoch deterministic shuffle order — shard + intra-shard
+    // position for every (doc, epoch), the data-loader order contract
+    "q164_epoch_order" -> PipelineQueries.EpochOrderSql,
   )
 }

@@ -998,6 +998,43 @@ object Curation {
   }
 
   /**
+   * Deterministic per-EPOCH shuffle order — the training data-loader's
+   * order generator: for every epoch, each row is routed to a shard and
+   * given a contiguous position inside it, with the permutation keyed by
+   * `md5(id "#" epoch)` so (a) every epoch is a DIFFERENT pseudo-random
+   * order, (b) every epoch is exactly reproducible from the ids alone —
+   * resuming a crashed run or re-materializing epoch 7 needs no stored
+   * state, and (c) no global sort ever exists: ordering happens inside
+   * each (epoch, shard) window, the unit a data-loader worker actually
+   * consumes.
+   *
+   * Scale shape: the epoch explode is scan-bound; ONE exchange keyed
+   * (epoch, shard) feeds the per-shard windows, whose partition count is
+   * `epochs * numShards` — size `numShards` so a shard's rows fit an
+   * executor (at 100 TB that is tens of thousands of shards, exactly how
+   * the order files are laid out for the loader fleet). The 32-bit hash
+   * collides at corpus scale, so the (hash, id) tie-break keeps the
+   * order total and deterministic regardless.
+   */
+  def epochShuffleOrder(
+      df: DataFrame, idCol: String, epochs: Int,
+      numShards: Int): DataFrame = {
+    require(epochs > 0 && numShards > 0,
+      s"need positive epochs/shards, got ($epochs, $numShards)")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit("#"),
+      col("epoch").cast("string"))), 1, 8), 16, 10).cast("long")
+    df.select(col(idCol),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("__hv", h)
+      .withColumn("shard", col("__hv") % numShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__hv"), col(idCol))).cast("long"))
+      .drop("__hv")
+  }
+
+  /**
    * Cumulative ppm thresholds of Poisson(1) — `P(X <= k) * 1e6` for
    * k = 0..9, the 1-ppm rounding remainder folded into k = 0 so the
    * masses sum to exactly 1e6. Frozen integer constants (replayed

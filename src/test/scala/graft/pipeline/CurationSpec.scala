@@ -742,6 +742,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 1L, "c d")), 2L -> ((2L, 1L, "x y"))))
   }
 
+  test("epochShuffleOrder: complete cover, contiguous positions, epochs differ") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Curation.epochShuffleOrder(docs, "doc_id", epochs = 3,
+      numShards = 4)
+    val rows = got.as[(Long, Long, Long, Long)].collect()
+    // every doc appears exactly once per epoch, shards in range
+    assert(rows.length == 600)
+    assert(rows.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 4))
+    // positions contiguous from 1 within each (epoch, shard)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length))
+    }
+    // epochs produce genuinely different orders (and different shards
+    // for at least some docs)
+    val byEpoch = rows.groupBy(_._2).map { case (e, g) =>
+      e -> g.sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    }
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+    // deterministic under repartitioning
+    val re = Curation.epochShuffleOrder(docs.repartition(7), "doc_id",
+      epochs = 3, numShards = 4).as[(Long, Long, Long, Long)].collect()
+    assert(re.toSet == rows.toSet)
+  }
+
   test("poissonBootstrapCI: deterministic, ordered band, exact point estimate") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
