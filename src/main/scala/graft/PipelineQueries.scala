@@ -2387,6 +2387,53 @@ object PipelineQueries {
       |                          ORDER BY hv, doc_id)::BIGINT AS pos
       |FROM h""".stripMargin
 
+  /** ADC rank evaluation over the first 100 query vectors
+    * ([[graft.pipeline.Similarity.adcRankEval]]): for every query, the
+    * exact-dot true nearest neighbor's rank under the int8
+    * asymmetric-distance ordering, plus its reciprocal rank (mean =
+    * MRR) — every rank hash-checked, so both ranking functions must
+    * agree with the oracle bit for bit. */
+  def adcRankEval(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.adcRankEval(e, e.where(col("vec_id") < 100),
+      "vec_id", "embedding")
+  }
+
+  val AdcRankEvalSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0
+      |          AS scale
+      |      FROM e),
+      |q8 AS (SELECT vec_id, v, scale,
+      |         list_transform(v, x -> (CASE WHEN scale > 0
+      |             THEN least(greatest(floor(x / scale + 0.5)::BIGINT, -127), 127)
+      |             ELSE 0 END)::DOUBLE) AS q
+      |       FROM s),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |        list_reduce(list_prepend(0::DOUBLE,
+      |          list_transform(generate_series(1, len(a.v)),
+      |                         i -> a.v[i] * b.v[i])),
+      |          (acc, x) -> acc + x) AS dot,
+      |        (a.scale * b.scale) * list_reduce(list_prepend(0::DOUBLE,
+      |          list_transform(generate_series(1, len(a.q)),
+      |                         i -> a.q[i] * b.q[i])),
+      |          (acc, x) -> acc + x) AS adc
+      |      FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+      |      WHERE a.vec_id < 100),
+      |r AS (SELECT query_id, neighbor_id,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY dot DESC, neighbor_id) AS true_rank,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY adc DESC, neighbor_id) AS quant_rank
+      |      FROM p)
+      |SELECT query_id, neighbor_id AS true_nn,
+      |       quant_rank::BIGINT AS quant_rank,
+      |       (1::DOUBLE) / quant_rank AS reciprocal_rank
+      |FROM r WHERE true_rank = 1""".stripMargin
+
   /** Poisson-bootstrap CI for mean document length per language
     * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
     * every replica mean and both order-statistic band edges are

@@ -179,6 +179,7 @@ object SparkEntry {
     "q162_poisson_bootstrap" -> ((s, d) => PipelineQueries.poissonBootstrap(s, d)),
     "q163_boilerplate_refresh" -> ((s, d) => PipelineQueries.boilerplateStripRefresh(s, d)),
     "q164_epoch_order" -> ((s, d) => PipelineQueries.epochOrder(s, d)),
+    "q165_adc_rank_eval" -> ((s, d) => PipelineQueries.adcRankEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -650,5 +651,9 @@ object SparkEntry {
     // q164: per-epoch deterministic shuffle order — shard + intra-shard
     // position for every (doc, epoch), the data-loader order contract
     "q164_epoch_order" -> PipelineQueries.EpochOrderSql,
+    // q165: ADC rank eval — the true NN's rank under int8 asymmetric
+    // scoring, both rankings replayed bit-exactly (MRR = mean of the
+    // reciprocal-rank column)
+    "q165_adc_rank_eval" -> PipelineQueries.AdcRankEvalSql,
   )
 }

@@ -1239,6 +1239,72 @@ object Similarity {
   }
 
   /**
+   * ADC rank evaluation — the retrieval-quality audit run after
+   * quantizing an embedding corpus: for each query, where does the TRUE
+   * nearest neighbor (exact double dot product) land when candidates
+   * are ranked by the asymmetric-distance score actually served from
+   * int8 codes (`scale_q * scale_c * <q8, c8>` — integer code dot
+   * scaled back, [[quantizeEmbeddings]]'s exact quantizer)? Output per
+   * query: the true NN, its rank under ADC ordering (1 = quantization
+   * lost nothing for this query), and the reciprocal rank — the
+   * mean of that last column IS MRR, but the per-query rows are kept
+   * because the distribution's tail (rank 50 queries) is the actionable
+   * signal, not the average.
+   *
+   * Determinism: both scores are pinned-order arithmetic — the exact
+   * dot and the code dot run through the left-to-right codegen'd
+   * [[graft.functions.ArrayDot]] (code products and their sums are
+   * integers below 2^53, so the double path is EXACT for them), the ADC
+   * rescale is the explicit product `(scale_q * scale_c) * dot`, and
+   * both rankings tie-break on neighbor id. The oracle replays every
+   * step with `list_reduce` folds in the same order.
+   *
+   * Scale shape: a bounded query batch broadcast against the streamed
+   * corpus ([[bruteForceTopK]]'s exact-evaluation shape — the quadratic
+   * side is the declared evaluation workload, not a serving path), two
+   * per-query windows over the scored candidates. Evaluating against a
+   * 100 TB corpus samples candidates per query; the declared row keeps
+   * the full candidate set so every rank is exactly checkable.
+   */
+  def adcRankEval(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorExprs.array_dot
+    def coded(df: DataFrame) = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol), v.as("v"),
+          (aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+            .as("scale"))
+        .select(col(idCol), col("v"), col("scale"),
+          transform(col("v"), x =>
+            when(col("scale") > 0,
+              least(greatest(floor(x / col("scale") + 0.5), lit(-127L)),
+                lit(127L)))
+              .otherwise(lit(0L)).cast("double")).as("q"))
+    }
+    val q = broadcast(coded(queries).select(col(idCol).as("query_id"),
+      col("v").as("qv"), col("scale").as("qscale"), col("q").as("qq")))
+    val c = coded(corpus).select(col(idCol).as("neighbor_id"),
+      col("v").as("cv"), col("scale").as("cscale"), col("q").as("cq"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        array_dot(col("qv"), col("cv")).as("dot"),
+        ((col("qscale") * col("cscale")) * array_dot(col("qq"), col("cq")))
+          .as("adc"))
+    val wTrue = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val wQuant = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("true_rank", row_number().over(wTrue))
+      .withColumn("quant_rank", row_number().over(wQuant).cast("long"))
+      .where(col("true_rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"),
+        col("quant_rank"),
+        (lit(1.0) / col("quant_rank")).as("reciprocal_rank"))
+  }
+
+  /**
    * Scalar int8 quantization with a per-vector scale — the standard
    * storage/transport compression for embedding corpora (4x smaller than
    * float32 before an ANN index even starts): `scale = max|x| / 127`,

@@ -354,4 +354,43 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("divide"))
   }
+
+  test("adcRankEval: lossless-regime vectors rank their true NN first") {
+    import spark.implicits._
+    // every component is k/127 for integer k, so int8 quantization is
+    // EXACT (scale = max|x|/127 reproduces each entry) and the ADC
+    // ordering must equal the exact-dot ordering: rank 1 everywhere
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rnd.nextInt(255) - 127).toFloat / 127f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity
+      .adcRankEval(vecs, vecs.where($"vec_id" < 10), "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._1).toSet == (0L until 10L).toSet,
+      "exactly one row per query")
+    assert(got.forall(r => r._3 == 1L && r._4 == 1.0),
+      s"lossless quantization must not move the true NN: ${got.toSeq}")
+  }
+
+  test("adcRankEval: a planted coarse corpus degrades rank, never drops a query") {
+    import spark.implicits._
+    // tiny magnitudes relative to one huge outlier component force the
+    // quantizer to crush most coordinates to 0 -> ADC reorders
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 0.004f - 0.002f)
+      base(0) = if (i % 2 == 0) 1.0f else -1.0f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity
+      .adcRankEval(vecs, vecs.where($"vec_id" < 20), "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    assert(got.forall(r => r._3 >= 1L && r._3 <= 59L))
+    assert(got.forall(r => r._4 == 1.0 / r._3))
+    assert(got.exists(_._3 > 1L),
+      "crushed coordinates must demote at least one true NN")
+  }
 }
