@@ -2664,7 +2664,9 @@ object PipelineQueries {
     graft.pipeline.Classify.centroidClassify(
       embs(s, d), "vec_id", "embedding", "label")
 
-  val CentroidClassifierSql: String =
+  /** The q107 prediction CTE chain, shared by the classifier row and
+    * the q166 evaluation row built on top of the same predictions. */
+  private val CentroidPredCtes: String =
     """WITH e AS (SELECT vec_id, label,
       |             list_transform(embedding, x -> x::DOUBLE) AS v
       |           FROM embeddings
@@ -2685,12 +2687,52 @@ object PipelineQueries {
       |rk AS (SELECT vec_id, label, cand, dot,
       |         row_number() OVER (PARTITION BY vec_id
       |                            ORDER BY dot DESC, cand ASC) AS r
-      |       FROM sc)
+      |       FROM sc)""".stripMargin
+
+  val CentroidClassifierSql: String = CentroidPredCtes + """
       |SELECT r1.vec_id, r1.label, r1.cand AS pred,
       |       (r1.cand = r1.label) AS correct,
       |       r1.dot - r2.dot AS margin
       |FROM (SELECT * FROM rk WHERE r = 1) r1
       |LEFT JOIN (SELECT vec_id, dot FROM rk WHERE r = 2) r2 USING (vec_id)""".stripMargin
+
+  /** Per-class precision/recall/F1 over the q107 centroid classifier's
+    * predictions ([[graft.pipeline.Classify.classifierEval]]): the
+    * confusion-derived report every pipeline classifier publishes;
+    * undefined ratios stay NULL, F1 is the pinned
+    * `(2 * p * r) / (p + r)` per row. */
+  def classifierEvalReport(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Classify.classifierEval(
+      graft.pipeline.Classify.centroidClassify(
+        embs(s, d), "vec_id", "embedding", "label"),
+      "label", "pred")
+
+  val ClassifierEvalSql: String = CentroidPredCtes + """,
+      |pr AS (SELECT vec_id, label, cand AS pred FROM rk WHERE r = 1),
+      |bt AS (SELECT label AS class, count(*)::BIGINT AS n_true,
+      |         sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::BIGINT AS tp
+      |       FROM pr GROUP BY 1),
+      |bp AS (SELECT pred AS class, count(*)::BIGINT AS n_pred
+      |       FROM pr GROUP BY 1),
+      |m AS (SELECT class,
+      |        coalesce(n_true, 0)::BIGINT AS n_true,
+      |        coalesce(n_pred, 0)::BIGINT AS n_pred,
+      |        coalesce(tp, 0)::BIGINT AS tp
+      |      FROM bt FULL JOIN bp USING (class)),
+      |x AS (SELECT class, n_true, n_pred, tp,
+      |        (n_pred - tp)::BIGINT AS fp,
+      |        (n_true - tp)::BIGINT AS fn,
+      |        CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END
+      |          AS "precision",
+      |        CASE WHEN n_true > 0 THEN tp::DOUBLE / n_true::DOUBLE END
+      |          AS recall
+      |      FROM m)
+      |SELECT class, n_true, n_pred, tp, fp, fn, "precision", recall,
+      |       CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL
+      |                 AND ("precision" + recall) > 0
+      |            THEN (2 * "precision" * recall) / ("precision" + recall)
+      |       END AS f1
+      |FROM x""".stripMargin
 
   /** q: kNN LABEL VOTE over the labeled embeddings — semi-supervised
     * label propagation (the second classifier regime next to q107's

@@ -180,6 +180,7 @@ object SparkEntry {
     "q163_boilerplate_refresh" -> ((s, d) => PipelineQueries.boilerplateStripRefresh(s, d)),
     "q164_epoch_order" -> ((s, d) => PipelineQueries.epochOrder(s, d)),
     "q165_adc_rank_eval" -> ((s, d) => PipelineQueries.adcRankEval(s, d)),
+    "q166_classifier_eval" -> ((s, d) => PipelineQueries.classifierEvalReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -655,5 +656,8 @@ object SparkEntry {
     // scoring, both rankings replayed bit-exactly (MRR = mean of the
     // reciprocal-rank column)
     "q165_adc_rank_eval" -> PipelineQueries.AdcRankEvalSql,
+    // q166: per-class precision/recall/F1 over the q107 predictions —
+    // undefined ratios stay NULL, F1 pinned as (2*p*r)/(p+r) per row
+    "q166_classifier_eval" -> PipelineQueries.ClassifierEvalSql,
   )
 }

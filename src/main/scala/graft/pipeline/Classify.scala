@@ -110,4 +110,48 @@ object Classify {
         (col("label") === -col("__best.neglab")).as("correct"),
         (col("__best.dot") - col("__second.dot")).as("margin"))
   }
+
+  /**
+   * Per-class evaluation table from a prediction frame — the standard
+   * confusion-derived report (tp/fp/fn, precision, recall, F1) every
+   * classifier run in the pipeline publishes next to its predictions.
+   * Derived from TWO class-keyed aggregates joined full-outer (a class
+   * that is only ever predicted, or only ever true, still gets a row):
+   * `tp(c) = |label=c ∧ pred=c|`, `fp(c) = |pred=c| - tp`,
+   * `fn(c) = |label=c| - tp`. Undefined ratios stay NULL (precision
+   * with zero predictions, recall with zero true rows, F1 when both
+   * components are 0 or either is null) — never a silent 0 that reads
+   * as "measured and bad".
+   *
+   * Determinism: counts are exact; each ratio is ONE double division
+   * and F1 the pinned product/sum `(2 * p * r) / (p + r)` computed per
+   * output row — no order-sensitive float aggregation anywhere. Scale
+   * shape: two partial-aggregated class-keyed exchanges over the
+   * prediction scan and a class-cardinality-sized join — free at any
+   * corpus size.
+   */
+  def classifierEval(
+      preds: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val byTrue = preds.groupBy(col(labelCol).as("class"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col(labelCol) === col(predCol), 1L).otherwise(0L)).as("tp"))
+    val byPred = preds.groupBy(col(predCol).as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_true").cast("double")
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("precision", when(col("n_pred") > 0L, p))
+      .withColumn("recall", when(col("n_true") > 0L, r))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall")) > 0.0,
+          (lit(2.0) * col("precision") * col("recall")) /
+            (col("precision") + col("recall"))))
+  }
 }

@@ -126,4 +126,33 @@ class ClassifySpec extends AnyFunSuite {
       Seq("vec_id", "label", "pred", "correct", "margin"))
     assert(out.count() == 0)
   }
+
+  test("classifierEval: hand-computed confusion, null-not-zero ratio semantics") {
+    import spark.implicits._
+    val preds = Seq(
+      (0, 0), (0, 0), (0, 1),      // class 0: tp 2, fn 1
+      (1, 1), (1, 0),              // class 1: tp 1
+      (2, 2), (2, 3),              // class 3 only ever predicted
+      (4, 0),                      // class 4 only ever true
+      (5, 6), (6, 5)               // both counts > 0, tp 0 -> p + r == 0
+    ).toDF("label", "pred")
+    val got = Classify.classifierEval(preds, "label", "pred")
+      .as[(Int, Long, Long, Long, Long, Long,
+           Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def f1(p: Double, r: Double) = (2.0 * p * r) / (p + r)
+    assert(got(0) == ((0, 3L, 4L, 2L, 2L, 1L,
+      Some(2.0 / 4), Some(2.0 / 3), Some(f1(2.0 / 4, 2.0 / 3)))))
+    assert(got(1) == ((1, 2L, 2L, 1L, 1L, 1L,
+      Some(0.5), Some(0.5), Some(0.5))))
+    assert(got(2) == ((2, 2L, 1L, 1L, 0L, 1L,
+      Some(1.0), Some(0.5), Some(f1(1.0, 0.5)))))
+    // never true: recall undefined (null), precision a real 0.0
+    assert(got(3) == ((3, 0L, 1L, 0L, 1L, 0L, Some(0.0), None, None)))
+    // never predicted: precision undefined, recall a real 0.0
+    assert(got(4) == ((4, 1L, 0L, 0L, 0L, 1L, None, Some(0.0), None)))
+    // measured on both sides but entirely wrong: p + r == 0 -> F1 null
+    assert(got(5) == ((5, 1L, 1L, 0L, 1L, 1L, Some(0.0), Some(0.0), None)))
+    assert(got(6) == ((6, 1L, 1L, 0L, 1L, 1L, Some(0.0), Some(0.0), None)))
+  }
 }
