@@ -222,7 +222,12 @@ class PlanSpec extends AnyFunSuite {
       // stage-1 shortlist scan (bounded projected-query batch broadcast,
       // compressed corpus streamed) and the embedded exact brute-force
       // reference the recall is measured against
-      "q118_projected_ann")
+      "q118_projected_ann",
+      // q165: the ADC rank audit scores the FULL candidate set per
+      // bounded query so every rank is exactly checkable — q22's
+      // broadcast evaluation shape, a measurement workload by
+      // definition (serving paths are the indexed ANN rows)
+      "q165_adc_rank_eval")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
