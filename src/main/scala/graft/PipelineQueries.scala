@@ -2434,6 +2434,32 @@ object PipelineQueries {
       |       (1::DOUBLE) / quant_rank AS reciprocal_rank
       |FROM r WHERE true_rank = 1""".stripMargin
 
+  /** Length-bucketed dynamic batching over the corpus (32-token length
+    * buckets, 16-doc batches, longest-first within bucket) with
+    * per-batch padding-waste accounting
+    * ([[graft.pipeline.Curation.lengthBucketedBatches]]) — every batch
+    * boundary and padding count is exact-integer hash-checked. */
+  def lengthBatching(s: SparkSession, d: String): DataFrame =
+    Curation.lengthBucketedBatches(docs(s, d), "doc_id", "text",
+      bucketWidth = 32, batchSize = 16)
+
+  val LengthBatchingSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             len(list_filter(string_split(lower(text), ' '),
+      |                             x -> x <> ''))::BIGINT AS len
+      |           FROM documents),
+      |l AS (SELECT doc_id, len, len // 32 AS bucket FROM w WHERE len > 0),
+      |r AS (SELECT doc_id, len, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |                           ORDER BY len DESC, doc_id) AS rk
+      |      FROM l)
+      |SELECT bucket, ((rk - 1) // 16)::BIGINT AS batch_idx,
+      |       count(*)::BIGINT AS n_docs,
+      |       max(len)::BIGINT AS max_len,
+      |       sum(len)::BIGINT AS sum_len,
+      |       (count(*) * max(len) - sum(len))::BIGINT AS padding
+      |FROM r GROUP BY bucket, ((rk - 1) // 16)""".stripMargin
+
   /** Poisson-bootstrap CI for mean document length per language
     * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
     * every replica mean and both order-statistic band edges are

@@ -181,6 +181,7 @@ object SparkEntry {
     "q164_epoch_order" -> ((s, d) => PipelineQueries.epochOrder(s, d)),
     "q165_adc_rank_eval" -> ((s, d) => PipelineQueries.adcRankEval(s, d)),
     "q166_classifier_eval" -> ((s, d) => PipelineQueries.classifierEvalReport(s, d)),
+    "q167_length_batching" -> ((s, d) => PipelineQueries.lengthBatching(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -659,5 +660,8 @@ object SparkEntry {
     // q166: per-class precision/recall/F1 over the q107 predictions —
     // undefined ratios stay NULL, F1 pinned as (2*p*r)/(p+r) per row
     "q166_classifier_eval" -> PipelineQueries.ClassifierEvalSql,
+    // q167: length-bucketed batching — batch boundaries and per-batch
+    // padding waste (n * max_len - sum_len) as exact integers
+    "q167_length_batching" -> PipelineQueries.LengthBatchingSql,
   )
 }

@@ -1035,6 +1035,47 @@ object Curation {
   }
 
   /**
+   * Length-bucketed dynamic batching with padding accounting — the
+   * batching strategy both training and batch inference use to stop
+   * paying for pad tokens: rows are bucketed by length range
+   * (`len div bucketWidth`), ordered longest-first inside each bucket
+   * (deterministic (len desc, id) order), cut into `batchSize`-row
+   * batches, and each batch reports its padding waste
+   * `n * max_len - sum_len` — the tokens a rectangular batch tensor
+   * allocates beyond the real content. The per-batch rows are the
+   * audit: tuning bucketWidth against the padding column is exactly the
+   * knob a serving/training stack exposes.
+   *
+   * Scale shape: one scan computes lengths; ONE exchange keyed by
+   * bucket feeds the per-bucket windows (buckets are independent and
+   * bounded in count by maxLen / bucketWidth); the batch rollup reuses
+   * the same partitioning. A pathologically hot bucket shards further
+   * by a hash suffix in practice (the q164 note); the declared row
+   * keeps pure bucket keys so the oracle replays ranks verbatim.
+   */
+  def lengthBucketedBatches(
+      docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"need positive bucketWidth/batchSize, got ($bucketWidth, $batchSize)")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("len").desc, col(idCol))
+    docs
+      .select(col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("len"))
+      .where(col("len") > 0L)
+      .withColumn("bucket", expr(s"len div ${bucketWidth}L"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(rk - 1L) div ${batchSize}L"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).cast("long").as("sum_len"))
+      .withColumn("padding",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
+  /**
    * Cumulative ppm thresholds of Poisson(1) — `P(X <= k) * 1e6` for
    * k = 0..9, the 1-ppm rounding remainder folded into k = 0 so the
    * masses sum to exactly 1e6. Frozen integer constants (replayed

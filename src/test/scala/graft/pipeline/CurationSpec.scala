@@ -768,6 +768,54 @@ class CurationSpec extends AnyFunSuite {
     assert(re.toSet == rows.toSet)
   }
 
+  test("lengthBucketedBatches: hand-checked batches, zero padding when uniform") {
+    import spark.implicits._
+    // bucket width 4, batch size 2. Lengths: 5,5,6,7 land in bucket 1;
+    // 2,3 in bucket 0; 9 alone in bucket 2.
+    def doc(i: Long, n: Int) = (i, Seq.fill(n)("w").mkString(" "))
+    val docs = Seq(doc(1, 5), doc(2, 5), doc(3, 6), doc(4, 7),
+      doc(5, 2), doc(6, 3), doc(7, 9), (8L, "")).toDF("doc_id", "text")
+    val got = Curation
+      .lengthBucketedBatches(docs, "doc_id", "text", bucketWidth = 4,
+        batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      // bucket 1, longest first: 7,6 | 5,5 — second batch pads nothing
+      (1L, 0L) -> ((2L, 7L, 13L, 1L)),
+      (1L, 1L) -> ((2L, 5L, 10L, 0L)),
+      // bucket 0: 3,2 in one batch, one pad token
+      (0L, 0L) -> ((2L, 3L, 5L, 1L)),
+      // bucket 2: a single doc batch pads nothing
+      (2L, 0L) -> ((1L, 9L, 9L, 0L))))
+    // empty doc contributes nowhere
+    assert(got.values.map(_._1).sum == 7L)
+  }
+
+  test("lengthBucketedBatches: batches full except the bucket tail, padding bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 300L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(96))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Curation
+      .lengthBucketedBatches(docs, "doc_id", "text", bucketWidth = 16,
+        batchSize = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      // within a bucket only the LAST batch may be short
+      val last = g.map(_._2).max
+      g.foreach { r =>
+        if (r._2 != last) assert(r._3 == 8L, s"non-tail batch short: $r")
+      }
+    }
+    rows.foreach { r =>
+      assert(r._6 >= 0L && r._6 <= r._3 * 15L,
+        s"padding must stay under n * (bucketWidth - 1): $r")
+    }
+    assert(rows.map(_._3).sum == 300L)
+  }
+
   test("poissonBootstrapCI: deterministic, ordered band, exact point estimate") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
