@@ -177,6 +177,14 @@ object FpmQueries {
       .where(size(col("items")) <= 3)
       .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
 
+  /** q: closed/maximal flags over the q03 itemsets within the same
+    * arity cap ([[graft.fpm.ClosedItemsets.flag]] — subset-key
+    * equi-join, never a pairwise containment join). */
+  def closedMaximalItemsets(spark: SparkSession, dir: String): DataFrame =
+    graft.fpm.ClosedItemsets.flag(
+      model(spark, dir).freqItemsets.where(size(col("items")) <= 3),
+      "items", "freq")
+
   /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).associationRules
@@ -386,6 +394,24 @@ object FpmQueries {
        |SELECT item AS itemset, f AS freq FROM k1
        |UNION ALL SELECT i1 || ',' || i2, f FROM k2
        |UNION ALL SELECT i1 || ',' || i2 || ',' || i3, f FROM k3""".stripMargin
+
+  val ClosedMaximalSql: String =
+    s"""WITH $MineCtes,
+       |iset AS (SELECT [item] AS items, f FROM k1
+       |         UNION ALL SELECT [i1, i2], f FROM k2
+       |         UNION ALL SELECT [i1, i2, i3], f FROM k3),
+       |sub AS (SELECT s.f AS sup_freq,
+       |          array_to_string(list_filter(s.items,
+       |            (x, i) -> ((m >> (i - 1)) & 1) = 1), ',') AS itemset
+       |        FROM iset s, unnest(range(1, (1 << len(s.items)) - 1)) AS u(m)
+       |        WHERE len(s.items) > 1),
+       |ik AS (SELECT array_to_string(items, ',') AS itemset, f AS freq FROM iset)
+       |SELECT ik.itemset, ik.freq,
+       |       coalesce(sum(CASE WHEN s.sup_freq = ik.freq THEN 1 ELSE 0 END), 0) = 0
+       |         AS closed,
+       |       count(s.sup_freq) = 0 AS maximal
+       |FROM ik LEFT JOIN sub s USING (itemset)
+       |GROUP BY 1, 2""".stripMargin
 
   val AssocRulesSql: String =
     s"""WITH $RuleCtes

@@ -182,6 +182,7 @@ object SparkEntry {
     "q165_adc_rank_eval" -> ((s, d) => PipelineQueries.adcRankEval(s, d)),
     "q166_classifier_eval" -> ((s, d) => PipelineQueries.classifierEvalReport(s, d)),
     "q167_length_batching" -> ((s, d) => PipelineQueries.lengthBatching(s, d)),
+    "q168_closed_itemsets" -> ((s, d) => FpmQueries.closedMaximalItemsets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -663,5 +664,8 @@ object SparkEntry {
     // q167: length-bucketed batching — batch boundaries and per-batch
     // padding waste (n * max_len - sum_len) as exact integers
     "q167_length_batching" -> PipelineQueries.LengthBatchingSql,
+    // q168: closed/maximal itemset flags within the q03 arity cap —
+    // subset-bitmask equi-join, oracle replays the same enumeration
+    "q168_closed_itemsets" -> FpmQueries.ClosedMaximalSql,
   )
 }
