@@ -2460,6 +2460,57 @@ object PipelineQueries {
       |       (count(*) * max(len) - sum(len))::BIGINT AS padding
       |FROM r GROUP BY bucket, ((rk - 1) // 16)""".stripMargin
 
+  /** q: streaming boilerplate gate, EXECUTED — the full corpus's
+    * chunk-count table is persisted as a distributed artifact (the q163
+    * lifecycle), then the SAME corpus streams through
+    * [[graft.streaming.DocStreams.boilerplateGateStream]]'s per-batch
+    * equi-join under `AvailableNow`; unlike the recall-contract gates
+    * (q97/q98) every output cell here is exact-SQL-expressible, so the
+    * per-doc `(n_chunks, n_dropped, gated)` table is hash-checked in
+    * full — the gate must agree with the batch cleaning pass doc for
+    * doc. */
+  def boilerplateGateStreamed(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q169-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val cntPath = base.resolve("chunk_counts").toString
+    Curation.saveChunkCounts(
+      Curation.chunkCounts(dd, "doc_id", "text", chunk = 3), cntPath)
+    val counts = Curation.loadChunkCounts(s, cntPath)
+    val out = base.resolve("out")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val arrivals = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.DocStreams
+      .boilerplateGateStream(arrivals, "text", "doc_id", counts,
+        chunk = 3, minDocs = 4L) { (probed, _) =>
+        probed.write.mode("append").parquet(out.toString)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    s.read
+      .schema("doc_id BIGINT, n_chunks BIGINT, n_dropped BIGINT, gated BOOLEAN")
+      .parquet(out.toString)
+  }
+
+  val BoilerplateGateStreamedSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |ch AS (SELECT doc_id, i, array_to_string(ws[i : i + 2], ' ') AS t
+      |       FROM w, unnest(range(1, len(ws) + 1, 3)) AS u(i)),
+      |cnt AS (SELECT t, count(DISTINCT doc_id) AS nd FROM ch GROUP BY t)
+      |SELECT doc_id,
+      |       count(*)::BIGINT AS n_chunks,
+      |       sum(CASE WHEN nd >= 4 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |       sum(CASE WHEN nd >= 4 THEN 1 ELSE 0 END) > 0 AS gated
+      |FROM ch JOIN cnt USING (t)
+      |GROUP BY doc_id""".stripMargin
+
   /** Poisson-bootstrap CI for mean document length per language
     * ([[graft.pipeline.Curation.poissonBootstrapCI]], 32 replicas):
     * every replica mean and both order-statistic band edges are

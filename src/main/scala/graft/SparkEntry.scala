@@ -183,6 +183,7 @@ object SparkEntry {
     "q166_classifier_eval" -> ((s, d) => PipelineQueries.classifierEvalReport(s, d)),
     "q167_length_batching" -> ((s, d) => PipelineQueries.lengthBatching(s, d)),
     "q168_closed_itemsets" -> ((s, d) => FpmQueries.closedMaximalItemsets(s, d)),
+    "q169_boilerplate_gate_stream" -> ((s, d) => PipelineQueries.boilerplateGateStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,5 +668,8 @@ object SparkEntry {
     // q168: closed/maximal itemset flags within the q03 arity cap —
     // subset-bitmask equi-join, oracle replays the same enumeration
     "q168_closed_itemsets" -> FpmQueries.ClosedMaximalSql,
+    // q169: streaming boilerplate gate served from the persisted q163
+    // artifact — per-doc output exact-replayed, not a contract boolean
+    "q169_boilerplate_gate_stream" -> PipelineQueries.BoilerplateGateStreamedSql,
   )
 }

@@ -157,6 +157,38 @@ object DocStreams {
    * callback it is a plain bounded groupBy (the q135 artifact-
    * maintenance pattern). Callers own trigger/checkpoint/start.
    */
+  /**
+   * Streaming BOILERPLATE gate: flag each arriving document that
+   * contains any corpus-hot chunk, served from the PERSISTED chunk-count
+   * artifact (the q163 lifecycle) via a per-batch equi-join — the q98
+   * indexed-gate shape, never a driver-collected hot set (the count
+   * table is corpus-vocabulary-sized). The probe IS the batch strip's
+   * counting half ([[graft.pipeline.Curation.stripWithChunkCounts]]), so
+   * `gated` means exactly "the batch cleaning pass (q161) would drop at
+   * least one chunk of this document" — same thresholds, same chunking,
+   * same absent-chunk-counts-0 staleness semantics. Callers own
+   * trigger/checkpoint/start.
+   */
+  def boilerplateGateStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunkCounts: DataFrame, chunk: Int, minDocs: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(boilerplateGateProbe(batch.toDF(), textCol, idCol, chunkCounts,
+          chunk, minDocs), batchId.longValue())
+    }
+
+  /** The per-batch probe of [[boilerplateGateStream]] — package-visible
+    * so the spec can pin it equal to the batch strip's flags. */
+  private[graft] def boilerplateGateProbe(
+      batch: DataFrame, textCol: String, idCol: String,
+      chunkCounts: DataFrame, chunk: Int, minDocs: Long): DataFrame =
+    graft.pipeline.Curation
+      .stripWithChunkCounts(batch, chunkCounts, idCol, textCol, chunk, minDocs)
+      .select(col(idCol), col("n_chunks"), col("n_dropped"),
+        (col("n_dropped") > 0L).as("gated"))
+
   def nearDupGateStreamIndexed(
       docs: DataFrame, textCol: String, idCol: String,
       bucketIndex: DataFrame,

@@ -206,6 +206,51 @@ class DocStreamsSpec extends AnyFunSuite {
       "streamed indexed gate must equal the batch probe")
   }
 
+  test("boilerplate gate: streamed two-batch flags == the batch strip's flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // corpus where "a b c" is hot (4 distinct docs at minDocs = 3)
+    val corpus = Seq(
+      (100L, "a b c x y z"), (101L, "a b c p q r"), (102L, "u v w a b c"),
+      (103L, "m n o")).toDF("doc_id", "text")
+    val counts = graft.pipeline.Curation
+      .chunkCounts(corpus, "doc_id", "text", chunk = 3)
+    // expected flags from the batch strip over the arrivals
+    val arrivals = Seq(
+      (1L, "a b c fresh words here"),  // contains the hot chunk -> gated
+      (2L, "fresh words here only"),   // nothing hot
+      (3L, "m n o"),                   // seen once in corpus -> not hot
+      (4L, ""))                        // token-empty: no row at all
+    val expect = DocStreams.boilerplateGateProbe(
+        arrivals.toDF("doc_id", "text"), "text", "doc_id", counts,
+        chunk = 3, minDocs = 3L)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(expect.exists(r => r._1 == 1L && r._4) &&
+      expect.exists(r => r._1 == 2L && !r._4) &&
+      expect.exists(r => r._1 == 3L && !r._4) &&
+      !expect.exists(_._1 == 4L))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Boolean)]
+    val q = DocStreams.boilerplateGateStream(
+        source.toDS().toDF("doc_id", "text"), "text", "doc_id", counts,
+        chunk = 3, minDocs = 3L) { (probed, _) =>
+        val batch = probed.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        got.synchronized { got ++= batch }
+      }
+      .start()
+    try {
+      source.addData(arrivals.take(2))
+      q.processAllAvailable()
+      source.addData(arrivals.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect,
+      "the frozen-artifact gate is stateless per batch, so batching must not matter")
+  }
+
   test("refreshing near-dup gate tracks a growing reference corpus") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
