@@ -4070,14 +4070,14 @@ object PipelineQueries {
        |       FROM skc GROUP BY 1),
        |est AS (SELECT source, sketch_buckets,
        |          CASE WHEN b50 < 128 THEN b50
-       |               ELSE ((b50 - (b50 // 64 - 1) * 64) + 1)
-       |                    * (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
+       |               ELSE ((b50 - (b50 // 64 - 1) * 64)::BIGINT << (b50 // 64 - 1))
+       |                    + (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
        |          CASE WHEN b90 < 128 THEN b90
-       |               ELSE ((b90 - (b90 // 64 - 1) * 64) + 1)
-       |                    * (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
+       |               ELSE ((b90 - (b90 // 64 - 1) * 64)::BIGINT << (b90 // 64 - 1))
+       |                    + (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
        |          CASE WHEN b99 < 128 THEN b99
-       |               ELSE ((b99 - (b99 // 64 - 1) * 64) + 1)
-       |                    * (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
+       |               ELSE ((b99 - (b99 // 64 - 1) * 64)::BIGINT << (b99 // 64 - 1))
+       |                    + (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
        |        FROM eb)""".stripMargin
 
   /** The full estimate-vs-exact statement over a [[qsketchSqlCtes]]

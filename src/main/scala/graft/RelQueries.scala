@@ -608,10 +608,12 @@ object RelQueries {
    * engine declares BOTH: custom state for bespoke lifecycles, the
    * built-in for the common case). Append mode emits a session once the
    * watermark (delay 0) passes its end = last event + 30 min; the
-   * oracle replays the built-in's semantics exactly — gap-EQUAL events
-   * start a new session (`>=` split, where q27/q91 split strictly
-   * `>`; measure-zero at microsecond timestamps but stated, not
-   * papered over) — restricted to sessions the final watermark closed.
+   * oracle replays the built-in's semantics exactly — a gap-EQUAL event
+   * MERGES into the running session (Spark's UpdatingSessionsIterator
+   * starts a new session only when the incoming start is strictly past
+   * the current end, i.e. split on `>` — the same boundary as q27/q91;
+   * pinned empirically by EventStreamsSpec's gap-equal fixture) —
+   * restricted to sessions the final watermark closed.
    */
   def sessionWindowStreamed(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
@@ -636,7 +638,7 @@ object RelQueries {
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
       |x AS (SELECT user_id, event_id, tus,
       |        CASE WHEN lag(tus) OVER w IS NULL
-      |                  OR tus - lag(tus) OVER w >= 1800000000
+      |                  OR tus - lag(tus) OVER w > 1800000000
       |             THEN 1 ELSE 0 END AS is_start
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
       |s AS (SELECT user_id, tus,
@@ -767,14 +769,14 @@ object RelQueries {
       |       FROM skc GROUP BY 1),
       |est AS (SELECT source, sketch_buckets,
       |          CASE WHEN b50 < 128 THEN b50
-      |               ELSE ((b50 - (b50 // 64 - 1) * 64) + 1)
-      |                    * (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
+      |               ELSE ((b50 - (b50 // 64 - 1) * 64)::BIGINT << (b50 // 64 - 1))
+      |                    + (1::BIGINT << (b50 // 64 - 1)) - 1 END AS p50_est,
       |          CASE WHEN b90 < 128 THEN b90
-      |               ELSE ((b90 - (b90 // 64 - 1) * 64) + 1)
-      |                    * (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
+      |               ELSE ((b90 - (b90 // 64 - 1) * 64)::BIGINT << (b90 // 64 - 1))
+      |                    + (1::BIGINT << (b90 // 64 - 1)) - 1 END AS p90_est,
       |          CASE WHEN b99 < 128 THEN b99
-      |               ELSE ((b99 - (b99 // 64 - 1) * 64) + 1)
-      |                    * (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
+      |               ELSE ((b99 - (b99 // 64 - 1) * 64)::BIGINT << (b99 // 64 - 1))
+      |                    + (1::BIGINT << (b99 // 64 - 1)) - 1 END AS p99_est
       |        FROM eb)
       |SELECT source AS hour_bucket, sketch_buckets, p50_est, p90_est, p99_est
       |FROM est""".stripMargin
@@ -2035,13 +2037,18 @@ object RelQueries {
       .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
     val gapRows = gaps.where(col("gap_us").isNotNull)
       .withColumn("scope", lit("all"))
-    // one long of metadata: the exact p99 gap (empty corpus -> no
-    // timeout can be derived; every event is its own session)
-    val timeout = graft.pipeline.Curation
+    // one long of metadata: the exact p99 gap. A corpus with no
+    // multi-event user has no gaps, hence NO derivable timeout: emit
+    // NULL (matching the oracle's empty-scalar-subquery NULL), never a
+    // Long.MaxValue sentinel — every event is its own session either
+    // way (first events split on gap IS NULL; non-null gaps cannot
+    // exist when the timeout is NULL).
+    val timeoutOpt: Option[Long] = graft.pipeline.Curation
       .groupedQuantiles(gapRows, "scope", col("gap_us"),
         Seq("p99_us" -> 0.99))
       .select(col("p99_us")).collect().headOption
-      .map(_.getLong(0)).getOrElse(Long.MaxValue)
+      .map(_.getLong(0))
+    val timeout = timeoutOpt.map(lit).getOrElse(lit(null).cast("long"))
     gaps
       .withColumn("is_start",
         when(col("gap_us").isNull || col("gap_us") > timeout, 1L)
@@ -2053,7 +2060,7 @@ object RelQueries {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("sess_events")).as("n_events"),
         max(col("sess_events")).as("longest_session_events"))
-      .withColumn("derived_timeout_us", lit(timeout))
+      .withColumn("derived_timeout_us", timeout)
   }
 
   val DerivedSessionsSql: String =

@@ -640,7 +640,8 @@ object SparkEntry {
     // watermark-closed windows (q92's eviction arithmetic)
     "q159_windowed_qsketch_stream" -> RelQueries.WindowedQsketchStreamedSql,
     // q160: native session_window sessionization — built-in semantics
-    // (>= gap splits) replayed exactly, watermark-closed sessions only
+    // (strict > gap splits; gap-equal merges) replayed exactly,
+    // watermark-closed sessions only
     "q160_session_window_stream" -> RelQueries.SessionWindowStreamedSql,
     // q161: C4-style corpus-frequent chunk removal + in-order document
     // reassembly — the cleaned text is hash-checked chunk-for-chunk

@@ -25,14 +25,31 @@ import org.apache.spark.sql.functions._
  */
 object ClosedItemsets {
 
+  /** Hard arity cap, part of the API contract (not caller prose): the
+    * subset enumeration is 2^arity rows per itemset AND the bitmask
+    * lives in a 32-bit shiftleft, so arity 31+ would overflow and
+    * arity ~25 already explodes to tens of millions of mask rows per
+    * itemset. 20 keeps the worst case at ~1M rows per itemset while
+    * covering every realistic mining arity (the q03 run caps at 3). */
+  val MaxArity = 20
+
   /**
-   * Input: `(itemsCol: array<string>, freqCol: long)` rows. Output:
+   * Input: `(itemsCol: array<string>, freqCol: long)` rows, every
+   * itemset of arity <= [[MaxArity]] (raise_error beyond — silently
+   * flagging garbage would be worse than failing). Output:
    * `(itemset, freq, closed, maximal)` with the canonical sorted
    * comma-joined itemset key.
    */
   def flag(itemsets: DataFrame, itemsCol: String, freqCol: String): DataFrame = {
+    val guarded = when(size(col(itemsCol)) > MaxArity,
+        raise_error(concat(
+          lit(s"ClosedItemsets.flag: itemset arity "),
+          size(col(itemsCol)).cast("string"),
+          lit(s" exceeds the hard cap $MaxArity (2^arity subset" +
+            " enumeration; 32-bit masks)"))))
+      .otherwise(array_sort(col(itemsCol)))
     val base = itemsets.select(
-      array_sort(col(itemsCol)).as("items"), col(freqCol).as("freq"))
+      guarded.as("items"), col(freqCol).as("freq"))
     val keyed = base.select(
       array_join(col("items"), ",").as("itemset"), col("items"), col("freq"))
     // every PROPER non-empty subset of every itemset, keyed canonically:

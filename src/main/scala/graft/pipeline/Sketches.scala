@@ -384,12 +384,17 @@ object Sketches {
       .agg(aggs.head, aggs.tail: _*)
     // bucket -> inclusive upper value bound: exact region returns the
     // value itself; above it, e = idx div 2^(s-1) - 1 recovers the shift
-    // and u = idx - e * 2^(s-1) the mantissa, hi = (u + 1) << e - 1.
+    // and u = idx - e * 2^(s-1) the mantissa, hi = (u << e) + (2^e - 1).
+    // NOT `(u + 1) * 2^e - 1`: for the topmost bucket that product is
+    // exactly 2^63, which wraps silently in Spark but raises a BIGINT
+    // overflow in a DuckDB oracle replay — the split form never exceeds
+    // 2^63 - 1 at any reachable bucket.
     val withVals = quantiles.foldLeft(picked) { case (acc, (name, _)) =>
       acc.withColumn(name,
         when(col(s"__b_$name") < m, col(s"__b_$name")).otherwise(
-          expr(s"((__b_$name - (__b_$name div $half - 1) * $half) + 1)" +
-            s" * shiftleft(cast(1 as bigint), __b_$name div $half - 1) - 1")))
+          expr(s"shiftleft(cast(__b_$name - (__b_$name div $half - 1)" +
+            s" * $half as bigint), __b_$name div $half - 1)" +
+            s" + shiftleft(cast(1 as bigint), __b_$name div $half - 1) - 1")))
         .drop(s"__b_$name")
     }
     withVals.select((groupCols.map(col) :+ col("sketch_buckets")) ++

@@ -68,12 +68,12 @@ object EventStreams {
    * [[sessionsClosedStream]]'s flatMapGroupsWithState machinery (q91):
    * the engine surfaces BOTH ways to sessionize a stream, custom state
    * for bespoke lifecycle logic and the built-in for the common case.
-   * Semantics differ at one boundary, deliberately NOT papered over:
-   * `session_window` merges an event into the session only when it
-   * STRICTLY overlaps (gap-equal events start a NEW session), while the
-   * q27/q91 gap-split keeps a gap-equal event (`> gap` splits) — at
-   * microsecond timestamps the boundary case is measure-zero, and the
-   * q160 oracle replays the built-in's `>=`-split semantics exactly.
+   * Boundary semantics pinned empirically (gap-equal fixture in
+   * EventStreamsSpec): `session_window` MERGES a gap-equal event into
+   * the running session — UpdatingSessionsIterator starts a new session
+   * only when the incoming window's start is strictly past the current
+   * session's end, i.e. a strict `> gap` split, the SAME boundary as
+   * the q27/q91 gap-split. The q160 oracle replays that `>`-split.
    * Append mode emits a session once the watermark passes its end
    * (last event + gap); state is the open-session set, gap-bounded.
    */
@@ -108,13 +108,17 @@ object EventStreams {
    */
   def hourlyQsketchStream(spark: SparkSession, dir: String): DataFrame = {
     eventCols(eventStream(spark, dir))
+      // watermark BEFORE the value filter: every event must advance the
+      // watermark even when its value is dropped below, else a stream
+      // whose latest events carry null/negative values would close
+      // fewer windows than the oracle's max(ts)-over-ALL-events wm
+      .withWatermark("event_time", "1 hour")
       .withColumn("__qv",
         expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
-      // nulls and negatives excluded up front: the batch constructor
+      // nulls and negatives excluded here: the batch constructor
       // raises on negatives, but a raise inside a streaming query kills
       // the stream — a monitor drops them at the gate instead
       .where(col("__qv") >= 0L)
-      .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"),
         graft.pipeline.Sketches.qsketchIndexExpr("__qv").as("qbucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -57,4 +57,15 @@ class ClosedItemsetsSpec extends AnyFunSuite {
     val got = run(Seq((Seq("x"), 3L), (Seq("y"), 1L)))
     assert(got == Map("x" -> ((3L, true, true)), "y" -> ((1L, true, true))))
   }
+
+  test("arity above the hard cap raises instead of overflowing the mask") {
+    val wide = (0 until ClosedItemsets.MaxArity + 1).map(i => f"i$i%02d")
+    val e = intercept[Exception] { run(Seq((wide, 2L), (Seq("a"), 5L))) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds the hard cap")))
+    // at the cap itself the guard stays silent
+    val ok = run(Seq(((0 until ClosedItemsets.MaxArity).map(i => f"i$i%02d"), 2L)))
+    assert(ok.values.toSeq == Seq((2L, true, true)))
+  }
 }

@@ -89,12 +89,13 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
-  test("native session_window == gap-split batch sessions (>= boundary)") {
+  test("native session_window == gap-split batch sessions (strict > boundary)") {
     import spark.implicits._
     runToMemory(EventStreams.sessionWindowStream(spark, sf), "swin", "complete")
     val streamed = spark.table("swin")
       .as[(Long, Long, Long, Long)].collect().toSet
-    // batch replay of the BUILT-IN's semantics: gap-equal events split
+    // batch replay of the BUILT-IN's semantics: gap-equal events MERGE
+    // (UpdatingSessionsIterator splits only when start > current end)
     val e = graft.Tables.load(spark, sf, "events")
       .select($"user_id", $"event_id",
         org.apache.spark.sql.functions.expr("ts div 1000L").as("tus"))
@@ -104,7 +105,7 @@ class EventStreamsSpec extends AnyFunSuite {
       val sessions = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
       var cur = scala.collection.mutable.ArrayBuffer[Long]()
       for (t <- ts) {
-        if (cur.nonEmpty && t - cur.last >= 1800000000L) {
+        if (cur.nonEmpty && t - cur.last > 1800000000L) {
           sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long]()
         }
         cur += t
@@ -114,8 +115,42 @@ class EventStreamsSpec extends AnyFunSuite {
         (u, s.head, s.last + 1800000000L, s.size.toLong))
     }.toSet
     assert(streamed == expected,
-      "built-in session windows must equal the >=-split gap replay")
+      "built-in session windows must equal the strict->-split gap replay")
     assert(expected.nonEmpty)
+  }
+
+  test("session_window gap-EQUAL boundary: merges, never splits (pinned fixture)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, Long)] // (user_id, epoch_us)
+    val t0 = 1700000000000000L
+    val gap = 1800000000L // 30 min in µs
+    // user 1: exactly gap apart — must MERGE into one session
+    // user 2: gap - 1µs — strictly inside, merges
+    // user 3: gap + 1µs — strictly outside, splits
+    src.addData((1L, t0), (1L, t0 + gap),
+                (2L, t0), (2L, t0 + gap - 1),
+                (3L, t0), (3L, t0 + gap + 1))
+    val df = src.toDS().toDF("user_id", "tus")
+      .withColumn("event_time", timestamp_micros($"tus"))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_micros($"session_window.start").as("s"),
+        unix_micros($"session_window.end").as("e"), $"n")
+    val q = df.writeStream.format("memory").queryName("swin_boundary")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("swin_boundary")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, t0, t0 + 2 * gap, 2L),           // gap-equal pair: ONE session
+      (2L, t0, t0 + 2 * gap - 1, 2L),       // inside: one session
+      (3L, t0, t0 + gap, 1L),               // outside: two sessions
+      (3L, t0 + gap + 1, t0 + 2 * gap + 1, 1L)),
+      s"session_window boundary semantics moved: $got")
   }
 
   test("flatMapGroupsWithState sessionization == batch window sessionization") {
