@@ -191,6 +191,56 @@ object Dedup {
   }
 
   /**
+   * The `(doc, gram)` inverted shingle index behind
+   * [[ngramJaccardPairs]], exposed as a PERSISTABLE ARTIFACT: save it
+   * next to the cluster table and an incremental refresh
+   * ([[ngramJaccardDeltaPairs]]) probes it with only the added
+   * documents — one shingle pass over the delta, zero re-shingling of
+   * the stored corpus.
+   */
+  def ngramShingleIndex(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
+    shingleIndex(docs, idCol, textCol, n, maxShingleDF = 0L)
+
+  /**
+   * Incremental exact-Jaccard near-dup pairs: every pair at
+   * `jaccard >= threshold` that TOUCHES an added document — exactly the
+   * delta a stored cluster table needs folded in
+   * ([[Curation.mergeComponents]]), since stored-stored pairs cannot
+   * change when documents are only added (Jaccard is pairwise).
+   *
+   * `storedIdx` is a loaded [[ngramShingleIndex]] artifact `(doc,
+   * gram)`; only `added` is shingled here. Candidate generation +
+   * intersection counting stay one gram-equality equi-join per side
+   * (added x added with `d1 < d2`; added x stored oriented by `least/
+   * greatest` — the id spaces MUST be disjoint, which is the caller's
+   * add-only contract), then the shared [[jaccardScored]] thresholds on
+   * exact Jaccard with sizes from the union index. Work is
+   * `O(|delta shingles| x matching-gram postings)` — never a
+   * corpus-sized rescan; the plan is shuffle-shaped at any corpus size.
+   */
+  def ngramJaccardDeltaPairs(
+      storedIdx: DataFrame, added: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val addedIdx = shingleIndex(added, idCol, textCol, n, maxShingleDF = 0L)
+    val old = storedIdx.select(col("doc"), col("gram"))
+    val interAA = addedIdx.as("a")
+      .join(addedIdx.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val interAO = addedIdx.as("a")
+      .join(old.as("b"), col("a.gram") === col("b.gram"))
+      .groupBy(
+        least(col("a.doc"), col("b.doc")).as("d1"),
+        greatest(col("a.doc"), col("b.doc")).as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardScored(interAA.unionByName(interAO), old.unionByName(addedIdx),
+      threshold)
+  }
+
+  /**
    * MinHash + LSH banding, then exact-Jaccard verification of candidates.
    * `numHashes = bands * rowsPerBand` seeded xxhash64 minimums; a pair is a
    * candidate iff some band of the signatures matches exactly. For

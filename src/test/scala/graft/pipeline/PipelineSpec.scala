@@ -64,6 +64,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, "LSH+verify must equal the exact pair set here")
   }
 
+  test("delta-probe pairs == full-corpus pairs touching an added doc") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val old = docs.where(col("doc_id") % 3 =!= 0)
+    val added = docs.where(col("doc_id") % 3 === 0)
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    val storedIdx = Dedup.ngramShingleIndex(old, "doc_id", "text", 5)
+    val delta = Dedup.ngramJaccardDeltaPairs(storedIdx, added,
+        "doc_id", "text", 5, 0.5)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "the split should leave cross-side pairs")
+    assert(delta == expected,
+      "delta probe must produce exactly the full pairs touching an added doc" +
+        " (jaccard bit-equal included)")
+  }
+
   test("stop-gram pruning bounds the inverted-index fan-out (adversarial corpus)") {
     import spark.implicits._
     // Every doc shares one ubiquitous 5-gram prefix; tails are unique.
