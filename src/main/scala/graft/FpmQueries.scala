@@ -185,6 +185,50 @@ object FpmQueries {
       model(spark, dir).freqItemsets.where(size(col("items")) <= 3),
       "items", "freq")
 
+  /** q: INCREMENTAL frequent-itemset refresh — the artifact lifecycle
+    * (q129/q148/q150/q163) applied to the flagship FP-growth output,
+    * which the reference re-mines from scratch every run
+    * (`reference pfp/FPGrowthCore.scala:49-65`). The OLD snapshot
+    * (baskets with `l_orderkey % 211 != 0`) is mined ONCE at the
+    * reduced absolute threshold `minCount_union - |delta|` and
+    * persisted (save -> load); the refresh counts each candidate's
+    * exact support in only the |delta| added baskets and re-thresholds
+    * ([[graft.fpm.ItemsetRefresh]] — FUP candidate refresh, provably
+    * complete while `|delta| < minCount_union`, require-enforced; the
+    * 1/211 delta sits under the 1% support floor at every SF). The
+    * oracle is q03's statement verbatim over the union corpus: the
+    * refreshed table IS the full re-mine, bit for bit. */
+  def itemsetRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val nOld = old.count()
+    val nAdded = added.count()
+    val minCountUni =
+      math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
+    val probe = math.max(1L, minCountUni - nAdded)
+    val staged = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q170-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = staged.resolve("itemsets").toString
+    val m = new FPGrowth()
+      .setMinCount(probe)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .fit(old)
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .write.mode("overwrite").parquet(artPath)
+    m.freqItemsets.unpersist()
+    val stored = spark.read.parquet(artPath)
+    graft.fpm.ItemsetRefresh.refresh(stored, added, "items",
+      minCountUni, nAdded)
+  }
+
+  /** Same statement as q03: the refresh must equal the full re-mine
+    * (lazy: FreqItemsetsSql is declared below). */
+  lazy val ItemsetRefreshSql: String = FreqItemsetsSql
+
   /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).associationRules

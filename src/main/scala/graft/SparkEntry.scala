@@ -184,6 +184,7 @@ object SparkEntry {
     "q167_length_batching" -> ((s, d) => PipelineQueries.lengthBatching(s, d)),
     "q168_closed_itemsets" -> ((s, d) => FpmQueries.closedMaximalItemsets(s, d)),
     "q169_boilerplate_gate_stream" -> ((s, d) => PipelineQueries.boilerplateGateStreamed(s, d)),
+    "q170_itemset_refresh" -> ((s, d) => FpmQueries.itemsetRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -672,5 +673,9 @@ object SparkEntry {
     // q169: streaming boilerplate gate served from the persisted q163
     // artifact — per-doc output exact-replayed, not a contract boolean
     "q169_boilerplate_gate_stream" -> PipelineQueries.BoilerplateGateStreamedSql,
+    // q170: incremental FP-growth itemset artifact (FUP candidate
+    // refresh at a reduced probe threshold) — oracle is q03's statement
+    // verbatim: delta-refresh == full re-mine, bit for bit
+    "q170_itemset_refresh" -> FpmQueries.ItemsetRefreshSql,
   )
 }

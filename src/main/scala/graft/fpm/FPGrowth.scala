@@ -61,6 +61,17 @@ class FPGrowth private (
     minConfidence = v; this
   }
   def setNumPartitions(v: Int): this.type = { numPartitions = v; this }
+
+  /** Absolute support-count threshold, overriding the relative
+    * `minSupport` when >= 1 — the knob the incremental refresh
+    * ([[ItemsetRefresh]]) needs: its probe artifact must be mined at an
+    * EXACT absolute count (`minCount_union - |delta|`), and deriving
+    * that through a fraction would round through IEEE ceil. */
+  private var minCountOverride: Long = -1L
+  def setMinCount(v: Long): this.type = {
+    require(v >= 1L, s"minCount must be >= 1 but got $v")
+    minCountOverride = v; this
+  }
   /** true = EPFP balanced groups (default); false = PFP hash groups. */
   def setBalanced(v: Boolean): this.type = { balanced = v; this }
 
@@ -84,7 +95,9 @@ class FPGrowth private (
     if (handlePersistence) input.persist(StorageLevel.MEMORY_AND_DISK)
 
     val numTransactions = input.count()
-    val minCount = math.max(1L, math.ceil(minSupport * numTransactions).toLong)
+    val minCount =
+      if (minCountOverride >= 1L) minCountOverride
+      else math.max(1L, math.ceil(minSupport * numTransactions).toLong)
 
     // L1: ranked frequent items. Deterministic rank order (freq desc, item asc).
     val freqItems: Array[(String, Long)] = input

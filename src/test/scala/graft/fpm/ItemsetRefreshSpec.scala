@@ -1,0 +1,72 @@
+package graft.fpm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental itemset refresh: delta counting vs brute force, the
+  * refresh == full-re-mine differential, and the soundness trigger. */
+class ItemsetRefreshSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("itemset-refresh-spec")
+    .getOrCreate()
+
+  test("deltaCounts == brute-force subset counts on a hand fixture") {
+    import spark.implicits._
+    val added = Seq(
+      Seq("a", "b", "c"),
+      Seq("a", "c", "d"),
+      Seq("b"),
+      Seq("a", "b", "c", "e")).toDF("items")
+    // candidate universe excludes e: subsets containing e must not appear
+    val got = ItemsetRefresh.deltaCounts(added, "items", Seq("a", "b", "c", "d"))
+      .as[(String, Long)].collect().toMap
+    val txns = Seq(Seq("a","b","c"), Seq("a","c","d"), Seq("b"), Seq("a","b","c"))
+    val naive = txns.flatMap { t =>
+      val subs = (1 to 3).flatMap(k => t.combinations(k))
+      subs.map(_.mkString(","))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == naive)
+    assert(!got.keys.exists(_.contains("e")))
+  }
+
+  test("refresh == full FP-growth re-mine on sf0.001 baskets") {
+    import spark.implicits._
+    val b = graft.Tables.orderBrandBaskets(spark, "/root/testdata/sf0.001")
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val nOld = old.count(); val nAdded = added.count()
+    val minCountUni = math.max(1L, math.ceil(0.01 * (nOld + nAdded)).toLong)
+    assert(nAdded > 0 && nAdded < minCountUni, "fixture must exercise the delta path")
+    val probe = math.max(1L, minCountUni - nAdded)
+    val mOld = new FPGrowth().setMinCount(probe).setNumPartitions(4).fit(old)
+    val stored = mOld.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+    val refreshed = ItemsetRefresh
+      .refresh(stored, added, "items", minCountUni, nAdded)
+      .as[(String, Long)].collect().toSet
+    val mFull = new FPGrowth().setMinCount(minCountUni).setNumPartitions(4).fit(b)
+    val full = mFull.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+      .as[(String, Long)].collect().toSet
+    mOld.freqItemsets.unpersist(); mFull.freqItemsets.unpersist()
+    assert(refreshed.nonEmpty)
+    assert(refreshed == full, "delta refresh must equal the full re-mine")
+  }
+
+  test("a delta at or above minCount_union is refused (full re-mine trigger)") {
+    import spark.implicits._
+    val stored = Seq(("a", 5L)).toDF("itemset", "freq")
+    val added = Seq(Seq("a")).toDF("items")
+    val e = intercept[IllegalArgumentException] {
+      ItemsetRefresh.refresh(stored, added, "items", minCountUnion = 3L, nAdded = 3L)
+    }
+    assert(e.getMessage.contains("re-mine"))
+  }
+}
