@@ -238,6 +238,26 @@ object FpmQueries {
         col("consequent").getItem(0).as("consequent"),
         col("confidence"), col("lift"), col("support"))
 
+  /** q: rule interestingness beyond confidence/lift — leverage
+    * (Piatetsky-Shapiro independence gap) and conviction (Brin et al.,
+    * NULL for exact rules) beside q04's columns, every measure an exact
+    * decimal count product finished by one pinned IEEE step
+    * ([[graft.fpm.AssociationRules.interestingness]]; the reference
+    * stops at lift, `reference pfp/AssociationRules.scala:109-114`).
+    * Same arity caps as q04; q04's schema is untouched. */
+  def ruleInterest(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    AssociationRules.interestingness(
+        m.freqItemsets.where(size(col("items")) <= 3),
+        m.numTransactions, MinConfidence)
+      .where(size(col("antecedent")) <= 2)
+      .select(
+        array_join(array_sort(col("antecedent")), ",").as("antecedent"),
+        col("consequent").getItem(0).as("consequent"),
+        col("confidence"), col("lift"), col("support"),
+        col("leverage"), col("conviction"))
+  }
+
   /** q: rule-based prediction over every basket (broadcast rules + subset probe). */
   def predict(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -462,6 +482,35 @@ object FpmQueries {
        |SELECT array_to_string(ant, ',') AS antecedent, cons AS consequent,
        |       confidence, lift, support
        |FROM rules""".stripMargin
+
+  /** q171 oracle: the q04 rule chain plus leverage/conviction computed
+    * from the same count CTEs with the exact decimal(18,0)-product /
+    * pinned-IEEE-finish discipline as the Spark side. */
+  val RuleInterestSql: String =
+    s"""WITH $RuleCtes,
+       |ri AS (
+       |  SELECT cand.ant, cand.cons,
+       |         cand.f::DOUBLE / af.f AS confidence,
+       |         (cand.f::DOUBLE / af.f)
+       |           / (fc.f::DOUBLE / (SELECT c FROM n)) AS lift,
+       |         cand.f::DOUBLE / (SELECT c FROM n) AS support,
+       |         (cand.f::DECIMAL(18,0) * (SELECT c FROM n)::DECIMAL(18,0)
+       |            - af.f::DECIMAL(18,0) * fc.f::DECIMAL(18,0))::DOUBLE
+       |           / ((SELECT c FROM n)::DOUBLE * (SELECT c FROM n)::DOUBLE)
+       |           AS leverage,
+       |         CASE WHEN af.f = cand.f THEN NULL
+       |              ELSE (((SELECT c FROM n)::DECIMAL(18,0)
+       |                       - fc.f::DECIMAL(18,0)) * af.f::DECIMAL(18,0))::DOUBLE
+       |                   / ((SELECT c FROM n)::DECIMAL(18,0)
+       |                       * (af.f::DECIMAL(18,0) - cand.f::DECIMAL(18,0)))::DOUBLE
+       |              END AS conviction
+       |  FROM cand
+       |  JOIN antfreq af ON cand.ant = af.key
+       |  JOIN k1 fc ON cand.cons = fc.item
+       |  WHERE cand.f::DOUBLE / af.f >= ${MinConfidence}::DOUBLE)
+       |SELECT array_to_string(ant, ',') AS antecedent, cons AS consequent,
+       |       confidence, lift, support, leverage, conviction
+       |FROM ri""".stripMargin
 
   val PredictSql: String =
     s"""WITH $RuleCtes,

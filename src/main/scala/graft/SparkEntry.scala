@@ -185,6 +185,7 @@ object SparkEntry {
     "q168_closed_itemsets" -> ((s, d) => FpmQueries.closedMaximalItemsets(s, d)),
     "q169_boilerplate_gate_stream" -> ((s, d) => PipelineQueries.boilerplateGateStreamed(s, d)),
     "q170_itemset_refresh" -> ((s, d) => FpmQueries.itemsetRefresh(s, d)),
+    "q171_rule_interest" -> ((s, d) => FpmQueries.ruleInterest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,5 +678,8 @@ object SparkEntry {
     // refresh at a reduced probe threshold) — oracle is q03's statement
     // verbatim: delta-refresh == full re-mine, bit for bit
     "q170_itemset_refresh" -> FpmQueries.ItemsetRefreshSql,
+    // q171: leverage + conviction beside q04's columns — exact decimal
+    // count products, one pinned IEEE finish per measure
+    "q171_rule_interest" -> FpmQueries.RuleInterestSql,
   )
 }
