@@ -2185,6 +2185,46 @@ object PipelineQueries {
       |       coalesce(s, 0)::BIGINT AS sum_condp_e12
       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** q: STUPID-BACKOFF LM scoring — q66's graded twin: unseen bigrams
+    * back off to `0.4 * unigram_count / T` instead of contributing
+    * nothing, so an all-novel document still gets a ranked signal
+    * ([[graft.pipeline.Signals.lmScoreBackoff]]). Fixed-point e12
+    * terms, each one pinned IEEE chain over exact counts — the oracle
+    * replays every term bit for bit. */
+  def lmDocScoreBackoff(s: SparkSession, d: String): DataFrame =
+    Signals.lmScoreBackoff(docs(s, d), "doc_id", "text", minCount = 5L)
+
+  val LmDocScoreBackoffSql: String =
+    """WITH w AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+      |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |t AS (SELECT w1, sum(cnt)::BIGINT AS w1_cnt FROM c GROUP BY 1),
+      |lm AS (SELECT c.w1, c.w2, cnt::DOUBLE / w1_cnt AS cond_p
+      |       FROM c JOIN t ON c.w1 = t.w1 WHERE cnt >= 5),
+      |u AS (SELECT w2, count(*)::BIGINT AS w2_cnt
+      |      FROM (SELECT unnest(ws) AS w2 FROM w) GROUP BY 1),
+      |tot AS (SELECT sum(w2_cnt)::BIGINT AS tt FROM u),
+      |j AS (SELECT b.doc_id, b.w1, lm.cond_p, u.w2_cnt
+      |      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      |             LEFT JOIN u ON b.w2 = u.w2),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |               count(cond_p)::BIGINT AS n_known,
+      |               coalesce(sum(
+      |                 CASE WHEN cond_p IS NOT NULL
+      |                      THEN floor(cond_p * 1e12)::BIGINT
+      |                      ELSE floor(w2_cnt::DOUBLE / (SELECT tt FROM tot)
+      |                                 * 400000000000.0)::BIGINT END), 0) AS s
+      |        FROM j GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+      |       coalesce(n_known, 0)::BIGINT AS n_known,
+      |       (coalesce(n_bigrams, 0) - coalesce(n_known, 0))::BIGINT AS n_backoff,
+      |       coalesce(s, 0)::BIGINT AS score_e12
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** BPE tokenizer training over the corpus — 20 merge rounds, pairs
     * below 2 occurrences never merged ([[graft.pipeline.Bpe.trainMerges]]).
     * The argmax each round is total-ordered (count desc, then

@@ -186,6 +186,7 @@ object SparkEntry {
     "q169_boilerplate_gate_stream" -> ((s, d) => PipelineQueries.boilerplateGateStreamed(s, d)),
     "q170_itemset_refresh" -> ((s, d) => FpmQueries.itemsetRefresh(s, d)),
     "q171_rule_interest" -> ((s, d) => FpmQueries.ruleInterest(s, d)),
+    "q172_lm_backoff_score" -> ((s, d) => PipelineQueries.lmDocScoreBackoff(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -681,5 +682,8 @@ object SparkEntry {
     // q171: leverage + conviction beside q04's columns — exact decimal
     // count products, one pinned IEEE finish per measure
     "q171_rule_interest" -> FpmQueries.RuleInterestSql,
+    // q172: stupid-backoff LM score — unseen bigrams fall back to
+    // 0.4 * unigram/T; every e12 term a pinned IEEE chain, replayed
+    "q172_lm_backoff_score" -> PipelineQueries.LmDocScoreBackoffSql,
   )
 }

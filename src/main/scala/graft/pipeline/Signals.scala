@@ -326,6 +326,71 @@ object Signals {
   }
 
   /**
+   * STUPID-BACKOFF bigram scoring (Brants et al. 2007, "Large Language
+   * Models in Machine Translation") — the graded extension of
+   * [[lmScore]], whose raw conditional-probability sum gives an
+   * unseen-bigram document no signal at all: a bigram the pruned LM
+   * does not contain backs off to its unigram relative frequency scaled
+   * by the fixed weight alpha = 0.4 (the paper's constant),
+   *
+   *   S(w2 | w1) = cond_p(w1, w2)            if count(w1,w2) >= minCount
+   *              = 0.4 * count(w2) / T       otherwise,
+   *
+   * where `count(w2)` is the corpus unigram count and `T` the corpus
+   * token total — so every document scores on every bigram. Not
+   * normalized (stupid backoff deliberately is not a probability
+   * distribution — the paper's point is that at corpus scale the
+   * unnormalized score ranks as well as Kneser-Ney at a fraction of
+   * the cost).
+   *
+   * Arithmetic discipline (the q66/q162 convention): each term is
+   * exact-integer counts finished by a PINNED order of IEEE steps —
+   * known: `floor((cnt / w1_cnt) * 1e12)`; backoff:
+   * `floor(w2_cnt / T * 4e11)` (0.4 * 1e12 = 4e11, exactly
+   * representable) — summed as longs, so a DuckDB oracle replaying the
+   * same expressions hash-matches exactly.
+   *
+   * Scale shape: one corpus scan feeds the (cached) LM and one more
+   * the unigram table; scoring is one bigram explode, a left join
+   * against the minCount-pruned LM (broadcast when bounded), an
+   * equi-join against the vocabulary-sized unigram table, and one
+   * partial-aggregated groupBy per doc. `T` is one scalar of driver
+   * metadata.
+   */
+  def lmScoreBackoff(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, broadcastMaxRows: Long = 1L << 20): DataFrame = {
+    val cached = cachedLm(docs, textCol, minCount)
+    val model = cached.df.select(col("w1"), col("w2"), col("cond_p"))
+    val lm = if (cached.rows <= broadcastMaxRows) broadcast(model) else model
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val uni = docs.select(explode(words).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("w2_cnt"))
+    val totalTokens = uni.agg(sum(col("w2_cnt")))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode_outer(sliceNgrams(words, 2)).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val knownTerm = floor(col("cond_p") * lit(1e12)).cast("long")
+    val backoffTerm = floor(col("w2_cnt").cast("double") /
+      lit(totalTokens.toDouble) * lit(4.0e11)).cast("long")
+    pairs
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("w1")).as("n_bigrams"),
+        count(col("cond_p")).as("n_known"),
+        (count(col("w1")) - count(col("cond_p"))).as("n_backoff"),
+        coalesce(sum(
+          when(col("cond_p").isNotNull, knownTerm).otherwise(backoffTerm)),
+          lit(0L)).as("score_e12"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        col("n_backoff"), col("score_e12"))
+  }
+
+  /**
    * [[contamination]] with a Bloom-filter prefilter on the training side
    * — the shape that survives when the eval gram set is too large to
    * broadcast exactly. The filter is built by a mergeable one-pass

@@ -186,4 +186,36 @@ class SignalsSpec extends AnyFunSuite {
       3L -> ((0L, 0L, 0.0, 0L)),
       4L -> ((0L, 0L, 0.0, 0L))))
   }
+
+  test("stupid-backoff LM score: unseen bigrams fall back to 0.4 * unigram/T") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b x"),     // (a,b) (b,x)
+      (3L, "z"),         // no bigrams
+      (4L, "")           // no tokens
+    ).toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=1 x=1 z=1, T=9; LM at minCount=2 keeps only
+    // (a,b) with cond_p=1.0. Backoff term = floor(w2_cnt/9 * 4e11):
+    // w2=a -> floor(3.0/9.0*4e11) = 133333333333
+    // w2=c, w2=x -> floor(1.0/9.0*4e11) = 44444444444
+    val got = Signals.lmScoreBackoff(docs, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 2L, 2000000000000L + 133333333333L + 44444444444L)),
+      2L -> ((2L, 1L, 1L, 1000000000000L + 44444444444L)),
+      3L -> ((0L, 0L, 0L, 0L)),
+      4L -> ((0L, 0L, 0L, 0L))))
+    // every bigram now contributes: known docs rank above all-novel docs,
+    // but an all-novel doc of frequent words still scores above one of
+    // rare words (the graded signal q66's raw sum lacks)
+    val novel = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "c a"), (4L, "x z"))
+      .toDF("doc_id", "text")
+    val scores = Signals.lmScoreBackoff(novel, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(scores(3L) > scores(4L)) // (c,a): a freq 4 beats (x,z): z freq 1
+    assert(scores(3L) > 0L && scores(4L) > 0L)
+  }
 }
