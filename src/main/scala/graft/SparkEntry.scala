@@ -187,6 +187,7 @@ object SparkEntry {
     "q170_itemset_refresh" -> ((s, d) => FpmQueries.itemsetRefresh(s, d)),
     "q171_rule_interest" -> ((s, d) => FpmQueries.ruleInterest(s, d)),
     "q172_lm_backoff_score" -> ((s, d) => PipelineQueries.lmDocScoreBackoff(s, d)),
+    "q173_kmv_setops" -> ((s, d) => PipelineQueries.kmvSourceSetOps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -685,5 +686,8 @@ object SparkEntry {
     // q172: stupid-backoff LM score — unseen bigrams fall back to
     // 0.4 * unigram/T; every e12 term a pinned IEEE chain, replayed
     "q172_lm_backoff_score" -> PipelineQueries.LmDocScoreBackoffSql,
+    // q173: KMV set-operation sketch — pairwise union/Jaccard/intersection
+    // estimates from k-min synopses, exact references + bound flags beside
+    "q173_kmv_setops" -> PipelineQueries.KmvSourceSetOpsSql,
   )
 }

@@ -90,6 +90,13 @@ object GraftFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())
       }),
+    ("kmv_minhash",
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_minhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "usage: kmv_minhash(hashCol, k) with literal k")
+        KmvAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }),
     ("bloom_agg",
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (exprs: Seq[Expression]) => {

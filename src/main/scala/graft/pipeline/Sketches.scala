@@ -400,4 +400,99 @@ object Sketches {
     withVals.select((groupCols.map(col) :+ col("sketch_buckets")) ++
       quantiles.map(q => col(q._1)): _*)
   }
+
+  // ------------------------------------------------------------ KMV sketch
+
+  /** Synopsis size for [[kmvSketch]]: k = 64 minimum hash values — the
+    * union/distinct estimator's standard error is ~1/sqrt(k-2) = 12.7%,
+    * and the Jaccard match fraction over the union k-mins has binomial
+    * deviation sqrt(j(1-j)/k) <= 6.3%. */
+  val KmvK = 64
+
+  /**
+   * KMV (k-minimum-values) synopsis of the distinct values of `valueCol`
+   * per group — `(group..., kmv array<bigint>)`, the k smallest distinct
+   * `rolling_hash` values in unsigned order ([[graft.functions.KmvAgg]]).
+   *
+   * The set-operation sketch: unlike the HLL register table (q120),
+   * which only max-merges into UNION cardinalities, the KMV synopsis is
+   * an order-preserving sample of the hashed universe, so two synopses
+   * estimate their sets' INTERSECTION as well (Beyer et al., SIGMOD
+   * 2007) — the train/eval-overlap, cross-source-contamination shape
+   * where inclusion-exclusion over HLL estimates drowns in compounded
+   * error.
+   *
+   * Scale shape: one scan generating the values in-scan, ONE
+   * partial-aggregated shuffle whose payload is at most k longs per
+   * group (the aggregate merges k-min sets map-side) — never a distinct
+   * shuffle of the raw universe. Deterministic: the synopsis is a pure
+   * function of the value SET, bit-identical at any parallelism.
+   */
+  def kmvSketch(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = KmvK): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.Kmv.kmv_minhash(
+        RollingHash.rolling_hash(col(valueCol)), k).as("kmv"))
+
+  /** Signed-64 hash array -> unsigned decimal(20,0) array: the hash
+    * domain is [0, 2^64); decimals order naturally and cast to double
+    * CORRECTLY ROUNDED in both engines (Spark Decimal.toDouble and
+    * DuckDB HUGEINT::DOUBLE), which a two-step long->double+2^64 bump
+    * would not (double rounding). */
+  private def unsignedDec(c: Column): Column =
+    transform(c, x => when(x >= 0, x.cast("decimal(20,0)"))
+      .otherwise((x.cast("decimal(20,0)") +
+        lit(new java.math.BigDecimal("18446744073709551616")))
+        .cast("decimal(20,0)")))
+
+  /** 2^64 as an (exactly representable) double — the unsigned hash
+    * domain size, denominator of the KMV estimator. */
+  private val TwoPow64d = 1.8446744073709552e19
+
+  /**
+   * Set-operation estimates from a PAIR of [[kmvSketch]] synopses.
+   * Input: one row per pair with `kmv_a`, `kmv_b` (array<bigint>).
+   * Emits per pair:
+   *
+   *  - `n_mins`: size of the union synopsis (k, or the exact distinct
+   *    union when both sets were smaller than k — then every estimate
+   *    below is exact);
+   *  - `kth_min`: largest kept unsigned hash (decimal, exact);
+   *  - `union_est`: `(k-1) * (2^64 / kth)` — the classic KMV distinct
+   *    estimator applied to the union synopsis, which is computable
+   *    from the two synopses alone (k-min of a union = k-min of the
+   *    union of the k-min sets);
+   *  - `jacc_est`: fraction of the union k-mins present in BOTH input
+   *    synopses (each such hash is a uniform sample of the union that
+   *    landed in the intersection);
+   *  - `inter_est`: `jacc_est * union_est`.
+   *
+   * Every derived number is either an exact integer or a PINNED chain
+   * of IEEE steps over exactly-converted integers, so a SQL oracle
+   * ranking the same hashes reproduces each column bit for bit.
+   */
+  def kmvSetOps(pairs: DataFrame, k: Int = KmvK): DataFrame = {
+    val withU = pairs
+      .withColumn("__ua", unsignedDec(col("kmv_a")))
+      .withColumn("__ub", unsignedDec(col("kmv_b")))
+      .withColumn("__u",
+        slice(array_sort(array_distinct(concat(col("__ua"), col("__ub")))), 1, k))
+      .withColumn("n_mins", size(col("__u")).cast("long"))
+      .withColumn("kth_min", element_at(col("__u"), size(col("__u"))))
+      .withColumn("__matches",
+        size(filter(col("__u"), v =>
+          array_contains(col("__ua"), v) && array_contains(col("__ub"), v)))
+          .cast("long"))
+    withU
+      .withColumn("union_est",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            (lit(TwoPow64d) / col("kth_min").cast("double"))))
+      .withColumn("jacc_est",
+        col("__matches").cast("double") / col("n_mins").cast("double"))
+      .withColumn("inter_est", col("jacc_est") * col("union_est"))
+      .drop("__ua", "__ub", "__u", "__matches")
+  }
 }

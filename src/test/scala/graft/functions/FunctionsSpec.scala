@@ -69,6 +69,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.contains("a") && rows("a") >= 2) // freq 4 > n/(k+1)=5/3
   }
 
+  test("kmv_minhash callable from SQL with literal k; unsigned order; dedup") {
+    import spark.implicits._
+    Seq("a", "b", "c", "a", "b").toDF("s").createOrReplaceTempView("kmv_in")
+    val got = spark.sql("SELECT kmv_minhash(rolling_hash(s), 2) AS m FROM kmv_in")
+      .as[Seq[Long]].head()
+    val expect = Seq("a", "b", "c").map(RollingHash.hashString).distinct
+      .sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0).take(2)
+    assert(got == expect)
+  }
+
   test("bloom filter: zero false negatives, bounded false positives, OR-mergeable") {
     import spark.implicits._
     val numBits = 1 << 16

@@ -437,4 +437,83 @@ class SketchesSpec extends AnyFunSuite {
     assert(grams == Set(("s1", "a b c d e"), ("s1", "b c d e f")),
       "len-4 docs yield no grams; len-6 yields exactly two overlapping")
   }
+
+  /** Driver-side KMV reference: k smallest DISTINCT rolling hashes in
+    * unsigned order. */
+  private def referenceKmv(values: Seq[String], k: Int): Seq[Long] =
+    values.map(RollingHash.hashString).distinct
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(k)
+
+  test("kmv synopsis matches the driver-side k-min reference") {
+    import spark.implicits._
+    val vals = randomStrings(3000, 7)
+    // with duplication: the synopsis is a function of the value SET
+    val got = Sketches.kmvSketch((vals ++ vals.take(500)).toDF("v"),
+        Seq.empty, "v", k = 64)
+      .select($"kmv").as[Seq[Long]].head()
+    assert(got == referenceKmv(vals, 64))
+  }
+
+  test("kmv synopsis is bit-identical at any parallelism; nulls excluded") {
+    import spark.implicits._
+    val vals: Seq[Option[String]] =
+      randomStrings(2000, 8).map(Option(_)) ++ Seq.fill(50)(Option.empty[String])
+    def sk(parts: Int) =
+      Sketches.kmvSketch(vals.toDF("v").repartition(parts), Seq.empty, "v", k = 64)
+        .select($"kmv").as[Seq[Long]].head()
+    assert(sk(1) == sk(13))
+    assert(sk(13) == referenceKmv(vals.flatten, 64))
+  }
+
+  test("kmv mergeability: k-min of a union == k-min over the two synopses") {
+    import spark.implicits._
+    val a = randomStrings(1500, 9)
+    val b = randomStrings(1500, 10)
+    val full = referenceKmv(a ++ b, 64)
+    val ka = referenceKmv(a, 64)
+    val kb = referenceKmv(b, 64)
+    val merged = (ka ++ kb).distinct
+      .sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0).take(64)
+    assert(merged == full,
+      "the union's k smallest all live in one of the two k-min sets")
+  }
+
+  test("kmv set ops are exact when both sets are smaller than k") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"val_$i")       // 20 distinct
+    val b = (11 to 35).map(i => s"val_$i")      // 25 distinct, overlap 10
+    val ska = Sketches.kmvSketch(a.toDF("v"), Seq.empty, "v", k = 64)
+      .select($"kmv".as("kmv_a"))
+    val skb = Sketches.kmvSketch(b.toDF("v"), Seq.empty, "v", k = 64)
+      .select($"kmv".as("kmv_b"))
+    val r = Sketches.kmvSetOps(ska.crossJoin(skb))
+      .select($"n_mins", $"union_est", $"jacc_est", $"inter_est")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 35L)                        // |A u B| exactly
+    assert(r._2 == 35.0)                       // union estimate exact
+    assert(r._3 == 10.0 / 35.0)                // Jaccard exact
+    assert(r._4 == (10.0 / 35.0) * 35.0)       // intersection recovers 10
+  }
+
+  test("kmv intersection estimate lands within the binomial error band") {
+    import spark.implicits._
+    // two 4000-element sets sharing 2000 -> jaccard 1/3, union 6000.
+    // Random strings: the estimator assumes a well-mixed hash, and
+    // sequential-suffix fixtures (common prefix, trailing counter)
+    // cluster the Karp-Rabin fold badly enough to starve the k-min
+    // sample of one side entirely (see the ngramStream scaladoc).
+    val univ = randomStrings(6000, 11).distinct
+    assert(univ.size == 6000)
+    val a = univ.take(4000)
+    val b = univ.drop(2000)
+    val ska = Sketches.kmvSketch(a.toDF("v"), Seq.empty, "v", k = 64)
+      .select($"kmv".as("kmv_a"))
+    val skb = Sketches.kmvSketch(b.toDF("v"), Seq.empty, "v", k = 64)
+      .select($"kmv".as("kmv_b"))
+    val r = Sketches.kmvSetOps(ska.crossJoin(skb))
+      .select($"union_est", $"jacc_est").as[(Double, Double)].head()
+    // union sigma 12.7%, jaccard sigma sqrt(j(1-j)/64) = 5.9%: 4-sigma caps
+    assert(math.abs(r._1 - 6000.0) / 6000.0 <= 0.51, s"union_est ${r._1}")
+    assert(math.abs(r._2 - 1.0 / 3.0) <= 0.24, s"jacc_est ${r._2}")
+  }
 }
