@@ -3442,9 +3442,20 @@ object PipelineQueries {
     * 190 pairs: 0.117/0.191 at sf0.01, 0.120/0.161 at sf0.001 — the
     * Jaccard max is ~3 sigma, the expected extreme of 190 draws). */
   def kmvSourceSetOps(s: SparkSession, d: String): DataFrame = {
+    val corpus = docs(s, d)
+    val sk = graft.pipeline.Sketches.kmvSketch(
+      graft.pipeline.Sketches.ngramStream(corpus, "text", Seq("source"), n = 2),
+      Seq("source"), "gram")
+    kmvPairReport(s, corpus, sk)
+  }
+
+  /** Shared by q173 (direct synopsis) and q174 (refreshed artifact):
+    * pairwise set-op estimates from a per-source synopsis table `sk`
+    * beside exact references computed over `corpus`. */
+  private def kmvPairReport(
+      s: SparkSession, corpus: DataFrame, sk: DataFrame): DataFrame = {
     val grams = graft.pipeline.Sketches.ngramStream(
-      docs(s, d), "text", Seq("source"), n = 2)
-    val sk = graft.pipeline.Sketches.kmvSketch(grams, Seq("source"), "gram")
+      corpus, "text", Seq("source"), n = 2)
     val sources = sk.select(col("source")).collect().map(_.getString(0)).sorted
     import s.implicits._
     val pairsDf = (for { a <- sources; b <- sources if a < b } yield (a, b))
@@ -3541,6 +3552,50 @@ object PipelineQueries {
       |       union_rel_err <= 0.35 AS union_ok,
       |       jacc_abs_err <= 0.25 AS jacc_ok
       |FROM err""".stripMargin
+
+  /** q: INCREMENTAL KMV refresh — the q129/q148/q157 artifact lifecycle
+    * for the set-operation sketch: the OLD snapshot's per-source
+    * synopses persisted (save -> load), the ADDED docs' bigram hashes
+    * folded in ([[graft.pipeline.Sketches.kmvRefresh]] — synopsis-sized
+    * stored side, only the delta hashed), and the full q173 pair report
+    * served from the refreshed artifact. k-min associativity makes the
+    * refreshed synopsis EQUAL the union-corpus sketch bit for bit, and
+    * the oracle proves it: it recomputes everything from the union
+    * corpus in one pass. */
+  def kmvIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).where(col("text").isNotNull)
+    val old = base.where(col("doc_id") % 7 =!= 0)
+    val added = base.where(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val sk = graft.pipeline.Sketches
+    val dir = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q174-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    sk.saveRegisters(
+      sk.kmvSketch(sk.ngramStream(old, "text", Seq("source"), n = 2),
+        Seq("source"), "gram"),
+      dir.resolve("kmv").toString)
+    val refreshed = sk.kmvRefresh(
+      sk.loadRegisters(s, dir.resolve("kmv").toString),
+      sk.ngramStream(added, "text", Seq("source"), n = 2),
+      Seq("source"), "gram")
+    val union = old.select(col("source"), col("text"))
+      .unionByName(added.select(col("source"), col("text")))
+    kmvPairReport(s, union, refreshed)
+  }
+
+  val KmvIncrementalRefreshSql: String =
+    """WITH uni AS (
+      |  SELECT source, text FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT source,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 = 0 AND doc_id % 5 <> 0),
+      |""".stripMargin +
+      KmvSourceSetOpsSql.stripPrefix("WITH ").replace("FROM documents", "FROM uni")
 
   /** q: count-min word-frequency sketch probed at the exact top-20
     * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256

@@ -188,6 +188,7 @@ object SparkEntry {
     "q171_rule_interest" -> ((s, d) => FpmQueries.ruleInterest(s, d)),
     "q172_lm_backoff_score" -> ((s, d) => PipelineQueries.lmDocScoreBackoff(s, d)),
     "q173_kmv_setops" -> ((s, d) => PipelineQueries.kmvSourceSetOps(s, d)),
+    "q174_kmv_refresh" -> ((s, d) => PipelineQueries.kmvIncrementalRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -689,5 +690,8 @@ object SparkEntry {
     // q173: KMV set-operation sketch — pairwise union/Jaccard/intersection
     // estimates from k-min synopses, exact references + bound flags beside
     "q173_kmv_setops" -> PipelineQueries.KmvSourceSetOpsSql,
+    // q174: stored synopsis + delta fold == union-corpus sketch — the
+    // oracle recomputes the whole pair report from the union in one pass
+    "q174_kmv_refresh" -> PipelineQueries.KmvIncrementalRefreshSql,
   )
 }

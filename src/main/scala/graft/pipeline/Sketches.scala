@@ -436,6 +436,31 @@ object Sketches {
       .agg(graft.functions.Kmv.kmv_minhash(
         RollingHash.rolling_hash(col(valueCol)), k).as("kmv"))
 
+  /**
+   * Fold a DELTA of raw values into a stored [[kmvSketch]] synopsis
+   * table — the sketch-family artifact lifecycle (the q129/q148/q157
+   * convention): k-min is associative/commutative over value sets, so
+   * `k-min(stored-synopsis hashes ∪ delta hashes)` EQUALS the synopsis
+   * of the union corpus bit for bit (the k smallest of a union all
+   * survive into one of the operand k-min sets). Insert-only, like
+   * every synopsis here: deletions need a rebuild.
+   *
+   * Work: the stored side explodes k rows per group (synopsis-sized,
+   * never corpus-sized); only the delta is hashed.
+   */
+  def kmvRefresh(
+      stored: DataFrame, delta: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int = KmvK): DataFrame = {
+    val storedH = stored.select(
+      groupCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
+    val deltaH = delta.where(col(valueCol).isNotNull).select(
+      groupCols.map(col) :+
+        RollingHash.rolling_hash(col(valueCol)).as("__h"): _*)
+    storedH.unionByName(deltaH)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.Kmv.kmv_minhash(col("__h"), k).as("kmv"))
+  }
+
   /** Signed-64 hash array -> unsigned decimal(20,0) array: the hash
     * domain is [0, 2^64); decimals order naturally and cast to double
     * CORRECTLY ROUNDED in both engines (Spark Decimal.toDouble and

@@ -495,6 +495,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(r._4 == (10.0 / 35.0) * 35.0)       // intersection recovers 10
   }
 
+  test("kmv artifact refresh: stored synopsis + delta fold == full recompute") {
+    import spark.implicits._
+    val old = randomStrings(2000, 12).map(("g1", _)) ++
+      randomStrings(1500, 13).map(("g2", _))
+    val delta = randomStrings(800, 14).map(("g1", _)) ++
+      randomStrings(900, 15).map(("g2", _))
+    val stored = Sketches.kmvSketch(old.toDF("grp", "v"), Seq("grp"), "v")
+    val refreshed = Sketches.kmvRefresh(
+        stored, delta.toDF("grp", "v"), Seq("grp"), "v")
+      .as[(String, Seq[Long])].collect().toMap
+    val full = Sketches.kmvSketch((old ++ delta).toDF("grp", "v"), Seq("grp"), "v")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(refreshed == full)
+  }
+
   test("kmv intersection estimate lands within the binomial error band") {
     import spark.implicits._
     // two 4000-element sets sharing 2000 -> jaccard 1/3, union 6000.
