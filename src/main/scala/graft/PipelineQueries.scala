@@ -3597,6 +3597,35 @@ object PipelineQueries {
       |""".stripMargin +
       KmvSourceSetOpsSql.stripPrefix("WITH ").replace("FROM documents", "FROM uni")
 
+  /** q: PRIORITY SAMPLING — the weighted member of the sampling family
+    * ([[graft.pipeline.Curation.prioritySample]]): top-200 documents by
+    * `n_chars / u` priority with hash-derived deterministic `u`, plus
+    * the (k+1)-th-priority threshold `tau` and the per-row
+    * `w_est = max(w, tau)` weight estimates whose sum unbiasedly
+    * recovers total corpus weight (Duffield et al., JACM 2007). Every
+    * priority is two pinned IEEE divisions over md5-derived integers —
+    * the whole sample, ranks, tau, and estimates hash-match the
+    * replayed oracle. */
+  def prioritySampleQuery(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Curation.prioritySample(
+      docs(s, d), "doc_id", "n_chars", k = 200)
+
+  val PrioritySampleSql: String =
+    """WITH s AS (SELECT doc_id, n_chars,
+      |             n_chars::DOUBLE /
+      |               ((('0x' || substr(md5('prio:' || doc_id::VARCHAR), 1, 13))::BIGINT
+      |                 + 1)::DOUBLE / 4503599627370496.0) AS priority
+      |           FROM documents WHERE n_chars > 0),
+      |r AS (SELECT doc_id, n_chars, priority,
+      |             row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      |      FROM s),
+      |t AS (SELECT coalesce(max(CASE WHEN rn = 201 THEN priority END), 0.0) AS tau
+      |      FROM r WHERE rn <= 201)
+      |SELECT doc_id, n_chars, priority, rn::BIGINT AS rk,
+      |       (SELECT tau FROM t) AS tau,
+      |       greatest(n_chars::DOUBLE, (SELECT tau FROM t)) AS w_est
+      |FROM r WHERE rn <= 200""".stripMargin
+
   /** q: count-min word-frequency sketch probed at the exact top-20
     * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256
     * counter table is built in one pass (shuffle carries 1024 counters,

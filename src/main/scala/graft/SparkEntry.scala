@@ -189,6 +189,7 @@ object SparkEntry {
     "q172_lm_backoff_score" -> ((s, d) => PipelineQueries.lmDocScoreBackoff(s, d)),
     "q173_kmv_setops" -> ((s, d) => PipelineQueries.kmvSourceSetOps(s, d)),
     "q174_kmv_refresh" -> ((s, d) => PipelineQueries.kmvIncrementalRefresh(s, d)),
+    "q175_priority_sample" -> ((s, d) => PipelineQueries.prioritySampleQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -693,5 +694,8 @@ object SparkEntry {
     // q174: stored synopsis + delta fold == union-corpus sketch — the
     // oracle recomputes the whole pair report from the union in one pass
     "q174_kmv_refresh" -> PipelineQueries.KmvIncrementalRefreshSql,
+    // q175: weighted priority sample — sample, ranks, tau, and the
+    // max(w, tau) estimator all replayed from the same md5 priorities
+    "q175_priority_sample" -> PipelineQueries.PrioritySampleSql,
   )
 }

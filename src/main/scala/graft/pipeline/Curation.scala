@@ -514,6 +514,62 @@ object Curation {
   }
 
   /**
+   * Deterministic PRIORITY SAMPLING (Duffield, Lund, Thorup, JACM 2007)
+   * — the WEIGHTED member of the sampling family: where
+   * [[exactKSample]] ranks rows uniformly, here a row with weight `w`
+   * gets priority `q = w / u` for a hash-derived uniform `u` in (0, 1],
+   * and the sample is the global top-k by priority. Long/high-weight
+   * rows are proportionally more likely to be kept — the
+   * weighted-quota shape training-mix construction needs ("sample 200
+   * docs, length-proportional, reproducibly").
+   *
+   * The estimator that makes the sample USABLE as a surrogate corpus:
+   * with `tau` = the (k+1)-th priority, each sampled row represents
+   * `w_est = max(w, tau)` of total weight; `sum(w_est)` over the
+   * sample is an unbiased estimator of `sum(w)` over the corpus
+   * (Duffield et al. Thm 1), and when the corpus has at most k rows
+   * the sample is the corpus and `tau = 0` makes it exact.
+   *
+   * Determinism/replayability: `u = (m + 1) / 2^52` from the first 13
+   * md5 hex chars of the salted id (the [[md5Bucket]] idiom widened to
+   * 52 bits — exactly representable in a double, so both engines
+   * convert identically); priority is two pinned IEEE divisions. No
+   * RNG state: same salt, same sample, any partitioning.
+   *
+   * Scale shape: the scan is codegen'd (md5 + arithmetic in-scan);
+   * `orderBy(...).limit(k+1)` plans as TakeOrderedAndProject —
+   * per-partition top-(k+1) heaps merged on the driver, never a global
+   * sort — and the tau/rank window runs over the k+1 survivors only.
+   * Rows with non-positive weight are excluded (zero weight = zero
+   * priority = never sampled; the filter states it).
+   */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = conv(substring(md5(concat_ws(":",
+      lit(s"prio$salt"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (m + lit(1L)).cast("double") / lit(4.503599627370496e15)
+    val scored = df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        (col(weightCol).cast("double") / u).as("priority"))
+    val topk1 = scored.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    // rank + threshold over the k+1 survivors only (bounded single
+    // partition — the TakeOrdered output, not the corpus)
+    val wRank = Window.orderBy(col("priority").desc, col(idCol))
+    val wAll = Window.partitionBy()
+    topk1.withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("tau",
+        coalesce(max(when(col("rk") === k + 1, col("priority"))).over(wAll),
+          lit(0.0)))
+      .where(col("rk") <= k)
+      .withColumn("w_est", greatest(col(weightCol).cast("double"), col("tau")))
+      .select(col(idCol), col(weightCol), col("priority"), col("rk"),
+        col("tau"), col("w_est"))
+  }
+
+  /**
    * STREAMING maintenance of the [[exactKSample]] artifact — q124's
    * streaming twin, the q135 foreachBatch pattern: per micro-batch,
    * the stored sample (≤ strata × k rows — tiny) unions with the

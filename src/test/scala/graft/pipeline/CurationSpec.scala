@@ -856,4 +856,60 @@ class CurationSpec extends AnyFunSuite {
     if (n1 >= 3) assert(lo1.contains(5.0) && hi1.contains(5.0))
     else assert(lo1.isEmpty && hi1.isEmpty)
   }
+
+  /** Driver-side reference for [[Curation.prioritySample]] priorities:
+    * the same md5(prio<salt>:id) 13-hex-char uniform and two-division
+    * chain. */
+  private def referencePriority(id: Long, w: Long, salt: String = ""): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"prio$salt:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+    w.toDouble / u
+  }
+
+  test("prioritySample: top-k by the driver-reference priorities, any parallelism") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i % 37) + 1L)) // weights 1..37
+    val expect = rows
+      .map { case (id, w) => (id, w, referencePriority(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }.take(50)
+      .map { case (id, w, p) => (id, w, p) }
+    def run(parts: Int) = Curation.prioritySample(
+        rows.toDF("doc_id", "w").repartition(parts), "doc_id", "w", k = 50)
+      .select($"doc_id", $"w", $"priority").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(run(1).toSeq.sortBy(_._1) == expect.sortBy(_._1))
+    assert(run(11).toSeq.sortBy(_._1) == expect.sortBy(_._1))
+    // tau is the (k+1)-th reference priority, on every row
+    val tau = Curation.prioritySample(
+        rows.toDF("doc_id", "w"), "doc_id", "w", k = 50)
+      .select($"tau").distinct().as[Double].collect()
+    val refTau = rows.map { case (id, w) => (id, referencePriority(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.apply(50)._2
+    assert(tau.toSeq == Seq(refTau))
+  }
+
+  test("prioritySample: corpus <= k is exact (tau = 0, w_est = w); w <= 0 excluded") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 0L), (4L, -2L)).toDF("doc_id", "w")
+    val got = Curation.prioritySample(rows, "doc_id", "w", k = 10)
+      .select($"doc_id", $"w", $"tau", $"w_est")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // zero/negative weight out
+    assert(got.forall(r => r._3 == 0.0 && r._4 == r._2.toDouble))
+  }
+
+  test("prioritySample: sum of w_est estimates total weight within the band") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 4000L).map(i => (i, rnd.nextInt(1000).toLong + 1L))
+    val total = rows.map(_._2).sum.toDouble
+    val est = Curation.prioritySample(
+        rows.toDF("doc_id", "w"), "doc_id", "w", k = 150)
+      .agg(sum($"w_est")).as[Double].head()
+    // priority sampling's relative error at k=150 is ~1/sqrt(k-1) = 8.2%;
+    // 4x band for a single draw
+    assert(math.abs(est - total) / total <= 0.33, s"est $est vs total $total")
+  }
 }
