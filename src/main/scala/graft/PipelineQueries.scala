@@ -2225,6 +2225,56 @@ object PipelineQueries {
       |       coalesce(s, 0)::BIGINT AS score_e12
       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** q: STREAMING LM-quality gate, EXECUTED — the q172 stupid-backoff
+    * scorer served from a PERSISTED LM artifact
+    * ([[graft.pipeline.Signals.saveLmArtifact]]: pruned bigram table +
+    * unigram backoff table + token total, the LM-filter family's
+    * save->load->serve lifecycle), probing the corpus as a two-file
+    * stream under `AvailableNow`
+    * ([[graft.streaming.DocStreams.lmGateStream]]). The probe IS the
+    * batch scorer against the frozen artifact, so per-doc scores are
+    * batch-boundary independent and the WHOLE output — scores plus the
+    * mean-per-bigram gate flag (thr 3.35e10, integer compare) — is
+    * exact-replayed by the oracle, the q169 full-hash-check class. */
+  def lmGateStreamed(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q176-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val lmPath = base.resolve("lm").toString
+    Signals.saveLmArtifact(dd, "text", minCount = 5L, lmPath)
+    val artifact = Signals.loadLmArtifact(s, lmPath)
+    val in = base.resolve("in").toString
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val out = base.resolve("out")
+    val schema = s.read.parquet(in).schema
+    val arrivals = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("doc_id"), col("text"))
+    val q = graft.streaming.DocStreams
+      .lmGateStream(arrivals, "text", "doc_id", artifact,
+        thrE12 = 33500000000L) { (probed, _) =>
+        probed.write.mode("append").parquet(out.toString)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    java.nio.file.Files.createDirectories(out)
+    s.read
+      .schema("doc_id BIGINT, n_bigrams BIGINT, n_known BIGINT, " +
+        "n_backoff BIGINT, score_e12 BIGINT, gated BOOLEAN")
+      .parquet(out.toString)
+  }
+
+  val LmGateStreamedSql: String =
+    LmDocScoreBackoffSql.replace(
+      "coalesce(s, 0)::BIGINT AS score_e12",
+      "coalesce(s, 0)::BIGINT AS score_e12,\n" +
+        "       coalesce(n_bigrams, 0) > 0 AND\n" +
+        "         coalesce(s, 0) < 33500000000 * coalesce(n_bigrams, 0) AS gated")
+
   /** BPE tokenizer training over the corpus — 20 merge rounds, pairs
     * below 2 occurrences never merged ([[graft.pipeline.Bpe.trainMerges]]).
     * The argmax each round is total-ordered (count desc, then

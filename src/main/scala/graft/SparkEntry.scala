@@ -190,6 +190,7 @@ object SparkEntry {
     "q173_kmv_setops" -> ((s, d) => PipelineQueries.kmvSourceSetOps(s, d)),
     "q174_kmv_refresh" -> ((s, d) => PipelineQueries.kmvIncrementalRefresh(s, d)),
     "q175_priority_sample" -> ((s, d) => PipelineQueries.prioritySampleQuery(s, d)),
+    "q176_lm_gate_stream" -> ((s, d) => PipelineQueries.lmGateStreamed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -697,5 +698,8 @@ object SparkEntry {
     // q175: weighted priority sample — sample, ranks, tau, and the
     // max(w, tau) estimator all replayed from the same md5 priorities
     "q175_priority_sample" -> PipelineQueries.PrioritySampleSql,
+    // q176: streaming LM gate from the persisted artifact — per-doc
+    // scores + gate flag exact-replayed (the q169 full-hash class)
+    "q176_lm_gate_stream" -> PipelineQueries.LmGateStreamedSql,
   )
 }

@@ -363,12 +363,31 @@ object Signals {
     val cached = cachedLm(docs, textCol, minCount)
     val model = cached.df.select(col("w1"), col("w2"), col("cond_p"))
     val lm = if (cached.rows <= broadcastMaxRows) broadcast(model) else model
-    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val uni = docs.select(explode(words).as("w2"))
-      .groupBy(col("w2")).agg(count(lit(1)).as("w2_cnt"))
+    val uni = unigramCounts(docs, textCol)
     val totalTokens = uni.agg(sum(col("w2_cnt")))
       .collect().headOption.flatMap(r => Option(r.get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    scoreBackoffWithModel(docs, idCol, textCol, lm, uni, totalTokens)
+  }
+
+  /** Corpus unigram table `(w2, w2_cnt)` — the backoff distribution's
+    * numerator (named `w2` because the backoff weight of a bigram is
+    * looked up by its SECOND word). */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    docs.select(explode(words).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("w2_cnt"))
+  }
+
+  /** The scoring half of [[lmScoreBackoff]], parameterized by the model
+    * frames — the SAME function serves the batch row (cached model) and
+    * the streaming gate's per-batch probe (loaded artifact), so
+    * stream == batch is equality by construction, not by parallel
+    * implementations. */
+  private[graft] def scoreBackoffWithModel(
+      docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, uni: DataFrame, totalTokens: Long): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     val pairs = docs.select(col(idCol).as("doc_id"),
         explode_outer(sliceNgrams(words, 2)).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
@@ -388,6 +407,44 @@ object Signals {
           lit(0L)).as("score_e12"))
       .select(col("doc_id"), col("n_bigrams"), col("n_known"),
         col("n_backoff"), col("score_e12"))
+  }
+
+  /** The persisted LM ARTIFACT: the pruned bigram table, the unigram
+    * (backoff) table, and the corpus token total. */
+  final case class LmArtifact(
+      bigrams: DataFrame, unigrams: DataFrame, totalTokens: Long)
+
+  /**
+   * Persist the bigram LM as a SERVABLE artifact (the q83/q163
+   * lifecycle for the LM-filter family): `path/bigrams` — the full
+   * [[bigramModel]] table, `path/unigrams` — [[unigramCounts]],
+   * `path/meta` — one row holding the token total. A scoring service
+   * (or the q176 streaming gate) loads this and never re-reads the
+   * reference corpus; both model tables are vocabulary-sized, the meta
+   * a single row.
+   */
+  def saveLmArtifact(
+      docs: DataFrame, textCol: String, minCount: Long, path: String): Unit = {
+    val spark = docs.sparkSession
+    cachedLm(docs, textCol, minCount).df
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    val uni = unigramCounts(docs, textCol)
+    uni.write.mode("overwrite").parquet(s"$path/unigrams")
+    val total = spark.read.parquet(s"$path/unigrams")
+      .agg(sum(col("w2_cnt")).as("total_tokens"))
+    total.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveLmArtifact]] directory. The token total is one row of
+    * metadata (bounded driver read). */
+  def loadLmArtifact(
+      spark: org.apache.spark.sql.SparkSession, path: String): LmArtifact = {
+    val total = spark.read.parquet(s"$path/meta")
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    LmArtifact(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"), total)
   }
 
   /**

@@ -189,6 +189,46 @@ object DocStreams {
       .select(col(idCol), col("n_chunks"), col("n_dropped"),
         (col("n_dropped") > 0L).as("gated"))
 
+  /**
+   * Streaming LM-QUALITY gate served from the persisted LM artifact
+   * ([[graft.pipeline.Signals.saveLmArtifact]] — pruned bigram table,
+   * unigram backoff table, token total): each arriving document is
+   * stupid-backoff-scored per micro-batch by the SAME
+   * `scoreBackoffWithModel` the batch row (q172) runs — the probe is
+   * the batch scorer applied to the batch's rows against the frozen
+   * artifact, so stream == batch is equality by construction — and
+   * gated when its mean per-bigram score falls below `thrE12` (exact
+   * integer compare: `score_e12 < thrE12 * n_bigrams`), the CCNet-style
+   * "model finds this document improbable" filter applied at ingest.
+   *
+   * Both model tables are vocabulary-sized DataFrames (broadcast by the
+   * planner when small, shuffled equi-joins above that) — the driver
+   * never holds a model row; zero-bigram docs are NOT gated (no
+   * evidence). Stateless per batch. Callers own
+   * trigger/checkpoint/start.
+   */
+  def lmGateStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      artifact: graft.pipeline.Signals.LmArtifact, thrE12: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(lmGateProbe(batch.toDF(), textCol, idCol, artifact, thrE12),
+          batchId.longValue())
+    }
+
+  /** The per-batch probe of [[lmGateStream]] — package-visible so the
+    * spec can pin it equal to the batch scorer's output. */
+  private[graft] def lmGateProbe(
+      batch: DataFrame, textCol: String, idCol: String,
+      artifact: graft.pipeline.Signals.LmArtifact, thrE12: Long): DataFrame =
+    graft.pipeline.Signals.scoreBackoffWithModel(
+        batch, idCol, textCol,
+        artifact.bigrams.select(col("w1"), col("w2"), col("cond_p")),
+        artifact.unigrams, artifact.totalTokens)
+      .withColumn("gated",
+        col("n_bigrams") > 0L && col("score_e12") < lit(thrE12) * col("n_bigrams"))
+
   def nearDupGateStreamIndexed(
       docs: DataFrame, textCol: String, idCol: String,
       bucketIndex: DataFrame,

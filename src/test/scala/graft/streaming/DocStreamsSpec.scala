@@ -251,6 +251,53 @@ class DocStreamsSpec extends AnyFunSuite {
       "the frozen-artifact gate is stateless per batch, so batching must not matter")
   }
 
+  test("LM gate: streamed two-batch scores == the batch backoff scorer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (100L, "a b a b a b c"), (101L, "a b a b x"), (102L, "a b d"),
+      (103L, "q r s")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm-gate-spec").toString
+    graft.pipeline.Signals.saveLmArtifact(corpus, "text", minCount = 3L, dir)
+    val art = graft.pipeline.Signals.loadLmArtifact(spark, dir)
+    // (a,b)=6 and (b,a)=3 survive minCount 3; 18 corpus tokens
+    assert(art.bigrams.count() == 2L && art.totalTokens == 18L)
+    val arrivals = Seq(
+      (1L, "a b a b"),     // all-known transitions -> high mean score
+      (2L, "q z q z"),     // all-backoff, rare words -> gated
+      (3L, "solo"),        // no bigrams -> never gated
+      (4L, "a b q z"))     // mixed
+    // threshold between the all-known and all-backoff means
+    val thr = 500000000000L / 2
+    val expect = DocStreams.lmGateProbe(
+        arrivals.toDF("doc_id", "text"), "text", "doc_id", art, thr)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(expect.exists(r => r._1 == 1L && !r._6) &&
+      expect.exists(r => r._1 == 2L && r._6) &&
+      expect.exists(r => r._1 == 3L && !r._6))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Boolean)]
+    val q = DocStreams.lmGateStream(
+        source.toDS().toDF("doc_id", "text"), "text", "doc_id", art, thr) {
+        (probed, _) =>
+        val batch = probed.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5)))
+        got.synchronized { got ++= batch }
+      }
+      .start()
+    try {
+      source.addData(arrivals.take(2))
+      q.processAllAvailable()
+      source.addData(arrivals.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect,
+      "frozen-artifact scoring is stateless per batch; batching must not matter")
+  }
+
   test("refreshing near-dup gate tracks a growing reference corpus") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
