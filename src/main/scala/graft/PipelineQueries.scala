@@ -3676,6 +3676,60 @@ object PipelineQueries {
       |       greatest(n_chars::DOUBLE, (SELECT tau FROM t)) AS w_est
       |FROM r WHERE rn <= 200""".stripMargin
 
+  /** q: STREAM-MAINTAINED KMV synopsis, EXECUTED — the q135 maintenance
+    * pattern applied to the q173 artifact, completing its lifecycle
+    * (build q173, save/load/refresh q174, stream here): each
+    * micro-batch sketches its documents' bigrams and k-min-merges into
+    * the persisted per-source synopsis table
+    * ([[graft.pipeline.Sketches.kmvMergeTables]] — synopsis-sized, the
+    * read-merge-swap compaction discipline), and the served row runs
+    * the full pair report from the final artifact. k-min merge is
+    * associative and commutative, so the result is independent of
+    * batch boundaries and arrival order — the oracle is q173's
+    * statement verbatim (one-pass whole-corpus), and the hash match
+    * proves stream == batch. */
+  def kmvStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val sk = graft.pipeline.Sketches
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q177-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val in = base.resolve("in").toString
+    val dd = docs(s, d).where(col("text").isNotNull)
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val synDir = base.resolve("synopses")
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val syn = sk.kmvSketch(
+          sk.ngramStream(batch, "text", Seq("source"), n = 2),
+          Seq("source"), "gram")
+        val merged =
+          if (java.nio.file.Files.exists(synDir))
+            sk.kmvMergeTables(sk.loadRegisters(s, synDir.toString), syn,
+              Seq("source"))
+          else syn
+        val sibling = base.resolve(s"synopses-next-$id")
+        sk.saveRegisters(merged, sibling.toString)
+        graft.Fs.deleteRecursively(synDir)
+        java.nio.file.Files.move(sibling, synDir)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val served =
+      if (java.nio.file.Files.exists(synDir))
+        sk.loadRegisters(s, synDir.toString)
+      else // empty corpus: no batch ever fired — serve the empty sketch
+        sk.kmvSketch(sk.ngramStream(dd, "text", Seq("source"), n = 2),
+          Seq("source"), "gram")
+    kmvPairReport(s, docs(s, d), served)
+  }
+
   /** q: count-min word-frequency sketch probed at the exact top-20
     * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256
     * counter table is built in one pass (shuffle carries 1024 counters,

@@ -191,6 +191,7 @@ object SparkEntry {
     "q174_kmv_refresh" -> ((s, d) => PipelineQueries.kmvIncrementalRefresh(s, d)),
     "q175_priority_sample" -> ((s, d) => PipelineQueries.prioritySampleQuery(s, d)),
     "q176_lm_gate_stream" -> ((s, d) => PipelineQueries.lmGateStreamed(s, d)),
+    "q177_kmv_stream" -> ((s, d) => PipelineQueries.kmvStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -701,5 +702,8 @@ object SparkEntry {
     // q176: streaming LM gate from the persisted artifact — per-doc
     // scores + gate flag exact-replayed (the q169 full-hash class)
     "q176_lm_gate_stream" -> PipelineQueries.LmGateStreamedSql,
+    // q177: stream-maintained KMV synopsis — k-min merge is associative
+    // and commutative, so the oracle is q173's one-pass statement verbatim
+    "q177_kmv_stream" -> PipelineQueries.KmvSourceSetOpsSql,
   )
 }

@@ -461,6 +461,19 @@ object Sketches {
       .agg(graft.functions.Kmv.kmv_minhash(col("__h"), k).as("kmv"))
   }
 
+  /** Merge two [[kmvSketch]] synopsis TABLES group-wise — k-min over
+    * the union of the stored k-min sets, which equals the synopsis of
+    * the concatenated corpora exactly (associative + commutative, so
+    * batch boundaries and arrival order cannot matter). Synopsis-sized
+    * work: both sides explode at most k rows per group. */
+  def kmvMergeTables(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int = KmvK): DataFrame =
+    a.unionByName(b)
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.Kmv.kmv_minhash(col("__h"), k).as("kmv"))
+
   /** Signed-64 hash array -> unsigned decimal(20,0) array: the hash
     * domain is [0, 2^64); decimals order naturally and cast to double
     * CORRECTLY ROUNDED in both engines (Spark Decimal.toDouble and

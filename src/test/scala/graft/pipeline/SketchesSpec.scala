@@ -510,6 +510,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(refreshed == full)
   }
 
+  test("kmv table merge == full recompute; groups missing from one side survive") {
+    import spark.implicits._
+    val a = randomStrings(1200, 16).map(("g1", _)) ++
+      randomStrings(300, 17).map(("gOnlyA", _))
+    val b = randomStrings(900, 18).map(("g1", _)) ++
+      randomStrings(200, 19).map(("gOnlyB", _))
+    val merged = Sketches.kmvMergeTables(
+        Sketches.kmvSketch(a.toDF("grp", "v"), Seq("grp"), "v"),
+        Sketches.kmvSketch(b.toDF("grp", "v"), Seq("grp"), "v"), Seq("grp"))
+      .as[(String, Seq[Long])].collect().toMap
+    val full = Sketches.kmvSketch((a ++ b).toDF("grp", "v"), Seq("grp"), "v")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == full)
+    assert(merged.keySet == Set("g1", "gOnlyA", "gOnlyB"))
+  }
+
   test("kmv intersection estimate lands within the binomial error band") {
     import spark.implicits._
     // two 4000-element sets sharing 2000 -> jaccard 1/3, union 6000.
