@@ -512,6 +512,37 @@ object FpmQueries {
        |       confidence, lift, support, leverage, conviction
        |FROM ri""".stripMargin
 
+  /** q: non-redundant rule flags over the q04 rule table
+    * ([[graft.fpm.AssociationRules.nonRedundantFlags]]) — a rule is
+    * redundant when a more general same-consequent rule in the declared
+    * table is at least as confident; subset-bitmask equi-join, never a
+    * containment BNL. Same arity caps as q04. */
+  def ruleNonRedundant(spark: SparkSession, dir: String): DataFrame =
+    AssociationRules.nonRedundantFlags(
+      model(spark, dir).associationRules
+        .where(size(col("antecedent")) <= 2))
+
+  val RuleNonRedundantSql: String =
+    s"""WITH $RuleCtes,
+       |sub AS (SELECT r.ant, r.cons, r.confidence,
+       |          array_to_string(list_filter(r.ant,
+       |            (x, i) -> ((m >> (i - 1)) & 1) = 1), ',') AS sub_key
+       |        FROM rules r, unnest(range(1, (1 << len(r.ant)) - 1)) AS u(m)
+       |        WHERE len(r.ant) > 1),
+       |dom AS (SELECT s.ant, s.cons,
+       |          count(*)::BIGINT AS n_general,
+       |          sum(CASE WHEN g.confidence >= s.confidence
+       |                   THEN 1 ELSE 0 END)::BIGINT AS n_dominating
+       |        FROM sub s JOIN rules g
+       |          ON array_to_string(g.ant, ',') = s.sub_key AND g.cons = s.cons
+       |        GROUP BY 1, 2)
+       |SELECT array_to_string(r.ant, ',') AS antecedent, r.cons AS consequent,
+       |       r.confidence,
+       |       coalesce(d.n_general, 0)::BIGINT AS n_general,
+       |       coalesce(d.n_dominating, 0)::BIGINT AS n_dominating,
+       |       coalesce(d.n_dominating, 0) > 0 AS redundant
+       |FROM rules r LEFT JOIN dom d ON r.ant = d.ant AND r.cons = d.cons""".stripMargin
+
   val PredictSql: String =
     s"""WITH $RuleCtes,
        |matches AS (

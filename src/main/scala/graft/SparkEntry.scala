@@ -192,6 +192,7 @@ object SparkEntry {
     "q175_priority_sample" -> ((s, d) => PipelineQueries.prioritySampleQuery(s, d)),
     "q176_lm_gate_stream" -> ((s, d) => PipelineQueries.lmGateStreamed(s, d)),
     "q177_kmv_stream" -> ((s, d) => PipelineQueries.kmvStreamMaintained(s, d)),
+    "q178_rule_basis" -> ((s, d) => FpmQueries.ruleNonRedundant(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -705,5 +706,8 @@ object SparkEntry {
     // q177: stream-maintained KMV synopsis — k-min merge is associative
     // and commutative, so the oracle is q173's one-pass statement verbatim
     "q177_kmv_stream" -> PipelineQueries.KmvSourceSetOpsSql,
+    // q178: non-redundant rule basis — redundancy witnessed by
+    // more-general same-consequent rules in the declared table
+    "q178_rule_basis" -> FpmQueries.RuleNonRedundantSql,
   )
 }

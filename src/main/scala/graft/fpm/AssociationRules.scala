@@ -1,6 +1,6 @@
 package graft.fpm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -131,5 +131,73 @@ object AssociationRules {
               (lit(n).cast(dec) * (fa - fu)).cast("double"))
           .as("conviction"))
       .where(col("confidence") >= minConfidence)
+  }
+
+  /**
+   * NON-REDUNDANT rule flags (Zaki, "Generating non-redundant
+   * association rules", KDD 2000; Bastide et al.'s min-max basis): a
+   * rule `X -> y` is REDUNDANT when a MORE GENERAL rule `X' -> y` (X' a
+   * proper non-empty subset of X) is at least as confident — the
+   * general rule predicts the same consequent from weaker premises, so
+   * the specific one adds nothing a rule consumer can act on. Flags are
+   * judged within the given (minConfidence-filtered) rule table — the
+   * q168 declared-universe convention: a general rule pruned by the
+   * confidence floor cannot witness redundancy.
+   *
+   * Emits `(antecedent, consequent, confidence, n_general,
+   * n_dominating, redundant)` with the canonical sorted comma-joined
+   * antecedent key: `n_general` counts the rule's more-general
+   * same-consequent rules present at all, `n_dominating` those at
+   * least as confident, `redundant = n_dominating > 0`. The
+   * non-redundant survivors are the actionable rule basis — on
+   * typical mining output a large fraction of raw rules fold away.
+   *
+   * Scale shape: the [[ClosedItemsets]] discipline — each antecedent
+   * enumerates its proper non-empty subsets by bitmask (2^arity,
+   * arity hard-capped at [[ClosedItemsets.MaxArity]] with the same
+   * raise_error contract) and the generality test becomes ONE
+   * equi-join on `(subset key, consequent)` + a partial-aggregated
+   * groupBy — never a pairwise rule-containment BNL.
+   */
+  def nonRedundantFlags(rules: DataFrame): DataFrame = {
+    val guarded = when(size(col("antecedent")) > ClosedItemsets.MaxArity,
+        raise_error(concat(
+          lit("AssociationRules.nonRedundantFlags: antecedent arity "),
+          size(col("antecedent")).cast("string"),
+          lit(s" exceeds the hard cap ${ClosedItemsets.MaxArity}" +
+            " (2^arity subset enumeration; 32-bit masks)"))))
+      .otherwise(array_sort(col("antecedent")))
+    val keyed = rules.select(
+      guarded.as("__ant"),
+      col("consequent").getItem(0).as("consequent"),
+      col("confidence"))
+      .select(array_join(col("__ant"), ",").as("antecedent"),
+        col("__ant"), col("consequent"), col("confidence"))
+    val general = keyed.select(col("antecedent").as("__gkey"),
+      col("consequent").as("__gcons"), col("confidence").as("__gconf"))
+    val bit: (Column, Column) => Column = (mask, i) =>
+      pmod(call_function("shiftright", mask, i.cast("int")), lit(2)) === 1
+    val subs = keyed.where(size(col("__ant")) > 1)
+      .select(col("antecedent"), col("consequent"), col("confidence"),
+        col("__ant"),
+        explode(sequence(lit(1),
+          call_function("shiftleft", lit(1), size(col("__ant"))) - 2))
+          .as("__mask"))
+      .select(col("antecedent"), col("consequent"), col("confidence"),
+        array_join(filter(col("__ant"), (x, i) => bit(col("__mask"), i)), ",")
+          .as("__subkey"))
+    val dom = subs.join(general,
+        col("__subkey") === col("__gkey") &&
+          subs("consequent") === col("__gcons"))
+      .groupBy(subs("antecedent"), subs("consequent"))
+      .agg(count(lit(1)).as("n_general"),
+        sum(when(col("__gconf") >= subs("confidence"), 1L).otherwise(0L))
+          .as("n_dominating"))
+    keyed.drop("__ant")
+      .join(dom, Seq("antecedent", "consequent"), "left_outer")
+      .select(col("antecedent"), col("consequent"), col("confidence"),
+        coalesce(col("n_general"), lit(0L)).as("n_general"),
+        coalesce(col("n_dominating"), lit(0L)).as("n_dominating"),
+        (coalesce(col("n_dominating"), lit(0L)) > 0L).as("redundant"))
   }
 }
