@@ -4116,6 +4116,81 @@ object PipelineQueries {
       |  least(greatest(s.n_chars, t.p05), t.p95) AS clipped
       |FROM s JOIN t ON s.source = t.source""".stripMargin
 
+  /** q: SKETCH-SERVED winsorization — q139's clip with thresholds from
+    * the q147 quantile-sketch artifact instead of the exact per-source
+    * histogram: the 100 TB path, where the exact order statistic costs
+    * a value-domain-sized shuffle per group while the sketch is ≤1.9k
+    * mergeable cells (and at a recurring corpus comes out of the q148
+    * artifact for free). The row carries BOTH clips and the one-sided
+    * all-integer tolerance contract per threshold — the documented
+    * trade (thresholds are bucket upper bounds within 1/64 relative)
+    * adjudicated in-row, the q147 convention. */
+  def winsorizeFromSketch(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).where(col("text").isNotNull)
+    val sk = graft.pipeline.Sketches.qsketchBuckets(dd, Seq("source"), "n_chars")
+    val thr = graft.pipeline.Sketches.qsketchQuantiles(sk, Seq("source"),
+      Seq("p05_sk" -> 0.05, "p95_sk" -> 0.95))
+    val exact = Curation.groupedQuantiles(dd, "source", col("n_chars"),
+      Seq("p05_ex" -> 0.05, "p95_ex" -> 0.95))
+    dd.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(thr.select(col("source"), col("p05_sk"), col("p95_sk"))),
+        "source")
+      .join(broadcast(exact.select(col("source"), col("p05_ex"), col("p95_ex"))),
+        "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p05_sk"), col("p95_sk"),
+        least(greatest(col("n_chars"), col("p05_sk")), col("p95_sk"))
+          .as("clipped_sk"),
+        least(greatest(col("n_chars"), col("p05_ex")), col("p95_ex"))
+          .as("clipped_ex"),
+        (col("p05_sk") >= col("p05_ex") &&
+          (col("p05_sk") - col("p05_ex")) * 64 <= col("p05_ex")).as("p05_ok"),
+        (col("p95_sk") >= col("p95_ex") &&
+          (col("p95_sk") - col("p95_ex")) * 64 <= col("p95_ex")).as("p95_ok"))
+  }
+
+  val WinsorizeFromSketchSql: String =
+    """WITH v AS (SELECT doc_id, source, n_chars::BIGINT AS len FROM documents
+      |           WHERE text IS NOT NULL),
+      |sk AS (SELECT source,
+      |         CASE WHEN len < 128 THEN len
+      |              ELSE (len // (1::BIGINT << (length(bin(len)) - 7)))
+      |                   + (length(bin(len)) - 7)::BIGINT * 64 END AS qbucket,
+      |         count(*)::BIGINT AS cnt
+      |       FROM v GROUP BY 1, 2),
+      |skc AS (SELECT source, qbucket, cnt,
+      |          sum(cnt) OVER (PARTITION BY source ORDER BY qbucket)::BIGINT AS cc,
+      |          sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+      |        FROM sk),
+      |eb AS (SELECT source,
+      |         min(CASE WHEN cc >= ceil(n * 0.05) THEN qbucket END)::BIGINT AS b05,
+      |         min(CASE WHEN cc >= ceil(n * 0.95) THEN qbucket END)::BIGINT AS b95
+      |       FROM skc GROUP BY 1),
+      |est AS (SELECT source,
+      |          CASE WHEN b05 < 128 THEN b05
+      |               ELSE ((b05 - (b05 // 64 - 1) * 64)::BIGINT << (b05 // 64 - 1))
+      |                    + (1::BIGINT << (b05 // 64 - 1)) - 1 END AS p05_sk,
+      |          CASE WHEN b95 < 128 THEN b95
+      |               ELSE ((b95 - (b95 // 64 - 1) * 64)::BIGINT << (b95 // 64 - 1))
+      |                    + (1::BIGINT << (b95 // 64 - 1)) - 1 END AS p95_sk
+      |        FROM eb),
+      |h AS (SELECT source, len, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+      |hc AS (SELECT source, len,
+      |         sum(cnt) OVER (PARTITION BY source ORDER BY len)::BIGINT AS cc,
+      |         sum(cnt) OVER (PARTITION BY source)::BIGINT AS n
+      |       FROM h),
+      |ex AS (SELECT source,
+      |         min(CASE WHEN cc >= ceil(n * 0.05) THEN len END)::BIGINT AS p05_ex,
+      |         min(CASE WHEN cc >= ceil(n * 0.95) THEN len END)::BIGINT AS p95_ex
+      |       FROM hc GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.len AS n_chars, e.p05_sk, e.p95_sk,
+      |  least(greatest(d.len, e.p05_sk), e.p95_sk) AS clipped_sk,
+      |  least(greatest(d.len, x.p05_ex), x.p95_ex) AS clipped_ex,
+      |  (e.p05_sk >= x.p05_ex AND (e.p05_sk - x.p05_ex) * 64 <= x.p05_ex) AS p05_ok,
+      |  (e.p95_sk >= x.p95_ex AND (e.p95_sk - x.p95_ex) * 64 <= x.p95_ex) AS p95_ok
+      |FROM v d JOIN est e ON d.source = e.source
+      |         JOIN ex x ON d.source = x.source""".stripMargin
+
   /** q: CMS join-cardinality estimation — the counter inner product
     * (AMS-style) bounds the orders-x-customer equi-join size from
     * above without touching either table; the declared row adjudicates

@@ -193,6 +193,7 @@ object SparkEntry {
     "q176_lm_gate_stream" -> ((s, d) => PipelineQueries.lmGateStreamed(s, d)),
     "q177_kmv_stream" -> ((s, d) => PipelineQueries.kmvStreamMaintained(s, d)),
     "q178_rule_basis" -> ((s, d) => FpmQueries.ruleNonRedundant(s, d)),
+    "q179_sketch_winsorize" -> ((s, d) => PipelineQueries.winsorizeFromSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -709,5 +710,8 @@ object SparkEntry {
     // q178: non-redundant rule basis — redundancy witnessed by
     // more-general same-consequent rules in the declared table
     "q178_rule_basis" -> FpmQueries.RuleNonRedundantSql,
+    // q179: winsorize from the qsketch artifact — both clips + the
+    // one-sided 1/64 threshold contract adjudicated in-row
+    "q179_sketch_winsorize" -> PipelineQueries.WinsorizeFromSketchSql,
   )
 }
