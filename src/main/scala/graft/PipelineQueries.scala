@@ -3730,6 +3730,48 @@ object PipelineQueries {
     kmvPairReport(s, docs(s, d), served)
   }
 
+  /** q: STREAM-MAINTAINED priority sample, EXECUTED — q175's weighted
+    * sample kept fresh by a stream (the q151 pattern;
+    * [[graft.pipeline.Curation.prioritySampleMaintain]]): the corpus
+    * splits into two files, streams `maxFilesPerTrigger=1`, each batch
+    * merges into the stored top-(k+1) artifact, and the declared row
+    * serves ranks/tau/estimates from the final artifact. Priority is a
+    * pure per-row hash function and top-m under a total order is
+    * associative, so the oracle is q175's whole-corpus SQL verbatim —
+    * the hash match proves batch-boundary and arrival-order
+    * independence including the tau threshold (a second-file doc with
+    * a higher priority must evict a first-file row or ranks would not
+    * match). */
+  def prioritySampleStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q180-" + d.replaceAll("[^A-Za-z0-9.]", "_")))
+    val in = base.resolve("in").toString
+    val dd = docs(s, d)
+    dd.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    dd.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val artDir = base.resolve("sample")
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Curation.prioritySampleMaintain(s, artDir, batch,
+          "doc_id", "n_chars", k = 200, batchId = id)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val topk1 =
+      if (java.nio.file.Files.exists(artDir)) s.read.parquet(artDir.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_chars BIGINT, priority DOUBLE"))
+    Curation.finishPrioritySample(topk1, "doc_id", "n_chars", k = 200)
+  }
+
   /** q: count-min word-frequency sketch probed at the exact top-20
     * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256
     * counter table is built in one pass (shuffle carries 1024 counters,

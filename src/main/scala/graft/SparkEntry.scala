@@ -194,6 +194,7 @@ object SparkEntry {
     "q177_kmv_stream" -> ((s, d) => PipelineQueries.kmvStreamMaintained(s, d)),
     "q178_rule_basis" -> ((s, d) => FpmQueries.ruleNonRedundant(s, d)),
     "q179_sketch_winsorize" -> ((s, d) => PipelineQueries.winsorizeFromSketch(s, d)),
+    "q180_priority_sample_stream" -> ((s, d) => PipelineQueries.prioritySampleStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,5 +714,8 @@ object SparkEntry {
     // q179: winsorize from the qsketch artifact — both clips + the
     // one-sided 1/64 threshold contract adjudicated in-row
     "q179_sketch_winsorize" -> PipelineQueries.WinsorizeFromSketchSql,
+    // q180: stream-maintained weighted sample — top-m associativity +
+    // pure per-row priorities make the oracle q175's SQL verbatim
+    "q180_priority_sample_stream" -> PipelineQueries.PrioritySampleSql,
   )
 }

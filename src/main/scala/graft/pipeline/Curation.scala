@@ -547,16 +547,32 @@ object Curation {
       df: DataFrame, idCol: String, weightCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    val topk1 = scorePriorities(df, idCol, weightCol, salt)
+      .orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    finishPrioritySample(topk1, idCol, weightCol, k)
+  }
+
+  /** The per-row scoring half of [[prioritySample]] — a pure codegen'd
+    * projection (priority depends only on the row), shared with the
+    * streaming maintenance path. */
+  private def scorePriorities(
+      df: DataFrame, idCol: String, weightCol: String,
+      salt: String): DataFrame = {
     val m = conv(substring(md5(concat_ws(":",
       lit(s"prio$salt"), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
     val u = (m + lit(1L)).cast("double") / lit(4.503599627370496e15)
-    val scored = df.where(col(weightCol) > 0)
+    df.where(col(weightCol) > 0)
       .select(col(idCol), col(weightCol),
         (col(weightCol).cast("double") / u).as("priority"))
-    val topk1 = scored.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
-    // rank + threshold over the k+1 survivors only (bounded single
-    // partition — the TakeOrdered output, not the corpus)
+  }
+
+  /** The rank/tau/estimator finish over the k+1 survivors — bounded
+    * single partition (the TakeOrdered output or the maintained
+    * artifact, never the corpus); shared by the batch row and the
+    * artifact-serving step. */
+  private[graft] def finishPrioritySample(
+      topk1: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     val wRank = Window.orderBy(col("priority").desc, col(idCol))
     val wAll = Window.partitionBy()
     topk1.withColumn("rk", row_number().over(wRank).cast("long"))
@@ -567,6 +583,37 @@ object Curation {
       .withColumn("w_est", greatest(col(weightCol).cast("double"), col("tau")))
       .select(col(idCol), col(weightCol), col("priority"), col("rk"),
         col("tau"), col("w_est"))
+  }
+
+  /**
+   * STREAMING maintenance of the [[prioritySample]] artifact — the
+   * [[exactKSampleMaintain]] discipline for the WEIGHTED sample: per
+   * micro-batch, the stored top-(k+1) rows (tiny) union with the
+   * batch's scored rows, the global top-(k+1) by `(priority desc, id)`
+   * re-selects, and the artifact swaps via write-sibling -> rename.
+   * Top-m under a total order is associative —
+   * `topm(A ∪ B) == topm(topm(A) ∪ B)` — and the priority is a pure
+   * per-row hash function, so any batching converges to the one-pass
+   * sample bit for bit, INCLUDING tau (the k+1-th priority is kept in
+   * the artifact precisely so the threshold survives maintenance).
+   * Serve with [[finishPrioritySample]] over the loaded artifact.
+   */
+  def prioritySampleMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      artifactDir: java.nio.file.Path, batch: DataFrame,
+      idCol: String, weightCol: String, k: Int,
+      batchId: Long, salt: String = ""): Unit = {
+    val cand = scorePriorities(batch, idCol, weightCol, salt)
+    val merged =
+      if (java.nio.file.Files.exists(artifactDir))
+        spark.read.parquet(artifactDir.toString).unionByName(cand)
+      else cand
+    val kept = merged.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    val sibling = artifactDir.resolveSibling(
+      artifactDir.getFileName.toString + s"-next-$batchId")
+    kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
+    graft.Fs.deleteRecursively(artifactDir)
+    java.nio.file.Files.move(sibling, artifactDir)
   }
 
   /**

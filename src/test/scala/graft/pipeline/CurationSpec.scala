@@ -900,6 +900,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(r => r._3 == 0.0 && r._4 == r._2.toDouble))
   }
 
+  test("prioritySampleMaintain: any batching == one-pass sample, tau included") {
+    import spark.implicits._
+    val rows = (1L to 800L).map(i => (i, (i % 53) + 1L))
+    val onePass = Curation.prioritySample(
+        rows.toDF("doc_id", "w"), "doc_id", "w", k = 40)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // three different batchings, including one that forces eviction (the
+    // high-priority rows arriving LAST must displace stored rank-k rows)
+    val batchings = Seq(
+      Seq(rows),
+      Seq(rows.take(400), rows.drop(400)),
+      Seq(rows.drop(100), rows.take(100), Seq.empty))
+    batchings.zipWithIndex.foreach { case (batches, bi) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"prio-maint-$bi")
+        .resolve("sample")
+      batches.zipWithIndex.foreach { case (b, id) =>
+        Curation.prioritySampleMaintain(spark, dir,
+          b.toDF("doc_id", "w"), "doc_id", "w", k = 40, batchId = id.toLong)
+      }
+      val served = Curation.finishPrioritySample(
+          spark.read.parquet(dir.toString), "doc_id", "w", k = 40)
+        .as[(Long, Long, Double, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(served == onePass, s"batching $bi diverged")
+    }
+  }
+
   test("prioritySample: sum of w_est estimates total weight within the band") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
