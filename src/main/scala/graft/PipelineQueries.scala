@@ -3772,6 +3772,35 @@ object PipelineQueries {
     Curation.finishPrioritySample(topk1, "doc_id", "n_chars", k = 200)
   }
 
+  /** q: deterministic MIXTURE INTERLEAVE — stride-scheduled weighted
+    * source mixing ([[graft.pipeline.Curation.mixtureInterleave]]):
+    * per-source integer weights (`(src_num % 3) + 1` here), exact
+    * integer virtual times `i * (6 / w)`, per-shard reading order whose
+    * every prefix holds the sources near their weight proportions.
+    * Four shards (the q164 per-worker shape — no global sort ever
+    * materializes); the whole order table is integer-exact and
+    * hash-checked. */
+  def mixtureInterleaveQuery(s: SparkSession, d: String): DataFrame =
+    Curation.mixtureInterleave(docs(s, d), "doc_id", "source",
+      (substring(col("source"), 4, 8).cast("int") % 3 + 1),
+      lcm = 6, numShards = 4)
+
+  val MixtureInterleaveSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             ((substr(source, 4)::INT % 3) + 1)::BIGINT AS w,
+      |             ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |           FROM documents),
+      |s AS (SELECT doc_id, source, w, hv, hv % 4 AS shard FROM d),
+      |r AS (SELECT doc_id, source, w, hv, shard,
+      |        row_number() OVER (PARTITION BY shard, source
+      |                           ORDER BY hv, doc_id)::BIGINT AS i
+      |      FROM s),
+      |v AS (SELECT doc_id, source, w, shard, i, i * (6 // w) AS v FROM r)
+      |SELECT doc_id, source, w, shard::BIGINT AS shard, i, v::BIGINT AS v,
+      |       row_number() OVER (PARTITION BY shard
+      |                          ORDER BY v, source, i)::BIGINT AS pos
+      |FROM v""".stripMargin
+
   /** q: count-min word-frequency sketch probed at the exact top-20
     * words (see [[graft.pipeline.Sketches.cmsCounters]]): the 4x256
     * counter table is built in one pass (shuffle carries 1024 counters,

@@ -195,6 +195,7 @@ object SparkEntry {
     "q178_rule_basis" -> ((s, d) => FpmQueries.ruleNonRedundant(s, d)),
     "q179_sketch_winsorize" -> ((s, d) => PipelineQueries.winsorizeFromSketch(s, d)),
     "q180_priority_sample_stream" -> ((s, d) => PipelineQueries.prioritySampleStreamMaintained(s, d)),
+    "q181_mixture_interleave" -> ((s, d) => PipelineQueries.mixtureInterleaveQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,5 +718,8 @@ object SparkEntry {
     // q180: stream-maintained weighted sample — top-m associativity +
     // pure per-row priorities make the oracle q175's SQL verbatim
     "q180_priority_sample_stream" -> PipelineQueries.PrioritySampleSql,
+    // q181: stride-scheduled mixture interleave — exact integer virtual
+    // times, per-shard order, full table hash-checked
+    "q181_mixture_interleave" -> PipelineQueries.MixtureInterleaveSql,
   )
 }

@@ -1138,6 +1138,54 @@ object Curation {
   }
 
   /**
+   * Deterministic MIXTURE INTERLEAVE — stride scheduling (Waldspurger &
+   * Weihl, OSDI '95) applied to training-data ordering: every source
+   * gets an integer weight and its i-th document is scheduled at
+   * integer VIRTUAL TIME `v = i * (lcm / w)`; reading each shard in
+   * `(v, source, i)` order yields a sequence whose every prefix holds
+   * the sources near their weight proportions — the data-mixture
+   * schedule a curriculum wants, instead of concatenated sources or an
+   * unweighted shuffle. Weights must divide `lcm` (raise_error
+   * otherwise — a non-divisor would make `v` inexact and the order
+   * engine-dependent).
+   *
+   * Deterministic end to end: within-source order is the salted-md5
+   * shuffle (the q164 idiom), virtual times are exact integers, and
+   * ties break on `(source, i)`. Sharding is BY DESIGN (the q164
+   * shape): each trainer worker reads its own shard's interleave, so
+   * no global total order — and therefore no single-partition sort —
+   * ever materializes; the exchanges are keyed `(shard, source)` then
+   * `shard`.
+   */
+  def mixtureInterleave(
+      df: DataFrame, idCol: String, sourceCol: String, weight: Column,
+      lcm: Int, numShards: Int, salt: String = ""): DataFrame = {
+    require(lcm > 0 && numShards > 0,
+      s"need positive lcm/shards, got ($lcm, $numShards)")
+    val w = when(weight <= 0 || pmod(lit(lcm), weight) =!= 0,
+        raise_error(concat(lit(s"mixtureInterleave: weight "),
+          weight.cast("string"), lit(s" must be a positive divisor of $lcm"))))
+      .otherwise(weight.cast("long"))
+    val hv = conv(substring(md5(concat_ws(":",
+      lit(s"mix$salt"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val base = df.select(col(idCol), col(sourceCol).as("source"),
+      w.as("w"), hv.as("__hv"))
+      .withColumn("shard", col("__hv") % numShards)
+    val wi = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("__hv"), col(idCol))
+    val ranked = base
+      .withColumn("i", row_number().over(wi).cast("long"))
+      .withColumn("v", col("i") * expr(s"cast($lcm as bigint) div w"))
+    ranked
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("v"), col("source"), col("i"))).cast("long"))
+      .select(col(idCol), col("source"), col("w"), col("shard"),
+        col("i"), col("v"), col("pos"))
+  }
+
+  /**
    * Length-bucketed dynamic batching with padding accounting — the
    * batching strategy both training and batch inference use to stop
    * paying for pad tokens: rows are bucketed by length range

@@ -926,6 +926,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureInterleave: hand pattern, prefix proportionality, weight guard") {
+    import spark.implicits._
+    // w(a)=2, w(b)=1, lcm 2, one shard: v_a = i, v_b = 2i ->
+    // reading order a a b a a b ... regardless of which doc lands at
+    // which within-source rank
+    val docs = ((1L to 4L).map(i => (i, "a")) ++ (5L to 6L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val weight = when(col("source") === "a", 2).otherwise(1)
+    val pattern = Curation.mixtureInterleave(
+        docs, "doc_id", "source", weight, lcm = 2, numShards = 1)
+      .orderBy(col("pos")).select(col("source")).as[String].collect().toSeq
+    assert(pattern == Seq("a", "a", "b", "a", "a", "b"))
+
+    // equal-size sources with weights 1/2/3: every prefix of the shard
+    // order keeps each source within a small lag of its weight share
+    val big = (1L to 600L).map { i =>
+      (i, Seq("s1", "s2", "s3")((i % 3).toInt))
+    }.toDF("doc_id", "source")
+    val w3 = when(col("source") === "s1", 1)
+      .when(col("source") === "s2", 2).otherwise(3)
+    val order = Curation.mixtureInterleave(
+        big, "doc_id", "source", w3, lcm = 6, numShards = 1)
+      .orderBy(col("pos")).select(col("source")).as[String].collect()
+    val wMap = Map("s1" -> 1.0, "s2" -> 2.0, "s3" -> 3.0)
+    val seen = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    order.zipWithIndex.foreach { case (src, idx) =>
+      seen(src) += 1
+      val t = idx + 1
+      // once any source runs dry (200 docs each; s3 first, ~t=400) the
+      // survivors absorb its slots — proportionality is only promised
+      // while every source still has documents
+      if (wMap.keys.forall(s => seen(s) < 200)) {
+        wMap.foreach { case (s, w) =>
+          val expect = t * w / 6.0
+          assert(math.abs(seen(s) - expect) <= 4.0,
+            s"prefix $t: $s served ${seen(s)}, expected ~$expect")
+        }
+      }
+    }
+
+    // a weight that does not divide lcm fails loudly
+    val bad = intercept[Exception] {
+      Curation.mixtureInterleave(docs, "doc_id", "source",
+        when(col("source") === "a", 4).otherwise(1), lcm = 6, numShards = 1)
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("prioritySample: sum of w_est estimates total weight within the band") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
