@@ -47,6 +47,26 @@ object PipelineQueries {
 
   private val GramCtes: String = gramCtes("documents")
 
+  /** q: CONTAINMENT near-dup pairs — the asymmetric doc-inside-doc
+    * detector ([[graft.pipeline.Dedup.containmentPairs]]): a short doc
+    * quoted inside a long one scores containment ~1 while Jaccard
+    * collapses to |A|/|B| and a symmetric threshold never fires. Both
+    * directions + Jaccard emitted; threshold on the larger direction.
+    * (This corpus's planted near-dups are symmetric, so the declared
+    * pairs coincide with q13's — the asymmetric case is spec-planted,
+    * the q178 convention for capability the data lacks.) */
+  def containmentNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 5,
+      threshold = 0.8)
+
+  val ContainmentNearDupSql: String =
+    s"""WITH $GramCtes
+       |SELECT d1, d2, i::BIGINT AS inter, sa.s::BIGINT AS sz1, sb.s::BIGINT AS sz2,
+       |       i::DOUBLE / sa.s AS cont_12, i::DOUBLE / sb.s AS cont_21,
+       |       i::DOUBLE / (sa.s + sb.s - i) AS jaccard
+       |FROM inter JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+       |WHERE greatest(i::DOUBLE / sa.s, i::DOUBLE / sb.s) >= 0.8::DOUBLE""".stripMargin
+
   private def jaccardSql(threshold: Double): String =
     s"""WITH $GramCtes
        |SELECT d1, d2, i::DOUBLE / (sa.s + sb.s - i) AS jaccard

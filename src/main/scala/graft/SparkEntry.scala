@@ -196,6 +196,7 @@ object SparkEntry {
     "q179_sketch_winsorize" -> ((s, d) => PipelineQueries.winsorizeFromSketch(s, d)),
     "q180_priority_sample_stream" -> ((s, d) => PipelineQueries.prioritySampleStreamMaintained(s, d)),
     "q181_mixture_interleave" -> ((s, d) => PipelineQueries.mixtureInterleaveQuery(s, d)),
+    "q182_containment_neardup" -> ((s, d) => PipelineQueries.containmentNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -721,5 +722,8 @@ object SparkEntry {
     // q181: stride-scheduled mixture interleave — exact integer virtual
     // times, per-shard order, full table hash-checked
     "q181_mixture_interleave" -> PipelineQueries.MixtureInterleaveSql,
+    // q182: asymmetric containment pairs — both directions + jaccard,
+    // threshold on the larger direction
+    "q182_containment_neardup" -> PipelineQueries.ContainmentNearDupSql,
   )
 }

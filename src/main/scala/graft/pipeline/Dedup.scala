@@ -191,6 +191,43 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment near-dup pairs — the doc-inside-doc
+   * detector Jaccard structurally misses: containment
+   * `C(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|` is ~1 when a
+   * short document is quoted or embedded inside a long one, while
+   * Jaccard collapses to `|A|/|B|` (tiny) for the same pair — so a
+   * symmetric threshold never fires. Flagging the CONTAINED side is
+   * the curation action (the quote/boilerplate/subset copy is the
+   * redundant one; the long host usually stays).
+   *
+   * Same plan as [[ngramJaccardPairs]] — the one gram-equality
+   * self-join is candidate generation AND intersection counting, the
+   * sizes attach from the index — plus two extra divisions; threshold
+   * on `greatest(cont_12, cont_21)`. Jaccard rides along for triage.
+   */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.8,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxShingleDF)
+    val inter = idx.as("a")
+      .join(idx.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        (col("inter").cast("double") / col("sz1")).as("cont_12"),
+        (col("inter").cast("double") / col("sz2")).as("cont_21"),
+        (col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .where(greatest(col("cont_12"), col("cont_21")) >= threshold)
+  }
+
+  /**
    * The `(doc, gram)` inverted shingle index behind
    * [[ngramJaccardPairs]], exposed as a PERSISTABLE ARTIFACT: save it
    * next to the cluster table and an incremental refresh

@@ -64,6 +64,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(mh == exact, "LSH+verify must equal the exact pair set here")
   }
 
+  test("containment catches a quoted doc that jaccard structurally misses") {
+    import spark.implicits._
+    // doc 2 is doc 1's opening passage verbatim: every 5-gram of 2 is
+    // in 1, so cont_21 = 1.0, but jaccard = |2|/|1| is small
+    val host = ((1 to 40).map(i => s"tok$i") ++ (1 to 40).map(i => s"pad$i"))
+      .mkString(" ")
+    val quote = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, quote), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.8)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (d1, d2, inter, sz1, sz2, c12, c21, jac) =
+      (got(0)._1, got(0)._2, got(0)._3, got(0)._4, got(0)._5,
+        got(0)._6, got(0)._7, got(0)._8)
+    assert((d1, d2) == ((1L, 2L)))
+    assert(sz2 == 6L && inter == 6L && c21 == 1.0) // all 6 5-grams of the quote
+    assert(c12 == inter.toDouble / sz1)
+    assert(jac < 0.7, "q13's symmetric threshold would never fire here")
+    // the symmetric jaccard operator indeed misses the pair
+    val jacPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.7)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(!jacPairs.contains((1L, 2L)))
+  }
+
   test("delta-probe pairs == full-corpus pairs touching an added doc") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sf, "documents")
