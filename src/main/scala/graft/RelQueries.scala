@@ -2141,4 +2141,73 @@ object RelQueries {
       |  (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, i) IS NULL)
       |    AS is_current
       |FROM ch""".stripMargin
+
+  /**
+   * KEY-SKEW profile of one join/aggregation key — the diagnosis half
+   * of the engine's own skew toolbox (q65 salting, AQE skew-join):
+   * per-key counts reduce to `(n_rows, n_keys, max_cnt, top10_cnt)`,
+   * from which the row derives the shares a planner acts on and a
+   * concrete SALT RECOMMENDATION: `salt_buckets = ceil(max_cnt /
+   * (n_rows / P))` — the number of sub-splits that brings the hottest
+   * key's largest shard down to the average partition load at
+   * parallelism `P`. 1 means "no salting needed".
+   *
+   * All-integer derivations except the two share divisions (pinned
+   * single IEEE steps); the integer ceil is `(a*P + n - 1) div n`, no
+   * floats. Scale shape: ONE partial-aggregated shuffle to the per-key
+   * count table; the top-10 is TakeOrdered (per-partition heaps — the
+   * boundary-tie choice cannot change the SUM, so the output is
+   * deterministic); the two 1-row frames combine by a literal-key
+   * equi-join (hash join, no cartesian).
+   */
+  def keySkewProfile(
+      df: DataFrame, keyCol: String, label: String,
+      parallelism: Int = 32): DataFrame = {
+    val cnts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt")).withColumn("__j", lit(1))
+    val top10 = cnts.orderBy(col("cnt").desc).limit(10)
+      .agg(sum(col("cnt")).as("top10_cnt")).withColumn("__j", lit(1))
+    stats.join(top10, Seq("__j")).drop("__j")
+      .select(lit(label).as("key_label"),
+        col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("max_share"),
+        (col("top10_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top10_share"),
+        expr(s"(max_cnt * $parallelism + n_rows - 1) div n_rows")
+          .cast("long").as("salt_buckets"))
+  }
+
+  /** q: the skew report over the warehouse's three hot join/agg keys. */
+  def keySkewReport(spark: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables.load(spark, dir, "events"),
+        "user_id", "events.user_id")
+      .unionByName(keySkewProfile(Tables.load(spark, dir, "lineitem"),
+        "l_partkey", "lineitem.l_partkey"))
+      .unionByName(keySkewProfile(Tables.load(spark, dir, "orders"),
+        "o_custkey", "orders.o_custkey"))
+
+  private def skewBlockSql(
+      table: String, key: String, label: String): String =
+    s"""SELECT '$label' AS key_label, s.n_rows, s.n_keys, s.max_cnt, t.top10_cnt,
+       |  s.max_cnt::DOUBLE / s.n_rows::DOUBLE AS max_share,
+       |  t.top10_cnt::DOUBLE / s.n_rows::DOUBLE AS top10_share,
+       |  ((s.max_cnt * 32 + s.n_rows - 1) // s.n_rows)::BIGINT AS salt_buckets
+       |FROM (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+       |             max(cnt)::BIGINT AS max_cnt
+       |      FROM (SELECT $key, count(*) AS cnt FROM $table
+       |            WHERE $key IS NOT NULL GROUP BY 1)) s,
+       |     (SELECT sum(cnt)::BIGINT AS top10_cnt
+       |      FROM (SELECT count(*) AS cnt FROM $table
+       |            WHERE $key IS NOT NULL GROUP BY $key
+       |            ORDER BY count(*) DESC LIMIT 10)) t""".stripMargin
+
+  val KeySkewReportSql: String =
+    Seq(skewBlockSql("events", "user_id", "events.user_id"),
+      skewBlockSql("lineitem", "l_partkey", "lineitem.l_partkey"),
+      skewBlockSql("orders", "o_custkey", "orders.o_custkey"))
+      .mkString("\nUNION ALL\n")
 }

@@ -197,6 +197,7 @@ object SparkEntry {
     "q180_priority_sample_stream" -> ((s, d) => PipelineQueries.prioritySampleStreamMaintained(s, d)),
     "q181_mixture_interleave" -> ((s, d) => PipelineQueries.mixtureInterleaveQuery(s, d)),
     "q182_containment_neardup" -> ((s, d) => PipelineQueries.containmentNearDup(s, d)),
+    "q183_key_skew" -> ((s, d) => RelQueries.keySkewReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -725,5 +726,7 @@ object SparkEntry {
     // q182: asymmetric containment pairs — both directions + jaccard,
     // threshold on the larger direction
     "q182_containment_neardup" -> PipelineQueries.ContainmentNearDupSql,
+    // q183: key-skew profile + integer salt recommendation per hot key
+    "q183_key_skew" -> RelQueries.KeySkewReportSql,
   )
 }
