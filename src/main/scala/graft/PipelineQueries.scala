@@ -2295,6 +2295,87 @@ object PipelineQueries {
         "       coalesce(n_bigrams, 0) > 0 AND\n" +
         "         coalesce(s, 0) < 33500000000 * coalesce(n_bigrams, 0) AS gated")
 
+  /** q: RECIPROCAL-RANK-FUSION quality selection — the multi-signal
+    * curation pick (Cormack et al., SIGIR 2009): three INDEPENDENT
+    * quality rankings per source (stupid-backoff LM mean score q172,
+    * stopword ratio q16, length) fuse by
+    * `sum 1/(60 + rank)` and the top-5 docs per source survive. RRF
+    * needs no signal calibration — only ranks — which is exactly why
+    * retrieval and curation stacks reach for it when signals live on
+    * incomparable scales. Every window is keyed by source (one
+    * exchange, reused; never a global sort) and every score is a
+    * pinned IEEE chain, so the full fused table hash-matches. */
+  def qualityFusion(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val lm = Signals.lmScoreBackoff(dd, "doc_id", "text", minCount = 5L)
+      .select(col("doc_id"),
+        when(col("n_bigrams") > 0,
+          col("score_e12").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("lm_mean"))
+    val tq = TextStats.qualityFeatures(dd, "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_words") > 0, col("stopword_ratio"))
+          .otherwise(lit(0.0)).as("stop_ratio"))
+    val sig = dd.select(col("doc_id"), col("source"))
+      .join(lm, "doc_id").join(tq, "doc_id")
+    Curation.rrfFuse(sig, "source", "doc_id",
+      Seq("lm" -> col("lm_mean"), "stop" -> col("stop_ratio"),
+        "len" -> col("n_chars")), topK = 5)
+  }
+
+  val QualityFusionSql: String =
+    """WITH w AS (SELECT doc_id, source, text, n_chars,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |           FROM documents),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM w, unnest(range(1, len(ws))) AS t(i)),
+      |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |t AS (SELECT w1, sum(cnt)::BIGINT AS w1_cnt FROM c GROUP BY 1),
+      |lm AS (SELECT c.w1, c.w2, cnt::DOUBLE / w1_cnt AS cond_p
+      |       FROM c JOIN t ON c.w1 = t.w1 WHERE cnt >= 5),
+      |u AS (SELECT w2, count(*)::BIGINT AS w2_cnt
+      |      FROM (SELECT unnest(ws) AS w2 FROM w) GROUP BY 1),
+      |tot AS (SELECT sum(w2_cnt)::BIGINT AS tt FROM u),
+      |j AS (SELECT b.doc_id, b.w1, lm.cond_p, u.w2_cnt
+      |      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      |             LEFT JOIN u ON b.w2 = u.w2),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |               coalesce(sum(
+      |                 CASE WHEN cond_p IS NOT NULL
+      |                      THEN floor(cond_p * 1e12)::BIGINT
+      |                      ELSE floor(w2_cnt::DOUBLE / (SELECT tt FROM tot)
+      |                                 * 400000000000.0)::BIGINT END), 0) AS s
+      |        FROM j GROUP BY 1),
+      |sig AS (SELECT d.doc_id, d.source, d.n_chars,
+      |          CASE WHEN coalesce(a.n_bigrams, 0) > 0
+      |               THEN a.s::DOUBLE / a.n_bigrams ELSE 0.0 END AS lm_mean,
+      |          CASE WHEN len(d.ws) > 0
+      |               THEN len(list_filter(d.ws, x -> x IN
+      |                      ('the','a','of','and','to','in','is','it')))::DOUBLE
+      |                    / len(d.ws)
+      |               ELSE 0.0 END AS stop_ratio
+      |        FROM w d LEFT JOIN agg a USING (doc_id)),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY lm_mean DESC, doc_id)::BIGINT AS r_lm,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY stop_ratio DESC, doc_id)::BIGINT AS r_stop,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_chars DESC, doc_id)::BIGINT AS r_len
+      |      FROM sig),
+      |f AS (SELECT doc_id, source, r_lm, r_stop, r_len,
+      |        1.0::DOUBLE / (60.0::DOUBLE + r_lm::DOUBLE)
+      |          + 1.0::DOUBLE / (60.0::DOUBLE + r_stop::DOUBLE)
+      |          + 1.0::DOUBLE / (60.0::DOUBLE + r_len::DOUBLE) AS rrf
+      |      FROM r)
+      |SELECT source, doc_id, r_lm, r_stop, r_len, rrf,
+      |       fused_rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |                                   ORDER BY rrf DESC, doc_id)::BIGINT
+      |               AS fused_rank
+      |      FROM f)
+      |WHERE fused_rank <= 5""".stripMargin
+
   /** BPE tokenizer training over the corpus — 20 merge rounds, pairs
     * below 2 occurrences never merged ([[graft.pipeline.Bpe.trainMerges]]).
     * The argmax each round is total-ordered (count desc, then

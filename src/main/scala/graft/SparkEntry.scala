@@ -198,6 +198,7 @@ object SparkEntry {
     "q181_mixture_interleave" -> ((s, d) => PipelineQueries.mixtureInterleaveQuery(s, d)),
     "q182_containment_neardup" -> ((s, d) => PipelineQueries.containmentNearDup(s, d)),
     "q183_key_skew" -> ((s, d) => RelQueries.keySkewReport(s, d)),
+    "q184_quality_fusion" -> ((s, d) => PipelineQueries.qualityFusion(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -728,5 +729,8 @@ object SparkEntry {
     "q182_containment_neardup" -> PipelineQueries.ContainmentNearDupSql,
     // q183: key-skew profile + integer salt recommendation per hot key
     "q183_key_skew" -> RelQueries.KeySkewReportSql,
+    // q184: RRF multi-signal quality selection — three per-source
+    // rankings fused by sum 1/(60+rank), top-5 per source
+    "q184_quality_fusion" -> PipelineQueries.QualityFusionSql,
   )
 }

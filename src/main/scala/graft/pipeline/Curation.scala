@@ -1138,6 +1138,43 @@ object Curation {
   }
 
   /**
+   * RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009) of per-group
+   * signal rankings: each named signal ranks descending within the
+   * group (ties by id), the fused score is `sum_i 1/(rrfK + rank_i)`,
+   * and the top `topK` per group survive. RRF consumes only RANKS —
+   * no signal calibration — which is why retrieval and curation stacks
+   * reach for it when signals live on incomparable scales.
+   *
+   * Emits `(group, id, r_<name>..., rrf, fused_rank)`. Every window is
+   * keyed by the group column (one exchange, reused across the N+1
+   * windows) — never a global sort; the additions are a pinned
+   * left-to-right IEEE chain, cross-engine exact.
+   */
+  def rrfFuse(
+      df: DataFrame, groupCol: String, idCol: String,
+      signals: Seq[(String, Column)], topK: Int, rrfK: Int = 60): DataFrame = {
+    require(signals.nonEmpty && topK >= 1,
+      s"need signals and positive topK, got (${signals.size}, $topK)")
+    def rankBy(c: Column) = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(c.desc, col(idCol)))
+      .cast("long")
+    val ranked = signals.foldLeft(df) { case (acc, (name, c)) =>
+      acc.withColumn(s"r_$name", rankBy(c))
+    }
+    val rrf = signals.map { case (name, _) =>
+      lit(1.0) / (lit(rrfK.toDouble) + col(s"r_$name").cast("double"))
+    }.reduce(_ + _)
+    ranked.withColumn("rrf", rrf)
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .where(col("fused_rank") <= topK)
+      .select(Seq(col(groupCol), col(idCol)) ++
+        signals.map { case (name, _) => col(s"r_$name") } ++
+        Seq(col("rrf"), col("fused_rank")): _*)
+  }
+
+  /**
    * Deterministic MIXTURE INTERLEAVE — stride scheduling (Waldspurger &
    * Weihl, OSDI '95) applied to training-data ordering: every source
    * gets an integer weight and its i-th document is scheduled at

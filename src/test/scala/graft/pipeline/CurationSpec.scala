@@ -975,6 +975,28 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("rrfFuse: hand ranks, consensus wins, per-group independence, topK") {
+    import spark.implicits._
+    // group g: s1 ranks d1,d2,d3; s2 ranks d2,d3,d1 ->
+    // rrf(d2) = 1/62 + 1/61 beats rrf(d1) = 1/61 + 1/63 (consensus
+    // runner-up beats a single-signal winner)
+    val df = Seq(
+      ("g", 1L, 30.0, 5.0), ("g", 2L, 20.0, 9.0), ("g", 3L, 10.0, 7.0),
+      ("h", 7L, 1.0, 1.0), ("h", 8L, 2.0, 2.0)
+    ).toDF("grp", "id", "s1", "s2")
+    val got = Curation.rrfFuse(df, "grp", "id",
+        Seq("a" -> col("s1"), "b" -> col("s2")), topK = 2)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._6) -> ((r._2, r._3, r._4, r._5))).toMap
+    val (d2, r2a, r2b, rrf2) = (got(("g", 1L))._1, got(("g", 1L))._2,
+      got(("g", 1L))._3, got(("g", 1L))._4)
+    assert(d2 == 2L && r2a == 2L && r2b == 1L)
+    assert(rrf2 == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got(("g", 2L))._1 == 1L)            // d1 fused second
+    assert(!got.contains(("g", 3L)))           // topK = 2 drops d3
+    assert(got(("h", 1L))._1 == 8L)            // group h fuses on its own
+  }
+
   test("prioritySample: sum of w_est estimates total weight within the band") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
