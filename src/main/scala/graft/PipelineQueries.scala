@@ -2376,6 +2376,45 @@ object PipelineQueries {
       |      FROM f)
       |WHERE fused_rank <= 5""".stripMargin
 
+  /** q: WATER-FILLING token-budget allocation — per-source whitespace
+    * token supplies cut to the integer waterline that makes the total
+    * fit a 60% global budget ([[graft.pipeline.Curation
+    * .waterFillBudget]]): small sources keep everything, dominant ones
+    * are capped to the common line. Supplies from one
+    * partial-aggregated shuffle; the waterline math runs over the
+    * 20-row supply table; everything is exact integer arithmetic and
+    * the whole allocation hash-matches. */
+  def tokenBudgetAllocation(s: SparkSession, d: String): DataFrame = {
+    val supplies = docs(s, d)
+      .select(col("source"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("long").as("tokens"))
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("tokens")), lit(0L)).as("tokens"))
+    Curation.waterFillBudget(supplies, "source", "tokens",
+      budgetNum = 3, budgetDen = 5)
+  }
+
+  val TokenBudgetAllocationSql: String =
+    """WITH sup AS (SELECT source,
+      |               coalesce(sum(len(list_filter(string_split(lower(text), ' '),
+      |                                            x -> x <> ''))), 0)::BIGINT AS s
+      |             FROM documents GROUP BY 1),
+      |w AS (SELECT source, s,
+      |        (sum(s) OVER () * 3) // 5 AS b,
+      |        row_number() OVER (ORDER BY s, source) AS k,
+      |        sum(s) OVER (ORDER BY s, source
+      |                     ROWS UNBOUNDED PRECEDING) - s AS pk,
+      |        count(*) OVER () AS n,
+      |        coalesce(lag(s) OVER (ORDER BY s, source), 0) AS lags
+      |      FROM sup),
+      |c AS (SELECT *, (b - pk) // (n - k + 1) AS cand FROM w),
+      |wl AS (SELECT max(cand)::BIGINT AS waterline FROM c WHERE lags <= cand)
+      |SELECT c.source, c.s::BIGINT AS supply,
+      |       least(c.s, wl.waterline)::BIGINT AS allocation,
+      |       wl.waterline, c.b::BIGINT AS budget
+      |FROM c, wl""".stripMargin
+
   /** BPE tokenizer training over the corpus — 20 merge rounds, pairs
     * below 2 occurrences never merged ([[graft.pipeline.Bpe.trainMerges]]).
     * The argmax each round is total-ordered (count desc, then

@@ -199,6 +199,7 @@ object SparkEntry {
     "q182_containment_neardup" -> ((s, d) => PipelineQueries.containmentNearDup(s, d)),
     "q183_key_skew" -> ((s, d) => RelQueries.keySkewReport(s, d)),
     "q184_quality_fusion" -> ((s, d) => PipelineQueries.qualityFusion(s, d)),
+    "q185_token_budget" -> ((s, d) => PipelineQueries.tokenBudgetAllocation(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -732,5 +733,8 @@ object SparkEntry {
     // q184: RRF multi-signal quality selection — three per-source
     // rankings fused by sum 1/(60+rank), top-5 per source
     "q184_quality_fusion" -> PipelineQueries.QualityFusionSql,
+    // q185: water-filling token budget — integer waterline, exact
+    // closed form, whole allocation hash-checked
+    "q185_token_budget" -> PipelineQueries.TokenBudgetAllocationSql,
   )
 }

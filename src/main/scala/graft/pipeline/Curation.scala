@@ -1138,6 +1138,61 @@ object Curation {
   }
 
   /**
+   * WATER-FILLING token-budget allocation: given per-group supplies
+   * and a global budget `B = total * budgetNum div budgetDen` (an
+   * exact integer fraction of total supply), find the integer
+   * WATERLINE `W*` — the
+   * largest cap with `sum_g min(supply_g, W*) <= B` — and allocate
+   * `min(supply_g, W*)` to each group. The standard fair-capping step
+   * of mixture construction: small sources keep everything, dominant
+   * sources are cut to the common line, and the budget binds globally.
+   *
+   * Closed form, all-integer: with supplies sorted ascending
+   * (`s_1 <= ... <= s_n`, prefix sums `P`), for each split k the
+   * candidate line is `floor((B - P_k) / (n - k))` — the cap if
+   * exactly the k smallest sources are below the line — and
+   * `W* = max{ cand_k : s_k <= cand_k }` (infeasible splits, where the
+   * supposedly-capped source would sit under its own line, drop out).
+   * No floats anywhere; the spec differentially checks the defining
+   * inequality pair `A(W*) <= B < A(W* + 1)` against brute force.
+   *
+   * Scale shape: supplies come from ONE partial-aggregated shuffle;
+   * the waterline windows run over the GROUP-DOMAIN-sized supply table
+   * (bounded — the F-list class, stated per the q181 convention), and
+   * the 1-row waterline joins back by a literal key (hash join).
+   *
+   * Emits `(group, supply, allocation, waterline, budget)`.
+   */
+  def waterFillBudget(
+      supplies: DataFrame, groupCol: String, supplyCol: String,
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0 with positive denominator," +
+        s" got $budgetNum/$budgetDen")
+    val ord = Window.orderBy(col("__s"), col(groupCol))
+    val all = Window.partitionBy()
+    val base = supplies.select(col(groupCol),
+        col(supplyCol).cast("long").as("__s"))
+      .withColumn("__b",
+        expr(s"(sum(__s) OVER () * $budgetNum) div $budgetDen").cast("long"))
+      .withColumn("__k", row_number().over(ord).cast("long"))
+      .withColumn("__pk", (sum(col("__s")).over(ord) - col("__s")))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__lag", coalesce(lag(col("__s"), 1).over(ord), lit(0L)))
+      .withColumn("__cand",
+        expr("(__b - __pk) div (__n - __k + 1)").cast("long"))
+    val wline = base
+      .where(col("__lag") <= col("__cand"))
+      .agg(max(col("__cand")).as("waterline"))
+      .withColumn("__j", lit(1))
+    base.withColumn("__j", lit(1))
+      .join(wline, Seq("__j"))
+      .select(col(groupCol), col("__s").as("supply"),
+        least(col("__s"), col("waterline")).as("allocation"),
+        col("waterline"), col("__b").as("budget"))
+  }
+
+  /**
    * RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009) of per-group
    * signal rankings: each named signal ranks descending within the
    * group (ties by id), the fused score is `sum_i 1/(rrfK + rank_i)`,

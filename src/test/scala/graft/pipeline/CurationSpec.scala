@@ -997,6 +997,38 @@ class CurationSpec extends AnyFunSuite {
     assert(got(("h", 1L))._1 == 8L)            // group h fuses on its own
   }
 
+  test("waterFillBudget: hand waterline, defining inequality, full-budget identity") {
+    import spark.implicits._
+    // supplies 10/20/100, budget 3/5 of 130 = 78: the line lands in
+    // [20, 100): 10 + 20 + W <= 78 -> W* = 48, allocations 10/20/48
+    val sup = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "s")
+    val got = Curation.waterFillBudget(sup, "g", "s", 3, 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((10L, 10L, 48L, 78L)))
+    assert(got("b") == ((20L, 20L, 48L, 78L)))
+    assert(got("c") == ((100L, 48L, 48L, 78L)))
+
+    // defining inequality on random supplies: A(W*) <= B < A(W* + 1)
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val sizes = (1 to 12).map(i => (s"g$i", rnd.nextInt(5000).toLong + 1L))
+      val out = Curation.waterFillBudget(sizes.toDF("g", "s"), "g", "s", 1, 3)
+        .as[(String, Long, Long, Long, Long)].collect()
+      val (wl, b) = (out.head._4, out.head._5)
+      def a(wCap: Long) = sizes.map { case (_, s) => math.min(s, wCap) }.sum
+      assert(a(wl) <= b, s"trial $trial: A(W*) over budget")
+      if (wl < sizes.map(_._2).max)
+        assert(a(wl + 1) > b, s"trial $trial: W* not maximal")
+      assert(out.forall(r => r._3 == math.min(r._2, wl)))
+    }
+
+    // budget >= total supply: everyone keeps everything
+    val full = Curation.waterFillBudget(sup, "g", "s", 1, 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(full.forall(r => r._3 == r._2))
+  }
+
   test("prioritySample: sum of w_est estimates total weight within the band") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
