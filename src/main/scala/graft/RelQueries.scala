@@ -1274,6 +1274,95 @@ object RelQueries {
       |UNION ALL SELECT p1 || '->' || p2, 2, support FROM l2
       |UNION ALL SELECT p1 || '->' || p2 || '->' || p3, 3, support FROM l3""".stripMargin
 
+  /** q: SEQUENTIAL-pattern RULES — the rule surface for the sequence
+    * half of the mining family, mirroring q04 over q03: every frequent
+    * sequence of length >= 2 yields the rule `prefix -> last`, whose
+    * antecedent is itself frequent (anti-monotonicity), so confidence
+    * is one equi-join back onto the q121 pattern table and lift one
+    * more against the length-1 supports; the user count attaches by a
+    * literal-key hash join (1 row). "Users who did view -> click
+    * purchase next with confidence c, lift l" — the actionable form of
+    * q121's raw support table. Pinned IEEE: one division for
+    * confidence, division-then-division for lift. */
+  def sequentialRules(spark: SparkSession, dir: String): DataFrame = {
+    val nUsers = Tables.load(spark, dir, "events")
+      .where(col("event_type").isNotNull)
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    sequenceRulesFrom(sequentialPatterns(spark, dir), nUsers)
+  }
+
+  /** Core of q186 over any (pattern, plen, support) frequent-sequence
+    * table: both joins are pattern-table-sized (alphabet^maxLen-bounded,
+    * so broadcastable at any corpus scale); `nUsers` is a 1-row frame
+    * attached by a literal-key equi-join, never a crossJoin. */
+  def sequenceRulesFrom(pat: DataFrame, nUsers: DataFrame): DataFrame = {
+    val parts = split(col("pattern"), "->")
+    val withParts = pat.where(col("plen") >= 2)
+      .select(col("pattern"), col("plen"), col("support"),
+        array_join(slice(parts, lit(1), (col("plen") - 1).cast("int")), "->")
+          .as("antecedent"),
+        element_at(parts, -1).as("consequent"))
+    val prefixSup = pat.select(col("pattern").as("antecedent"),
+      col("support").as("ant_support"))
+    val consSup = pat.where(col("plen") === 1)
+      .select(col("pattern").as("consequent"),
+        col("support").as("cons_support"))
+    withParts
+      .join(prefixSup, Seq("antecedent"))
+      .join(consSup, Seq("consequent"))
+      .withColumn("__j", lit(1))
+      .join(nUsers.withColumn("__j", lit(1)), Seq("__j")).drop("__j")
+      .select(col("antecedent"), col("consequent"),
+        col("support").as("seq_support"), col("ant_support"),
+        col("cons_support"),
+        (col("support").cast("double") / col("ant_support"))
+          .as("confidence"),
+        ((col("support").cast("double") / col("ant_support")) /
+          (col("cons_support").cast("double") / col("n_users").cast("double")))
+          .as("lift"))
+  }
+
+  /** The q121 CTE chain extended with the rule joins — antecedent and
+    * consequent decompose relationally from l2/l3, which equals the
+    * Spark side's string split because pattern strings embed the
+    * '->'-joined components exactly. */
+  val SequentialRulesSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
+      |           FROM events WHERE event_type IS NOT NULL),
+      |n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM e),
+      |m AS (SELECT (nu * 4 + 4) // 5 AS mc FROM n),
+      |u1 AS (SELECT DISTINCT user_id, y FROM e),
+      |l1 AS (SELECT y AS p1, count(*)::BIGINT AS support FROM u1 GROUP BY 1
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u2 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))),
+      |l2 AS (SELECT p1, p2, count(*)::BIGINT AS support FROM u2 GROUP BY 1, 2
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u3 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2, c.y AS p3
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+      |       JOIN e c ON b.user_id = c.user_id
+      |        AND (b.t < c.t OR (b.t = c.t AND b.i < c.i))),
+      |l3 AS (SELECT p1, p2, p3, count(*)::BIGINT AS support FROM u3
+      |       GROUP BY 1, 2, 3
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |r AS (
+      |  SELECT l2.p1 AS antecedent, l2.p2 AS consequent,
+      |         l2.support AS seq_support, a.support AS ant_support,
+      |         c.support AS cons_support
+      |  FROM l2 JOIN l1 a ON l2.p1 = a.p1 JOIN l1 c ON l2.p2 = c.p1
+      |  UNION ALL
+      |  SELECT l3.p1 || '->' || l3.p2, l3.p3,
+      |         l3.support, a.support, c.support
+      |  FROM l3 JOIN l2 a ON l3.p1 = a.p1 AND l3.p2 = a.p2
+      |          JOIN l1 c ON l3.p3 = c.p1)
+      |SELECT antecedent, consequent, seq_support, ant_support, cons_support,
+      |       seq_support::DOUBLE / ant_support AS confidence,
+      |       (seq_support::DOUBLE / ant_support)
+      |         / (cons_support::DOUBLE / (SELECT nu FROM n)::DOUBLE) AS lift
+      |FROM r""".stripMargin
+
   /**
    * SCD2 dimension history build (slowly-changing-dimension type 2 —
    * Kimball's history-preserving variant of q57's latest-state

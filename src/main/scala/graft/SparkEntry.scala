@@ -200,6 +200,7 @@ object SparkEntry {
     "q183_key_skew" -> ((s, d) => RelQueries.keySkewReport(s, d)),
     "q184_quality_fusion" -> ((s, d) => PipelineQueries.qualityFusion(s, d)),
     "q185_token_budget" -> ((s, d) => PipelineQueries.tokenBudgetAllocation(s, d)),
+    "q186_sequential_rules" -> ((s, d) => RelQueries.sequentialRules(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -736,5 +737,8 @@ object SparkEntry {
     // q185: water-filling token budget — integer waterline, exact
     // closed form, whole allocation hash-checked
     "q185_token_budget" -> PipelineQueries.TokenBudgetAllocationSql,
+    // q186: sequence rules prefix->last — confidence/lift from the q121
+    // pattern table, the q04 surface for the sequential half
+    "q186_sequential_rules" -> RelQueries.SequentialRulesSql,
   )
 }
