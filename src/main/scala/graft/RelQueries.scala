@@ -1293,8 +1293,10 @@ object RelQueries {
 
   /** Core of q186 over any (pattern, plen, support) frequent-sequence
     * table: both joins are pattern-table-sized (alphabet^maxLen-bounded,
-    * so broadcastable at any corpus scale); `nUsers` is a 1-row frame
-    * attached by a literal-key equi-join, never a crossJoin. */
+    * so broadcastable at any corpus scale); `nUsers` is ONE long of
+    * driver metadata attached as a literal (the q146 1-row-collect
+    * convention — a literal-key join constant-folds into a BNL, which
+    * the plan sweep rightly rejects). */
   def sequenceRulesFrom(pat: DataFrame, nUsers: DataFrame): DataFrame = {
     val parts = split(col("pattern"), "->")
     val withParts = pat.where(col("plen") >= 2)
@@ -1307,11 +1309,13 @@ object RelQueries {
     val consSup = pat.where(col("plen") === 1)
       .select(col("pattern").as("consequent"),
         col("support").as("cons_support"))
+    val nu: Long = nUsers.select(col("n_users"))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     withParts
       .join(prefixSup, Seq("antecedent"))
       .join(consSup, Seq("consequent"))
-      .withColumn("__j", lit(1))
-      .join(nUsers.withColumn("__j", lit(1)), Seq("__j")).drop("__j")
+      .withColumn("n_users", lit(nu))
       .select(col("antecedent"), col("consequent"),
         col("support").as("seq_support"), col("ant_support"),
         col("cons_support"),
@@ -2246,20 +2250,27 @@ object RelQueries {
    * floats. Scale shape: ONE partial-aggregated shuffle to the per-key
    * count table; the top-10 is TakeOrdered (per-partition heaps — the
    * boundary-tie choice cannot change the SUM, so the output is
-   * deterministic); the two 1-row frames combine by a literal-key
-   * equi-join (hash join, no cartesian).
+   * deterministic) reduced to ONE long of driver metadata (the q146
+   * 1-row-collect convention — a literal-key join constant-folds into
+   * a BNL, which the plan sweep rightly rejects). A keyless input
+   * yields ZERO rows, not a null-stats row.
    */
   def keySkewProfile(
       df: DataFrame, keyCol: String, label: String,
       parallelism: Int = 32): DataFrame = {
     val cnts = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val stats = cnts.agg(
+    // one long of bounded metadata: the summed top-10 key counts
+    val top10Cnt: Option[Long] = cnts.orderBy(col("cnt").desc).limit(10)
+      .agg(sum(col("cnt")).as("top10_cnt"))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long])
+    val top10 = top10Cnt.map(lit).getOrElse(lit(null).cast("long"))
+    cnts.agg(
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt")).withColumn("__j", lit(1))
-    val top10 = cnts.orderBy(col("cnt").desc).limit(10)
-      .agg(sum(col("cnt")).as("top10_cnt")).withColumn("__j", lit(1))
-    stats.join(top10, Seq("__j")).drop("__j")
+      max(col("cnt")).as("max_cnt"))
+      .where(col("n_rows").isNotNull)
+      .withColumn("top10_cnt", top10)
       .select(lit(label).as("key_label"),
         col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_cnt"),
         (col("max_cnt").cast("double") / col("n_rows").cast("double"))
@@ -2292,7 +2303,8 @@ object RelQueries {
        |     (SELECT sum(cnt)::BIGINT AS top10_cnt
        |      FROM (SELECT count(*) AS cnt FROM $table
        |            WHERE $key IS NOT NULL GROUP BY $key
-       |            ORDER BY count(*) DESC LIMIT 10)) t""".stripMargin
+       |            ORDER BY count(*) DESC LIMIT 10)) t
+       |WHERE s.n_rows IS NOT NULL""".stripMargin
 
   val KeySkewReportSql: String =
     Seq(skewBlockSql("events", "user_id", "events.user_id"),

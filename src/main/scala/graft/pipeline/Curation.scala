@@ -1159,7 +1159,8 @@ object Curation {
    * Scale shape: supplies come from ONE partial-aggregated shuffle;
    * the waterline windows run over the GROUP-DOMAIN-sized supply table
    * (bounded — the F-list class, stated per the q181 convention), and
-   * the 1-row waterline joins back by a literal key (hash join).
+   * the waterline is ONE long of driver metadata attached as a
+   * literal (the q146 1-row-collect convention).
    *
    * Emits `(group, supply, allocation, waterline, budget)`.
    */
@@ -1181,15 +1182,20 @@ object Curation {
       .withColumn("__lag", coalesce(lag(col("__s"), 1).over(ord), lit(0L)))
       .withColumn("__cand",
         expr("(__b - __pk) div (__n - __k + 1)").cast("long"))
-    val wline = base
+    // one long of bounded metadata: the waterline over the
+    // group-domain-sized supply table (the q146 1-row-collect
+    // convention — a literal-key join constant-folds into a BNL,
+    // which the plan sweep rightly rejects)
+    val wlOpt: Option[Long] = base
       .where(col("__lag") <= col("__cand"))
       .agg(max(col("__cand")).as("waterline"))
-      .withColumn("__j", lit(1))
-    base.withColumn("__j", lit(1))
-      .join(wline, Seq("__j"))
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long])
+    val wl = wlOpt.map(lit).getOrElse(lit(null).cast("long"))
+    base
       .select(col(groupCol), col("__s").as("supply"),
-        least(col("__s"), col("waterline")).as("allocation"),
-        col("waterline"), col("__b").as("budget"))
+        least(col("__s"), wl).as("allocation"),
+        wl.as("waterline"), col("__b").as("budget"))
   }
 
   /**
