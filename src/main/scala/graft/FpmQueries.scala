@@ -229,6 +229,48 @@ object FpmQueries {
     * (lazy: FreqItemsetsSql is declared below). */
   lazy val ItemsetRefreshSql: String = FreqItemsetsSql
 
+  /**
+   * q: association rules DERIVED FROM THE REFRESHED ITEMSET ARTIFACT —
+   * the last lifecycle gap in the flagship family: q170 maintains the
+   * itemset artifact incrementally, but q04's rule table was still
+   * derived only from a from-scratch mine (as the reference does every
+   * run, `reference pfp/AssociationRules.scala:60-81`). This row closes
+   * it: the q170 refresh output (old-snapshot artifact + delta fold,
+   * bit-equal to the union re-mine by the FUP bound) feeds
+   * [[graft.fpm.AssociationRules.fromFreqItemsets]] directly — counts
+   * are already in the artifact, so rule derivation is pure count
+   * algebra over it, no corpus rescan. Because refresh == re-mine bit
+   * for bit and the rule chain is deterministic IEEE over those counts,
+   * refresh-then-derive == mine-then-derive, and the oracle is q04's
+   * statement verbatim over the (whole) union corpus.
+   *
+   * Scale shape: rule derivation touches only the artifact (support-
+   * bounded rows) — one canonicalized equi-join for antecedent counts
+   * plus a broadcast of the L1 table (item-domain-sized); the only
+   * corpus-scan is the basket count shared with q170's threshold.
+   */
+  def rulesFromRefreshedArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val refreshed = itemsetRefresh(spark, dir)
+    val n = Tables.orderBrandBaskets(spark, dir).count()
+    // L1 rows are present for every frequent item (anti-monotonicity):
+    // item-domain-sized collect, the F-list/centroid bounded-metadata class.
+    val itemSupport: Map[String, Double] = refreshed
+      .where(!col("itemset").contains(","))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    val asItems = refreshed
+      .select(split(col("itemset"), ",").as("items"), col("freq"))
+    AssociationRules.fromFreqItemsets(asItems, itemSupport, n, MinConfidence)
+      .where(size(col("antecedent")) <= 2)
+      .select(
+        array_join(array_sort(col("antecedent")), ",").as("antecedent"),
+        col("consequent").getItem(0).as("consequent"),
+        col("confidence"), col("lift"), col("support"))
+  }
+
+  /** q04's statement verbatim: refresh-then-derive must equal
+    * mine-then-derive (lazy: AssocRulesSql is declared below). */
+  lazy val RulesFromArtifactSql: String = AssocRulesSql
+
   /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).associationRules

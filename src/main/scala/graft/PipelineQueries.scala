@@ -3710,15 +3710,18 @@ object PipelineQueries {
       |                row_number() OVER (PARTITION BY src_a, src_b ORDER BY r) AS rk
       |         FROM comb) WHERE rk <= 64),
       |stats AS (SELECT src_a, src_b, count(*)::BIGINT AS n_mins,
-      |                 max(r)::DECIMAL(20,0) AS kth_min
+      |                 max(r) AS kth_u
       |          FROM uk GROUP BY 1, 2),
       |mt AS (SELECT u.src_a, u.src_b, count(*)::BIGINT AS matches
       |       FROM uk u JOIN km ka ON ka.source = u.src_a AND ka.r = u.r
       |                 JOIN km kb ON kb.source = u.src_b AND kb.r = u.r
       |       GROUP BY 1, 2),
-      |est AS (SELECT s.src_a, s.src_b, s.n_mins, s.kth_min,
+      |est AS (SELECT s.src_a, s.src_b, s.n_mins,
+      |          (CASE WHEN s.kth_u >= 9223372036854775808::HUGEINT
+      |                THEN s.kth_u - 18446744073709551616::HUGEINT
+      |                ELSE s.kth_u END)::BIGINT AS kth_min,
       |          CASE WHEN s.n_mins < 64 THEN s.n_mins::DOUBLE
-      |               ELSE 63.0 * (18446744073709551616.0 / s.kth_min::DOUBLE) END AS union_est,
+      |               ELSE 63.0 * (18446744073709551616.0 / s.kth_u::DOUBLE) END AS union_est,
       |          coalesce(m.matches, 0)::DOUBLE / s.n_mins::DOUBLE AS jacc_est
       |        FROM stats s LEFT JOIN mt m ON s.src_a = m.src_a AND s.src_b = m.src_b),
       |ex AS (SELECT source, count(*)::BIGINT AS n FROM dgr GROUP BY 1),

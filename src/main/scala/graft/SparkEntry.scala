@@ -201,6 +201,7 @@ object SparkEntry {
     "q184_quality_fusion" -> ((s, d) => PipelineQueries.qualityFusion(s, d)),
     "q185_token_budget" -> ((s, d) => PipelineQueries.tokenBudgetAllocation(s, d)),
     "q186_sequential_rules" -> ((s, d) => RelQueries.sequentialRules(s, d)),
+    "q187_rules_from_artifact" -> ((s, d) => FpmQueries.rulesFromRefreshedArtifact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -740,5 +741,8 @@ object SparkEntry {
     // q186: sequence rules prefix->last — confidence/lift from the q121
     // pattern table, the q04 surface for the sequential half
     "q186_sequential_rules" -> RelQueries.SequentialRulesSql,
+    // q187: rules derived from the q170-refreshed itemset artifact —
+    // refresh-then-derive == mine-then-derive; oracle is q04 verbatim
+    "q187_rules_from_artifact" -> FpmQueries.RulesFromArtifactSql,
   )
 }

@@ -497,7 +497,12 @@ object Sketches {
    *  - `n_mins`: size of the union synopsis (k, or the exact distinct
    *    union when both sets were smaller than k — then every estimate
    *    below is exact);
-   *  - `kth_min`: largest kept unsigned hash (decimal, exact);
+   *  - `kth_min`: largest kept hash, emitted as the signed
+   *    two's-complement BIGINT reinterpretation of the unsigned value
+   *    (the q20 `fingerprint_rk` convention — a decimal(20,0) output
+   *    here would be bit-correct but exceeds 2^53, where float64 legs
+   *    in downstream canonicalization become lossy; the unsigned
+   *    decimal stays internal for ordering and the double chain);
    *  - `union_est`: `(k-1) * (2^64 / kth)` — the classic KMV distinct
    *    estimator applied to the union synopsis, which is computable
    *    from the two synopses alone (k-min of a union = k-min of the
@@ -518,7 +523,14 @@ object Sketches {
       .withColumn("__u",
         slice(array_sort(array_distinct(concat(col("__ua"), col("__ub")))), 1, k))
       .withColumn("n_mins", size(col("__u")).cast("long"))
-      .withColumn("kth_min", element_at(col("__u"), size(col("__u"))))
+      .withColumn("__kth", element_at(col("__u"), size(col("__u"))))
+      .withColumn("kth_min",
+        when(col("__kth") >=
+            lit(new java.math.BigDecimal("9223372036854775808")),
+          (col("__kth") -
+            lit(new java.math.BigDecimal("18446744073709551616")))
+            .cast("long"))
+          .otherwise(col("__kth").cast("long")))
       .withColumn("__matches",
         size(filter(col("__u"), v =>
           array_contains(col("__ua"), v) && array_contains(col("__ub"), v)))
@@ -527,10 +539,10 @@ object Sketches {
       .withColumn("union_est",
         when(col("n_mins") < k, col("n_mins").cast("double"))
           .otherwise(lit((k - 1).toDouble) *
-            (lit(TwoPow64d) / col("kth_min").cast("double"))))
+            (lit(TwoPow64d) / col("__kth").cast("double"))))
       .withColumn("jacc_est",
         col("__matches").cast("double") / col("n_mins").cast("double"))
       .withColumn("inter_est", col("jacc_est") * col("union_est"))
-      .drop("__ua", "__ub", "__u", "__matches")
+      .drop("__ua", "__ub", "__u", "__kth", "__matches")
   }
 }

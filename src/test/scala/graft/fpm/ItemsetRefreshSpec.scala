@@ -60,6 +60,21 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(refreshed == full, "delta refresh must equal the full re-mine")
   }
 
+  test("rules derived from the refreshed artifact == rules from the q04 mine") {
+    // the q187 contract: refresh-then-derive equals mine-then-derive —
+    // the rule chain is deterministic IEEE over counts, and the counts
+    // are bit-equal by the FUP bound (previous test), so the rule
+    // tables must match on every measure bit for bit.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val fromArtifact = graft.FpmQueries.rulesFromRefreshedArtifact(spark, dir)
+      .as[(String, String, Double, Double, Double)].collect().toSet
+    val fromMine = graft.FpmQueries.assocRules(spark, dir)
+      .as[(String, String, Double, Double, Double)].collect().toSet
+    assert(fromArtifact.nonEmpty)
+    assert(fromArtifact == fromMine)
+  }
+
   test("a delta at or above minCount_union is refused (full re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 5L)).toDF("itemset", "freq")
