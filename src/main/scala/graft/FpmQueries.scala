@@ -271,6 +271,93 @@ object FpmQueries {
     * mine-then-derive (lazy: AssocRulesSql is declared below). */
   lazy val RulesFromArtifactSql: String = AssocRulesSql
 
+  /**
+   * q: STREAM-MAINTAINED frequent-itemset artifact — the last artifact
+   * family to gain the q135 read-merge-swap lifecycle (HLL/CMS/qsketch/
+   * KMV/dup-clusters/boilerplate all have one): the OLD snapshot is
+   * mined ONCE at the probe threshold and persisted; the added baskets
+   * then ARRIVE AS A STREAM (availableNow, one file per trigger) and
+   * each micro-batch folds its exact candidate counts into the stored
+   * artifact via [[graft.fpm.ItemsetRefresh.fold]] — read artifact,
+   * fold batch, write sibling, atomic swap. Two soundness properties
+   * carry the row:
+   *
+   *  - the fold is UN-thresholded: counts are additive and the
+   *    candidate set is left intact, so the fold is associative over
+   *    batches and batch boundaries cannot matter (thresholding
+   *    mid-stream would drop probe-only candidates later batches
+   *    still need — the reason the stream twin folds and the final
+   *    read thresholds);
+   *  - the FUP bound guard runs per batch on the CUMULATIVE delta
+   *    (`fold`'s require), so a stream that outgrows the increment
+   *    contract fails loudly mid-stream instead of emitting an
+   *    unsound table.
+   *
+   * The final read applies `minCount_union` once — bit-equal to the
+   * q170 one-shot refresh and therefore to the full re-mine; the
+   * oracle is q03's statement verbatim over the union corpus.
+   *
+   * Scale shape: per batch, work is delta-sized enumeration over the
+   * candidate item universe plus one artifact-sized equi-join — no
+   * stage rescans the old corpus, and the artifact swap is one staged
+   * rename (the q177 idiom).
+   */
+  def itemsetStreamMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val nOld = old.count()
+    val nAdded = added.count()
+    val minCountUni =
+      math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
+    val probe = math.max(1L, minCountUni - nAdded)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q188-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("itemsets")
+    val m = new FPGrowth()
+      .setMinCount(probe)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .fit(old)
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .write.parquet(artDir.toString)
+    m.freqItemsets.unpersist()
+    // the delta arrives as a stream: two files, one per micro-batch
+    val in = base.resolve("in").toString
+    added.where(col("l_orderkey") % 2 === 0).coalesce(1)
+      .write.parquet(in)
+    added.where(col("l_orderkey") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val cumAdded = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cum = cumAdded.addAndGet(batch.count())
+        val folded = graft.fpm.ItemsetRefresh.fold(
+          spark.read.parquet(artDir.toString), batch, "items",
+          minCountUni, cum)
+        val sibling = base.resolve(s"itemsets-next-$id")
+        folded.coalesce(1).write.parquet(sibling.toString)
+        graft.Fs.deleteRecursively(artDir)
+        java.nio.file.Files.move(sibling, artDir)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.toString)
+      .where(col("freq") >= minCountUni)
+  }
+
+  /** Same statement as q03: the stream-folded artifact must equal the
+    * full re-mine at the union threshold. */
+  lazy val ItemsetStreamSql: String = FreqItemsetsSql
+
   /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).associationRules

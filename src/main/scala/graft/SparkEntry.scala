@@ -202,6 +202,7 @@ object SparkEntry {
     "q185_token_budget" -> ((s, d) => PipelineQueries.tokenBudgetAllocation(s, d)),
     "q186_sequential_rules" -> ((s, d) => RelQueries.sequentialRules(s, d)),
     "q187_rules_from_artifact" -> ((s, d) => FpmQueries.rulesFromRefreshedArtifact(s, d)),
+    "q188_itemset_stream" -> ((s, d) => FpmQueries.itemsetStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -744,5 +745,8 @@ object SparkEntry {
     // q187: rules derived from the q170-refreshed itemset artifact —
     // refresh-then-derive == mine-then-derive; oracle is q04 verbatim
     "q187_rules_from_artifact" -> FpmQueries.RulesFromArtifactSql,
+    // q188: stream-maintained itemset artifact — un-thresholded FUP fold
+    // per batch, threshold once at read; oracle is q03 verbatim
+    "q188_itemset_stream" -> FpmQueries.ItemsetStreamSql,
   )
 }

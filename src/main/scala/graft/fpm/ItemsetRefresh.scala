@@ -79,18 +79,29 @@ object ItemsetRefresh {
   }
 
   /**
-   * Fold a delta into a loaded probe artifact `(itemset, freq)` and
-   * re-threshold at the union's minCount. `nAdded` is the delta
-   * transaction count — the soundness require lives HERE so no caller
-   * can skip it.
+   * Fold a delta's exact candidate counts into a PROBE-threshold
+   * artifact `(itemset, freq)` WITHOUT re-thresholding — the streaming
+   * building block: because counts are additive and the candidate set
+   * (the artifact's arity-1 rows) is left intact, the fold is
+   * associative over delta batches — `fold(fold(A, d1), d2) ==
+   * fold(A, d1 ++ d2)` row for row — so a q135-style read-merge-swap
+   * stream maintains the artifact batch by batch and thresholds ONCE
+   * at read time. Re-thresholding mid-stream would be UNSOUND: it
+   * drops probe-only candidates that later batches still need.
+   *
+   * `nAddedCumulative` is the TOTAL delta transaction count folded so
+   * far including this batch — the soundness require (see the object
+   * scaladoc: the candidate bound holds only while the whole folded
+   * delta stays under `minCount_union`) lives here so no per-batch
+   * caller can skip it.
    */
-  def refresh(
+  def fold(
       stored: DataFrame, added: DataFrame, itemsCol: String,
-      minCountUnion: Long, nAdded: Long): DataFrame = {
-    require(nAdded < minCountUnion,
-      s"delta of $nAdded transactions >= minCount_union $minCountUnion: " +
-        "the candidate bound no longer holds — re-mine from scratch " +
-        "(see ItemsetRefresh scaladoc)")
+      minCountUnion: Long, nAddedCumulative: Long): DataFrame = {
+    require(nAddedCumulative < minCountUnion,
+      s"cumulative delta of $nAddedCumulative transactions >= " +
+        s"minCount_union $minCountUnion: the candidate bound no longer " +
+        "holds — re-mine from scratch (see ItemsetRefresh scaladoc)")
     val candidateItems = stored
       .where(!col("itemset").contains(","))
       .select(col("itemset")).collect().map(_.getString(0)).toSeq
@@ -98,6 +109,17 @@ object ItemsetRefresh {
         Seq("itemset"), "left")
       .select(col("itemset"),
         (col("freq") + coalesce(col("freq_delta"), lit(0L))).as("freq"))
-      .where(col("freq") >= minCountUnion)
   }
+
+  /**
+   * Fold a delta into a loaded probe artifact `(itemset, freq)` and
+   * re-threshold at the union's minCount. `nAdded` is the delta
+   * transaction count — the soundness require lives in [[fold]] so no
+   * caller can skip it.
+   */
+  def refresh(
+      stored: DataFrame, added: DataFrame, itemsCol: String,
+      minCountUnion: Long, nAdded: Long): DataFrame =
+    fold(stored, added, itemsCol, minCountUnion, nAdded)
+      .where(col("freq") >= minCountUnion)
 }

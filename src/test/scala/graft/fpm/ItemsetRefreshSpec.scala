@@ -75,6 +75,37 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(fromArtifact == fromMine)
   }
 
+  test("fold is associative over batches: two folds == one fold == refresh+threshold") {
+    // the q188 contract: the un-thresholded fold leaves the candidate
+    // set intact, so batch boundaries cannot matter, and thresholding
+    // once at the end equals the one-shot refresh.
+    import spark.implicits._
+    val b = graft.Tables.orderBrandBaskets(spark, "/root/testdata/sf0.001")
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val d1 = added.where(col("l_orderkey") % 2 === 0)
+    val d2 = added.where(col("l_orderkey") % 2 =!= 0)
+    val nAdded = added.count(); val n1 = d1.count()
+    val minCountUni = math.max(1L, math.ceil(0.01 * b.count()).toLong)
+    val probe = math.max(1L, minCountUni - nAdded)
+    val m = new FPGrowth().setMinCount(probe).setNumPartitions(4).fit(old)
+    val stored = m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+      .cache()
+    val twoBatches = ItemsetRefresh.fold(
+        ItemsetRefresh.fold(stored, d1, "items", minCountUni, n1),
+        d2, "items", minCountUni, nAdded)
+      .as[(String, Long)].collect().toMap
+    val oneBatch = ItemsetRefresh.fold(stored, added, "items", minCountUni, nAdded)
+      .as[(String, Long)].collect().toMap
+    val refreshed = ItemsetRefresh.refresh(stored, added, "items", minCountUni, nAdded)
+      .as[(String, Long)].collect().toMap
+    stored.unpersist(); m.freqItemsets.unpersist()
+    assert(twoBatches == oneBatch)
+    assert(twoBatches.filter(_._2 >= minCountUni) == refreshed)
+  }
+
   test("a delta at or above minCount_union is refused (full re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 5L)).toDF("itemset", "freq")
