@@ -14,27 +14,39 @@ import org.apache.spark.storage.StorageLevel
  * event sequences contain it as a (not necessarily contiguous)
  * subsequence.
  *
- * == Algorithm (Apriori-style candidate growth, GSP) ==
+ * == Algorithm (PrefixSpan-style frequent-prefix projection) ==
  *
- * Level k candidates come from level k-1: `p :+ c` is a candidate iff
- * `p` is frequent and its suffix extension `p.tail :+ c` is frequent —
- * the lossless anti-monotone prune (support(p :+ c) <= support of every
- * subsequence). Candidate sets are bounded by the EVENT-TYPE ALPHABET
- * (V^k for alphabet V), not by the data, so candidate generation is
- * driver-side over an alphabet-sized collect — the same bounded-metadata
- * discipline as [[Apriori]]'s broadcast candidates.
+ * Level k grows each frequent (k-1)-pattern `p` by the event types
+ * OBSERVED after `p`'s match in each sequence — never by enumerating
+ * the alphabet. The correctness hinge: greedy earliest matching is
+ * optimal for subsequence containment, so a sequence contains `p :+ c`
+ * iff `c` occurs strictly after the end of the greedy earliest match
+ * of `p`. Each level is therefore one distributed pass: per
+ * (sequence, frequent prefix), find the greedy match end (an
+ * `aggregate` fold carrying a (cursor, index, end) struct — no UDF),
+ * project the distinct types of the suffix, and count (prefix, type)
+ * pairs. Candidates that never co-occur in the data are never
+ * generated, let alone counted.
+ *
+ * This replaces round-13's GSP candidate enumeration, whose level-k
+ * candidate literal was `|freq(k-1)| x |F1|`-sized — alphabet-bounded,
+ * fine at a 5-type events fixture, but a 10^4-type vocabulary makes
+ * the level-2 literal 10^8 entries: a Catalyst expression tree that
+ * large fails long before the cluster does. Here the only literal
+ * shipped is the frequent-prefix list itself — OUTPUT-bounded (few by
+ * the PrefixSpan premise at any useful support), not V^k.
  *
  * == Scale shape ==
  *
  * One shuffle builds the per-key ordered sequences (bounded per-key
  * collect — the projected-database assumption every PrefixSpan-family
- * miner makes: one key's history fits in memory). Each counting pass is
- * then a pure PROJECTION over the cached sequences — the alphabet-sized
- * candidate list ships as a plan literal, and containment is one greedy
- * left-to-right fold per (sequence, candidate) via nested higher-order
- * functions (no UDF, no join, no BNL) — followed by one
- * partial-aggregated vocabulary-sized groupBy. Corpus size never enters
- * a join; per-key work is |seq| x |candidates|, both bounded.
+ * miner makes: one key's history fits in memory). Each level is then a
+ * pure projection over the cached sequences — per-row work is
+ * `|freq(k-1)| x |seq|` greedy folds plus one suffix-distinct, followed
+ * by one partial-aggregated groupBy whose key domain is the observed
+ * (prefix, extension) pairs. Corpus size never enters a join; layer
+ * results collect as support-bounded metadata (the histogram /
+ * codebook discipline) and the output assembles driver-side.
  *
  * Determinism: sequences order by the strictly-unique (time, eventId)
  * pair, so subsequence positions biject onto strict lexicographic
@@ -43,14 +55,23 @@ import org.apache.spark.storage.StorageLevel
  */
 object SequentialPatterns {
 
-  /** Greedy subsequence test: fold the sequence left to right, advancing
-    * a match cursor on each hit; contained iff the cursor reaches the
-    * pattern length (greedy matching is complete for subsequence
-    * existence). */
-  private def containedIn(seq: Column, pat: Column): Column =
-    aggregate(seq, lit(0), (m, x) =>
-      when(m < size(pat) && x === element_at(pat, m + 1), m + 1)
-        .otherwise(m)) === size(pat)
+  /** 1-based index where the greedy earliest match of `pat` inside
+    * `seq` completes; 0 when `seq` does not contain `pat`. The fold
+    * carries (match cursor m, element index i, completion index e):
+    * greedy matching advances m on every hit while m < |pat|, and e
+    * records i the first time m reaches |pat|. */
+  private def greedyMatchEnd(seq: Column, pat: Column): Column =
+    aggregate(seq,
+      struct(lit(0).as("m"), lit(0).as("i"), lit(0).as("e")),
+      (a, x) => {
+        val hit = a.getField("m") < size(pat) &&
+          x === element_at(pat, a.getField("m") + 1)
+        val m2 = when(hit, a.getField("m") + 1).otherwise(a.getField("m"))
+        struct(m2.as("m"), (a.getField("i") + 1).as("i"),
+          when(a.getField("e") === 0 && hit && m2 === size(pat),
+            a.getField("i") + 1).otherwise(a.getField("e")).as("e"))
+      },
+      a => a.getField("e"))
 
   /**
    * Frequent sequential patterns of length 1..`maxLen` over per-key
@@ -82,39 +103,38 @@ object SequentialPatterns {
       val minCount = (numKeys * minSupportNum + minSupportDen - 1) /
         minSupportDen
 
-      // Each counting pass is distributed; its RESULT is alphabet-bounded
-      // (<= V^k rows), so layers collect as metadata (the histogram /
-      // codebook discipline) and the output assembles driver-side.
-      def countPatterns(cands: Seq[Seq[String]]): Seq[(List[String], Long)] =
-        if (cands.isEmpty) Nil
+      // One distributed pass per level: frequent prefixes ship as an
+      // output-bounded plan literal; extensions are PROJECTED from the
+      // data (suffix after the greedy match), never enumerated.
+      def extendLayer(freqPrev: Seq[List[String]]): Seq[(List[String], Long)] =
+        if (freqPrev.isEmpty) Nil
         else {
-          // Alphabet-bounded candidate list as a plan literal: each row
-          // filters it by the greedy fold — a projection, not a join.
-          val candLit = array(cands.map(p => array(p.map(lit): _*)): _*)
-          seqs.select(explode(filter(candLit,
-              p => containedIn(col("seq"), p))).as("pat"))
-            .groupBy(col("pat")).agg(count(lit(1)).as("support"))
+          val patLit = array(freqPrev.map(p => array(p.map(lit): _*)): _*)
+          seqs.select(col("seq"), explode(patLit).as("pat"))
+            .withColumn("e", greedyMatchEnd(col("seq"), col("pat")))
+            .where(col("e") > 0)
+            .select(col("pat"), explode(array_distinct(
+              slice(col("seq"), col("e") + 1,
+                size(col("seq")) - col("e")))).as("c"))
+            .groupBy(col("pat"), col("c")).agg(count(lit(1)).as("support"))
             .where(col("support") >= minCount)
             .collect()
-            .map(r => (r.getSeq[String](0).toList, r.getLong(1))).toSeq
+            .map(r => (r.getSeq[String](0).toList :+ r.getString(1),
+              r.getLong(2))).toSeq
         }
 
-      // Alphabet-sized collect (bounded by the event-type vocabulary).
+      // L1: one vocabulary-sized aggregation (the only alphabet-sized
+      // result in the mine; everything after is support-bounded).
       val l1: Seq[(List[String], Long)] = seqs
         .select(explode(array_distinct(col("seq"))).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("support"))
         .where(col("support") >= minCount)
         .collect().map(r => (List(r.getString(0)), r.getLong(1))).toSeq
-      val f1: Seq[String] = l1.map(_._1.head).sorted
       var layers = List(l1)
       var freqK: Seq[List[String]] = l1.map(_._1)
       var k = 2
       while (k <= maxLen && freqK.nonEmpty) {
-        val fkSet = freqK.toSet
-        val cands: Seq[Seq[String]] = for {
-          p <- freqK; c <- f1 if fkSet.contains(p.tail :+ c)
-        } yield p :+ c
-        val lk = countPatterns(cands)
+        val lk = extendLayer(freqK)
         layers = lk :: layers
         freqK = lk.map(_._1)
         k += 1

@@ -86,6 +86,36 @@ class SequentialPatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("a 120-type fully-frequent alphabet mines without candidate blow-up") {
+    // the round-14 boundary test: every one of 120 types is frequent
+    // (each appears in every sequence), so round-13's GSP would build a
+    // 120x120 = 14,400-entry level-2 candidate literal from |F1|^2;
+    // the PrefixSpan projection ships only the 120 frequent prefixes
+    // and counts observed extensions. Sequences are rotations of the
+    // type list, so containment is deterministic and a driver-side
+    // observed-pair count gives the exact expected table.
+    val types = (0 until 120).map(i => f"t$i%03d")
+    val users = 0 until 10
+    val rows = for {
+      u <- users; k <- 0 until 120
+    } yield (u.toLong, k.toLong, u.toLong * 1000 + k,
+      types((k + u) % 120))
+    val got = mine(rows, 1L, 1L, maxLen = 2)
+    // expected: brute-force over observed ordered pairs only
+    val seqs = users.map(u => (0 until 120).map(k => types((k + u) % 120)))
+    val singles = types.map(t => t -> (1, 10L))
+    val pairCnt = new scala.collection.mutable.HashMap[String, Long]()
+    for (s <- seqs) {
+      val seen = new scala.collection.mutable.HashSet[String]()
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        seen.add(s"${s(i)}->${s(j)}")
+      seen.foreach(p => pairCnt(p) = pairCnt.getOrElse(p, 0L) + 1)
+    }
+    val pairs = pairCnt.filter(_._2 >= 10L).map { case (p, c) => p -> (2, c) }
+    assert(got == (singles ++ pairs).toMap)
+    assert(got.count(_._2._1 == 2) > 0, "some pair must survive all rotations")
+  }
+
   test("equal timestamps order by event id") {
     // both events at t=1: id order makes the sequence (a, b), so a->b
     // is contained and b->a is not
