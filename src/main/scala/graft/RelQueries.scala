@@ -1292,11 +1292,15 @@ object RelQueries {
   }
 
   /** Core of q186 over any (pattern, plen, support) frequent-sequence
-    * table: both joins are pattern-table-sized (alphabet^maxLen-bounded,
-    * so broadcastable at any corpus scale); `nUsers` is ONE long of
+    * table: both joins are pattern-table-sized (output-bounded, so
+    * broadcastable at any corpus scale); `nUsers` is ONE long of
     * driver metadata attached as a literal (the q146 1-row-collect
     * convention — a literal-key join constant-folds into a BNL, which
-    * the plan sweep rightly rejects). */
+    * the plan sweep rightly rejects). EAGER: the 1-row `nUsers` read
+    * runs at call time (q146 convention), so a missing events table
+    * fails at build, not first action. `n_users` accepts any numeric
+    * type (cast to long); an EMPTY `nUsers` frame yields an empty rule
+    * table — the old inner-join semantics, not 0-denominator lifts. */
   def sequenceRulesFrom(pat: DataFrame, nUsers: DataFrame): DataFrame = {
     val parts = split(col("pattern"), "->")
     val withParts = pat.where(col("plen") >= 2)
@@ -1309,13 +1313,13 @@ object RelQueries {
     val consSup = pat.where(col("plen") === 1)
       .select(col("pattern").as("consequent"),
         col("support").as("cons_support"))
-    val nu: Long = nUsers.select(col("n_users"))
+    val nuOpt: Option[Long] = nUsers.select(col("n_users").cast("long"))
       .collect().headOption.flatMap(r => Option(r.get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    withParts
+      .map(_.asInstanceOf[Long])
+    val rules = withParts
       .join(prefixSup, Seq("antecedent"))
       .join(consSup, Seq("consequent"))
-      .withColumn("n_users", lit(nu))
+      .withColumn("n_users", lit(nuOpt.getOrElse(0L)))
       .select(col("antecedent"), col("consequent"),
         col("support").as("seq_support"), col("ant_support"),
         col("cons_support"),
@@ -1324,6 +1328,7 @@ object RelQueries {
         ((col("support").cast("double") / col("ant_support")) /
           (col("cons_support").cast("double") / col("n_users").cast("double")))
           .as("lift"))
+    if (nuOpt.isDefined) rules else rules.where(lit(false))
   }
 
   /** The q121 CTE chain extended with the rule joins — antecedent and
@@ -2248,37 +2253,50 @@ object RelQueries {
    * All-integer derivations except the two share divisions (pinned
    * single IEEE steps); the integer ceil is `(a*P + n - 1) div n`, no
    * floats. Scale shape: ONE partial-aggregated shuffle to the per-key
-   * count table; the top-10 is TakeOrdered (per-partition heaps — the
+   * count table, PERSISTED and read by exactly two bounded-metadata
+   * jobs — the top-10 TakeOrdered (per-partition heaps — the
    * boundary-tie choice cannot change the SUM, so the output is
-   * deterministic) reduced to ONE long of driver metadata (the q146
+   * deterministic) and the 1-row global stats agg — then released; the
+   * result assembles from those longs driver-side (the q146
    * 1-row-collect convention — a literal-key join constant-folds into
-   * a BNL, which the plan sweep rightly rejects). A keyless input
+   * a BNL, which the plan sweep rightly rejects). EAGER: both jobs run
+   * at call time, per the q146 builder convention. A keyless input
    * yields ZERO rows, not a null-stats row.
    */
   def keySkewProfile(
       df: DataFrame, keyCol: String, label: String,
       parallelism: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val cnts = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    // one long of bounded metadata: the summed top-10 key counts
-    val top10Cnt: Option[Long] = cnts.orderBy(col("cnt").desc).limit(10)
-      .agg(sum(col("cnt")).as("top10_cnt"))
-      .collect().headOption.flatMap(r => Option(r.get(0)))
-      .map(_.asInstanceOf[Long])
-    val top10 = top10Cnt.map(lit).getOrElse(lit(null).cast("long"))
-    cnts.agg(
-      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt"))
-      .where(col("n_rows").isNotNull)
-      .withColumn("top10_cnt", top10)
-      .select(lit(label).as("key_label"),
-        col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_cnt"),
-        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
-          .as("max_share"),
-        (col("top10_cnt").cast("double") / col("n_rows").cast("double"))
-          .as("top10_share"),
-        expr(s"(max_cnt * $parallelism + n_rows - 1) div n_rows")
-          .cast("long").as("salt_buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base =
+      try {
+        // one long of bounded metadata: the summed top-10 key counts
+        val top10Cnt: Option[Long] = cnts.orderBy(col("cnt").desc).limit(10)
+          .agg(sum(col("cnt")).as("top10_cnt"))
+          .collect().headOption.flatMap(r => Option(r.get(0)))
+          .map(_.asInstanceOf[Long])
+        // 1 row of driver metadata: the global stats over the same
+        // persisted counts (no second scan of the input)
+        cnts.agg(
+            count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_cnt"))
+          .collect().headOption
+          .filter(r => !r.isNullAt(1))
+          .map(r => (label, r.getLong(1), r.getLong(0), r.getLong(2), top10Cnt))
+          .toSeq
+          .toDF("key_label", "n_rows", "n_keys", "max_cnt", "top10_cnt")
+      } finally cnts.unpersist()
+    base.select(col("key_label"),
+      col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_cnt"),
+      (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+        .as("max_share"),
+      (col("top10_cnt").cast("double") / col("n_rows").cast("double"))
+        .as("top10_share"),
+      expr(s"(max_cnt * $parallelism + n_rows - 1) div n_rows")
+        .cast("long").as("salt_buckets"))
   }
 
   /** q: the skew report over the warehouse's three hot join/agg keys. */

@@ -1160,7 +1160,14 @@ object Curation {
    * the waterline windows run over the GROUP-DOMAIN-sized supply table
    * (bounded — the F-list class, stated per the q181 convention), and
    * the waterline is ONE long of driver metadata attached as a
-   * literal (the q146 1-row-collect convention).
+   * literal (the q146 1-row-collect convention). The windowed plan is
+   * materialized ONCE (eager localCheckpoint, this file's round
+   * helper): the waterline collect and the returned frame read the
+   * same stored blocks, so a nondeterministic or changing `supplies`
+   * source cannot yield allocations inconsistent with the emitted
+   * waterline, and the global-sort window never runs twice. EAGER at
+   * call time (q146 builder convention); the checkpoint is released by
+   * [[clearCheckpoints]] like every round artifact.
    *
    * Emits `(group, supply, allocation, waterline, budget)`.
    */
@@ -1172,7 +1179,7 @@ object Curation {
         s" got $budgetNum/$budgetDen")
     val ord = Window.orderBy(col("__s"), col(groupCol))
     val all = Window.partitionBy()
-    val base = supplies.select(col(groupCol),
+    val base = materializeRound(supplies.select(col(groupCol),
         col(supplyCol).cast("long").as("__s"))
       .withColumn("__b",
         expr(s"(sum(__s) OVER () * $budgetNum) div $budgetDen").cast("long"))
@@ -1181,7 +1188,7 @@ object Curation {
       .withColumn("__n", count(lit(1)).over(all))
       .withColumn("__lag", coalesce(lag(col("__s"), 1).over(ord), lit(0L)))
       .withColumn("__cand",
-        expr("(__b - __pk) div (__n - __k + 1)").cast("long"))
+        expr("(__b - __pk) div (__n - __k + 1)").cast("long")))
     // one long of bounded metadata: the waterline over the
     // group-domain-sized supply table (the q146 1-row-collect
     // convention — a literal-key join constant-folds into a BNL,
