@@ -244,10 +244,14 @@ object FpmQueries {
    * refresh-then-derive == mine-then-derive, and the oracle is q04's
    * statement verbatim over the (whole) union corpus.
    *
-   * Scale shape: rule derivation touches only the artifact (support-
+   * Scale shape: rule DERIVATION touches only the artifact (support-
    * bounded rows) — one canonicalized equi-join for antecedent counts
-   * plus a broadcast of the L1 table (item-domain-sized); the only
-   * corpus-scan is the basket count shared with q170's threshold.
+   * plus a broadcast of the L1 table (item-domain-sized) — plus the
+   * basket count for the support denominator. The DECLARED row also
+   * re-runs the q170 build+refresh so it owns an artifact to derive
+   * from (each driver row is self-contained); a production pipeline
+   * derives from the maintained artifact and pays only the
+   * artifact-sized algebra per refresh.
    */
   def rulesFromRefreshedArtifact(spark: SparkSession, dir: String): DataFrame = {
     val refreshed = itemsetRefresh(spark, dir)
