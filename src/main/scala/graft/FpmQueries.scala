@@ -295,7 +295,14 @@ object FpmQueries {
    *  - the FUP bound guard runs per batch on the CUMULATIVE delta
    *    (`fold`'s require), so a stream that outgrows the increment
    *    contract fails loudly mid-stream instead of emitting an
-   *    unsound table.
+   *    unsound table (the cumulative counter is per-run driver state:
+   *    a restarted query re-anchors it, which only weakens the guard
+   *    toward earlier re-mines, never the fold itself);
+   *  - the fold is made IDEMPOTENT per batch id (unlike the max-merge
+   *    sketch streams, re-folding a redelivered batch would
+   *    double-count): an `_applied_<id>` marker rides inside the
+   *    swapped artifact dir, committing with the fold in one atomic
+   *    rename.
    *
    * The final read applies `minCount_union` once — bit-equal to the
    * q170 one-shot refresh and therefore to the full re-mine; the
@@ -340,14 +347,29 @@ object FpmQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val cum = cumAdded.addAndGet(batch.count())
-        val folded = graft.fpm.ItemsetRefresh.fold(
-          spark.read.parquet(artDir.toString), batch, "items",
-          minCountUni, cum)
-        val sibling = base.resolve(s"itemsets-next-$id")
-        folded.coalesce(1).write.parquet(sibling.toString)
-        graft.Fs.deleteRecursively(artDir)
-        java.nio.file.Files.move(sibling, artDir)
+        // Idempotent replay guard: unlike the engine's max-merge sketch
+        // streams (HLL/KMV, where re-merging a batch is a no-op), the
+        // count fold is ADDITIVE — foreachBatch's at-least-once redelivery
+        // would double-count. The applied-batch marker travels INSIDE the
+        // swapped artifact dir (underscore-prefixed, invisible to parquet
+        // readers), so marker and fold commit in the same atomic rename.
+        if (!java.nio.file.Files.exists(artDir.resolve(s"_applied_$id"))) {
+          val cum = cumAdded.addAndGet(batch.count())
+          val folded = graft.fpm.ItemsetRefresh.fold(
+            spark.read.parquet(artDir.toString), batch, "items",
+            minCountUni, cum)
+          val sibling = base.resolve(s"itemsets-next-$id")
+          folded.coalesce(1).write.parquet(sibling.toString)
+          // carry prior applied-markers into the new artifact state
+          val stream = java.nio.file.Files.list(artDir)
+          try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+            .forEach(p => java.nio.file.Files.copy(p,
+              sibling.resolve(p.getFileName.toString)))
+          finally stream.close()
+          java.nio.file.Files.createFile(sibling.resolve(s"_applied_$id"))
+          graft.Fs.deleteRecursively(artDir)
+          java.nio.file.Files.move(sibling, artDir)
+        }
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
