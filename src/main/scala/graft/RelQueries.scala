@@ -1243,11 +1243,56 @@ object RelQueries {
     * strict (time, event_id) order and exact rational threshold. */
   def sequentialPatterns(spark: SparkSession, dir: String): DataFrame =
     graft.fpm.SequentialPatterns.frequentSequences(
-      Tables.load(spark, dir, "events")
-        .select(col("user_id"), expr("ts div 1000L").as("tsu"),
-          col("event_id"), col("event_type")),
+      seqEvents(spark, dir),
       "user_id", "tsu", "event_id", "event_type",
       minSupportNum = 4L, minSupportDen = 5L, maxLen = 3)
+
+  /** q121's event projection — shared by the mine and its refresh. */
+  private def seqEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000L").as("tsu"),
+        col("event_id"), col("event_type"))
+
+  /**
+   * q: INCREMENTAL sequential-pattern refresh — the q170 artifact
+   * lifecycle for the sequence family, under the family's own
+   * soundness contract ([[graft.fpm.SequentialPatterns.refresh]]):
+   * support is additive over KEYS, so the delta must be key-disjoint —
+   * here the 1/17 of users absent from the OLD snapshot. The old
+   * snapshot is mined ONCE at the reduced absolute threshold
+   * `minCount_union - |deltaUsers|` (expressed as the exact rational
+   * `probe/nOldUsers` so the miner's integer-ceil threshold lands on
+   * `probe` precisely) and persisted; the refresh counts each artifact
+   * candidate's exact support among only the added users' sequences
+   * and re-thresholds. Bit-equal to the union re-mine by the FUP
+   * bound, which is exactly what the oracle states: q121's statement
+   * verbatim over the whole events table.
+   *
+   * Scale shape: only the delta users' events are sequenced per
+   * refresh; the stored side is artifact-sized (support-bounded
+   * candidate list as a plan literal, one equi-join). No stage
+   * rescans the old users' histories.
+   */
+  def sequentialPatternRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val old = ev.where(col("user_id") % 17 =!= 0)
+    val added = ev.where(col("user_id") % 17 === 0)
+    val nOld = old.select(col("user_id")).distinct().count()
+    val nAdded = added.select(col("user_id")).distinct().count()
+    val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
+    val probe = math.max(1L, minCountUni - nAdded)
+    val staged = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q189-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = staged.resolve("seqpatterns").toString
+    graft.fpm.SequentialPatterns.frequentSequences(
+        old, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = probe, minSupportDen = math.max(1L, nOld),
+        maxLen = 3)
+      .write.parquet(artPath)
+    graft.fpm.SequentialPatterns.refresh(
+      spark.read.parquet(artPath), added,
+      "user_id", "tsu", "event_id", "event_type", minCountUni, nAdded)
+  }
 
   val SequentialPatternsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y

@@ -203,6 +203,7 @@ object SparkEntry {
     "q186_sequential_rules" -> ((s, d) => RelQueries.sequentialRules(s, d)),
     "q187_rules_from_artifact" -> ((s, d) => FpmQueries.rulesFromRefreshedArtifact(s, d)),
     "q188_itemset_stream" -> ((s, d) => FpmQueries.itemsetStreamMaintained(s, d)),
+    "q189_seqpattern_refresh" -> ((s, d) => RelQueries.sequentialPatternRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -748,5 +749,8 @@ object SparkEntry {
     // q188: stream-maintained itemset artifact — un-thresholded FUP fold
     // per batch, threshold once at read; oracle is q03 verbatim
     "q188_itemset_stream" -> FpmQueries.ItemsetStreamSql,
+    // q189: sequence-pattern refresh for a key-disjoint delta — support
+    // additive over keys, FUP bound transfers; oracle is q121 verbatim
+    "q189_seqpattern_refresh" -> RelQueries.SequentialPatternsSql,
   )
 }

@@ -74,6 +74,83 @@ object SequentialPatterns {
       a => a.getField("e"))
 
   /**
+   * Exact support counts, over `events`' per-key sequences, of the
+   * given candidate `patterns` — `(pattern, support)` with the
+   * `"a->b"` string key, omitting never-contained candidates. One
+   * distributed pass: the candidate list ships as a plan literal
+   * (caller-bounded — artifact-sized at the [[refresh]] call site),
+   * containment is the greedy fold. The building block of the
+   * sequence-family artifact lifecycle.
+   */
+  def supportCounts(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, patterns: Seq[Seq[String]]): DataFrame = {
+    val spark = events.sparkSession
+    if (patterns.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("pattern", "support")
+    } else {
+      val patLit = array(patterns.map(p => array(p.map(lit): _*)): _*)
+      events.where(col(typeCol).isNotNull)
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("y")))).as("s"))
+        .select(expr("transform(s, x -> x.y)").as("seq"))
+        .select(explode(patLit).as("pat"), col("seq"))
+        .where(greedyMatchEnd(col("seq"), col("pat")) > 0)
+        .groupBy(array_join(col("pat"), "->").as("pattern"))
+        .agg(count(lit(1)).as("support"))
+    }
+  }
+
+  /**
+   * FUP-style refresh of a frequent-sequence artifact for a
+   * KEY-DISJOINT delta — the [[graft.fpm.ItemsetRefresh]] lifecycle
+   * applied to the sequence family, with the family's OWN soundness
+   * boundary stated honestly: sequence support counts are additive
+   * over KEYS, not rows — `support_union(p) = support_old(p) +
+   * support_delta(p)` holds exactly when the delta's keys are disjoint
+   * from the old snapshot's (new users), because an event that EXTENDS
+   * an existing key's sequence can create containments in the old
+   * half, which no delta-only count can see. Key-disjointness is the
+   * caller's CONTRACT (the itemset family needs no such clause —
+   * transactions are rows, rows are trivially disjoint); a
+   * same-key-extending ingest needs a re-mine, or a per-key
+   * changed-keys recount (recount only the touched keys' old
+   * sequences — still delta-sized when touches are sparse).
+   *
+   * Under that contract the FUP bound transfers verbatim: a pattern
+   * absent from an artifact mined at `minCount_union - |deltaKeys|`
+   * has `support_old < minCount_union - |deltaKeys|`, and disjoint
+   * delta keys add at most `|deltaKeys|` — so artifact candidates +
+   * exact delta counts + one re-threshold equal the union re-mine bit
+   * for bit. The require is the same full-re-mine trigger as
+   * `ItemsetRefresh`'s.
+   *
+   * `stored`: `(pattern, plen, support)` mined at the probe threshold.
+   * Work: only the delta's events are sequenced; the stored side is
+   * artifact-sized (one bounded collect for the candidate list, one
+   * equi-join).
+   */
+  def refresh(
+      stored: DataFrame, deltaEvents: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      minCountUnion: Long, nAddedKeys: Long): DataFrame = {
+    require(nAddedKeys < minCountUnion,
+      s"delta of $nAddedKeys new keys >= minCount_union $minCountUnion: " +
+        "the candidate bound no longer holds — re-mine from scratch " +
+        "(see SequentialPatterns.refresh scaladoc)")
+    val pats: Seq[Seq[String]] = stored.select(col("pattern"))
+      .collect().map(_.getString(0).split("->").toSeq).toSeq
+    val delta = supportCounts(deltaEvents, keyCol, tsCol, idCol, typeCol, pats)
+      .select(col("pattern"), col("support").as("__delta"))
+    stored.join(delta, Seq("pattern"), "left")
+      .select(col("pattern"), col("plen"),
+        (col("support") + coalesce(col("__delta"), lit(0L))).as("support"))
+      .where(col("support") >= minCountUnion)
+  }
+
+  /**
    * Frequent sequential patterns of length 1..`maxLen` over per-key
    * ordered event sequences. `minSupportNum / minSupportDen` is the
    * support fraction (kept rational so the threshold

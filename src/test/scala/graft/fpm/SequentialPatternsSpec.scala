@@ -116,6 +116,48 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(got.count(_._2._1 == 2) > 0, "some pair must survive all rotations")
   }
 
+  test("key-disjoint refresh == full re-mine on random logs (q189 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val types = Seq("v", "c", "p", "e", "s")
+    val rows = for {
+      u <- 1L to 60L
+      k <- 1 to (2 + rnd.nextInt(8))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val (oldRows, addedRows) = rows.partition(_._1 % 7 != 0)
+    val nOld = oldRows.map(_._1).distinct.size.toLong
+    val nAdded = addedRows.map(_._1).distinct.size.toLong
+    // union threshold at 50% support; probe at the FUP-reduced bound
+    val minCountUni = ((nOld + nAdded) * 1 + 1) / 2
+    assert(nAdded > 0 && nAdded < minCountUni)
+    val probe = math.max(1L, minCountUni - nAdded)
+    val stored = SequentialPatterns.frequentSequences(
+      oldRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+      minSupportNum = probe, minSupportDen = nOld, maxLen = 3)
+    val refreshed = SequentialPatterns.refresh(
+        stored, addedRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minCountUni, nAdded)
+      .as[(String, Int, Long)].collect().toSet
+    val full = SequentialPatterns.frequentSequences(
+        rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = minCountUni, minSupportDen = nOld + nAdded,
+        maxLen = 3)
+      .as[(String, Int, Long)].collect().toSet
+    assert(refreshed.nonEmpty)
+    assert(refreshed == full, "key-disjoint delta refresh must equal the union re-mine")
+  }
+
+  test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
+    import spark.implicits._
+    val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
+    val delta = Seq((9L, 1L, 1L, "a")).toDF("u", "t", "i", "y")
+    val e = intercept[IllegalArgumentException] {
+      SequentialPatterns.refresh(stored, delta, "u", "t", "i", "y",
+        minCountUnion = 3L, nAddedKeys = 3L)
+    }
+    assert(e.getMessage.contains("re-mine"))
+  }
+
   test("equal timestamps order by event id") {
     // both events at t=1: id order makes the sequence (a, b), so a->b
     // is contained and b->a is not
