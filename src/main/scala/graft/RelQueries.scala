@@ -1294,6 +1294,80 @@ object RelQueries {
       "user_id", "tsu", "event_id", "event_type", minCountUni, nAdded)
   }
 
+  /**
+   * q: STREAM-MAINTAINED sequence-pattern artifact — the q188
+   * read-merge-swap lifecycle for the sequence family, under the
+   * family's key-disjointness contract: delta batches carry WHOLE NEW
+   * USERS (the fixture routes each added user's complete history into
+   * exactly one input file, so no key straddles a batch — a straddled
+   * key is the same additivity violation as a same-key extension).
+   * Per micro-batch: read artifact, un-thresholded
+   * [[graft.fpm.SequentialPatterns.fold]] (candidate patterns intact
+   * => associative over batches), write sibling, atomic swap with an
+   * `_applied_<id>` marker (the fold is ADDITIVE, so foreachBatch
+   * redelivery must be de-duplicated — the q188 guard). The cumulative
+   * new-key require runs per batch; the final read thresholds once at
+   * `minCount_union` — bit-equal to q189's one-shot refresh and the
+   * union re-mine, which is what the oracle states: q121's statement
+   * verbatim.
+   */
+  def sequentialPatternStreamMaintained(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val old = ev.where(col("user_id") % 17 =!= 0)
+    val added = ev.where(col("user_id") % 17 === 0)
+    val nOld = old.select(col("user_id")).distinct().count()
+    val nAdded = added.select(col("user_id")).distinct().count()
+    val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
+    val probe = math.max(1L, minCountUni - nAdded)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q190-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("seqpatterns")
+    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = probe, minSupportDen = math.max(1L, nOld),
+        maxLen = 3)
+      .write.parquet(artDir.toString)
+    // the delta arrives as a stream: one file per user-parity half, so
+    // every added user's whole history lives in exactly one batch
+    val in = base.resolve("in").toString
+    added.where(expr("user_id div 17") % 2 === 0).coalesce(1)
+      .write.parquet(in)
+    added.where(expr("user_id div 17") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val cumKeys = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!java.nio.file.Files.exists(artDir.resolve(s"_applied_$id"))) {
+          val cum = cumKeys.addAndGet(
+            batch.select(col("user_id")).distinct().count())
+          val folded = sp.fold(
+            spark.read.parquet(artDir.toString), batch,
+            "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+          val sibling = base.resolve(s"seqpatterns-next-$id")
+          folded.coalesce(1).write.parquet(sibling.toString)
+          val stream = java.nio.file.Files.list(artDir)
+          try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+            .forEach(p => java.nio.file.Files.copy(p,
+              sibling.resolve(p.getFileName.toString)))
+          finally stream.close()
+          java.nio.file.Files.createFile(sibling.resolve(s"_applied_$id"))
+          graft.Fs.deleteRecursively(artDir)
+          java.nio.file.Files.move(sibling, artDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.toString)
+      .where(col("support") >= minCountUni)
+  }
+
   val SequentialPatternsSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
       |           FROM events WHERE event_type IS NOT NULL),

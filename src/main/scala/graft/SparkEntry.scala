@@ -204,6 +204,7 @@ object SparkEntry {
     "q187_rules_from_artifact" -> ((s, d) => FpmQueries.rulesFromRefreshedArtifact(s, d)),
     "q188_itemset_stream" -> ((s, d) => FpmQueries.itemsetStreamMaintained(s, d)),
     "q189_seqpattern_refresh" -> ((s, d) => RelQueries.sequentialPatternRefresh(s, d)),
+    "q190_seqpattern_stream" -> ((s, d) => RelQueries.sequentialPatternStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -752,5 +753,9 @@ object SparkEntry {
     // q189: sequence-pattern refresh for a key-disjoint delta — support
     // additive over keys, FUP bound transfers; oracle is q121 verbatim
     "q189_seqpattern_refresh" -> RelQueries.SequentialPatternsSql,
+    // q190: stream-maintained sequence-pattern artifact — whole-new-user
+    // batches, un-thresholded additive fold + applied-marker idempotence,
+    // threshold once at read; oracle is q121 verbatim
+    "q190_seqpattern_stream" -> RelQueries.SequentialPatternsSql,
   )
 }

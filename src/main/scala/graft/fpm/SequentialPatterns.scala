@@ -135,10 +135,31 @@ object SequentialPatterns {
   def refresh(
       stored: DataFrame, deltaEvents: DataFrame, keyCol: String,
       tsCol: String, idCol: String, typeCol: String,
-      minCountUnion: Long, nAddedKeys: Long): DataFrame = {
-    require(nAddedKeys < minCountUnion,
-      s"delta of $nAddedKeys new keys >= minCount_union $minCountUnion: " +
-        "the candidate bound no longer holds — re-mine from scratch " +
+      minCountUnion: Long, nAddedKeys: Long): DataFrame =
+    fold(stored, deltaEvents, keyCol, tsCol, idCol, typeCol,
+      minCountUnion, nAddedKeys)
+      .where(col("support") >= minCountUnion)
+
+  /**
+   * Un-thresholded [[refresh]] — the streaming building block, exactly
+   * [[graft.fpm.ItemsetRefresh.fold]]'s role for this family: the
+   * candidate (pattern) set is left intact, so folding key-disjoint
+   * delta batches is associative and batch boundaries cannot matter;
+   * threshold ONCE at read. `nAddedKeysCumulative` is the total
+   * distinct delta keys folded so far including this batch (each key's
+   * WHOLE event history must arrive within one batch — a key split
+   * across batches is the same additivity violation as a same-key
+   * extension); the FUP-bound require lives here so no per-batch
+   * caller can skip it.
+   */
+  def fold(
+      stored: DataFrame, deltaEvents: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      minCountUnion: Long, nAddedKeysCumulative: Long): DataFrame = {
+    require(nAddedKeysCumulative < minCountUnion,
+      s"cumulative delta of $nAddedKeysCumulative new keys >= " +
+        s"minCount_union $minCountUnion: the candidate bound no longer " +
+        "holds — re-mine from scratch " +
         "(see SequentialPatterns.refresh scaladoc)")
     val pats: Seq[Seq[String]] = stored.select(col("pattern"))
       .collect().map(_.getString(0).split("->").toSeq).toSeq
@@ -147,7 +168,6 @@ object SequentialPatterns {
     stored.join(delta, Seq("pattern"), "left")
       .select(col("pattern"), col("plen"),
         (col("support") + coalesce(col("__delta"), lit(0L))).as("support"))
-      .where(col("support") >= minCountUnion)
   }
 
   /**

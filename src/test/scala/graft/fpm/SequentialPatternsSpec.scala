@@ -147,6 +147,43 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(refreshed == full, "key-disjoint delta refresh must equal the union re-mine")
   }
 
+  test("fold is associative over key-disjoint batches (q190 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val types = Seq("v", "c", "p", "e")
+    val rows = for {
+      u <- 1L to 50L
+      k <- 1 to (2 + rnd.nextInt(6))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val (oldRows, addedRows) = rows.partition(_._1 % 5 != 0)
+    val (b1, b2) = addedRows.partition(_._1 % 2 == 0) // user-disjoint halves
+    val nOld = oldRows.map(_._1).distinct.size.toLong
+    val nAdded = addedRows.map(_._1).distinct.size.toLong
+    val n1 = b1.map(_._1).distinct.size.toLong
+    val minCountUni = ((nOld + nAdded) * 1 + 1) / 2
+    assert(nAdded < minCountUni)
+    val probe = math.max(1L, minCountUni - nAdded)
+    val stored = SequentialPatterns.frequentSequences(
+        oldRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = probe, minSupportDen = nOld, maxLen = 3)
+      .cache()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    val twoBatches = asMap(SequentialPatterns.fold(
+      SequentialPatterns.fold(stored, b1.toDF("u", "t", "i", "y"),
+        "u", "t", "i", "y", minCountUni, n1),
+      b2.toDF("u", "t", "i", "y"), "u", "t", "i", "y", minCountUni, nAdded))
+    val oneBatch = asMap(SequentialPatterns.fold(
+      stored, addedRows.toDF("u", "t", "i", "y"),
+      "u", "t", "i", "y", minCountUni, nAdded))
+    val refreshed = asMap(SequentialPatterns.refresh(
+      stored, addedRows.toDF("u", "t", "i", "y"),
+      "u", "t", "i", "y", minCountUni, nAdded))
+    stored.unpersist()
+    assert(twoBatches == oneBatch)
+    assert(twoBatches.filter(_._2._3 >= minCountUni) == refreshed)
+  }
+
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
