@@ -1295,6 +1295,24 @@ object RelQueries {
   }
 
   /**
+   * q: sequence RULES derived from the REFRESHED pattern artifact —
+   * the q187 composition for the ordered half, closing the family's
+   * lifecycle matrix (mine q121 / rules q186 / refresh q189 / stream
+   * q190 / rules-from-artifact here): the q189 refresh output is
+   * bit-equal to the union re-mine, the rule chain is deterministic
+   * IEEE over its counts ([[sequenceRulesFrom]]), so
+   * refresh-then-derive == mine-then-derive and the oracle is q186's
+   * statement verbatim. Rule derivation itself touches only the
+   * artifact (pattern-table-sized joins) plus the 1-row user count.
+   */
+  def sequentialRulesFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val nUsers = Tables.load(spark, dir, "events")
+      .where(col("event_type").isNotNull)
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    sequenceRulesFrom(sequentialPatternRefresh(spark, dir), nUsers)
+  }
+
+  /**
    * q: STREAM-MAINTAINED sequence-pattern artifact — the q188
    * read-merge-swap lifecycle for the sequence family, under the
    * family's key-disjointness contract: delta batches carry WHOLE NEW

@@ -205,6 +205,7 @@ object SparkEntry {
     "q188_itemset_stream" -> ((s, d) => FpmQueries.itemsetStreamMaintained(s, d)),
     "q189_seqpattern_refresh" -> ((s, d) => RelQueries.sequentialPatternRefresh(s, d)),
     "q190_seqpattern_stream" -> ((s, d) => RelQueries.sequentialPatternStreamMaintained(s, d)),
+    "q191_seqrules_from_artifact" -> ((s, d) => RelQueries.sequentialRulesFromArtifact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -757,5 +758,8 @@ object SparkEntry {
     // batches, un-thresholded additive fold + applied-marker idempotence,
     // threshold once at read; oracle is q121 verbatim
     "q190_seqpattern_stream" -> RelQueries.SequentialPatternsSql,
+    // q191: sequence rules from the q189-refreshed artifact —
+    // refresh-then-derive == mine-then-derive; oracle is q186 verbatim
+    "q191_seqrules_from_artifact" -> RelQueries.SequentialRulesSql,
   )
 }
