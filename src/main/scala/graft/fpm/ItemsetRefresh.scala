@@ -98,7 +98,8 @@ object ItemsetRefresh {
   def fold(
       stored: DataFrame, added: DataFrame, itemsCol: String,
       minCountUnion: Long, nAddedCumulative: Long): DataFrame = {
-    require(nAddedCumulative < minCountUnion,
+    // a 0-transaction delta adds nothing and is sound at ANY threshold
+    require(nAddedCumulative == 0 || nAddedCumulative < minCountUnion,
       s"cumulative delta of $nAddedCumulative transactions >= " +
         s"minCount_union $minCountUnion: the candidate bound no longer " +
         "holds — re-mine from scratch (see ItemsetRefresh scaladoc)")

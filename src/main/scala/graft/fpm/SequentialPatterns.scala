@@ -156,7 +156,9 @@ object SequentialPatterns {
       stored: DataFrame, deltaEvents: DataFrame, keyCol: String,
       tsCol: String, idCol: String, typeCol: String,
       minCountUnion: Long, nAddedKeysCumulative: Long): DataFrame = {
-    require(nAddedKeysCumulative < minCountUnion,
+    // a 0-key delta adds nothing and is sound at ANY threshold —
+    // including the degenerate empty-corpus minCount_union = 0
+    require(nAddedKeysCumulative == 0 || nAddedKeysCumulative < minCountUnion,
       s"cumulative delta of $nAddedKeysCumulative new keys >= " +
         s"minCount_union $minCountUnion: the candidate bound no longer " +
         "holds — re-mine from scratch " +
