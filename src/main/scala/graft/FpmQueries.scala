@@ -198,7 +198,15 @@ object FpmQueries {
     * 1/211 delta sits under the 1% support floor at every SF). The
     * oracle is q03's statement verbatim over the union corpus: the
     * refreshed table IS the full re-mine, bit for bit. */
-  def itemsetRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def itemsetRefresh(spark: SparkSession, dir: String): DataFrame =
+    itemsetRefreshIn(spark, dir, "q170")
+
+  /** [[itemsetRefresh]] with a caller-owned staging tag — q187 re-runs
+    * the lifecycle under its own dir so its `Fs.staged` truncation can
+    * never invalidate a previously-built q170 frame's pinned file
+    * listing (and vice versa). */
+  private def itemsetRefreshIn(
+      spark: SparkSession, dir: String, tag: String): DataFrame = {
     val b = Tables.orderBrandBaskets(spark, dir)
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
@@ -208,7 +216,7 @@ object FpmQueries {
       math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
     val probe = math.max(1L, minCountUni - nAdded)
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
-      "/tmp", "graft-q170-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+      "/tmp", s"graft-$tag-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("itemsets").toString
     val m = new FPGrowth()
       .setMinCount(probe)
@@ -254,15 +262,21 @@ object FpmQueries {
    * artifact-sized algebra per refresh.
    */
   def rulesFromRefreshedArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val refreshed = itemsetRefresh(spark, dir)
+    import spark.implicits._
+    // ONE evaluation of the refresh plan: the artifact is support-
+    // bounded, so it collects whole (bounded metadata) and re-enters
+    // as a LocalRelation — fromFreqItemsets references its input three
+    // times (candidates + antecedent counts + L1), which would re-run
+    // the delta fold per reference on the live plan.
+    val rows: Array[(String, Long)] = itemsetRefreshIn(spark, dir, "q187")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val n = Tables.orderBrandBaskets(spark, dir).count()
-    // L1 rows are present for every frequent item (anti-monotonicity):
-    // item-domain-sized collect, the F-list/centroid bounded-metadata class.
-    val itemSupport: Map[String, Double] = refreshed
-      .where(!col("itemset").contains(","))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
-    val asItems = refreshed
-      .select(split(col("itemset"), ",").as("items"), col("freq"))
+    // L1 rows are present for every frequent item (anti-monotonicity)
+    val itemSupport: Map[String, Double] = rows
+      .filter(!_._1.contains(","))
+      .map { case (i, f) => i -> f.toDouble / n }.toMap
+    val asItems = rows.toSeq
+      .map { case (k, f) => (k.split(",").toSeq, f) }.toDF("items", "freq")
     AssociationRules.fromFreqItemsets(asItems, itemSupport, n, MinConfidence)
       .where(size(col("antecedent")) <= 2)
       .select(
@@ -347,28 +361,15 @@ object FpmQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // Idempotent replay guard: unlike the engine's max-merge sketch
-        // streams (HLL/KMV, where re-merging a batch is a no-op), the
-        // count fold is ADDITIVE — foreachBatch's at-least-once redelivery
-        // would double-count. The applied-batch marker travels INSIDE the
-        // swapped artifact dir (underscore-prefixed, invisible to parquet
-        // readers), so marker and fold commit in the same atomic rename.
-        if (!java.nio.file.Files.exists(artDir.resolve(s"_applied_$id"))) {
+        // Additive fold => replay must be de-duplicated per batch id
+        // ([[graft.Fs.appliedMarkerSwap]] — marker and fold commit in
+        // one atomic rename; redelivered ids skip the fold entirely).
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
           val cum = cumAdded.addAndGet(batch.count())
-          val folded = graft.fpm.ItemsetRefresh.fold(
-            spark.read.parquet(artDir.toString), batch, "items",
-            minCountUni, cum)
-          val sibling = base.resolve(s"itemsets-next-$id")
-          folded.coalesce(1).write.parquet(sibling.toString)
-          // carry prior applied-markers into the new artifact state
-          val stream = java.nio.file.Files.list(artDir)
-          try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
-            .forEach(p => java.nio.file.Files.copy(p,
-              sibling.resolve(p.getFileName.toString)))
-          finally stream.close()
-          java.nio.file.Files.createFile(sibling.resolve(s"_applied_$id"))
-          graft.Fs.deleteRecursively(artDir)
-          java.nio.file.Files.move(sibling, artDir)
+          graft.fpm.ItemsetRefresh.fold(
+              spark.read.parquet(artDir.toString), batch, "items",
+              minCountUni, cum)
+            .coalesce(1).write.parquet(sibling.toString)
         }
         ()
       }

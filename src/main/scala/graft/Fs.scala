@@ -32,6 +32,36 @@ object Fs {
     stagedDirs.clear()
   }
 
+  /**
+   * Applied-marker read-merge-swap commit for ADDITIVE foreachBatch
+   * artifact folds (q188/q190): unlike the max-merge sketch streams
+   * (HLL/KMV, replay-idempotent by algebra), re-folding a redelivered
+   * batch double-counts, so each batch id commits exactly once. If
+   * `artDir` already carries `_applied_<id>`, the batch is a replay
+   * and `write` is skipped (returns false). Otherwise `write(sibling)`
+   * materializes the folded artifact into a sibling dir, prior
+   * applied-markers are carried over (underscore-prefixed, invisible
+   * to parquet readers), this batch's marker is added, and sibling
+   * atomically renames over `artDir` — marker and fold commit in ONE
+   * rename.
+   */
+  def appliedMarkerSwap(base: Path, artDir: Path, id: Long)(
+      write: Path => Unit): Boolean = {
+    if (Files.exists(artDir.resolve(s"_applied_$id"))) false
+    else {
+      val sibling = base.resolve(s"${artDir.getFileName}-next-$id")
+      write(sibling)
+      val stream = Files.list(artDir)
+      try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+        .forEach(p => Files.copy(p, sibling.resolve(p.getFileName.toString)))
+      finally stream.close()
+      Files.createFile(sibling.resolve(s"_applied_$id"))
+      deleteRecursively(artDir)
+      Files.move(sibling, artDir)
+      true
+    }
+  }
+
   /** Best-effort recursive delete via walkFileTree — no directory-stream
     * handle to leak (`Files.walk` returns a Stream that must be closed),
     * and deletion order is inherently children-first. Missing entries

@@ -1273,7 +1273,15 @@ object RelQueries {
    * candidate list as a plan literal, one equi-join). No stage
    * rescans the old users' histories.
    */
-  def sequentialPatternRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def sequentialPatternRefresh(spark: SparkSession, dir: String): DataFrame =
+    sequentialPatternRefreshIn(spark, dir, "q189")
+
+  /** [[sequentialPatternRefresh]] with a caller-owned staging tag —
+    * q191 re-runs the lifecycle under its own dir so its `Fs.staged`
+    * truncation can never invalidate a previously-built q189 frame's
+    * pinned file listing (and vice versa). */
+  private def sequentialPatternRefreshIn(
+      spark: SparkSession, dir: String, tag: String): DataFrame = {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val old = ev.where(col("user_id") % 17 =!= 0)
     val added = ev.where(col("user_id") % 17 === 0)
@@ -1282,7 +1290,7 @@ object RelQueries {
     val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
     val probe = math.max(1L, minCountUni - nAdded)
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
-      "/tmp", "graft-q189-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+      "/tmp", s"graft-$tag-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("seqpatterns").toString
     graft.fpm.SequentialPatterns.frequentSequences(
         old, "user_id", "tsu", "event_id", "event_type",
@@ -1306,10 +1314,21 @@ object RelQueries {
    * artifact (pattern-table-sized joins) plus the 1-row user count.
    */
   def sequentialRulesFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val nUsers = Tables.load(spark, dir, "events")
       .where(col("event_type").isNotNull)
       .agg(count_distinct(col("user_id")).as("n_users"))
-    sequenceRulesFrom(sequentialPatternRefresh(spark, dir), nUsers)
+    // ONE evaluation of the refresh plan: the pattern artifact is
+    // support-bounded, so it collects whole (bounded metadata) and
+    // re-enters as a LocalRelation — sequenceRulesFrom references its
+    // pattern input three times (rule split + prefix + consequent
+    // supports), which would re-run the delta fold per reference on
+    // the live plan (the q186 input is already driver-local).
+    val pat = sequentialPatternRefreshIn(spark, dir, "q191")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq.toDF("pattern", "plen", "support")
+    sequenceRulesFrom(pat, nUsers)
   }
 
   /**
@@ -1359,22 +1378,15 @@ object RelQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!java.nio.file.Files.exists(artDir.resolve(s"_applied_$id"))) {
+        // additive fold => per-batch-id replay guard (the q188 commit
+        // idiom, shared via [[graft.Fs.appliedMarkerSwap]])
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
           val cum = cumKeys.addAndGet(
             batch.select(col("user_id")).distinct().count())
-          val folded = sp.fold(
-            spark.read.parquet(artDir.toString), batch,
-            "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
-          val sibling = base.resolve(s"seqpatterns-next-$id")
-          folded.coalesce(1).write.parquet(sibling.toString)
-          val stream = java.nio.file.Files.list(artDir)
-          try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
-            .forEach(p => java.nio.file.Files.copy(p,
-              sibling.resolve(p.getFileName.toString)))
-          finally stream.close()
-          java.nio.file.Files.createFile(sibling.resolve(s"_applied_$id"))
-          graft.Fs.deleteRecursively(artDir)
-          java.nio.file.Files.move(sibling, artDir)
+          sp.fold(
+              spark.read.parquet(artDir.toString), batch,
+              "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+            .coalesce(1).write.parquet(sibling.toString)
         }
         ()
       }
