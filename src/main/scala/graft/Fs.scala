@@ -51,13 +51,22 @@ object Fs {
     else {
       val sibling = base.resolve(s"${artDir.getFileName}-next-$id")
       write(sibling)
-      val stream = Files.list(artDir)
-      try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
-        .forEach(p => Files.copy(p, sibling.resolve(p.getFileName.toString)))
-      finally stream.close()
+      if (Files.exists(artDir)) { // bootstrap batch: nothing to carry
+        val stream = Files.list(artDir)
+        try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+          .forEach(p => Files.copy(p, sibling.resolve(p.getFileName.toString)))
+        finally stream.close()
+      }
       Files.createFile(sibling.resolve(s"_applied_$id"))
-      deleteRecursively(artDir)
+      // the replacement is COMPLETE (sibling) before anything is
+      // destroyed: retire the old state first, then one atomic rename
+      // publishes fold+markers together. A crash between the two moves
+      // leaves the complete sibling beside the retired dir — never a
+      // deleted-only window.
+      val retired = base.resolve(s"${artDir.getFileName}-retired-$id")
+      if (Files.exists(artDir)) Files.move(artDir, retired)
       Files.move(sibling, artDir)
+      deleteRecursively(retired)
       true
     }
   }

@@ -4227,16 +4227,19 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val buckets = sk.qsketchBuckets(lens(batch), Seq("source"), "len")
-        val merged =
-          if (java.nio.file.Files.exists(skDir))
-            sk.qsketchMerge(sk.loadRegisters(s, skDir.toString), buckets,
-              Seq("source"))
-          else buckets
-        val sibling = base.resolve(s"qsketch-next-$id")
-        sk.saveRegisters(merged, sibling.toString)
-        graft.Fs.deleteRecursively(skDir)
-        java.nio.file.Files.move(sibling, skDir)
+        // qsketch cells are COUNTS (qsketchMerge sums) — additive, so
+        // unlike the HLL/KMV max-merge twins a redelivered batch would
+        // double-count: the applied-marker guard is required here
+        // ([[graft.Fs.appliedMarkerSwap]], the q188 commit idiom).
+        graft.Fs.appliedMarkerSwap(base, skDir, id) { sibling =>
+          val buckets = sk.qsketchBuckets(lens(batch), Seq("source"), "len")
+          val merged =
+            if (java.nio.file.Files.exists(skDir))
+              sk.qsketchMerge(sk.loadRegisters(s, skDir.toString), buckets,
+                Seq("source"))
+            else buckets
+          sk.saveRegisters(merged, sibling.toString)
+        }
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
