@@ -1303,6 +1303,52 @@ object RelQueries {
   }
 
   /**
+   * q: CHANGED-KEYS sequence-pattern refresh — the SAME-KEY-EXTENDING
+   * ingest q189 excludes by contract, served by per-key recount
+   * ([[graft.fpm.SequentialPatterns.refreshTouched]]): the old
+   * snapshot withholds part of every 13th user's history (so the
+   * "ingest" EXTENDS existing keys — the case where support is not
+   * additive), the artifact is mined once at the touched-keys FUP
+   * bound `minCount_union - |touchedKeys|`, and the refresh replaces
+   * only the touched keys' containment terms: subtract their
+   * old-sequence counts, add their new-sequence counts, re-threshold.
+   * Bit-equal to the union re-mine; the oracle is q121's statement
+   * verbatim over the whole events table.
+   *
+   * Scale shape: both correction terms sequence ONLY the touched
+   * keys' events (semi-join-filtered — delta-sized when touches are
+   * sparse; key-pruned scan under the q64 layout at warehouse scale);
+   * the stored side is artifact-sized. The untouched 12/13 of users
+   * are never rescanned.
+   */
+  def sequentialPatternTouchRefresh(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    // delta = the withheld events; old = everything else; new = all
+    val isDelta = col("user_id") % 13 === 0 && col("event_id") % 5 === 0
+    val old = ev.where(!isDelta)
+    val delta = ev.where(isDelta)
+    val touchedKeys = delta.select(col("user_id")).distinct()
+    val nTouched = touchedKeys.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val minCountUni = (nUsers * 4L + 4L) / 5L
+    val probe = math.max(1L, minCountUni - nTouched)
+    val staged = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q192-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = staged.resolve("seqpatterns").toString
+    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = probe, minSupportDen = math.max(1L, nOldUsers),
+        maxLen = 3)
+      .write.parquet(artPath)
+    val oldTouched = old.join(touchedKeys, Seq("user_id"), "left_semi")
+    val newTouched = ev.join(touchedKeys, Seq("user_id"), "left_semi")
+    sp.refreshTouched(spark.read.parquet(artPath), oldTouched, newTouched,
+      "user_id", "tsu", "event_id", "event_type", minCountUni, nTouched)
+  }
+
+  /**
    * q: sequence RULES derived from the REFRESHED pattern artifact —
    * the q187 composition for the ordered half, closing the family's
    * lifecycle matrix (mine q121 / rules q186 / refresh q189 / stream

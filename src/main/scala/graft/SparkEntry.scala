@@ -206,6 +206,7 @@ object SparkEntry {
     "q189_seqpattern_refresh" -> ((s, d) => RelQueries.sequentialPatternRefresh(s, d)),
     "q190_seqpattern_stream" -> ((s, d) => RelQueries.sequentialPatternStreamMaintained(s, d)),
     "q191_seqrules_from_artifact" -> ((s, d) => RelQueries.sequentialRulesFromArtifact(s, d)),
+    "q192_seqpattern_touch_refresh" -> ((s, d) => RelQueries.sequentialPatternTouchRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -761,5 +762,8 @@ object SparkEntry {
     // q191: sequence rules from the q189-refreshed artifact —
     // refresh-then-derive == mine-then-derive; oracle is q186 verbatim
     "q191_seqrules_from_artifact" -> RelQueries.SequentialRulesSql,
+    // q192: changed-keys recount refresh — same-key-extending ingest,
+    // touched keys' terms replaced exactly; oracle is q121 verbatim
+    "q192_seqpattern_touch_refresh" -> RelQueries.SequentialPatternsSql,
   )
 }

@@ -141,6 +141,54 @@ object SequentialPatterns {
       .where(col("support") >= minCountUnion)
 
   /**
+   * Changed-keys recount refresh — the SAME-KEY-EXTENDING ingest case
+   * [[refresh]] excludes (its scaladoc's promissory note, discharged):
+   * when delta events extend EXISTING keys' sequences, per-key
+   * support is not additive, but it IS per-key replaceable —
+   * `support_new(p) = support_old(p) - contained_oldTouched(p) +
+   * contained_newTouched(p)`, because only the touched keys' terms in
+   * the support sum change. Both correction terms are exact
+   * containment counts over ONLY the touched keys' sequences (old and
+   * new versions) — delta-sized work when touches are sparse, and at
+   * warehouse scale the old-touched retrieval is a key-pruned scan
+   * (the q64 layout's case).
+   *
+   * Candidate bound (FUP shape, touched-keys form): a touched key can
+   * raise a pattern's support by at most 1, and only touched keys can
+   * raise it — so `support_new(p) <= support_old(p) + |touchedKeys|`,
+   * and an artifact mined at `minCount_union - |touchedKeys|` contains
+   * every pattern that can be union-frequent. Keys whose entire
+   * history is new (absent from the old snapshot) are just touched
+   * keys whose old containment terms are zero — the disjoint-delta
+   * [[refresh]] is the special case where ALL touched keys are such.
+   *
+   * `oldTouched`/`newTouched`: the touched keys' events in the old
+   * resp. new corpus state (the caller filters; a semi-join against
+   * the delta's key set is the scale-safe filter).
+   */
+  def refreshTouched(
+      stored: DataFrame, oldTouched: DataFrame, newTouched: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, typeCol: String,
+      minCountUnion: Long, nTouchedKeys: Long): DataFrame = {
+    require(nTouchedKeys == 0 || nTouchedKeys < minCountUnion,
+      s"touched-key set of $nTouchedKeys >= minCount_union " +
+        s"$minCountUnion: the candidate bound no longer holds — " +
+        "re-mine from scratch (see refreshTouched scaladoc)")
+    val pats: Seq[Seq[String]] = stored.select(col("pattern"))
+      .collect().map(_.getString(0).split("->").toSeq).toSeq
+    val oldC = supportCounts(oldTouched, keyCol, tsCol, idCol, typeCol, pats)
+      .select(col("pattern"), col("support").as("__old"))
+    val newC = supportCounts(newTouched, keyCol, tsCol, idCol, typeCol, pats)
+      .select(col("pattern"), col("support").as("__new"))
+    stored.join(oldC, Seq("pattern"), "left")
+      .join(newC, Seq("pattern"), "left")
+      .select(col("pattern"), col("plen"),
+        (col("support") - coalesce(col("__old"), lit(0L)) +
+          coalesce(col("__new"), lit(0L))).as("support"))
+      .where(col("support") >= minCountUnion)
+  }
+
+  /**
    * Un-thresholded [[refresh]] — the streaming building block, exactly
    * [[graft.fpm.ItemsetRefresh.fold]]'s role for this family: the
    * candidate (pattern) set is left intact, so folding key-disjoint

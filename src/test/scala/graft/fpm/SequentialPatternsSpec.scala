@@ -147,6 +147,93 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(refreshed == full, "key-disjoint delta refresh must equal the union re-mine")
   }
 
+  test("touched-keys recount refresh == full re-mine when the delta EXTENDS existing keys (q192 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val types = Seq("v", "c", "p", "e", "s")
+    val rows = for {
+      u <- 1L to 60L
+      k <- 1 to (3 + rnd.nextInt(8))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    // withhold a SUFFIX of every 6th user's history: the delta extends
+    // existing keys, the exact case the key-disjoint refresh refuses
+    val isDelta = (r: (Long, Long, Long, String)) =>
+      r._1 % 6 == 0 && r._2 > 2
+    val oldRows = rows.filterNot(isDelta)
+    val deltaRows = rows.filter(isDelta)
+    val touched = deltaRows.map(_._1).distinct
+    assert(touched.nonEmpty, "fixture must touch some keys")
+    assert(touched.forall(u => oldRows.exists(_._1 == u)),
+      "every touched key must already exist in the old snapshot")
+    val nUsers = rows.map(_._1).distinct.size.toLong
+    val nTouched = touched.size.toLong
+    val minCountUni = (nUsers * 1 + 1) / 2
+    assert(nTouched < minCountUni)
+    val probe = math.max(1L, minCountUni - nTouched)
+    val nOld = oldRows.map(_._1).distinct.size.toLong
+    val stored = SequentialPatterns.frequentSequences(
+      oldRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+      minSupportNum = probe, minSupportDen = nOld, maxLen = 3)
+    val oldTouched = oldRows.filter(r => touched.contains(r._1))
+    val newTouched = rows.filter(r => touched.contains(r._1))
+    val refreshed = SequentialPatterns.refreshTouched(
+        stored, oldTouched.toDF("u", "t", "i", "y"),
+        newTouched.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minCountUni, nTouched)
+      .as[(String, Int, Long)].collect().toSet
+    val full = SequentialPatterns.frequentSequences(
+        rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = minCountUni, minSupportDen = nUsers, maxLen = 3)
+      .as[(String, Int, Long)].collect().toSet
+    assert(refreshed.nonEmpty)
+    assert(refreshed == full,
+      "touched-keys recount must equal the union re-mine")
+  }
+
+  test("touched-keys refresh subsumes the disjoint case (all-new keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val types = Seq("v", "c", "p")
+    val rows = for {
+      u <- 1L to 40L
+      k <- 1 to (2 + rnd.nextInt(6))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val (oldRows, addedRows) = rows.partition(_._1 % 9 != 0)
+    val nOld = oldRows.map(_._1).distinct.size.toLong
+    val nAdded = addedRows.map(_._1).distinct.size.toLong
+    val minCountUni = ((nOld + nAdded) * 1 + 1) / 2
+    val probe = math.max(1L, minCountUni - nAdded)
+    val stored = SequentialPatterns.frequentSequences(
+        oldRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = probe, minSupportDen = nOld, maxLen = 3)
+      .cache()
+    // oldTouched is EMPTY for brand-new keys; newTouched = the delta
+    val empty = Seq.empty[(Long, Long, Long, String)]
+      .toDF("u", "t", "i", "y")
+    val viaTouched = SequentialPatterns.refreshTouched(
+        stored, empty, addedRows.toDF("u", "t", "i", "y"),
+        "u", "t", "i", "y", minCountUni, nAdded)
+      .as[(String, Int, Long)].collect().toSet
+    val viaDisjoint = SequentialPatterns.refresh(
+        stored, addedRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minCountUni, nAdded)
+      .as[(String, Int, Long)].collect().toSet
+    stored.unpersist()
+    assert(viaTouched == viaDisjoint,
+      "disjoint-delta refresh must be the zero-old-terms special case")
+  }
+
+  test("a touched-key set at or above minCount_union is refused (re-mine trigger)") {
+    import spark.implicits._
+    val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
+    val t = Seq((9L, 1L, 1L, "a")).toDF("u", "t", "i", "y")
+    val e = intercept[IllegalArgumentException] {
+      SequentialPatterns.refreshTouched(stored, t, t, "u", "t", "i", "y",
+        minCountUnion = 3L, nTouchedKeys = 3L)
+    }
+    assert(e.getMessage.contains("re-mine"))
+  }
+
   test("fold is associative over key-disjoint batches (q190 contract)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
