@@ -385,6 +385,67 @@ object FpmQueries {
     * full re-mine at the union threshold. */
   lazy val ItemsetStreamSql: String = FreqItemsetsSql
 
+  /**
+   * q: DELETION-AWARE itemset refresh (FUP2, Cheung et al. 1997) — the
+   * itemset-family twin of q192's discharged exclusion: q170/q188
+   * handle a corpus that only GROWS; real warehouses also retract
+   * (GDPR erasure, late-arriving corrections, TTL'd partitions). The
+   * churn here: added orders (`% 211 = 0`, q170's delta) AND removed
+   * orders (`% 199 = 0` among the pre-existing). The old snapshot is
+   * mined ONCE at `minCount_new - |added|` — deletions carry NO bound
+   * term (they can only have inflated old counts, never hidden a
+   * future-frequent itemset from the old-snapshot mine; the
+   * [[graft.fpm.ItemsetRefresh.foldSigned]] scaladoc carries the
+   * two-line proof) — then one signed fold replays both correction
+   * terms and re-thresholds at the NEW corpus's minCount. Bit-equal to
+   * re-mining the post-churn corpus from scratch, which is exactly
+   * what the oracle states ([[ItemsetCdcSql]] — q03's statement over
+   * the retained baskets, threshold re-derived from THEIR count).
+   *
+   * Scale shape: both correction terms are delta-sized candidate-
+   * filtered subset enumerations (the removed rows' retrieval is a
+   * key-pruned scan under the q64 layout at warehouse scale); the
+   * stored side is artifact-sized; no stage rescans the surviving
+   * corpus.
+   */
+  def itemsetCdcRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val removed = old.where(col("l_orderkey") % 199 === 0)
+    val nOld = old.count()
+    val nAdded = added.count()
+    val nRemoved = removed.count()
+    val minCountNew = math.max(1L,
+      math.ceil(MinSupport * (nOld - nRemoved + nAdded)).toLong)
+    val probe = math.max(1L, minCountNew - nAdded)
+    val staged = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q193-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = staged.resolve("itemsets").toString
+    val m = new FPGrowth()
+      .setMinCount(probe)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .fit(old)
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .write.mode("overwrite").parquet(artPath)
+    m.freqItemsets.unpersist()
+    graft.fpm.ItemsetRefresh.refreshCdc(
+      spark.read.parquet(artPath), added, removed, "items",
+      minCountNew, nAdded)
+  }
+
+  /** q03's statement over the post-churn corpus: the CDC refresh must
+    * equal the full re-mine of the retained baskets at a threshold
+    * re-derived from their count. */
+  lazy val ItemsetCdcSql: String =
+    s"""WITH ${mineCtesOver(BasketCteCdc)}
+       |SELECT item AS itemset, f AS freq FROM k1
+       |UNION ALL SELECT i1 || ',' || i2, f FROM k2
+       |UNION ALL SELECT i1 || ',' || i2 || ',' || i3, f FROM k3""".stripMargin
+
   /** q: association rules, antecedent arity <= 2 (matches the k<=3 cap). */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     model(spark, dir).associationRules
@@ -540,9 +601,23 @@ object FpmQueries {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY l_orderkey)""".stripMargin
 
-  /** Brute-force k1/k2/k3 itemset CTEs at MinSupport (DuckDB). */
-  val MineCtes: String =
-    s"""$BasketCte,
+  /** CDC-state baskets: the q193/q194 corpus AFTER the declared churn —
+    * added orders (`% 211 = 0`) present, removed orders (`% 199 = 0`
+    * among the pre-existing) gone. Same shape as [[BasketCte]] with the
+    * retained-keys predicate. */
+  val BasketCteCdc: String =
+    """baskets AS (
+      |  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE (l_orderkey % 199 <> 0 OR l_orderkey % 211 = 0)
+      |  GROUP BY l_orderkey)""".stripMargin
+
+  /** Brute-force k1/k2/k3 itemset CTEs at MinSupport over any baskets
+    * CTE (DuckDB) — the threshold re-derives from THAT corpus's count,
+    * so the CDC variant prices deletions into minCount exactly as the
+    * Spark side does. */
+  private def mineCtesOver(basketCte: String): String =
+    s"""$basketCte,
        |n AS (SELECT count(*) AS c FROM baskets),
        |mc AS (SELECT greatest(1, cast(ceil(${MinSupport}::DOUBLE * c) AS BIGINT)) AS m FROM n),
        |ex AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
@@ -556,6 +631,8 @@ object FpmQueries {
        |       JOIN ex b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
        |       JOIN ex c ON b.l_orderkey = c.l_orderkey AND b.item < c.item
        |       GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM mc))""".stripMargin
+
+  val MineCtes: String = mineCtesOver(BasketCte)
 
   /** Rule CTEs (list-typed antecedents) on top of [[MineCtes]] (DuckDB). */
   val RuleCtes: String =

@@ -207,6 +207,7 @@ object SparkEntry {
     "q190_seqpattern_stream" -> ((s, d) => RelQueries.sequentialPatternStreamMaintained(s, d)),
     "q191_seqrules_from_artifact" -> ((s, d) => RelQueries.sequentialRulesFromArtifact(s, d)),
     "q192_seqpattern_touch_refresh" -> ((s, d) => RelQueries.sequentialPatternTouchRefresh(s, d)),
+    "q193_itemset_cdc_refresh" -> ((s, d) => FpmQueries.itemsetCdcRefresh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -765,5 +766,9 @@ object SparkEntry {
     // q192: changed-keys recount refresh — same-key-extending ingest,
     // touched keys' terms replaced exactly; oracle is q121 verbatim
     "q192_seqpattern_touch_refresh" -> RelQueries.SequentialPatternsSql,
+    // q193: deletion-aware (FUP2) itemset refresh — signed fold over
+    // added+removed orders; oracle is q03's statement over the
+    // retained baskets with the threshold re-derived from their count
+    "q193_itemset_cdc_refresh" -> FpmQueries.ItemsetCdcSql,
   )
 }

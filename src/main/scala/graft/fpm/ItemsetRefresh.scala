@@ -123,4 +123,72 @@ object ItemsetRefresh {
       minCountUnion: Long, nAdded: Long): DataFrame =
     fold(stored, added, itemsCol, minCountUnion, nAdded)
       .where(col("freq") >= minCountUnion)
+
+  /**
+   * SIGNED fold — additions AND deletions in one pass (the FUP2
+   * extension, Cheung et al. 1997, "A General Incremental Technique
+   * for Maintaining Discovered Association Rules": transactions leave
+   * the corpus as well as enter it). Support stays additive with
+   * sign: `count_new = count_old + count_added − count_removed`, so
+   * the fold is still associative over CDC batches and the streaming
+   * read-merge-swap lifecycle carries over unchanged.
+   *
+   * THE BOUND IS ASYMMETRIC — deletions are free. A union(new)-
+   * frequent itemset has `count_new >= minCount_new`, and since
+   * `count_removed(p) >= 0`,
+   *
+   *   `count_old = count_new − count_added(p) + count_removed(p)
+   *              >= minCount_new − |added|`
+   *
+   * — the probe threshold `minCount_new − |addedCumulative|` from the
+   * add-only [[fold]] still catches every candidate, with NO term for
+   * `|removed|`: removing transactions can only have INFLATED the old
+   * count, never hidden a future-frequent itemset from the old-
+   * snapshot mine. The require therefore guards the cumulative ADDED
+   * count alone; a deletions-only maintenance pass is sound at any
+   * threshold. (Note `minCount_new` is the absolute threshold over
+   * the NEW corpus size — with net deletions it shrinks, which the
+   * caller prices into the probe.)
+   *
+   * CALLER'S CONTRACT: `removed` is a sub-multiset of the corpus
+   * state the artifact currently reflects (you can only delete rows
+   * that exist); under it no stored count goes negative. Work per
+   * fold: both correction terms are delta-sized candidate-filtered
+   * subset enumerations + one artifact-sized equi-join each — no
+   * old-corpus rescan, exactly [[fold]]'s shape twice.
+   */
+  def foldSigned(
+      stored: DataFrame, added: DataFrame, removed: DataFrame,
+      itemsCol: String, minCountUnion: Long,
+      nAddedCumulative: Long): DataFrame = {
+    require(nAddedCumulative == 0 || nAddedCumulative < minCountUnion,
+      s"cumulative ADDED delta of $nAddedCumulative transactions >= " +
+        s"minCount_union $minCountUnion: the candidate bound no longer " +
+        "holds — re-mine from scratch (see foldSigned scaladoc; " +
+        "deletions carry no bound term)")
+    val candidateItems = stored
+      .where(!col("itemset").contains(","))
+      .select(col("itemset")).collect().map(_.getString(0)).toSeq
+    stored
+      .join(deltaCounts(added, itemsCol, candidateItems)
+        .select(col("itemset"), col("freq_delta").as("__add")),
+        Seq("itemset"), "left")
+      .join(deltaCounts(removed, itemsCol, candidateItems)
+        .select(col("itemset"), col("freq_delta").as("__del")),
+        Seq("itemset"), "left")
+      .select(col("itemset"),
+        (col("freq") + coalesce(col("__add"), lit(0L)) -
+          coalesce(col("__del"), lit(0L))).as("freq"))
+  }
+
+  /**
+   * [[foldSigned]] + re-threshold at the NEW corpus's minCount —
+   * the deletion-aware one-shot refresh. Bit-equal to a full re-mine
+   * of the new corpus (old − removed + added) at `minCountNew`.
+   */
+  def refreshCdc(
+      stored: DataFrame, added: DataFrame, removed: DataFrame,
+      itemsCol: String, minCountNew: Long, nAdded: Long): DataFrame =
+    foldSigned(stored, added, removed, itemsCol, minCountNew, nAdded)
+      .where(col("freq") >= minCountNew)
 }

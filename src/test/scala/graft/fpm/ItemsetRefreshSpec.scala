@@ -106,6 +106,113 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(twoBatches.filter(_._2 >= minCountUni) == refreshed)
   }
 
+  test("CDC refresh (adds + deletes) == full re-mine of the post-churn corpus (q193 contract)") {
+    import spark.implicits._
+    val b = graft.Tables.orderBrandBaskets(spark, "/root/testdata/sf0.001")
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val removed = old.where(col("l_orderkey") % 199 === 0)
+    val nOld = old.count(); val nAdded = added.count()
+    val nRemoved = removed.count()
+    assert(nAdded > 0 && nRemoved > 0, "fixture must both add and remove")
+    val minCountNew = math.max(1L,
+      math.ceil(0.01 * (nOld - nRemoved + nAdded)).toLong)
+    assert(nAdded < minCountNew)
+    val probe = math.max(1L, minCountNew - nAdded)
+    val m = new FPGrowth().setMinCount(probe).setNumPartitions(4).fit(old)
+    val stored = m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+    val got = ItemsetRefresh
+      .refreshCdc(stored, added, removed, "items", minCountNew, nAdded)
+      .as[(String, Long)].collect().toSet
+    val retained = b.where(
+      col("l_orderkey") % 199 =!= 0 || col("l_orderkey") % 211 === 0)
+    val mFull = new FPGrowth().setMinCount(minCountNew).setNumPartitions(4)
+      .fit(retained)
+    val full = mFull.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+      .as[(String, Long)].collect().toSet
+    m.freqItemsets.unpersist(); mFull.freqItemsets.unpersist()
+    assert(got.nonEmpty)
+    assert(got == full, "CDC refresh must equal the post-churn re-mine")
+  }
+
+  test("deletions-only CDC pass is sound at any threshold (no added rows)") {
+    import spark.implicits._
+    val b = graft.Tables.orderBrandBaskets(spark, "/root/testdata/sf0.001")
+    val removed = b.where(col("l_orderkey") % 199 === 0)
+    val nRemoved = removed.count()
+    assert(nRemoved > 0)
+    val minCountNew = math.max(1L,
+      math.ceil(0.01 * (b.count() - nRemoved)).toLong)
+    // deletions carry no bound term: the artifact needs only the NEW
+    // threshold itself as its probe (probe = minCountNew - 0)
+    val m = new FPGrowth().setMinCount(minCountNew).setNumPartitions(4).fit(b)
+    val stored = m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+    val empty = Seq.empty[Seq[String]].toDF("items")
+    val got = ItemsetRefresh
+      .refreshCdc(stored, empty, removed, "items", minCountNew, 0L)
+      .as[(String, Long)].collect().toSet
+    val mFull = new FPGrowth().setMinCount(minCountNew).setNumPartitions(4)
+      .fit(b.where(col("l_orderkey") % 199 =!= 0))
+    val full = mFull.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+      .as[(String, Long)].collect().toSet
+    m.freqItemsets.unpersist(); mFull.freqItemsets.unpersist()
+    assert(got == full)
+  }
+
+  test("foldSigned is associative over CDC batches (q194 contract)") {
+    import spark.implicits._
+    val b = graft.Tables.orderBrandBaskets(spark, "/root/testdata/sf0.001")
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val removed = old.where(col("l_orderkey") % 199 === 0)
+    val a1 = added.where(col("l_orderkey") % 2 === 0)
+    val a2 = added.where(col("l_orderkey") % 2 =!= 0)
+    val r1 = removed.where(col("l_orderkey") % 2 === 0)
+    val r2 = removed.where(col("l_orderkey") % 2 =!= 0)
+    val nAdded = added.count(); val n1 = a1.count()
+    val minCountNew = math.max(1L,
+      math.ceil(0.01 * (old.count() - removed.count() + nAdded)).toLong)
+    val probe = math.max(1L, minCountNew - nAdded)
+    val m = new FPGrowth().setMinCount(probe).setNumPartitions(4).fit(old)
+    val stored = m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+      .cache()
+    val twoBatches = ItemsetRefresh.foldSigned(
+        ItemsetRefresh.foldSigned(stored, a1, r1, "items", minCountNew, n1),
+        a2, r2, "items", minCountNew, nAdded)
+      .as[(String, Long)].collect().toMap
+    val oneBatch = ItemsetRefresh
+      .foldSigned(stored, added, removed, "items", minCountNew, nAdded)
+      .as[(String, Long)].collect().toMap
+    val refreshed = ItemsetRefresh
+      .refreshCdc(stored, added, removed, "items", minCountNew, nAdded)
+      .as[(String, Long)].collect().toMap
+    stored.unpersist(); m.freqItemsets.unpersist()
+    assert(twoBatches == oneBatch)
+    assert(twoBatches.filter(_._2 >= minCountNew) == refreshed)
+  }
+
+  test("a CDC fold with cumulative adds at or above minCount is refused") {
+    import spark.implicits._
+    val stored = Seq(("a", 5L)).toDF("itemset", "freq")
+    val added = Seq(Seq("a")).toDF("items")
+    val none = Seq.empty[Seq[String]].toDF("items")
+    val e = intercept[IllegalArgumentException] {
+      ItemsetRefresh.foldSigned(stored, added, none, "items",
+        minCountUnion = 3L, nAddedCumulative = 3L)
+    }
+    assert(e.getMessage.contains("re-mine"))
+  }
+
   test("a delta at or above minCount_union is refused (full re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 5L)).toDF("itemset", "freq")
