@@ -386,6 +386,94 @@ object FpmQueries {
   lazy val ItemsetStreamSql: String = FreqItemsetsSql
 
   /**
+   * q: STREAM-MAINTAINED itemset artifact under CDC batches — q188's
+   * read-merge-swap lifecycle upgraded from append-only to CHANGE
+   * batches: each micro-batch carries adds (`op = 1`) and deletes
+   * (`op = -1`), the per-batch fold is the SIGNED
+   * [[graft.fpm.ItemsetRefresh.foldSigned]] (`freq + added − removed`
+   * — still associative over batches because sign distributes over
+   * the additive counts, so batch boundaries cannot matter), and the
+   * threshold applies once at read against the FINAL corpus's
+   * minCount. The q188 guards carry over unchanged: the fold is
+   * un-thresholded mid-stream, the FUP require runs per batch on the
+   * CUMULATIVE ADDED count only (deletions carry no bound term —
+   * [[graft.fpm.ItemsetRefresh.foldSigned]]'s asymmetry), and
+   * redelivered batch ids skip the fold via the `_applied_<id>`
+   * marker committing atomically with the swap (a signed fold
+   * replayed would double-count in BOTH directions).
+   *
+   * Final state == q193's one-shot CDC refresh == the post-churn
+   * re-mine; the oracle is [[ItemsetCdcSql]] verbatim.
+   *
+   * Scale shape: per batch, two delta-sized candidate-filtered
+   * enumerations + two artifact-sized equi-joins; the swap is one
+   * staged rename. No stage rescans the surviving corpus.
+   */
+  def itemsetCdcStreamMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val removed = old.where(col("l_orderkey") % 199 === 0)
+    val nOld = old.count()
+    val nAdded = added.count()
+    val nRemoved = removed.count()
+    val minCountNew = math.max(1L,
+      math.ceil(MinSupport * (nOld - nRemoved + nAdded)).toLong)
+    val probe = math.max(1L, minCountNew - nAdded)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q194-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("itemsets")
+    val m = new FPGrowth()
+      .setMinCount(probe)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .fit(old)
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .write.parquet(artDir.toString)
+    m.freqItemsets.unpersist()
+    // the churn arrives as a CDC stream: two files, each a mixed batch
+    // of adds (op = 1) and deletes (op = -1)
+    val in = base.resolve("in").toString
+    def cdcSlice(even: Boolean) = {
+      val side = if (even) lit(0L) else lit(1L)
+      added.where(col("l_orderkey") % 2 === side)
+        .select(col("items"), lit(1).as("op"))
+        .unionByName(removed.where(col("l_orderkey") % 2 === side)
+          .select(col("items"), lit(-1).as("op")))
+    }
+    cdcSlice(even = true).coalesce(1).write.parquet(in)
+    cdcSlice(even = false).coalesce(1).write.mode("append").parquet(in)
+    val cumAdded = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // Signed additive fold => replay must be de-duplicated per
+        // batch id (a redelivered batch would double-count adds AND
+        // deletes); marker and fold commit in one atomic rename.
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
+          val adds = batch.where(col("op") === 1).select(col("items"))
+          val dels = batch.where(col("op") === -1).select(col("items"))
+          val cum = cumAdded.addAndGet(adds.count())
+          graft.fpm.ItemsetRefresh.foldSigned(
+              spark.read.parquet(artDir.toString), adds, dels, "items",
+              minCountNew, cum)
+            .coalesce(1).write.parquet(sibling.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.toString)
+      .where(col("freq") >= minCountNew)
+  }
+
+  /**
    * q: DELETION-AWARE itemset refresh (FUP2, Cheung et al. 1997) — the
    * itemset-family twin of q192's discharged exclusion: q170/q188
    * handle a corpus that only GROWS; real warehouses also retract

@@ -208,6 +208,7 @@ object SparkEntry {
     "q191_seqrules_from_artifact" -> ((s, d) => RelQueries.sequentialRulesFromArtifact(s, d)),
     "q192_seqpattern_touch_refresh" -> ((s, d) => RelQueries.sequentialPatternTouchRefresh(s, d)),
     "q193_itemset_cdc_refresh" -> ((s, d) => FpmQueries.itemsetCdcRefresh(s, d)),
+    "q194_itemset_cdc_stream" -> ((s, d) => FpmQueries.itemsetCdcStreamMaintained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -770,5 +771,8 @@ object SparkEntry {
     // added+removed orders; oracle is q03's statement over the
     // retained baskets with the threshold re-derived from their count
     "q193_itemset_cdc_refresh" -> FpmQueries.ItemsetCdcSql,
+    // q194: CDC stream twin of q193 — signed fold per mixed add/delete
+    // micro-batch, replay-guarded; same post-churn oracle
+    "q194_itemset_cdc_stream" -> FpmQueries.ItemsetCdcSql,
   )
 }
