@@ -1349,6 +1349,45 @@ object RelQueries {
   }
 
   /**
+   * q: KEY-ERASURE sequence-pattern refresh — GDPR right-to-be-
+   * forgotten as an artifact-maintenance op: every 17th user's whole
+   * history leaves the corpus, and the pattern artifact stays exact by
+   * subtracting ONLY the erased users' containment counts
+   * ([[graft.fpm.SequentialPatterns.erase]]); no candidate-bound
+   * require exists because deletions only lower supports (the
+   * deletion-is-free asymmetry, q193's FUP2 argument on the sequence
+   * side). The threshold re-derives from the RETAINED user count —
+   * erasure SHRINKS minCount under the support-fraction convention,
+   * which is exactly why the artifact must be mined at (or below) the
+   * post-erasure threshold; the declared row mines at exactly that
+   * bound to state the boundary sharply. Oracle: q121's statement over
+   * the retained users, threshold from their count.
+   *
+   * Scale shape: the subtraction term sequences only the erased users'
+   * events (key-pruned under the q64 layout); the stored side is
+   * artifact-sized; the surviving users are never rescanned — erasing
+   * a user costs their own history, not the corpus.
+   */
+  def sequentialPatternErase(spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val erased = ev.where(col("user_id") % 17 === 0)
+    val kept = ev.where(col("user_id") % 17 =!= 0)
+    val nKept = kept.select(col("user_id")).distinct().count()
+    val nAll = ev.select(col("user_id")).distinct().count()
+    val minCountNew = (nKept * 4L + 4L) / 5L
+    val staged = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q195-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artPath = staged.resolve("seqpatterns").toString
+    sp.frequentSequences(ev, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = minCountNew, minSupportDen = math.max(1L, nAll),
+        maxLen = 3)
+      .write.parquet(artPath)
+    sp.erase(spark.read.parquet(artPath), erased,
+      "user_id", "tsu", "event_id", "event_type", minCountNew)
+  }
+
+  /**
    * q: sequence RULES derived from the REFRESHED pattern artifact —
    * the q187 composition for the ordered half, closing the family's
    * lifecycle matrix (mine q121 / rules q186 / refresh q189 / stream
@@ -1444,9 +1483,12 @@ object RelQueries {
       .where(col("support") >= minCountUni)
   }
 
-  val SequentialPatternsSql: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
-      |           FROM events WHERE event_type IS NOT NULL),
+  /** q121's statement over any user subset — the erasure oracle
+    * re-derives the threshold from the RETAINED users' count, exactly
+    * as the Spark side does. `extraPred` ANDs into the event filter. */
+  private def sequentialPatternsSqlWhere(extraPred: String): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
+      |           FROM events WHERE event_type IS NOT NULL$extraPred),
       |n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM e),
       |m AS (SELECT (nu * 4 + 4) // 5 AS mc FROM n),
       |u1 AS (SELECT DISTINCT user_id, y FROM e),
@@ -1468,6 +1510,12 @@ object RelQueries {
       |SELECT p1 AS pattern, 1 AS plen, support FROM l1
       |UNION ALL SELECT p1 || '->' || p2, 2, support FROM l2
       |UNION ALL SELECT p1 || '->' || p2 || '->' || p3, 3, support FROM l3""".stripMargin
+
+  /** q195 oracle: q121's statement over the retained users. */
+  lazy val SequentialPatternEraseSql: String =
+    sequentialPatternsSqlWhere(" AND user_id % 17 <> 0")
+
+  lazy val SequentialPatternsSql: String = sequentialPatternsSqlWhere("")
 
   /** q: SEQUENTIAL-pattern RULES — the rule surface for the sequence
     * half of the mining family, mirroring q04 over q03: every frequent

@@ -209,6 +209,7 @@ object SparkEntry {
     "q192_seqpattern_touch_refresh" -> ((s, d) => RelQueries.sequentialPatternTouchRefresh(s, d)),
     "q193_itemset_cdc_refresh" -> ((s, d) => FpmQueries.itemsetCdcRefresh(s, d)),
     "q194_itemset_cdc_stream" -> ((s, d) => FpmQueries.itemsetCdcStreamMaintained(s, d)),
+    "q195_seqpattern_erase" -> ((s, d) => RelQueries.sequentialPatternErase(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -774,5 +775,8 @@ object SparkEntry {
     // q194: CDC stream twin of q193 — signed fold per mixed add/delete
     // micro-batch, replay-guarded; same post-churn oracle
     "q194_itemset_cdc_stream" -> FpmQueries.ItemsetCdcSql,
+    // q195: key-erasure sequence refresh — deletions are free in the
+    // candidate bound; oracle is q121's statement over retained users
+    "q195_seqpattern_erase" -> RelQueries.SequentialPatternEraseSql,
   )
 }

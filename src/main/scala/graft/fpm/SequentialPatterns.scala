@@ -189,6 +189,42 @@ object SequentialPatterns {
   }
 
   /**
+   * KEY-ERASURE refresh — the deletion-only [[refreshTouched]] case
+   * (GDPR right-to-be-forgotten, the maintenance op a user-keyed
+   * warehouse actually runs on a deadline): remove whole keys and
+   * their histories, keep the pattern artifact exact. There is NO
+   * candidate-bound require here and none is needed — erasure only
+   * LOWERS supports, so any pattern frequent after it (even at the
+   * SHRUNKEN `minCountNew` the smaller key universe implies under a
+   * support-fraction convention) had `support_old >= support_new >=
+   * minCountNew` and is present in any artifact mined at or below
+   * `minCountNew`. That is the caller's one obligation: the stored
+   * artifact's mine threshold must not exceed the POST-erasure
+   * minCount (a fraction-convention artifact needs probe slack for
+   * the shrinkage, or a re-mine — the same re-snapshot discipline as
+   * the additive families; the declared row mines its artifact at
+   * exactly `minCountNew` to state the boundary sharply).
+   *
+   * Work: one containment count over ONLY the erased keys' events —
+   * delta-sized, key-pruned under the q64 layout — one artifact-sized
+   * join, one re-threshold. The untouched keys are never rescanned:
+   * erasing a user costs their own history, not the corpus.
+   */
+  def erase(
+      stored: DataFrame, erasedEvents: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      minCountNew: Long): DataFrame = {
+    val pats: Seq[Seq[String]] = stored.select(col("pattern"))
+      .collect().map(_.getString(0).split("->").toSeq).toSeq
+    val gone = supportCounts(erasedEvents, keyCol, tsCol, idCol, typeCol, pats)
+      .select(col("pattern"), col("support").as("__gone"))
+    stored.join(gone, Seq("pattern"), "left")
+      .select(col("pattern"), col("plen"),
+        (col("support") - coalesce(col("__gone"), lit(0L))).as("support"))
+      .where(col("support") >= minCountNew)
+  }
+
+  /**
    * Un-thresholded [[refresh]] — the streaming building block, exactly
    * [[graft.fpm.ItemsetRefresh.fold]]'s role for this family: the
    * candidate (pattern) set is left intact, so folding key-disjoint

@@ -234,6 +234,37 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-mine"))
   }
 
+  test("key-erasure refresh == re-mine of the retained users at the shrunken threshold (q195 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val types = Seq("v", "c", "p", "e", "s")
+    val rows = for {
+      u <- 1L to 55L
+      k <- 1 to (2 + rnd.nextInt(8))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val erased = rows.filter(_._1 % 5 == 0)
+    val kept = rows.filterNot(_._1 % 5 == 0)
+    val nAll = rows.map(_._1).distinct.size.toLong
+    val nKept = kept.map(_._1).distinct.size.toLong
+    assert(nKept < nAll, "fixture must erase some users")
+    // threshold re-derives from the RETAINED count (it SHRINKS)
+    val minCountNew = (nKept * 1 + 1) / 2
+    // artifact mined over the FULL old corpus at the post-erasure bound
+    val stored = SequentialPatterns.frequentSequences(
+      rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+      minSupportNum = minCountNew, minSupportDen = nAll, maxLen = 3)
+    val got = SequentialPatterns.erase(
+        stored, erased.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minCountNew)
+      .as[(String, Int, Long)].collect().toSet
+    val full = SequentialPatterns.frequentSequences(
+        kept.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = minCountNew, minSupportDen = nKept, maxLen = 3)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got == full, "erasure must equal the retained-users re-mine")
+  }
+
   test("fold is associative over key-disjoint batches (q190 contract)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
