@@ -1349,6 +1349,81 @@ object RelQueries {
   }
 
   /**
+   * q: STREAM-MAINTAINED sequence artifact under TOUCHED-KEY batches —
+   * the q190 lifecycle upgraded from whole-new-user batches to
+   * same-key-EXTENDING micro-batches (the CDC shape: an existing
+   * user's new events arrive later). Per batch, the un-thresholded
+   * [[graft.fpm.SequentialPatterns.foldTouched]] replaces exactly that
+   * batch's keys' containment terms (old side retrieved from the base
+   * snapshot by semi-join, new side = those keys' full current
+   * history); corrections for key-disjoint batches commute and sum, so
+   * batch boundaries cannot matter and the threshold applies once at
+   * read. The q188/q190 guards carry over: cumulative-touched-keys
+   * require per batch, `_applied_<id>` replay marker (the fold
+   * subtracts as well as adds — a redelivered batch corrupts in both
+   * directions), swap is one staged rename. Batch key-disjointness is
+   * the stream's routing contract (one key's churn in one batch),
+   * enforced here by parity-routing the touched users.
+   *
+   * Final state == q192's one-shot recount == the union re-mine; the
+   * oracle is q121's statement verbatim.
+   */
+  def sequentialPatternTouchStream(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val isDelta = col("user_id") % 13 === 0 && col("event_id") % 5 === 0
+    val old = ev.where(!isDelta)
+    val delta = ev.where(isDelta)
+    val touchedKeys = delta.select(col("user_id")).distinct()
+    val nTouched = touchedKeys.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val minCountUni = (nUsers * 4L + 4L) / 5L
+    val probe = math.max(1L, minCountUni - nTouched)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q196-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("seqpatterns")
+    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = probe, minSupportDen = math.max(1L, nOldUsers),
+        maxLen = 3)
+      .write.parquet(artDir.toString)
+    // the churn arrives as a stream: one file per touched-user parity
+    // half, so each key's WHOLE delta lives in exactly one batch
+    val in = base.resolve("in").toString
+    delta.where(expr("user_id div 13") % 2 === 0).coalesce(1)
+      .write.parquet(in)
+    delta.where(expr("user_id div 13") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val cumKeys = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // subtract-and-add fold => replay corrupts both directions;
+        // marker and fold commit in one atomic rename
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
+          val keys = batch.select(col("user_id")).distinct()
+          val cum = cumKeys.addAndGet(keys.count())
+          val oldTouched = old.join(keys, Seq("user_id"), "left_semi")
+          val newTouched = ev.join(keys, Seq("user_id"), "left_semi")
+          sp.foldTouched(
+              spark.read.parquet(artDir.toString), oldTouched, newTouched,
+              "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+            .coalesce(1).write.parquet(sibling.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.toString)
+      .where(col("support") >= minCountUni)
+  }
+
+  /**
    * q: KEY-ERASURE sequence-pattern refresh — GDPR right-to-be-
    * forgotten as an artifact-maintenance op: every 17th user's whole
    * history leaves the corpus, and the pattern artifact stays exact by

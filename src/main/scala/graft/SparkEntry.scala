@@ -210,6 +210,7 @@ object SparkEntry {
     "q193_itemset_cdc_refresh" -> ((s, d) => FpmQueries.itemsetCdcRefresh(s, d)),
     "q194_itemset_cdc_stream" -> ((s, d) => FpmQueries.itemsetCdcStreamMaintained(s, d)),
     "q195_seqpattern_erase" -> ((s, d) => RelQueries.sequentialPatternErase(s, d)),
+    "q196_seqpattern_touch_stream" -> ((s, d) => RelQueries.sequentialPatternTouchStream(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -778,5 +779,8 @@ object SparkEntry {
     // q195: key-erasure sequence refresh — deletions are free in the
     // candidate bound; oracle is q121's statement over retained users
     "q195_seqpattern_erase" -> RelQueries.SequentialPatternEraseSql,
+    // q196: touched-key CDC stream for the sequence artifact — per
+    // key-disjoint batch foldTouched, replay-guarded; oracle is q121
+    "q196_seqpattern_touch_stream" -> RelQueries.SequentialPatternsSql,
   )
 }

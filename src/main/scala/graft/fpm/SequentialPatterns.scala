@@ -169,11 +169,33 @@ object SequentialPatterns {
   def refreshTouched(
       stored: DataFrame, oldTouched: DataFrame, newTouched: DataFrame,
       keyCol: String, tsCol: String, idCol: String, typeCol: String,
-      minCountUnion: Long, nTouchedKeys: Long): DataFrame = {
-    require(nTouchedKeys == 0 || nTouchedKeys < minCountUnion,
-      s"touched-key set of $nTouchedKeys >= minCount_union " +
-        s"$minCountUnion: the candidate bound no longer holds — " +
-        "re-mine from scratch (see refreshTouched scaladoc)")
+      minCountUnion: Long, nTouchedKeys: Long): DataFrame =
+    foldTouched(stored, oldTouched, newTouched, keyCol, tsCol, idCol,
+      typeCol, minCountUnion, nTouchedKeys)
+      .where(col("support") >= minCountUnion)
+
+  /**
+   * Un-thresholded [[refreshTouched]] — the CDC-stream building block,
+   * [[fold]]'s role for same-key-extending batches: the candidate set
+   * stays intact and the per-key correction terms for KEY-DISJOINT
+   * batches commute and sum, so folding touched-key batches is
+   * associative and batch boundaries cannot matter; threshold ONCE at
+   * read (mid-stream thresholding drops probe-only candidates later
+   * batches still need). `nTouchedCumulative` is the total distinct
+   * touched keys folded so far including this batch — batches must be
+   * key-disjoint among THEMSELVES (one key's whole churn inside one
+   * batch: a key touched twice would subtract a stale old term the
+   * second time), and the FUP-bound require lives here so no per-batch
+   * caller can skip it.
+   */
+  def foldTouched(
+      stored: DataFrame, oldTouched: DataFrame, newTouched: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, typeCol: String,
+      minCountUnion: Long, nTouchedCumulative: Long): DataFrame = {
+    require(nTouchedCumulative == 0 || nTouchedCumulative < minCountUnion,
+      s"cumulative touched-key set of $nTouchedCumulative >= " +
+        s"minCount_union $minCountUnion: the candidate bound no longer " +
+        "holds — re-mine from scratch (see refreshTouched scaladoc)")
     val pats: Seq[Seq[String]] = stored.select(col("pattern"))
       .collect().map(_.getString(0).split("->").toSeq).toSeq
     val oldC = supportCounts(oldTouched, keyCol, tsCol, idCol, typeCol, pats)
@@ -185,7 +207,6 @@ object SequentialPatterns {
       .select(col("pattern"), col("plen"),
         (col("support") - coalesce(col("__old"), lit(0L)) +
           coalesce(col("__new"), lit(0L))).as("support"))
-      .where(col("support") >= minCountUnion)
   }
 
   /**

@@ -302,6 +302,50 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(twoBatches.filter(_._2._3 >= minCountUni) == refreshed)
   }
 
+  test("foldTouched is associative over key-disjoint touched batches (q196 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val types = Seq("v", "c", "p", "e")
+    val rows = for {
+      u <- 1L to 50L
+      k <- 1 to (3 + rnd.nextInt(6))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val isDelta = (r: (Long, Long, Long, String)) => r._1 % 6 == 0 && r._2 > 2
+    val oldRows = rows.filterNot(isDelta)
+    val touched = rows.filter(isDelta).map(_._1).distinct
+    // touched users are all multiples of 6: alternate them by % 12
+    val (t1, t2) = touched.partition(_ % 12 == 0)
+    assert(t1.nonEmpty && t2.nonEmpty)
+    val nUsers = rows.map(_._1).distinct.size.toLong
+    val nTouched = touched.size.toLong
+    val minCountUni = (nUsers * 1 + 1) / 2
+    val probe = math.max(1L, minCountUni - nTouched)
+    val nOld = oldRows.map(_._1).distinct.size.toLong
+    val stored = SequentialPatterns.frequentSequences(
+        oldRows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = probe, minSupportDen = nOld, maxLen = 3)
+      .cache()
+    def oldOf(ks: Seq[Long]) = oldRows.filter(r => ks.contains(r._1))
+      .toDF("u", "t", "i", "y")
+    def newOf(ks: Seq[Long]) = rows.filter(r => ks.contains(r._1))
+      .toDF("u", "t", "i", "y")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    val twoBatches = asMap(SequentialPatterns.foldTouched(
+      SequentialPatterns.foldTouched(stored, oldOf(t1), newOf(t1),
+        "u", "t", "i", "y", minCountUni, t1.size.toLong),
+      oldOf(t2), newOf(t2), "u", "t", "i", "y", minCountUni, nTouched))
+    val oneBatch = asMap(SequentialPatterns.foldTouched(
+      stored, oldOf(touched), newOf(touched),
+      "u", "t", "i", "y", minCountUni, nTouched))
+    val refreshed = asMap(SequentialPatterns.refreshTouched(
+      stored, oldOf(touched), newOf(touched),
+      "u", "t", "i", "y", minCountUni, nTouched))
+    stored.unpersist()
+    assert(twoBatches == oneBatch)
+    assert(twoBatches.filter(_._2._3 >= minCountUni) == refreshed)
+  }
+
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
