@@ -32,28 +32,56 @@ object Fs {
     stagedDirs.clear()
   }
 
+  /** How many `_applied_<id>` markers a swap carries forward. Only the
+    * MAXIMUM marker is load-bearing (see [[appliedMarkerSwap]]); the
+    * rest are diagnostic breadcrumbs for inspecting recent commits. */
+  val MarkerRetention = 16
+
+  /** Largest applied batch id recorded in `artDir`, or -1 when none. */
+  private def maxAppliedId(artDir: Path): Long =
+    if (!Files.exists(artDir)) -1L
+    else {
+      val stream = Files.list(artDir)
+      try stream
+        .filter(p => p.getFileName.toString.startsWith("_applied_"))
+        .mapToLong(p => p.getFileName.toString.stripPrefix("_applied_").toLong)
+        .max.orElse(-1L)
+      finally stream.close()
+    }
+
   /**
    * Applied-marker read-merge-swap commit for ADDITIVE foreachBatch
-   * artifact folds (q188/q190): unlike the max-merge sketch streams
-   * (HLL/KMV, replay-idempotent by algebra), re-folding a redelivered
-   * batch double-counts, so each batch id commits exactly once. If
-   * `artDir` already carries `_applied_<id>`, the batch is a replay
-   * and `write` is skipped (returns false). Otherwise `write(sibling)`
-   * materializes the folded artifact into a sibling dir, prior
-   * applied-markers are carried over (underscore-prefixed, invisible
-   * to parquet readers), this batch's marker is added, and sibling
-   * atomically renames over `artDir` — marker and fold commit in ONE
-   * rename.
+   * artifact folds (q188/q190/q194/q196): unlike the max-merge sketch
+   * streams (HLL/KMV, replay-idempotent by algebra), re-folding a
+   * redelivered batch double-counts, so each batch id commits exactly
+   * once. A batch id AT OR BELOW the largest applied marker is a
+   * replay and `write` is skipped (returns false) — Structured
+   * Streaming batch ids are strictly increasing per query, so
+   * monotonicity makes the maximum marker alone a complete replay
+   * record. That is also what keeps the marker set BOUNDED: each swap
+   * carries only the newest [[MarkerRetention]] markers into the
+   * sibling (compaction; without it a long-lived stream accumulates
+   * one marker per batch forever and every swap re-copies all of
+   * them — O(batches²) file ops over the stream's life). Otherwise
+   * `write(sibling)` materializes the folded artifact into a sibling
+   * dir, retained markers are carried over (underscore-prefixed,
+   * invisible to parquet readers), this batch's marker is added, and
+   * sibling atomically renames over `artDir` — marker and fold commit
+   * in ONE rename.
    */
   def appliedMarkerSwap(base: Path, artDir: Path, id: Long)(
       write: Path => Unit): Boolean = {
-    if (Files.exists(artDir.resolve(s"_applied_$id"))) false
+    if (id <= maxAppliedId(artDir)) false
     else {
       val sibling = base.resolve(s"${artDir.getFileName}-next-$id")
       write(sibling)
       if (Files.exists(artDir)) { // bootstrap batch: nothing to carry
         val stream = Files.list(artDir)
-        try stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+        try stream
+          .filter(p => p.getFileName.toString.startsWith("_applied_"))
+          .sorted(java.util.Comparator.comparingLong[Path](
+            p => -p.getFileName.toString.stripPrefix("_applied_").toLong))
+          .limit(MarkerRetention - 1L)
           .forEach(p => Files.copy(p, sibling.resolve(p.getFileName.toString)))
         finally stream.close()
       }

@@ -40,6 +40,37 @@ class FsSpec extends AnyFunSuite {
     Fs.deleteRecursively(base)
   }
 
+  test("marker set stays bounded and compacted-away ids still dedupe (monotonicity)") {
+    val base = freshBase()
+    val art = base.resolve("art")
+    val n = Fs.MarkerRetention + 8
+    (0L until n.toLong).foreach { id =>
+      Fs.appliedMarkerSwap(base, art, id) { sib =>
+        Files.createDirectories(sib)
+        Files.writeString(sib.resolve("data"), s"v$id")
+      }
+    }
+    assert(Files.readString(art.resolve("data")) == s"v${n - 1}")
+    val stream = Files.list(art)
+    val markers = try {
+      val b = Seq.newBuilder[Long]
+      stream.filter(p => p.getFileName.toString.startsWith("_applied_"))
+        .forEach(p => b += p.getFileName.toString
+          .stripPrefix("_applied_").toLong)
+      b.result()
+    } finally stream.close()
+    assert(markers.size == Fs.MarkerRetention,
+      s"retention must bound the marker set: ${markers.sorted}")
+    assert(markers.max == n - 1L)
+    // ids older than the retained window are STILL replay-skipped:
+    // batch ids are monotone, so the max marker is a complete record
+    (0L until n.toLong).foreach { id =>
+      assert(!Fs.appliedMarkerSwap(base, art, id) { _ => fail(s"refold $id") },
+        s"compacted id $id must still dedupe")
+    }
+    Fs.deleteRecursively(base)
+  }
+
   test("markers accumulate across swaps so EVERY prior batch stays deduplicated") {
     val base = freshBase()
     val art = base.resolve("art")
