@@ -1443,6 +1443,80 @@ object RelQueries {
    * artifact-sized; the surviving users are never rescanned — erasing
    * a user costs their own history, not the corpus.
    */
+  /**
+   * q: ERASURE-REQUEST STREAM for the sequence artifact — the GDPR
+   * queue as a maintained artifact: forget-me requests (user ids)
+   * arrive as micro-batches, and each batch subtracts exactly its
+   * users' containment terms via the un-thresholded
+   * [[graft.fpm.SequentialPatterns.eraseFold]] (associative over
+   * key-disjoint batches — subtraction terms commute and sum), with
+   * the threshold applied once at read against the post-erasure
+   * minCount. No candidate-bound require exists on this path
+   * (deletions are free, q195's asymmetry); the guards that remain
+   * are the `_applied_<id>` replay marker (a replayed subtraction
+   * corrupts downward) and the queue's routing contract that each
+   * key is erased once across batches — parity-enforced in the
+   * fixture, stated in the eraseFold scaladoc because no in-batch
+   * require can check it.
+   *
+   * Final state == q195's one-shot erase == the retained-users
+   * re-mine; the oracle is q195's statement verbatim.
+   *
+   * Scale shape: per batch, one containment count over only the
+   * requesting users' events (key-pruned under the q64 layout) + one
+   * artifact-sized join + a staged rename — the erasure deadline is
+   * met at per-user cost while the surviving corpus is never
+   * rescanned.
+   */
+  def sequentialPatternEraseStream(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val erased = ev.where(col("user_id") % 17 === 0)
+    val kept = ev.where(col("user_id") % 17 =!= 0)
+    val nKept = kept.select(col("user_id")).distinct().count()
+    val nAll = ev.select(col("user_id")).distinct().count()
+    val minCountNew = (nKept * 4L + 4L) / 5L
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q197-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("seqpatterns")
+    sp.frequentSequences(ev, "user_id", "tsu", "event_id", "event_type",
+        minSupportNum = minCountNew, minSupportDen = math.max(1L, nAll),
+        maxLen = 3)
+      .write.parquet(artDir.toString)
+    // the erasure queue: one file of user ids per parity half, so each
+    // key's request is delivered in exactly one batch
+    val in = base.resolve("in").toString
+    val reqs = erased.select(col("user_id")).distinct()
+    reqs.where(expr("user_id div 17") % 2 === 0).coalesce(1)
+      .write.parquet(in)
+    reqs.where(expr("user_id div 17") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // subtraction fold => a replayed batch corrupts downward;
+        // marker and fold commit in one atomic rename
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
+          val keys = batch.select(col("user_id")).distinct()
+          val gone = ev.join(keys, Seq("user_id"), "left_semi")
+          sp.eraseFold(
+              spark.read.parquet(artDir.toString), gone,
+              "user_id", "tsu", "event_id", "event_type")
+            .coalesce(1).write.parquet(sibling.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.toString)
+      .where(col("support") >= minCountNew)
+  }
+
   def sequentialPatternErase(spark: SparkSession, dir: String): DataFrame = {
     val sp = graft.fpm.SequentialPatterns
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)

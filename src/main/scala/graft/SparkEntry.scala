@@ -211,6 +211,7 @@ object SparkEntry {
     "q194_itemset_cdc_stream" -> ((s, d) => FpmQueries.itemsetCdcStreamMaintained(s, d)),
     "q195_seqpattern_erase" -> ((s, d) => RelQueries.sequentialPatternErase(s, d)),
     "q196_seqpattern_touch_stream" -> ((s, d) => RelQueries.sequentialPatternTouchStream(s, d)),
+    "q197_seqpattern_erase_stream" -> ((s, d) => RelQueries.sequentialPatternEraseStream(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -782,5 +783,8 @@ object SparkEntry {
     // q196: touched-key CDC stream for the sequence artifact — per
     // key-disjoint batch foldTouched, replay-guarded; oracle is q121
     "q196_seqpattern_touch_stream" -> RelQueries.SequentialPatternsSql,
+    // q197: erasure-request stream — subtraction fold per key-disjoint
+    // batch, replay-guarded; oracle is q195's retained-users statement
+    "q197_seqpattern_erase_stream" -> RelQueries.SequentialPatternEraseSql,
   )
 }

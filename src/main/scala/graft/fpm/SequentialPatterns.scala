@@ -234,7 +234,26 @@ object SequentialPatterns {
   def erase(
       stored: DataFrame, erasedEvents: DataFrame, keyCol: String,
       tsCol: String, idCol: String, typeCol: String,
-      minCountNew: Long): DataFrame = {
+      minCountNew: Long): DataFrame =
+    eraseFold(stored, erasedEvents, keyCol, tsCol, idCol, typeCol)
+      .where(col("support") >= minCountNew)
+
+  /**
+   * Un-thresholded [[erase]] — the erasure-QUEUE streaming building
+   * block: subtraction terms for key-disjoint batches commute and
+   * sum, so folding erasure requests batch by batch is associative
+   * and the threshold applies once at read. No candidate-bound
+   * require exists on this path at all (deletions are free — see
+   * [[erase]]); the stream's one contract is that each key is erased
+   * ONCE (a key whose erasure request is delivered in two different
+   * batches would subtract twice — the batch-id replay guard handles
+   * redelivery of the SAME batch, per-key dedup across batches is the
+   * queue's routing obligation, stated here because no require can
+   * check it from inside one batch).
+   */
+  def eraseFold(
+      stored: DataFrame, erasedEvents: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
     val pats: Seq[Seq[String]] = stored.select(col("pattern"))
       .collect().map(_.getString(0).split("->").toSeq).toSeq
     val gone = supportCounts(erasedEvents, keyCol, tsCol, idCol, typeCol, pats)
@@ -242,7 +261,6 @@ object SequentialPatterns {
     stored.join(gone, Seq("pattern"), "left")
       .select(col("pattern"), col("plen"),
         (col("support") - coalesce(col("__gone"), lit(0L))).as("support"))
-      .where(col("support") >= minCountNew)
   }
 
   /**

@@ -346,6 +346,40 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(twoBatches.filter(_._2._3 >= minCountUni) == refreshed)
   }
 
+  test("eraseFold is associative over key-disjoint erasure batches (q197 contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val types = Seq("v", "c", "p", "e")
+    val rows = for {
+      u <- 1L to 45L
+      k <- 1 to (2 + rnd.nextInt(7))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val gone = rows.map(_._1).distinct.filter(_ % 4 == 0)
+    val (g1, g2) = gone.partition(_ % 8 == 0)
+    assert(g1.nonEmpty && g2.nonEmpty)
+    val nAll = rows.map(_._1).distinct.size.toLong
+    val nKept = nAll - gone.size.toLong
+    val minCountNew = (nKept * 1 + 1) / 2
+    val stored = SequentialPatterns.frequentSequences(
+        rows.toDF("u", "t", "i", "y"), "u", "t", "i", "y",
+        minSupportNum = minCountNew, minSupportDen = nAll, maxLen = 3)
+      .cache()
+    def evOf(ks: Seq[Long]) = rows.filter(r => ks.contains(r._1))
+      .toDF("u", "t", "i", "y")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    val twoBatches = asMap(SequentialPatterns.eraseFold(
+      SequentialPatterns.eraseFold(stored, evOf(g1), "u", "t", "i", "y"),
+      evOf(g2), "u", "t", "i", "y"))
+    val oneBatch = asMap(SequentialPatterns.eraseFold(
+      stored, evOf(gone), "u", "t", "i", "y"))
+    val erased = asMap(SequentialPatterns.erase(
+      stored, evOf(gone), "u", "t", "i", "y", minCountNew))
+    stored.unpersist()
+    assert(twoBatches == oneBatch)
+    assert(twoBatches.filter(_._2._3 >= minCountNew) == erased)
+  }
+
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
