@@ -86,6 +86,21 @@ class SequentialPatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("depth beyond the oracle cap: maxLen=4 matches brute force") {
+    // the declared rows cap at plen<=3 (oracle arity); the miner itself
+    // is depth-generic — pin the level-4 projection against the same
+    // exhaustive enumeration
+    val rnd = new scala.util.Random(17)
+    val types = Seq("v", "c", "p")
+    val rows = for {
+      u <- 1L to 30L
+      k <- 1 to (9 + rnd.nextInt(5))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val got = mine(rows, 1L, 2L, maxLen = 4)
+    assert(got == bruteForce(rows, 1L, 2L, 4))
+    assert(got.exists(_._2._1 == 4), "fixture must surface a 4-pattern")
+  }
+
   test("a 120-type fully-frequent alphabet mines without candidate blow-up") {
     // the round-14 boundary test: every one of 120 types is frequent
     // (each appears in every sequence), so round-13's GSP would build a
