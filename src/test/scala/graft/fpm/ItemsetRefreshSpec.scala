@@ -213,6 +213,56 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-mine"))
   }
 
+  test("a batch redelivered after a post-commit crash folds exactly once (stream recovery)") {
+    // the at-least-once window the marker guard exists for: foreachBatch
+    // completed its swap, then the process died BEFORE the engine wrote
+    // the checkpoint commit — on restart the same batch id is
+    // redelivered and must be skipped, not re-folded.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-recovery")
+    val art = base.resolve("art")
+    val in = base.resolve("in").toString
+    // stored artifact: candidates a, b with probe counts
+    Seq(("a", 2L), ("b", 1L)).toDF("itemset", "freq")
+      .coalesce(1).write.parquet(art.toString)
+    // two delta batches, one file each
+    Seq(Seq("a")).toDF("items").coalesce(1).write.parquet(in)
+    Seq(Seq("a", "b")).toDF("items").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.Fs.appliedMarkerSwap(base, art, id) { sib =>
+            ItemsetRefresh.fold(
+                spark.read.parquet(art.toString), batch, "items",
+                minCountUnion = 100L, nAddedCumulative = 0L)
+              .coalesce(1).write.parquet(sib.toString)
+          }
+          if (id == 0L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after commit")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(crashed.get, "the injected crash must have fired")
+    run() // restart from the same checkpoint: batch 0 is redelivered
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Long)].collect().toMap
+    // each batch folded exactly once: a: 2+1+1=4, b: 1+0+1=2
+    assert(got == Map("a" -> 4L, "b" -> 2L),
+      s"redelivered batch must not double-count: $got")
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("a delta at or above minCount_union is refused (full re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 5L)).toDF("itemset", "freq")
