@@ -309,9 +309,12 @@ object FpmQueries {
    *  - the FUP bound guard runs per batch on the CUMULATIVE delta
    *    (`fold`'s require), so a stream that outgrows the increment
    *    contract fails loudly mid-stream instead of emitting an
-   *    unsound table (the cumulative counter is per-run driver state:
-   *    a restarted query re-anchors it, which only weakens the guard
-   *    toward earlier re-mines, never the fold itself);
+   *    unsound table. The cumulative count is DURABLE state — a
+   *    `_cum_<n>` counter riding inside the artifact dir, committed
+   *    atomically with each fold by the same swap rename — because a
+   *    driver-side counter misses both realities of at-least-once
+   *    delivery: it resets on restart, and it never sees batches the
+   *    replay guard skips (whose adds the artifact already carries);
    *  - the fold is made IDEMPOTENT per batch id (unlike the max-merge
    *    sketch streams, re-folding a redelivered batch would
    *    double-count): an `_applied_<id>` marker rides inside the
@@ -355,28 +358,22 @@ object FpmQueries {
       .write.parquet(in)
     added.where(col("l_orderkey") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(in)
-    val cumAdded = new java.util.concurrent.atomic.AtomicLong(0L)
-    val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // Additive fold => replay must be de-duplicated per batch id
-        // ([[graft.Fs.appliedMarkerSwap]] — marker and fold commit in
-        // one atomic rename; redelivered ids skip the fold entirely).
-        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          val cum = cumAdded.addAndGet(batch.count())
-          graft.fpm.ItemsetRefresh.fold(
-              spark.read.parquet(artDir.toString), batch, "items",
-              minCountUni, cum)
-            .coalesce(1).write.parquet(sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Additive fold => replay must be de-duplicated per batch id (the
+    // shared [[graft.streaming.ArtifactStream]] scaffold — marker and
+    // fold commit in one atomic rename; redelivered ids skip the fold).
+    // The cumulative-adds guard count is DURABLE: read from the
+    // artifact, written into the sibling, committed by the same swap —
+    // it survives restarts and counts replay-skipped batches, which a
+    // driver-side counter misses on both ends.
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        spark, base, artDir, in) { (batch, sibling) =>
+      val cum = graft.Fs.readCounter(artDir, "cum") + batch.count()
+      graft.fpm.ItemsetRefresh.fold(
+          spark.read.parquet(artDir.toString), batch, "items",
+          minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+    }
     spark.read.parquet(artDir.toString)
       .where(col("freq") >= minCountUni)
   }
@@ -445,30 +442,21 @@ object FpmQueries {
     }
     cdcSlice(even = true).coalesce(1).write.parquet(in)
     cdcSlice(even = false).coalesce(1).write.mode("append").parquet(in)
-    val cumAdded = new java.util.concurrent.atomic.AtomicLong(0L)
-    val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // Signed additive fold => replay must be de-duplicated per
-        // batch id (a redelivered batch would double-count adds AND
-        // deletes); marker and fold commit in one atomic rename.
-        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          val adds = batch.where(col("op") === 1).select(col("items"))
-          val dels = batch.where(col("op") === -1).select(col("items"))
-          val cum = cumAdded.addAndGet(adds.count())
-          graft.fpm.ItemsetRefresh.foldSigned(
-              spark.read.parquet(artDir.toString), adds, dels, "items",
-              minCountNew, cum)
-            .coalesce(1).write.parquet(sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Signed fold => replay corrupts BOTH directions; the shared
+    // scaffold's marker guard + the durable `_cum_` adds counter (read
+    // from the artifact, committed with the fold — restart-safe and
+    // replay-skip-aware, see q188).
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        spark, base, artDir, in) { (batch, sibling) =>
+      val adds = batch.where(col("op") === 1).select(col("items"))
+      val dels = batch.where(col("op") === -1).select(col("items"))
+      val cum = graft.Fs.readCounter(artDir, "cum") + adds.count()
+      graft.fpm.ItemsetRefresh.foldSigned(
+          spark.read.parquet(artDir.toString), adds, dels, "items",
+          minCountNew, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+    }
     spark.read.parquet(artDir.toString)
       .where(col("freq") >= minCountNew)
   }

@@ -49,9 +49,39 @@ object Fs {
       finally stream.close()
     }
 
+  /** Read the durable stream counter `_<name>_<value>` from `dir`
+    * (0 when absent). The FUP cumulative-delta guards persist their
+    * count THIS way — inside the artifact dir, committed atomically
+    * with the fold by the same swap rename — because a driver-side
+    * counter misses two realities of the at-least-once contract: it
+    * resets on restart, and it never sees batches the replay guard
+    * skips (whose contribution the artifact already carries). Reading
+    * the artifact's own counter is correct in both cases. The max is
+    * taken defensively; a clean swap leaves exactly one counter file
+    * (writers don't carry old ones forward). */
+  def readCounter(dir: Path, name: String): Long =
+    if (!Files.exists(dir)) 0L
+    else {
+      val stream = Files.list(dir)
+      try stream
+        .filter(p => p.getFileName.toString.startsWith(s"_${name}_"))
+        .mapToLong(p =>
+          p.getFileName.toString.stripPrefix(s"_${name}_").toLong)
+        .max.orElse(0L)
+      finally stream.close()
+    }
+
+  /** Write the durable stream counter `_<name>_<value>` into a sibling
+    * dir about to be swapped in (see [[readCounter]]). Underscore-
+    * prefixed, so parquet readers ignore it like `_SUCCESS`. */
+  def writeCounter(dir: Path, name: String, value: Long): Unit =
+    Files.createFile(dir.resolve(s"_${name}_$value"))
+
   /**
    * Applied-marker read-merge-swap commit for ADDITIVE foreachBatch
-   * artifact folds (q188/q190/q194/q196): unlike the max-merge sketch
+   * artifact folds (q154/q188/q190/q194/q196/q197 — every stream whose
+   * merge is NOT replay-idempotent: additive, signed, or subtractive
+   * folds alike): unlike the max-merge sketch
    * streams (HLL/KMV, replay-idempotent by algebra), re-folding a
    * redelivered batch double-counts, so each batch id commits exactly
    * once. A batch id AT OR BELOW the largest applied marker is a
@@ -69,11 +99,56 @@ object Fs {
    * sibling atomically renames over `artDir` — marker and fold commit
    * in ONE rename.
    */
+  /** Repair crash residue before a swap decision. Case analysis over
+    * every kill point of [[appliedMarkerSwap]] (write → markers →
+    * retire(artDir→retired) → publish(sibling→artDir) → sweep):
+    *  - killed during write: partial sibling, artDir intact — the
+    *    caller re-runs the batch; the stale sibling is deleted before
+    *    the rewrite (in [[appliedMarkerSwap]], not here);
+    *  - killed between retire and publish: artDir MISSING but a
+    *    COMPLETE sibling (its own `_applied_` marker present — the
+    *    marker is written only after `write` returns) exists — ROLL
+    *    FORWARD by publishing it now;
+    *  - killed between publish and sweep: retired dir residue beside
+    *    a live artDir — swept here.
+    * Both moves are same-filesystem renames, so no intermediate state
+    * beyond these exists. */
+  private def repairSwapResidue(base: Path, artDir: Path): Unit = {
+    val prefix = s"${artDir.getFileName}-next-"
+    if (!Files.exists(artDir)) {
+      val stream = Files.list(base)
+      val complete = try {
+        val b = Seq.newBuilder[Path]
+        stream.filter(p => p.getFileName.toString.startsWith(prefix))
+          .filter(p => maxAppliedId(p) >= 0)
+          .forEach(p => b += p)
+        b.result()
+      } finally stream.close()
+      if (complete.nonEmpty)
+        Files.move(complete.maxBy(maxAppliedId), artDir)
+    }
+    if (Files.exists(artDir)) { // retired residue is now safe to sweep
+      val stream = Files.list(base)
+      val retired = try {
+        val b = Seq.newBuilder[Path]
+        stream.filter(p => p.getFileName.toString
+            .startsWith(s"${artDir.getFileName}-retired-"))
+          .forEach(p => b += p)
+        b.result()
+      } finally stream.close()
+      retired.foreach(deleteRecursively)
+    }
+  }
+
   def appliedMarkerSwap(base: Path, artDir: Path, id: Long)(
       write: Path => Unit): Boolean = {
+    repairSwapResidue(base, artDir)
     if (id <= maxAppliedId(artDir)) false
     else {
       val sibling = base.resolve(s"${artDir.getFileName}-next-$id")
+      // residue of a write attempt killed mid-flight would block the
+      // rewrite (parquet refuses an existing path)
+      deleteRecursively(sibling)
       write(sibling)
       if (Files.exists(artDir)) { // bootstrap batch: nothing to carry
         val stream = Files.list(artDir)
@@ -90,7 +165,8 @@ object Fs {
       // destroyed: retire the old state first, then one atomic rename
       // publishes fold+markers together. A crash between the two moves
       // leaves the complete sibling beside the retired dir — never a
-      // deleted-only window.
+      // deleted-only window — and repairSwapResidue rolls it forward
+      // at the next call.
       val retired = base.resolve(s"${artDir.getFileName}-retired-$id")
       if (Files.exists(artDir)) Files.move(artDir, retired)
       Files.move(sibling, artDir)

@@ -4222,30 +4222,21 @@ object PipelineQueries {
     val skDir = base.resolve("qsketch")
     def lens(df: DataFrame) =
       df.select(col("source"), length(col("text")).cast("long").as("len"))
-    val schema = s.read.parquet(in).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // qsketch cells are COUNTS (qsketchMerge sums) — additive, so
-        // unlike the HLL/KMV max-merge twins a redelivered batch would
-        // double-count: the applied-marker guard is required here
-        // ([[graft.Fs.appliedMarkerSwap]], the q188 commit idiom).
-        graft.Fs.appliedMarkerSwap(base, skDir, id) { sibling =>
-          val buckets = sk.qsketchBuckets(lens(batch), Seq("source"), "len")
-          val merged =
-            if (java.nio.file.Files.exists(skDir))
-              sk.qsketchMerge(sk.loadRegisters(s, skDir.toString), buckets,
-                Seq("source"))
-            else buckets
-          sk.saveRegisters(merged, sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // qsketch cells are COUNTS (qsketchMerge sums) — additive, so
+    // unlike the HLL/KMV max-merge twins a redelivered batch would
+    // double-count: the shared scaffold's applied-marker guard is
+    // required here (no cumulative counter: sketches carry no
+    // candidate bound).
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        s, base, skDir, in) { (batch, sibling) =>
+      val buckets = sk.qsketchBuckets(lens(batch), Seq("source"), "len")
+      val merged =
+        if (java.nio.file.Files.exists(skDir))
+          sk.qsketchMerge(sk.loadRegisters(s, skDir.toString), buckets,
+            Seq("source"))
+        else buckets
+      sk.saveRegisters(merged, sibling.toString)
+    }
     val table =
       if (!java.nio.file.Files.exists(skDir))
         sk.qsketchBuckets(lens(dd), Seq("source"), "len")

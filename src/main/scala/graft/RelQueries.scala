@@ -1395,30 +1395,21 @@ object RelQueries {
       .write.parquet(in)
     delta.where(expr("user_id div 13") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(in)
-    val cumKeys = new java.util.concurrent.atomic.AtomicLong(0L)
-    val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // subtract-and-add fold => replay corrupts both directions;
-        // marker and fold commit in one atomic rename
-        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          val keys = batch.select(col("user_id")).distinct()
-          val cum = cumKeys.addAndGet(keys.count())
-          val oldTouched = old.join(keys, Seq("user_id"), "left_semi")
-          val newTouched = ev.join(keys, Seq("user_id"), "left_semi")
-          sp.foldTouched(
-              spark.read.parquet(artDir.toString), oldTouched, newTouched,
-              "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
-            .coalesce(1).write.parquet(sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // subtract-and-add fold => replay corrupts both directions; shared
+    // scaffold's marker guard + durable `_cum_` touched-keys counter
+    // (restart-safe, replay-aware — see q188)
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        spark, base, artDir, in) { (batch, sibling) =>
+      val keys = batch.select(col("user_id")).distinct()
+      val cum = graft.Fs.readCounter(artDir, "cum") + keys.count()
+      val oldTouched = old.join(keys, Seq("user_id"), "left_semi")
+      val newTouched = ev.join(keys, Seq("user_id"), "left_semi")
+      sp.foldTouched(
+          spark.read.parquet(artDir.toString), oldTouched, newTouched,
+          "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+    }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountUni)
   }
@@ -1492,27 +1483,18 @@ object RelQueries {
       .write.parquet(in)
     reqs.where(expr("user_id div 17") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(in)
-    val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // subtraction fold => a replayed batch corrupts downward;
-        // marker and fold commit in one atomic rename
-        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          val keys = batch.select(col("user_id")).distinct()
-          val gone = ev.join(keys, Seq("user_id"), "left_semi")
-          sp.eraseFold(
-              spark.read.parquet(artDir.toString), gone,
-              "user_id", "tsu", "event_id", "event_type")
-            .coalesce(1).write.parquet(sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // subtraction fold => a replayed batch corrupts downward; shared
+    // scaffold's marker guard (no cumulative counter: deletions carry
+    // no candidate bound to track)
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        spark, base, artDir, in) { (batch, sibling) =>
+      val keys = batch.select(col("user_id")).distinct()
+      val gone = ev.join(keys, Seq("user_id"), "left_semi")
+      sp.eraseFold(
+          spark.read.parquet(artDir.toString), gone,
+          "user_id", "tsu", "event_id", "event_type")
+        .coalesce(1).write.parquet(sibling.toString)
+    }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountNew)
   }
@@ -1606,28 +1588,19 @@ object RelQueries {
       .write.parquet(in)
     added.where(expr("user_id div 17") % 2 =!= 0).coalesce(1)
       .write.mode("append").parquet(in)
-    val cumKeys = new java.util.concurrent.atomic.AtomicLong(0L)
-    val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        // additive fold => per-batch-id replay guard (the q188 commit
-        // idiom, shared via [[graft.Fs.appliedMarkerSwap]])
-        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          val cum = cumKeys.addAndGet(
-            batch.select(col("user_id")).distinct().count())
-          sp.fold(
-              spark.read.parquet(artDir.toString), batch,
-              "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
-            .coalesce(1).write.parquet(sibling.toString)
-        }
-        ()
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // additive fold => per-batch-id replay guard (the q188 commit
+    // idiom, shared scaffold); cumulative-keys guard count is durable
+    // `_cum_` state in the artifact dir (restart-safe, replay-aware)
+    graft.streaming.ArtifactStream.foldAvailableNow(
+        spark, base, artDir, in) { (batch, sibling) =>
+      val cum = graft.Fs.readCounter(artDir, "cum") +
+        batch.select(col("user_id")).distinct().count()
+      sp.fold(
+          spark.read.parquet(artDir.toString), batch,
+          "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+    }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountUni)
   }

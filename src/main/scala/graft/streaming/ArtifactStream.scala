@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Shared scaffold for the marker-guarded artifact streams (q154 /
+ * q188 / q190 / q194 / q196 / q197): a file-source AvailableNow
+ * stream over `in`, one file per micro-batch, every batch committed
+ * through [[graft.Fs.appliedMarkerSwap]] so a fold whose merge is not
+ * replay-idempotent (additive, signed, or subtractive) applies
+ * exactly once per batch id. The per-family fold writes the complete
+ * replacement artifact into the sibling dir it is handed; the swap
+ * publishes fold + markers in one atomic rename.
+ *
+ * Extracted after the sixth hand-copied variant of this scaffold:
+ * the guards live in ONE place now, so a fix to the commit protocol
+ * reaches every stream (the cumulative-guard durability fix that
+ * motivated the extraction had to touch four call sites).
+ *
+ * Cumulative FUP guards: persist the count with
+ * [[graft.Fs.writeCounter]] inside the sibling and re-read it with
+ * [[graft.Fs.readCounter]] from the artifact — never a driver-side
+ * variable, which resets on restart and misses replay-skipped
+ * batches.
+ */
+object ArtifactStream {
+
+  def foldAvailableNow(
+      spark: SparkSession, base: Path, artDir: Path, in: String)(
+      fold: (DataFrame, Path) => Unit): Unit = {
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
+          fold(batch, sibling)
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -71,6 +71,60 @@ class FsSpec extends AnyFunSuite {
     Fs.deleteRecursively(base)
   }
 
+  test("a write attempt killed mid-flight does not block the retry (stale sibling cleared)") {
+    val base = freshBase()
+    val art = base.resolve("art")
+    Fs.appliedMarkerSwap(base, art, 0L) { sib =>
+      Files.createDirectories(sib)
+      Files.writeString(sib.resolve("data"), "v0")
+    }
+    // simulate batch 1 dying DURING write: partial sibling, no marker
+    var first = true
+    intercept[RuntimeException] {
+      Fs.appliedMarkerSwap(base, art, 1L) { sib =>
+        Files.createDirectories(sib)
+        Files.writeString(sib.resolve("data"), "partial")
+        throw new RuntimeException("killed mid-write")
+      }
+    }
+    assert(Files.readString(art.resolve("data")) == "v0", "artifact untouched")
+    // the retry must not trip over the residue (parquet writers refuse
+    // an existing path — the swap clears it before re-writing)
+    val applied = Fs.appliedMarkerSwap(base, art, 1L) { sib =>
+      assert(!Files.exists(sib), "stale sibling must be cleared first")
+      Files.createDirectories(sib)
+      Files.writeString(sib.resolve("data"), "v1")
+    }
+    assert(applied && Files.readString(art.resolve("data")) == "v1")
+    Fs.deleteRecursively(base)
+  }
+
+  test("a crash between retire and publish rolls forward at the next call") {
+    val base = freshBase()
+    val art = base.resolve("art")
+    Fs.appliedMarkerSwap(base, art, 0L) { sib =>
+      Files.createDirectories(sib)
+      Files.writeString(sib.resolve("data"), "v0")
+    }
+    // hand-build the kill point: batch 1's sibling is COMPLETE (data +
+    // carried markers + own marker) and artDir is already retired
+    val sib = base.resolve("art-next-1")
+    Files.createDirectories(sib)
+    Files.writeString(sib.resolve("data"), "v1")
+    Files.copy(art.resolve("_applied_0"), sib.resolve("_applied_0"))
+    Files.createFile(sib.resolve("_applied_1"))
+    Files.move(art, base.resolve("art-retired-1"))
+    // next call (any id) repairs: publishes the sibling, sweeps retired,
+    // and then treats batch 1 as already applied
+    var ran = false
+    val applied = Fs.appliedMarkerSwap(base, art, 1L) { _ => ran = true }
+    assert(!applied && !ran, "rolled-forward batch must not re-fold")
+    assert(Files.readString(art.resolve("data")) == "v1")
+    assert(!Files.exists(base.resolve("art-retired-1")), "retired residue swept")
+    assert(!Files.exists(base.resolve("art-next-1")), "sibling was published, not copied")
+    Fs.deleteRecursively(base)
+  }
+
   test("markers accumulate across swaps so EVERY prior batch stays deduplicated") {
     val base = freshBase()
     val art = base.resolve("art")

@@ -263,6 +263,62 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(base)
   }
 
+  test("the cumulative FUP guard survives a crash-restart (durable counter, not driver memory)") {
+    // regression for the review finding: a driver-side cumulative
+    // counter resets on restart and never counts replay-skipped
+    // batches, so a stream crossing the FUP bound ACROSS a crash would
+    // silently pass its require. With the durable _cum_ counter the
+    // restarted run must REFUSE batch 1 (cum = 1 + 1 >= minCount 2).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cum-recovery")
+    val art = base.resolve("art")
+    val in = base.resolve("in").toString
+    Seq(("a", 2L)).toDF("itemset", "freq")
+      .coalesce(1).write.parquet(art.toString)
+    Seq(Seq("a")).toDF("items").coalesce(1).write.parquet(in)
+    Seq(Seq("a")).toDF("items").coalesce(1)
+      .write.mode("append").parquet(in)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.Fs.appliedMarkerSwap(base, art, id) { sibling =>
+            val cum = graft.Fs.readCounter(art, "cum") + batch.count()
+            ItemsetRefresh.fold(
+                spark.read.parquet(art.toString), batch, "items",
+                minCountUnion = 2L, nAddedCumulative = cum)
+              .coalesce(1).write.parquet(sibling.toString)
+            graft.Fs.writeCounter(sibling, "cum", cum)
+          }
+          // crash AFTER the swap committed, BEFORE the engine writes
+          // the checkpoint commit — the at-least-once window
+          if (id == 0L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after commit")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first run: batch 0 commits (cum=1), then the injected crash
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(graft.Fs.readCounter(art, "cum") == 1L, "counter committed with batch 0")
+    // restart: batch 0 redelivered+skipped (still counted — it is IN
+    // the artifact), batch 1 reads cum=1, folds to 2 >= minCount 2 and
+    // the require must fire
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(causeChain(e).exists(_.contains("re-mine")),
+      s"the FUP require must refuse across the restart: ${causeChain(e)}")
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("a delta at or above minCount_union is refused (full re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 5L)).toDF("itemset", "freq")
