@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+import java.nio.file.StandardCopyOption.ATOMIC_MOVE
 import java.nio.file.attribute.BasicFileAttributes
 
 /** Local-filesystem helpers for the queries that stage per-invocation
@@ -37,14 +38,27 @@ object Fs {
     * rest are diagnostic breadcrumbs for inspecting recent commits. */
   val MarkerRetention = 16
 
+  /** Marker/counter names must carry a purely numeric suffix — a stray
+    * file that merely shares the underscore prefix (partial-write
+    * residue, a foreign temp file) must degrade to "ignored", not crash
+    * the stream with NumberFormatException mid-commit. */
+  private def numericSuffix(name: String, prefix: String): Option[Long] = {
+    val s = name.stripPrefix(prefix)
+    if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+      Some(s.toLong)
+    else None
+  }
+
   /** Largest applied batch id recorded in `artDir`, or -1 when none. */
   private def maxAppliedId(artDir: Path): Long =
     if (!Files.exists(artDir)) -1L
     else {
       val stream = Files.list(artDir)
       try stream
-        .filter(p => p.getFileName.toString.startsWith("_applied_"))
-        .mapToLong(p => p.getFileName.toString.stripPrefix("_applied_").toLong)
+        .map[Option[Long]](p =>
+          numericSuffix(p.getFileName.toString, "_applied_"))
+        .filter(_.isDefined)
+        .mapToLong(_.get)
         .max.orElse(-1L)
       finally stream.close()
     }
@@ -64,9 +78,10 @@ object Fs {
     else {
       val stream = Files.list(dir)
       try stream
-        .filter(p => p.getFileName.toString.startsWith(s"_${name}_"))
-        .mapToLong(p =>
-          p.getFileName.toString.stripPrefix(s"_${name}_").toLong)
+        .map[Option[Long]](p =>
+          numericSuffix(p.getFileName.toString, s"_${name}_"))
+        .filter(_.isDefined)
+        .mapToLong(_.get)
         .max.orElse(0L)
       finally stream.close()
     }
@@ -76,6 +91,37 @@ object Fs {
     * prefixed, so parquet readers ignore it like `_SUCCESS`. */
   def writeCounter(dir: Path, name: String, value: Long): Unit =
     Files.createFile(dir.resolve(s"_${name}_$value"))
+
+  /** Read the durable key set `_<name>` (one decimal key per line) from
+    * `dir`; empty when absent. The erase-once guard persists the
+    * already-erased key universe THIS way — inside the artifact dir,
+    * committed atomically with each fold by the same swap rename — so
+    * "each key is erased once across batches" is a CHECKED invariant
+    * (a key redelivered in a LATER batch is skipped) instead of a
+    * routing obligation the queue is merely trusted to meet. Exact set
+    * at fixture scale; in a 10^9-key regime store a Bloom filter under
+    * the same commit discipline as a prefilter — a Bloom negative
+    * ("definitely never erased") admits the subtraction directly, and
+    * the rare positive confirms against an exact key-pruned store
+    * before skipping, because skipping a NOT-actually-erased key is
+    * the unsafe direction (the deletion would silently not happen). */
+  def readKeySet(dir: Path, name: String): Set[Long] = {
+    val f = dir.resolve(s"_$name")
+    if (!Files.exists(f)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(f).asScala.iterator
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    }
+  }
+
+  /** Write the durable key set `_<name>` into a sibling about to be
+    * swapped in (see [[readKeySet]]; sorted for a stable on-disk form). */
+  def writeKeySet(dir: Path, name: String, keys: Set[Long]): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.write(dir.resolve(s"_$name"),
+      keys.toSeq.sorted.map(_.toString).asJava)
+  }
 
   /**
    * Applied-marker read-merge-swap commit for ADDITIVE foreachBatch
@@ -125,7 +171,7 @@ object Fs {
         b.result()
       } finally stream.close()
       if (complete.nonEmpty)
-        Files.move(complete.maxBy(maxAppliedId), artDir)
+        Files.move(complete.maxBy(maxAppliedId), artDir, ATOMIC_MOVE)
     }
     if (Files.exists(artDir)) { // retired residue is now safe to sweep
       val stream = Files.list(base)
@@ -153,7 +199,8 @@ object Fs {
       if (Files.exists(artDir)) { // bootstrap batch: nothing to carry
         val stream = Files.list(artDir)
         try stream
-          .filter(p => p.getFileName.toString.startsWith("_applied_"))
+          .filter(p =>
+            numericSuffix(p.getFileName.toString, "_applied_").isDefined)
           .sorted(java.util.Comparator.comparingLong[Path](
             p => -p.getFileName.toString.stripPrefix("_applied_").toLong))
           .limit(MarkerRetention - 1L)
@@ -166,10 +213,14 @@ object Fs {
       // publishes fold+markers together. A crash between the two moves
       // leaves the complete sibling beside the retired dir — never a
       // deleted-only window — and repairSwapResidue rolls it forward
-      // at the next call.
+      // at the next call. ATOMIC_MOVE is REQUESTED, not assumed: on a
+      // filesystem where rename would fall back to copy+delete the
+      // move fails loudly (AtomicMoveNotSupportedException) instead of
+      // silently reopening the non-atomic window the protocol exists
+      // to close.
       val retired = base.resolve(s"${artDir.getFileName}-retired-$id")
-      if (Files.exists(artDir)) Files.move(artDir, retired)
-      Files.move(sibling, artDir)
+      if (Files.exists(artDir)) Files.move(artDir, retired, ATOMIC_MOVE)
+      Files.move(sibling, artDir, ATOMIC_MOVE)
       deleteRecursively(retired)
       true
     }

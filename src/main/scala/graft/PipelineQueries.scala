@@ -3846,18 +3846,22 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val syn = sk.kmvSketch(
-          sk.ngramStream(batch, "text", Seq("source"), n = 2),
-          Seq("source"), "gram")
-        val merged =
-          if (java.nio.file.Files.exists(synDir))
-            sk.kmvMergeTables(sk.loadRegisters(s, synDir.toString), syn,
-              Seq("source"))
-          else syn
-        val sibling = base.resolve(s"synopses-next-$id")
-        sk.saveRegisters(merged, sibling.toString)
-        graft.Fs.deleteRecursively(synDir)
-        java.nio.file.Files.move(sibling, synDir)
+        // k-min merge is replay-idempotent, so the scaffold's marker
+        // skip only saves a re-merge; what it buys is the complete-
+        // before-destroy commit (the old delete-then-move had a crash
+        // window that lost every previously folded batch's registers
+        // while only the LAST batch would be redelivered).
+        graft.Fs.appliedMarkerSwap(base, synDir, id) { sibling =>
+          val syn = sk.kmvSketch(
+            sk.ngramStream(batch, "text", Seq("source"), n = 2),
+            Seq("source"), "gram")
+          val merged =
+            if (java.nio.file.Files.exists(synDir))
+              sk.kmvMergeTables(sk.loadRegisters(s, synDir.toString), syn,
+                Seq("source"))
+            else syn
+          sk.saveRegisters(merged, sibling.toString)
+        }
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -4174,17 +4178,19 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val regs = sk.hllRegisters(
-          sk.ngramStream(batch, "text", Seq("source")), Seq("source"), "gram")
-        val merged =
-          if (java.nio.file.Files.exists(regDir))
-            sk.mergeRegisters(sk.loadRegisters(s, regDir.toString), regs,
-              Seq("source"))
-          else regs
-        val sibling = base.resolve(s"registers-next-$id")
-        sk.saveRegisters(merged, sibling.toString)
-        graft.Fs.deleteRecursively(regDir)
-        java.nio.file.Files.move(sibling, regDir)
+        // max-merge is replay-idempotent; the scaffold is here for the
+        // complete-before-destroy ordering (see the q177 note).
+        graft.Fs.appliedMarkerSwap(base, regDir, id) { sibling =>
+          val regs = sk.hllRegisters(
+            sk.ngramStream(batch, "text", Seq("source")), Seq("source"),
+            "gram")
+          val merged =
+            if (java.nio.file.Files.exists(regDir))
+              sk.mergeRegisters(sk.loadRegisters(s, regDir.toString), regs,
+                Seq("source"))
+            else regs
+          sk.saveRegisters(merged, sibling.toString)
+        }
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)

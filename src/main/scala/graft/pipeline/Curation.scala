@@ -609,11 +609,18 @@ object Curation {
         spark.read.parquet(artifactDir.toString).unionByName(cand)
       else cand
     val kept = merged.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
-    val sibling = artifactDir.resolveSibling(
-      artifactDir.getFileName.toString + s"-next-$batchId")
-    kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
-    graft.Fs.deleteRecursively(artifactDir)
-    java.nio.file.Files.move(sibling, artifactDir)
+    // Commit through the shared swap scaffold: top-m merge is replay-
+    // idempotent by algebra, so the per-batch-id marker skip is merely
+    // a saved re-merge — what the scaffold buys here is the complete-
+    // before-destroy ordering (retire -> publish -> roll-forward); the
+    // old delete-then-move left a crash window where ALL previously
+    // folded batches' state was gone and only the last batch would be
+    // redelivered.
+    graft.Fs.appliedMarkerSwap(artifactDir.getParent, artifactDir, batchId) {
+      sibling =>
+        kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
+    }
+    ()
   }
 
   /**
@@ -648,11 +655,14 @@ object Curation {
           .select(col(strataCol), col(idCol)).unionByName(cand)
       else cand
     val kept = exactKSample(merged, strataCol, idCol, k, salt)
-    val sibling = artifactDir.resolveSibling(
-      artifactDir.getFileName.toString + s"-next-$batchId")
-    kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
-    graft.Fs.deleteRecursively(artifactDir)
-    java.nio.file.Files.move(sibling, artifactDir)
+    // Shared swap scaffold for the same reason as
+    // [[prioritySampleMaintain]]: the merge is replay-idempotent, the
+    // scaffold's value is the never-deleted-only commit ordering.
+    graft.Fs.appliedMarkerSwap(artifactDir.getParent, artifactDir, batchId) {
+      sibling =>
+        kept.coalesce(1).write.mode("overwrite").parquet(sibling.toString)
+    }
+    ()
   }
 
   /**

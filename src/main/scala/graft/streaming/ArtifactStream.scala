@@ -25,12 +25,25 @@ import org.apache.spark.sql.streaming.Trigger
  * [[graft.Fs.readCounter]] from the artifact — never a driver-side
  * variable, which resets on restart and misses replay-skipped
  * batches.
+ *
+ * PRECONDITION: `in` must already exist and hold at least one parquet
+ * file when this is called — the schema is probed eagerly (a file
+ * stream needs a declared schema before the first trigger), so a
+ * not-yet-populated input dir is a caller bug, surfaced here as a
+ * clear require instead of a bare AnalysisException from inside the
+ * schema probe. Callers that stage their own input (every declared
+ * row) write the files first; a production caller pointing at a live
+ * landing dir must create it (with a seed file or an explicit schema
+ * handshake) before wiring the stream.
  */
 object ArtifactStream {
 
   def foldAvailableNow(
       spark: SparkSession, base: Path, artDir: Path, in: String)(
       fold: (DataFrame, Path) => Unit): Unit = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(in)),
+      s"ArtifactStream input dir must pre-exist with at least one " +
+        s"parquet file (the schema is probed eagerly): $in")
     val schema = spark.read.parquet(in).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
