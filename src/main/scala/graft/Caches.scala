@@ -13,6 +13,7 @@ object Caches {
   def clearAll(): Unit = {
     Tables.clearCaches()
     FpmQueries.clearCaches()
+    RelQueries.clearCaches()
     graft.pipeline.Dedup.clearCaches()
     graft.pipeline.Signals.clearCaches()
     graft.pipeline.Similarity.clearCaches()

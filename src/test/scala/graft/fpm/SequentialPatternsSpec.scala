@@ -395,6 +395,43 @@ class SequentialPatternsSpec extends AnyFunSuite {
     assert(twoBatches.filter(_._2._3 >= minCountNew) == erased)
   }
 
+  test("eraseBatchOnce: a key redelivered in a LATER batch is skipped (durable erase-once record)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val types = Seq("v", "c", "p")
+    val rows = for {
+      u <- 1L to 30L
+      k <- 1 to (2 + rnd.nextInt(5))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val ev = rows.toDF("u", "t", "i", "y")
+    val stored0 = SequentialPatterns.frequentSequences(ev, "u", "t", "i", "y",
+      minSupportNum = 1L, minSupportDen = 3L, maxLen = 2).cache()
+    val base = java.nio.file.Files.createTempDirectory("eraseonce")
+    val artDir = base.resolve("art")
+    stored0.coalesce(1).write.parquet(artDir.toString)
+    def runBatch(id: Long, keys: Set[Long]): Unit = {
+      graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
+        SequentialPatterns.eraseBatchOnce(
+          spark.read.parquet(artDir.toString), ev, "u", "t", "i", "y",
+          artDir, sibling, keys)
+      }
+      ()
+    }
+    runBatch(0L, Set(4L, 8L))
+    // key 8 redelivered under a DIFFERENT batch id — the `_applied_`
+    // replay marker cannot catch this; only the `_erased` record can
+    runBatch(1L, Set(12L, 8L))
+    val got = spark.read.parquet(artDir.toString)
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    val want = SequentialPatterns.eraseFold(stored0,
+        ev.where($"u".isin(4L, 8L, 12L)), "u", "t", "i", "y")
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    stored0.unpersist()
+    assert(got == want, "duplicate request double-subtracted")
+    assert(graft.Fs.readKeySet(artDir, "erased") == Set(4L, 8L, 12L))
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
