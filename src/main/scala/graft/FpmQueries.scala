@@ -290,6 +290,62 @@ object FpmQueries {
   lazy val RulesFromArtifactSql: String = AssocRulesSql
 
   /**
+   * q: PREDICT from the REFRESHED rule artifact — the last derive edge
+   * in the flagship family's lifecycle graph: q170 maintains the
+   * itemset artifact, q187 proved rule DERIVATION is artifact-stable
+   * (refresh-then-derive == mine-then-derive), but the TRANSFORM stage
+   * (q05's per-basket prediction) still only ever ran against rules
+   * from a fresh fit — exactly as the reference does, where transform
+   * always follows a fresh fit (`reference pfp/FPGrowth.scala:168-177`)
+   * and no artifact-served prediction path exists at all. This row
+   * closes the edge: the q170-refreshed itemset artifact feeds the q187
+   * rule algebra, and the resulting rule table drives q05's broadcast
+   * subset-probe prediction over every basket. Because the refreshed
+   * artifact is bit-equal to the union re-mine (FUP bound), the rule
+   * chain is deterministic IEEE over its counts, and the predictor's
+   * output is invariant under permutations of an equal rule SET (rules
+   * sort by (lift desc, consequent asc); first-occurrence dedup is per
+   * consequent), predict(refresh-derived rules) == predict(mine-derived
+   * rules) byte for byte — the oracle is q05's statement verbatim.
+   *
+   * Scale shape: rule derivation is artifact-sized count algebra
+   * (q187), the rule table is bounded broadcast metadata (q05), and the
+   * one corpus-sized pass is the prediction scan itself — identical to
+   * q05's plan. The declared row re-runs the q170 build+refresh so it
+   * owns an artifact (the self-contained-row convention); a production
+   * pipeline predicts from the maintained artifact with zero mine cost.
+   */
+  def predictFromRefreshedArtifact(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE evaluation of the refresh plan (the q187 bounded-collect
+    // idiom: the artifact is support-bounded metadata).
+    val rows: Array[(String, Long)] = itemsetRefreshIn(spark, dir, "q198")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = Tables.orderBrandBaskets(spark, dir).count()
+    val itemSupport: Map[String, Double] = rows
+      .filter(!_._1.contains(","))
+      .map { case (i, f) => i -> f.toDouble / n }.toMap
+    val asItems = rows.toSeq
+      .map { case (k, f) => (k.split(",").toSeq, f) }.toDF("items", "freq")
+    val rules = AssociationRules
+      .fromFreqItemsets(asItems, itemSupport, n, MinConfidence)
+      .where(size(col("antecedent")) <= 2)
+      .select(col("antecedent"), col("consequent").getItem(0), col("lift"))
+      .as[(Array[String], String, Double)]
+      .collect()
+    Predictor.predict(
+      Tables.orderBrandBaskets(spark, dir),
+      Predictor.sortRules(rules), "items", "prediction")
+      .select(col("l_orderkey"), col("prediction"))
+  }
+
+  /** q05's statement verbatim: predict from the refresh-derived rule
+    * artifact must equal predict from the fresh fit (lazy: PredictSql
+    * is declared below). */
+  lazy val PredictFromArtifactSql: String = PredictSql
+
+  /**
    * q: STREAM-MAINTAINED frequent-itemset artifact — the last artifact
    * family to gain the q135 read-merge-swap lifecycle (HLL/CMS/qsketch/
    * KMV/dup-clusters/boilerplate all have one): the OLD snapshot is
@@ -381,6 +437,118 @@ object FpmQueries {
   /** Same statement as q03: the stream-folded artifact must equal the
     * full re-mine at the union threshold. */
   lazy val ItemsetStreamSql: String = FreqItemsetsSql
+
+  /**
+   * q: FUP AUTO-RE-SNAPSHOT — the q152 staleness-triggered-rebuild
+   * convention applied to the itemset artifact: every incremental fold
+   * family carries a `require` that fails LOUDLY when the cumulative
+   * delta outgrows the FUP candidate bound, but until this row nothing
+   * demonstrated the RECOVERY path end to end. Here the stream watches
+   * its own durable `_cum_` counter against a declared headroom budget
+   * `H` (the artifact's mine threshold sits `H` below the serving
+   * threshold; folding stays provably complete while cumulative adds
+   * <= H), and when a batch pushes consumption past 60% of `H` the fold
+   * is REPLACED by a re-snapshot: mine the CURRENT corpus (old snapshot
+   * ∪ every ingested batch, this one included) at the restored probe
+   * threshold, reset the cumulative counter to zero, bump a durable
+   * `_snap_` counter — all committed by the same atomic swap as an
+   * ordinary fold, so a crash anywhere leaves either the old artifact
+   * or the complete new snapshot, never a half state. Later batches
+   * fold against the fresh snapshot with full headroom again; the
+   * require never fires because the trigger re-mines FIRST (fail-loudly
+   * stays as the backstop for a single batch so large it overshoots
+   * 100% before the 60% trigger can act — that batch still re-mines
+   * here, but a caller composing folds directly would be refused).
+   *
+   * The fixture routes the q170 delta as FOUR micro-batches (quarter
+   * each, by `(l_orderkey div 211) % 4`), so the trigger fires
+   * mid-stream — batches fold BEFORE the re-snapshot and fold AFTER it,
+   * proving the swapped snapshot serves subsequent folds. Final state
+   * == the union re-mine (pre-trigger folds are exact FUP, the re-mine
+   * is exact by construction, post-trigger folds are exact FUP over the
+   * new snapshot); the oracle is q03's statement verbatim.
+   *
+   * Scale shape: the ingest record is the fixture's stand-in for the
+   * warehouse's own ingested partitions (id-keyed, so redelivery after
+   * a crash overwrites idempotently); the re-mine costs one
+   * corpus-sized pass — the point of the trigger is that it runs once
+   * per consumed-headroom epoch instead of once per query (q170's
+   * amortization argument), and the stream schedules it itself instead
+   * of waiting for a human to notice the require firing.
+   */
+  def itemsetAutoResnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orderBrandBaskets(spark, dir)
+    val old = b.where(col("l_orderkey") % 211 =!= 0)
+    val added = b.where(col("l_orderkey") % 211 === 0)
+    val nOld = old.count()
+    val nAdded = added.count()
+    val minCountUni =
+      math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
+    // declared headroom budget: the whole delta fits exactly once —
+    // so a 60% trigger MUST fire mid-stream across four quarter batches
+    val headroom = math.max(1L, nAdded)
+    val probe = math.max(1L, minCountUni - headroom)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q199-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("itemsets")
+    val ingested = base.resolve("ingested")
+    val m = new FPGrowth()
+      .setMinCount(probe)
+      .setNumPartitions(spark.sparkContext.defaultParallelism)
+      .fit(old)
+    m.freqItemsets
+      .where(size(col("items")) <= 3)
+      .select(array_join(array_sort(col("items")), ",").as("itemset"),
+        col("freq"))
+      .write.parquet(artDir.toString)
+    m.freqItemsets.unpersist()
+    val in = base.resolve("in").toString
+    (0L to 3L).foreach { qd =>
+      added.where(expr("l_orderkey div 211") % 4 === qd).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    graft.streaming.ArtifactStream.foldAvailableNowWithId(
+        spark, base, artDir, in) { (batch, id, sibling) =>
+      // durable ingest record keyed by batch id: idempotent under
+      // redelivery-after-crash (same id overwrites its own dir)
+      batch.coalesce(1).write.mode("overwrite")
+        .parquet(ingested.resolve(s"b$id").toString)
+      val cum = graft.Fs.readCounter(artDir, "cum") + batch.count()
+      val snaps = graft.Fs.readCounter(artDir, "snap")
+      if (5L * cum >= 3L * headroom) {
+        // >= 60% of the headroom consumed: re-snapshot INSTEAD of
+        // folding — the re-mine over old ∪ ingested subsumes this
+        // batch's fold and restores the full FUP budget
+        val current = old.unionByName(
+          spark.read.parquet(s"$ingested/b*"))
+        val m2 = new FPGrowth()
+          .setMinCount(probe)
+          .setNumPartitions(spark.sparkContext.defaultParallelism)
+          .fit(current)
+        m2.freqItemsets
+          .where(size(col("items")) <= 3)
+          .select(array_join(array_sort(col("items")), ",").as("itemset"),
+            col("freq"))
+          .coalesce(1).write.parquet(sibling.toString)
+        m2.freqItemsets.unpersist()
+        graft.Fs.writeCounter(sibling, "cum", 0L)
+        graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+      } else {
+        graft.fpm.ItemsetRefresh.fold(
+            spark.read.parquet(artDir.toString), batch, "items",
+            minCountUni, cum)
+          .coalesce(1).write.parquet(sibling.toString)
+        graft.Fs.writeCounter(sibling, "cum", cum)
+        graft.Fs.writeCounter(sibling, "snap", snaps)
+      }
+    }
+    spark.read.parquet(artDir.toString)
+      .where(col("freq") >= minCountUni)
+  }
+
+  /** Same statement as q03: pre-trigger folds + the auto re-snapshot +
+    * post-trigger folds must land exactly on the union re-mine. */
+  lazy val ItemsetAutoResnapshotSql: String = FreqItemsetsSql
 
   /**
    * q: STREAM-MAINTAINED itemset artifact under CDC batches — q188's

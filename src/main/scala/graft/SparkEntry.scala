@@ -212,6 +212,8 @@ object SparkEntry {
     "q195_seqpattern_erase" -> ((s, d) => RelQueries.sequentialPatternErase(s, d)),
     "q196_seqpattern_touch_stream" -> ((s, d) => RelQueries.sequentialPatternTouchStream(s, d)),
     "q197_seqpattern_erase_stream" -> ((s, d) => RelQueries.sequentialPatternEraseStream(s, d)),
+    "q198_predict_from_artifact" -> ((s, d) => FpmQueries.predictFromRefreshedArtifact(s, d)),
+    "q199_itemset_auto_resnapshot" -> ((s, d) => FpmQueries.itemsetAutoResnapshot(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -786,5 +788,11 @@ object SparkEntry {
     // q197: erasure-request stream — subtraction fold per key-disjoint
     // batch, replay-guarded; oracle is q195's retained-users statement
     "q197_seqpattern_erase_stream" -> RelQueries.SequentialPatternEraseSql,
+    // q198: predict from the refresh-derived rule artifact — transform
+    // is artifact-stable, so q05's statement holds verbatim
+    "q198_predict_from_artifact" -> FpmQueries.PredictFromArtifactSql,
+    // q199: headroom-triggered auto re-snapshot mid-stream — folds
+    // before + re-mine at trigger + folds after == the union re-mine
+    "q199_itemset_auto_resnapshot" -> FpmQueries.ItemsetAutoResnapshotSql,
   )
 }

@@ -40,7 +40,18 @@ object ArtifactStream {
 
   def foldAvailableNow(
       spark: SparkSession, base: Path, artDir: Path, in: String)(
-      fold: (DataFrame, Path) => Unit): Unit = {
+      fold: (DataFrame, Path) => Unit): Unit =
+    foldAvailableNowWithId(spark, base, artDir, in) {
+      (batch, _, sibling) => fold(batch, sibling)
+    }
+
+  /** [[foldAvailableNow]] with the micro-batch id exposed to the fold —
+    * for folds that keep per-batch durable side state keyed by id (the
+    * q199 ingest record: an id-keyed write is idempotent under
+    * redelivery-after-crash, where the same id re-runs the closure). */
+  def foldAvailableNowWithId(
+      spark: SparkSession, base: Path, artDir: Path, in: String)(
+      fold: (DataFrame, Long, Path) => Unit): Unit = {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(in)),
       s"ArtifactStream input dir must pre-exist with at least one " +
         s"parquet file (the schema is probed eagerly): $in")
@@ -50,7 +61,7 @@ object ArtifactStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
-          fold(batch, sibling)
+          fold(batch, id, sibling)
         }
         ()
       }

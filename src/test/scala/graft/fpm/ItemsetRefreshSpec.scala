@@ -75,6 +75,25 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(fromArtifact == fromMine)
   }
 
+  test("auto re-snapshot (q199): trigger fires mid-stream, folds continue after, final == union re-mine") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.FpmQueries.itemsetAutoResnapshot(spark, dir)
+      .as[(String, Long)].collect().toSet
+    val want = graft.FpmQueries.freqItemsets(spark, dir)
+      .as[(String, Long)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      "folds + auto re-snapshot + folds must land exactly on the union re-mine")
+    val artDir = java.nio.file.Paths.get(
+      "/tmp", "graft-q199-" + dir.replaceAll("[^A-Za-z0-9.]", "_"), "itemsets")
+    assert(graft.Fs.readCounter(artDir, "snap") >= 1L,
+      "the 60%-headroom trigger never fired — the fixture no longer " +
+        "drives the cumulative counter past it")
+    assert(graft.Fs.readCounter(artDir, "cum") > 0L,
+      "no fold landed AFTER the re-snapshot — the row no longer proves " +
+        "the swapped snapshot serves subsequent folds")
+  }
+
   test("fold is associative over batches: two folds == one fold == refresh+threshold") {
     // the q188 contract: the un-thresholded fold leaves the candidate
     // set intact, so batch boundaries cannot matter, and thresholding

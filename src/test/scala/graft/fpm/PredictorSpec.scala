@@ -41,6 +41,23 @@ class PredictorSpec extends AnyFunSuite {
     assert(viaUdf.values.exists(_.nonEmpty))
   }
 
+  test("q198: predict from refresh-derived rules == predict from fresh fit (q05)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // transform must be artifact-stable: the refreshed-artifact rule
+    // path and the fresh-fit rule path drive byte-identical predictions
+    val viaArtifact = graft.FpmQueries.predictFromRefreshedArtifact(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val viaFit = graft.FpmQueries.predict(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(viaArtifact.size == viaFit.size)
+    val diffs = viaFit.collect {
+      case (k, v) if viaArtifact(k) != v => (k, v, viaArtifact(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    assert(viaFit.values.exists(_.nonEmpty))
+  }
+
   test("generic fallback (>64-item rule vocab) == relational on synthetic rules") {
     import spark.implicits._
     // 80 distinct items forces the set-probe path (bitset handles <= 64);
