@@ -55,13 +55,33 @@ class BatchPerfBoundSpec extends AnyFunSuite {
     * [[StreamPerfBoundSpec]]. */
   private val CalibBaseline = 0.2
 
+  /** Rows from q40b down measured 2026-08-15 when the r15 extension
+    * closed the unbounded slow bracket (every BENCH_r14 row >= 2 s now
+    * carries a bound). Lifecycle rows include their declared per-row
+    * artifact builds; the sequence rows' shared probe mine lands on
+    * whichever row runs first (the r15 keyed memo), so each baseline
+    * is the COLD value. */
   private val Baselines: Map[String, Double] = Map(
     "q05b_predict_relational" -> 3.6,
     "q36_sketches" -> 2.6,
     "q108_knn_label_vote" -> 5.2,
     "q118_projected_ann" -> 4.1,
     "q150_dup_clusters_refresh" -> 9.0,
-    "q152_ann_auto_rebuild" -> 7.1)
+    "q152_ann_auto_rebuild" -> 7.1,
+    "q40b_dup_clusters_logn" -> 2.1,
+    "q90_ann_ivfpq_indexed" -> 2.0,
+    "q104_ann_drift" -> 4.4,
+    "q121_sequential_patterns" -> 1.5,
+    "q127_co_engagement" -> 1.1,
+    "q153_bucketed_join" -> 1.5,
+    "q170_itemset_refresh" -> 1.4,
+    "q189_seqpattern_refresh" -> 1.8,
+    "q191_seqrules_from_artifact" -> 1.2,
+    "q192_seqpattern_touch_refresh" -> 2.2,
+    "q193_itemset_cdc_refresh" -> 1.3,
+    "q195_seqpattern_erase" -> 1.4,
+    "q198_predict_from_artifact" -> 1.5,
+    "q199_itemset_auto_resnapshot" -> 5.0)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0
