@@ -22,12 +22,52 @@ object FpmQueries {
   // model-reuse shape; also what Verify/Bench want).
   private val models = new ConcurrentHashMap[String, FPGrowthModel]()
 
+  // Keyed memo of PROBE-threshold itemset mines — the r15 discipline
+  // already applied to the sequence family (`RelQueries.minedSequences`)
+  // on the itemset side: q170/q187/q188/q198/q199 each fit FP-Growth on
+  // the IDENTICAL old snapshot at the IDENTICAL probe threshold, and
+  // q193/q194 share another — before this memo each row paid its own
+  // fit. The capped artifact is support-bounded metadata, so it caches
+  // as driver-local rows keyed by (context, corpus dir, input subset,
+  // exact absolute threshold); only bit-identical mines share. Each
+  // row's declared lifecycle (artifact write + fold + swap + stream)
+  // still runs per invocation. The warehouse-scale analogue is the
+  // artifact store: one probe mine per snapshot serves every
+  // maintenance consumer.
+  private val probeMines =
+    new ConcurrentHashMap[String, Seq[(String, Long)]]()
+
   /** Unpersist and drop every memoized model (mirrors Tables/Dedup). */
   def clearCaches(): Unit = {
     models.values.forEach { m =>
       try m.freqItemsets.unpersist() catch { case _: Throwable => }
     }
     models.clear()
+    probeMines.clear()
+  }
+
+  /** The memoized probe mine: arity-capped `(itemset, freq)` rows of
+    * `input` at absolute threshold `minCount` (see [[probeMines]]). */
+  private def minedItemsets(
+      spark: SparkSession, dir: String, subsetTag: String,
+      input: DataFrame, minCount: Long): DataFrame = {
+    val key = Tables.cacheKey(spark, dir) + s"#itemmine#$subsetTag#$minCount"
+    val rows = probeMines.computeIfAbsent(key, _ => {
+      val m = new FPGrowth()
+        .setMinCount(minCount)
+        .setNumPartitions(spark.sparkContext.defaultParallelism)
+        .fit(input)
+      val r = m.freqItemsets
+        .where(size(col("items")) <= 3)
+        .select(array_join(array_sort(col("items")), ",").as("itemset"),
+          col("freq"))
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+      m.freqItemsets.unpersist()
+      r
+    })
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("itemset", "freq")
   }
 
   def model(spark: SparkSession, dir: String): FPGrowthModel =
@@ -218,16 +258,8 @@ object FpmQueries {
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", s"graft-$tag-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("itemsets").toString
-    val m = new FPGrowth()
-      .setMinCount(probe)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
-      .fit(old)
-    m.freqItemsets
-      .where(size(col("items")) <= 3)
-      .select(array_join(array_sort(col("items")), ",").as("itemset"),
-        col("freq"))
+    minedItemsets(spark, dir, "old211", old, probe)
       .write.mode("overwrite").parquet(artPath)
-    m.freqItemsets.unpersist()
     val stored = spark.read.parquet(artPath)
     graft.fpm.ItemsetRefresh.refresh(stored, added, "items",
       minCountUni, nAdded)
@@ -398,16 +430,8 @@ object FpmQueries {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q188-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("itemsets")
-    val m = new FPGrowth()
-      .setMinCount(probe)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
-      .fit(old)
-    m.freqItemsets
-      .where(size(col("items")) <= 3)
-      .select(array_join(array_sort(col("items")), ",").as("itemset"),
-        col("freq"))
+    minedItemsets(spark, dir, "old211", old, probe)
       .write.parquet(artDir.toString)
-    m.freqItemsets.unpersist()
     // the delta arrives as a stream: two files, one per micro-batch
     val in = base.resolve("in").toString
     added.where(col("l_orderkey") % 2 === 0).coalesce(1)
@@ -492,16 +516,8 @@ object FpmQueries {
       "/tmp", "graft-q199-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("itemsets")
     val ingested = base.resolve("ingested")
-    val m = new FPGrowth()
-      .setMinCount(probe)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
-      .fit(old)
-    m.freqItemsets
-      .where(size(col("items")) <= 3)
-      .select(array_join(array_sort(col("items")), ",").as("itemset"),
-        col("freq"))
+    minedItemsets(spark, dir, "old211", old, probe)
       .write.parquet(artDir.toString)
-    m.freqItemsets.unpersist()
     val in = base.resolve("in").toString
     (0L to 3L).foreach { qd =>
       added.where(expr("l_orderkey div 211") % 4 === qd).coalesce(1)
@@ -588,16 +604,8 @@ object FpmQueries {
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q194-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artDir = base.resolve("itemsets")
-    val m = new FPGrowth()
-      .setMinCount(probe)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
-      .fit(old)
-    m.freqItemsets
-      .where(size(col("items")) <= 3)
-      .select(array_join(array_sort(col("items")), ",").as("itemset"),
-        col("freq"))
+    minedItemsets(spark, dir, "old211", old, probe)
       .write.parquet(artDir.toString)
-    m.freqItemsets.unpersist()
     // the churn arrives as a CDC stream: two files, each a mixed batch
     // of adds (op = 1) and deletes (op = -1)
     val in = base.resolve("in").toString
@@ -666,16 +674,8 @@ object FpmQueries {
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q193-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
     val artPath = staged.resolve("itemsets").toString
-    val m = new FPGrowth()
-      .setMinCount(probe)
-      .setNumPartitions(spark.sparkContext.defaultParallelism)
-      .fit(old)
-    m.freqItemsets
-      .where(size(col("items")) <= 3)
-      .select(array_join(array_sort(col("items")), ",").as("itemset"),
-        col("freq"))
+    minedItemsets(spark, dir, "old211", old, probe)
       .write.mode("overwrite").parquet(artPath)
-    m.freqItemsets.unpersist()
     graft.fpm.ItemsetRefresh.refreshCdc(
       spark.read.parquet(artPath), added, removed, "items",
       minCountNew, nAdded)
