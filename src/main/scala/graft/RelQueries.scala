@@ -1634,6 +1634,85 @@ object RelQueries {
       .where(col("support") >= minCountUni)
   }
 
+  /**
+   * q: FUP AUTO-RE-SNAPSHOT for the SEQUENCE artifact — q199's
+   * headroom-triggered rebuild on the ordered half, completing the
+   * symmetry of the two lifecycle matrices: the stream watches its
+   * durable `_cum_` distinct-added-users counter against the declared
+   * headroom budget `H` (the artifact's probe threshold sits `H` below
+   * the serving threshold; key-disjoint folds stay provably complete
+   * while cumulative added keys <= H), and when a batch pushes
+   * consumption past 60% of `H` the fold is REPLACED by a re-mine of
+   * the current corpus (old snapshot ∪ id-keyed ingest record, this
+   * batch included) at the restored probe threshold — expressed as the
+   * exact rational `probe/nCurrentUsers` so the miner's integer-ceil
+   * lands on `probe` precisely — with the cum counter reset and a
+   * durable `_snap_` counter bumped, all committed by the same atomic
+   * swap. Later key-disjoint batches fold against the fresh snapshot
+   * with full headroom. Final state == the union re-mine; the oracle is
+   * q121's statement verbatim.
+   *
+   * Scale shape mirrors q199: per-batch work is delta-sized between
+   * triggers; the re-mine is one corpus pass per consumed-headroom
+   * epoch, scheduled by the stream itself instead of by the FUP
+   * require failing in someone's pager.
+   */
+  def sequentialPatternAutoResnapshot(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val old = ev.where(col("user_id") % 17 =!= 0)
+    val added = ev.where(col("user_id") % 17 === 0)
+    val nOld = old.select(col("user_id")).distinct().count()
+    val nAdded = added.select(col("user_id")).distinct().count()
+    val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
+    val headroom = math.max(1L, nAdded)
+    val probe = math.max(1L, minCountUni - headroom)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q200-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("seqpatterns")
+    minedSequences(spark, dir, "old17", old, probe,
+        math.max(1L, nOld))
+      .write.parquet(artDir.toString)
+    val ingested = base.resolve("ingested")
+    // four key-disjoint quarter batches: each added user's WHOLE
+    // history lives in exactly one file (the q190 routing contract)
+    val in = base.resolve("in").toString
+    (0L to 3L).foreach { qd =>
+      added.where(expr("user_id div 17") % 4 === qd).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    graft.streaming.ArtifactStream.foldAvailableNowWithId(
+        spark, base, artDir, in) { (batch, id, sibling) =>
+      // durable ingest record keyed by batch id (idempotent under
+      // redelivery-after-crash) — the warehouse-partitions stand-in
+      batch.coalesce(1).write.mode("overwrite")
+        .parquet(ingested.resolve(s"b$id").toString)
+      val cum = graft.Fs.readCounter(artDir, "cum") +
+        batch.select(col("user_id")).distinct().count()
+      val snaps = graft.Fs.readCounter(artDir, "snap")
+      if (5L * cum >= 3L * headroom) {
+        val current = old.unionByName(
+          spark.read.parquet(s"$ingested/b*"))
+        val nCur = current.select(col("user_id")).distinct().count()
+        sp.frequentSequences(current, "user_id", "tsu", "event_id",
+            "event_type", minSupportNum = probe,
+            minSupportDen = math.max(1L, nCur), maxLen = 3)
+          .coalesce(1).write.parquet(sibling.toString)
+        graft.Fs.writeCounter(sibling, "cum", 0L)
+        graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+      } else {
+        sp.fold(spark.read.parquet(artDir.toString), batch,
+            "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+          .coalesce(1).write.parquet(sibling.toString)
+        graft.Fs.writeCounter(sibling, "cum", cum)
+        graft.Fs.writeCounter(sibling, "snap", snaps)
+      }
+    }
+    spark.read.parquet(artDir.toString)
+      .where(col("support") >= minCountUni)
+  }
+
   /** q121's statement over any user subset — the erasure oracle
     * re-derives the threshold from the RETAINED users' count, exactly
     * as the Spark side does. `extraPred` ANDs into the event filter. */

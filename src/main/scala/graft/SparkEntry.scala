@@ -214,6 +214,7 @@ object SparkEntry {
     "q197_seqpattern_erase_stream" -> ((s, d) => RelQueries.sequentialPatternEraseStream(s, d)),
     "q198_predict_from_artifact" -> ((s, d) => FpmQueries.predictFromRefreshedArtifact(s, d)),
     "q199_itemset_auto_resnapshot" -> ((s, d) => FpmQueries.itemsetAutoResnapshot(s, d)),
+    "q200_seqpattern_auto_resnapshot" -> ((s, d) => RelQueries.sequentialPatternAutoResnapshot(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,5 +795,8 @@ object SparkEntry {
     // q199: headroom-triggered auto re-snapshot mid-stream — folds
     // before + re-mine at trigger + folds after == the union re-mine
     "q199_itemset_auto_resnapshot" -> FpmQueries.ItemsetAutoResnapshotSql,
+    // q200: the same auto re-snapshot on the sequence artifact —
+    // q121's statement verbatim over the union corpus
+    "q200_seqpattern_auto_resnapshot" -> RelQueries.SequentialPatternsSql,
   )
 }

@@ -83,7 +83,8 @@ class StreamPerfBoundSpec extends AnyFunSuite {
     "q190_seqpattern_stream" -> 2.3,
     "q194_itemset_cdc_stream" -> 2.4,
     "q196_seqpattern_touch_stream" -> 2.7,
-    "q197_seqpattern_erase_stream" -> 2.4)
+    "q197_seqpattern_erase_stream" -> 2.4,
+    "q200_seqpattern_auto_resnapshot" -> 6.0)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0

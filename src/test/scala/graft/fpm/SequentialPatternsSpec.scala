@@ -432,6 +432,26 @@ class SequentialPatternsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(base)
   }
 
+  test("auto re-snapshot (q200): trigger fires mid-stream, folds continue after, final == union re-mine") {
+    import spark.implicits._
+    // sf0.01: 9 added users across quarters (3,2,2,2) — fold, fold,
+    // SNAP at b2 (cum 7 >= 60% of 9), fold at b3 => final cum 2 > 0
+    // (sf0.001 is degenerate here: 1 added user, no post-snap fold)
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.RelQueries.sequentialPatternAutoResnapshot(spark, dir)
+      .as[(String, Int, Long)].collect().toSet
+    val want = graft.RelQueries.sequentialPatterns(spark, dir)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      "folds + auto re-snapshot + folds must land exactly on the union re-mine")
+    val artDir = java.nio.file.Paths.get("/tmp",
+      "graft-q200-" + dir.replaceAll("[^A-Za-z0-9.]", "_"), "seqpatterns")
+    assert(graft.Fs.readCounter(artDir, "snap") >= 1L,
+      "the 60%-headroom trigger never fired")
+    assert(graft.Fs.readCounter(artDir, "cum") > 0L,
+      "no fold landed AFTER the re-snapshot")
+  }
+
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
     import spark.implicits._
     val stored = Seq(("a", 1, 5L)).toDF("pattern", "plen", "support")
