@@ -432,6 +432,69 @@ class SequentialPatternsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(base)
   }
 
+  test("the erase-once record survives a crash-restart (marker skip and set skip compose)") {
+    // the composite at-least-once window: foreachBatch committed batch
+    // 0's swap (artifact + _erased record), then the process died
+    // BEFORE the checkpoint commit. On restart batch 0 is redelivered
+    // under the SAME id (marker skip — artifact and record unharmed),
+    // and batch 1 carries a CROSS-batch duplicate of batch 0's key
+    // (set skip — the durable _erased record, re-read from the
+    // restarted artifact, must drop it). Both guards must survive the
+    // restart because both live in the artifact dir, not driver memory.
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val types = Seq("v", "c", "p")
+    val rows = for {
+      u <- 1L to 24L
+      k <- 1 to (2 + rnd.nextInt(4))
+    } yield (u, k.toLong, u * 100 + k, types(rnd.nextInt(types.size)))
+    val ev = rows.toDF("u", "t", "i", "y")
+    val stored0 = SequentialPatterns.frequentSequences(ev, "u", "t", "i", "y",
+      minSupportNum = 1L, minSupportDen = 3L, maxLen = 2).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-erase-recovery")
+    val art = base.resolve("art")
+    stored0.coalesce(1).write.parquet(art.toString)
+    val in = base.resolve("in").toString
+    Seq(4L).toDF("u").coalesce(1).write.parquet(in)
+    Seq(8L, 4L).toDF("u").coalesce(1).write.mode("append").parquet(in)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.Fs.appliedMarkerSwap(base, art, id) { sib =>
+            val req = batch.select($"u").collect()
+              .map(_.getLong(0)).toSet
+            SequentialPatterns.eraseBatchOnce(
+              spark.read.parquet(art.toString), ev, "u", "t", "i", "y",
+              art, sib, req)
+          }
+          if (id == 0L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after commit")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(crashed.get, "the injected crash must have fired")
+    run() // restart: batch 0 marker-skipped; batch 1 erases 8, set-skips 4
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    val want = SequentialPatterns.eraseFold(stored0,
+        ev.where($"u".isin(4L, 8L)), "u", "t", "i", "y")
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    stored0.unpersist()
+    assert(got == want,
+      s"crash + redelivery must erase each key exactly once: $got vs $want")
+    assert(graft.Fs.readKeySet(art, "erased") == Set(4L, 8L))
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("auto re-snapshot (q200): trigger fires mid-stream, folds continue after, final == union re-mine") {
     import spark.implicits._
     // sf0.01: 9 added users across quarters (3,2,2,2) — fold, fold,
