@@ -149,4 +149,48 @@ class FsSpec extends AnyFunSuite {
     assert(names == Seq("art"), names.toString)
     Fs.deleteRecursively(base)
   }
+
+  test("junk underscore files are ignored, not NumberFormatException aborts") {
+    // the r15 advisory: a stray file sharing the marker/counter prefix
+    // (partial-write residue, a foreign temp file) must degrade to
+    // "ignored" — before the numeric-suffix filter it crashed the
+    // stream mid-commit.
+    val base = freshBase()
+    val art = base.resolve("art")
+    Fs.appliedMarkerSwap(base, art, 3L) { sib =>
+      Files.createDirectories(sib)
+      Files.writeString(sib.resolve("data"), "v3")
+      Fs.writeCounter(sib, "cum", 7L)
+    }
+    Files.createFile(art.resolve("_applied_junk.tmp"))
+    Files.createFile(art.resolve("_cum_0.partial"))
+    assert(Fs.readCounter(art, "cum") == 7L)
+    assert(!Fs.appliedMarkerSwap(art.getParent, art, 3L) { _ => fail("refold") },
+      "replay detection must survive junk marker files")
+    assert(Fs.appliedMarkerSwap(base, art, 4L) { sib =>
+      Files.createDirectories(sib)
+      Files.writeString(sib.resolve("data"), "v4")
+    }, "a new batch must still commit beside junk files")
+    assert(Files.readString(art.resolve("data")) == "v4")
+    Fs.deleteRecursively(base)
+  }
+
+  test("key-set record: round trip, absent default, commit-with-swap") {
+    val base = freshBase()
+    val art = base.resolve("art")
+    assert(Fs.readKeySet(art, "erased").isEmpty, "absent dir reads empty")
+    Fs.appliedMarkerSwap(base, art, 0L) { sib =>
+      Files.createDirectories(sib)
+      Fs.writeKeySet(sib, "erased", Set(42L, 7L))
+    }
+    assert(Fs.readKeySet(art, "erased") == Set(7L, 42L))
+    // the record is REPLACED by each swap, not carried like markers:
+    // writers re-emit the full set (done ++ requested)
+    Fs.appliedMarkerSwap(base, art, 1L) { sib =>
+      Files.createDirectories(sib)
+      Fs.writeKeySet(sib, "erased", Set(7L, 42L, 99L))
+    }
+    assert(Fs.readKeySet(art, "erased") == Set(7L, 42L, 99L))
+    Fs.deleteRecursively(base)
+  }
 }
