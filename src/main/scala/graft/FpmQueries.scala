@@ -525,41 +525,55 @@ object FpmQueries {
     }
     graft.streaming.ArtifactStream.foldAvailableNowWithId(
         spark, base, artDir, in) { (batch, id, sibling) =>
-      // durable ingest record keyed by batch id: idempotent under
-      // redelivery-after-crash (same id overwrites its own dir)
-      batch.coalesce(1).write.mode("overwrite")
-        .parquet(ingested.resolve(s"b$id").toString)
-      val cum = graft.Fs.readCounter(artDir, "cum") + batch.count()
-      val snaps = graft.Fs.readCounter(artDir, "snap")
-      if (5L * cum >= 3L * headroom) {
-        // >= 60% of the headroom consumed: re-snapshot INSTEAD of
-        // folding — the re-mine over old ∪ ingested subsumes this
-        // batch's fold and restores the full FUP budget
-        val current = old.unionByName(
-          spark.read.parquet(s"$ingested/b*"))
-        val m2 = new FPGrowth()
-          .setMinCount(probe)
-          .setNumPartitions(spark.sparkContext.defaultParallelism)
-          .fit(current)
-        m2.freqItemsets
-          .where(size(col("items")) <= 3)
-          .select(array_join(array_sort(col("items")), ",").as("itemset"),
-            col("freq"))
-          .coalesce(1).write.parquet(sibling.toString)
-        m2.freqItemsets.unpersist()
-        graft.Fs.writeCounter(sibling, "cum", 0L)
-        graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
-      } else {
-        graft.fpm.ItemsetRefresh.fold(
-            spark.read.parquet(artDir.toString), batch, "items",
-            minCountUni, cum)
-          .coalesce(1).write.parquet(sibling.toString)
-        graft.Fs.writeCounter(sibling, "cum", cum)
-        graft.Fs.writeCounter(sibling, "snap", snaps)
-      }
+      autoResnapshotBatch(spark, old, ingested, artDir, sibling,
+        batch, id, minCountUni, headroom, probe)
     }
     spark.read.parquet(artDir.toString)
       .where(col("freq") >= minCountUni)
+  }
+
+  /** One q199 micro-batch — the headroom-watch branch: durable
+    * id-keyed ingest record (idempotent under redelivery-after-crash:
+    * the same id overwrites its own dir), then either the FUP fold or,
+    * past 60% of the headroom, the restoring re-mine over old ∪
+    * ingested (which subsumes this batch's fold and resets the
+    * cumulative budget). Every piece of state — artifact, `_cum_`,
+    * `_snap_` — commits through the caller's one atomic swap.
+    * Package-private so the crash-restart spec can drive the REAL
+    * branch under an injected failure; the declared row's closure is
+    * exactly this call. */
+  private[graft] def autoResnapshotBatch(
+      spark: SparkSession, old: DataFrame,
+      ingested: java.nio.file.Path, artDir: java.nio.file.Path,
+      sibling: java.nio.file.Path, batch: DataFrame, id: Long,
+      minCountUni: Long, headroom: Long, probe: Long): Unit = {
+    batch.coalesce(1).write.mode("overwrite")
+      .parquet(ingested.resolve(s"b$id").toString)
+    val cum = graft.Fs.readCounter(artDir, "cum") + batch.count()
+    val snaps = graft.Fs.readCounter(artDir, "snap")
+    if (5L * cum >= 3L * headroom) {
+      val current = old.unionByName(
+        spark.read.parquet(s"$ingested/b*"))
+      val m2 = new FPGrowth()
+        .setMinCount(probe)
+        .setNumPartitions(spark.sparkContext.defaultParallelism)
+        .fit(current)
+      m2.freqItemsets
+        .where(size(col("items")) <= 3)
+        .select(array_join(array_sort(col("items")), ",").as("itemset"),
+          col("freq"))
+        .coalesce(1).write.parquet(sibling.toString)
+      m2.freqItemsets.unpersist()
+      graft.Fs.writeCounter(sibling, "cum", 0L)
+      graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+    } else {
+      graft.fpm.ItemsetRefresh.fold(
+          spark.read.parquet(artDir.toString), batch, "items",
+          minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+      graft.Fs.writeCounter(sibling, "snap", snaps)
+    }
   }
 
   /** Same statement as q03: pre-trigger folds + the auto re-snapshot +

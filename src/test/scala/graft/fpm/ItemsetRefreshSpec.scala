@@ -94,6 +94,70 @@ class ItemsetRefreshSpec extends AnyFunSuite {
         "the swapped snapshot serves subsequent folds")
   }
 
+  test("auto re-snapshot state (cum reset + snap bump) survives a crash-restart") {
+    // the composite window for the q199 branch: the SNAP batch's swap
+    // committed (re-mined artifact + _cum_0 + _snap_1), then the
+    // process died before the checkpoint commit. On restart the snap
+    // batch is redelivered under the SAME id and must be marker-
+    // skipped — NOT re-snapshotted (a second re-mine is harmless for
+    // the artifact but would double-bump _snap_ and re-pay the mine) —
+    // and the NEXT batch must fold against the restored-budget
+    // artifact with cum restarting from the durable zero.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-snap-recovery")
+    val art = base.resolve("art")
+    val ingested = base.resolve("ingested")
+    val in = base.resolve("in").toString
+    // old corpus: a:3, b:3, {a,b}:2 at probe 1 (arity-capped mine)
+    val old = Seq(Seq("a", "b"), Seq("a"), Seq("b"), Seq("a", "b"))
+      .toDF("items")
+    Seq(("a", 3L), ("b", 3L), ("a,b", 2L)).toDF("itemset", "freq")
+      .coalesce(1).write.parquet(art.toString)
+    // batches: 1 row (fold, cum 1 of headroom 4), 2 rows (cum 3 ->
+    // 15 >= 12: SNAP + injected crash), 1 row (fold after restart)
+    Seq(Seq("a")).toDF("items").coalesce(1).write.parquet(in)
+    Seq(Seq("a", "b"), Seq("b")).toDF("items").coalesce(1)
+      .write.mode("append").parquet(in)
+    Seq(Seq("a")).toDF("items").coalesce(1)
+      .write.mode("append").parquet(in)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.Fs.appliedMarkerSwap(base, art, id) { sib =>
+            graft.FpmQueries.autoResnapshotBatch(spark, old, ingested,
+              art, sib, batch, id, minCountUni = 100L, headroom = 4L,
+              probe = 1L)
+          }
+          if (id == 1L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after snap commit")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(crashed.get, "the injected crash must have fired")
+    assert(graft.Fs.readCounter(art, "snap") == 1L, "snap committed pre-crash")
+    run() // restart: batch 1 marker-skipped, batch 2 folds
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Long)].collect().toMap
+    // exact counts over old ∪ {a} ∪ {a,b},{b} ∪ {a}:
+    // a: 3+1+1+1 = 6, b: 3+2 = 5, {a,b}: 2+1 = 3
+    assert(got == Map("a" -> 6L, "b" -> 5L, "a,b" -> 3L),
+      s"snap + post-restart fold must equal the exact union counts: $got")
+    assert(graft.Fs.readCounter(art, "snap") == 1L,
+      "the redelivered snap batch must be marker-skipped, not re-snapshotted")
+    assert(graft.Fs.readCounter(art, "cum") == 1L,
+      "cum must restart from the durable zero and count only the post-snap fold")
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("fold is associative over batches: two folds == one fold == refresh+threshold") {
     // the q188 contract: the un-thresholded fold leaves the candidate
     // set intact, so batch boundaries cannot matter, and thresholding
