@@ -1804,6 +1804,143 @@ object RelQueries {
     if (nuOpt.isDefined) rules else rules.where(lit(false))
   }
 
+  /**
+   * q: NEXT-EVENT PREDICTION from the sequence rules — q05's transform
+   * stage on the ordered half, the recommendation surface the rule
+   * table exists FOR: for every user, fire each q186 rule whose
+   * antecedent pattern is contained in the user's event sequence
+   * (greedy subsequence matching, [[graft.fpm.SequentialPatterns
+   * .containsPattern]]) and whose consequent the user has NOT yet
+   * done; emit the fired consequents best-lift-first (ties by
+   * consequent asc), first-occurrence-deduplicated per consequent —
+   * exactly q05's rule-probe semantics with "basket ∋ item" replaced
+   * by "sequence ⊇ pattern". "Users who viewed then clicked but never
+   * purchased: recommend purchase with lift l."
+   *
+   * Determinism: lifts are bit-identical IEEE on both engines (q186's
+   * hash-green chain), the rule order (lift desc, consequent asc) is a
+   * total order on the deduped set, and first-occurrence dedup keeps
+   * each consequent's max-lift firing — so the oracle's
+   * max-lift-per-consequent + ordered string_agg states the same
+   * string.
+   *
+   * Scale shape: ONE shuffle builds the per-user sequences (the
+   * projected-database assumption); the rule table is output-bounded
+   * metadata shipped as a plan literal in fire order; per-row work is
+   * `|rules| x |seq|` greedy folds + one dedup fold — no join, no
+   * second corpus pass. The declared row derives its rules from the
+   * memoized q121 mine (the artifact-store convention).
+   */
+  def sequentialPredict(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sp = graft.fpm.SequentialPatterns
+    val nUsers = Tables.load(spark, dir, "events")
+      .where(col("event_type").isNotNull)
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    // output-bounded rule table, collected in FIRE ORDER (lift desc,
+    // consequent asc) — the q05 broadcast-rules convention
+    val rules: Seq[(Seq[String], String, Double)] =
+      sequenceRulesFrom(sequentialPatterns(spark, dir), nUsers)
+        .select(col("antecedent"), col("consequent"), col("lift"))
+        .as[(String, String, Double)].collect().toSeq
+        .map { case (a, c, l) => (a.split("->").toSeq, c, l) }
+        .sortBy { case (_, c, l) => (-l, c) }
+    val seqs = seqEvents(spark, dir).where(col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("tsu").as("t"),
+        col("event_id").as("i"), col("event_type").as("y")))).as("s"))
+      .select(col("user_id"), expr("transform(s, x -> x.y)").as("seq"))
+    sequencePredictFrom(seqs, rules)
+  }
+
+  /** Core of q201 over any `(user_id, seq)` frame and FIRE-ORDERED
+    * rules (lift desc, consequent asc — the caller sorts): fire each
+    * rule whose antecedent is greedily contained and whose consequent
+    * is absent, then a first-occurrence dedup fold per consequent —
+    * both codegen'd HOFs over the rule literal, no UDF, no join. */
+  private[graft] def sequencePredictFrom(
+      seqs: DataFrame,
+      rules: Seq[(Seq[String], String, Double)]): DataFrame = {
+    val sp = graft.fpm.SequentialPatterns
+    if (rules.isEmpty)
+      seqs.select(col("user_id"), lit("").as("prediction"))
+    else {
+      val ruleLit = array(rules.map { case (a, c, _) =>
+        struct(array(a.map(lit): _*).as("ant"), lit(c).as("cons"))
+      }: _*)
+      val fired = filter(ruleLit, r =>
+        sp.containsPattern(col("seq"), r.getField("ant")) &&
+          !array_contains(col("seq"), r.getField("cons")))
+      val picked = aggregate(fired,
+        array().cast("array<string>"),
+        (acc, r) => when(array_contains(acc, r.getField("cons")), acc)
+          .otherwise(concat(acc, array(r.getField("cons")))))
+      seqs.select(col("user_id"),
+        array_join(picked, ", ").as("prediction"))
+    }
+  }
+
+  /** q201's oracle: the q186 rule CTEs + per-user containment firing
+    * (EXISTS-ordered-position joins == greedy subsequence containment)
+    * + max-lift-per-consequent dedup + ordered string_agg. */
+  val SequentialPredictSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS y
+      |           FROM events WHERE event_type IS NOT NULL),
+      |n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM e),
+      |m AS (SELECT (nu * 4 + 4) // 5 AS mc FROM n),
+      |u1 AS (SELECT DISTINCT user_id, y FROM e),
+      |l1 AS (SELECT y AS p1, count(*)::BIGINT AS support FROM u1 GROUP BY 1
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u2 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))),
+      |l2 AS (SELECT p1, p2, count(*)::BIGINT AS support FROM u2 GROUP BY 1, 2
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |u3 AS (SELECT DISTINCT a.user_id, a.y AS p1, b.y AS p2, c.y AS p3
+      |       FROM e a JOIN e b ON a.user_id = b.user_id
+      |        AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+      |       JOIN e c ON b.user_id = c.user_id
+      |        AND (b.t < c.t OR (b.t = c.t AND b.i < c.i))),
+      |l3 AS (SELECT p1, p2, p3, count(*)::BIGINT AS support FROM u3
+      |       GROUP BY 1, 2, 3
+      |       HAVING count(*) >= (SELECT mc FROM m)),
+      |r AS (
+      |  SELECT l2.p1 AS a1, NULL AS a2, l2.p2 AS consequent,
+      |         l2.support AS seq_support, a.support AS ant_support,
+      |         c.support AS cons_support
+      |  FROM l2 JOIN l1 a ON l2.p1 = a.p1 JOIN l1 c ON l2.p2 = c.p1
+      |  UNION ALL
+      |  SELECT l3.p1, l3.p2, l3.p3, l3.support, a.support, c.support
+      |  FROM l3 JOIN l2 a ON l3.p1 = a.p1 AND l3.p2 = a.p2
+      |          JOIN l1 c ON l3.p3 = c.p1),
+      |rl AS (SELECT a1, a2, consequent,
+      |              (seq_support::DOUBLE / ant_support)
+      |                / (cons_support::DOUBLE / (SELECT nu FROM n)::DOUBLE) AS lift
+      |       FROM r),
+      |users AS (SELECT DISTINCT user_id FROM e),
+      |fired AS (
+      |  SELECT u.user_id, rl.consequent, rl.lift
+      |  FROM users u, rl
+      |  WHERE rl.a2 IS NULL
+      |    AND EXISTS (SELECT 1 FROM e WHERE e.user_id = u.user_id AND e.y = rl.a1)
+      |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = u.user_id AND e.y = rl.consequent)
+      |  UNION ALL
+      |  SELECT u.user_id, rl.consequent, rl.lift
+      |  FROM users u, rl
+      |  WHERE rl.a2 IS NOT NULL
+      |    AND EXISTS (SELECT 1 FROM e a JOIN e b ON a.user_id = b.user_id
+      |                  AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+      |                WHERE a.user_id = u.user_id AND a.y = rl.a1 AND b.y = rl.a2)
+      |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = u.user_id AND e.y = rl.consequent)),
+      |best AS (SELECT user_id, consequent, max(lift) AS lift
+      |         FROM fired GROUP BY 1, 2),
+      |agg AS (SELECT user_id,
+      |               string_agg(consequent, ', ' ORDER BY lift DESC, consequent) AS p
+      |        FROM best GROUP BY user_id)
+      |SELECT u.user_id, coalesce(agg.p, '') AS prediction
+      |FROM users u LEFT JOIN agg ON u.user_id = agg.user_id""".stripMargin
+
   /** The q121 CTE chain extended with the rule joins — antecedent and
     * consequent decompose relationally from l2/l3, which equals the
     * Spark side's string split because pattern strings embed the

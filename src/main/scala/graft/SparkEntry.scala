@@ -215,6 +215,7 @@ object SparkEntry {
     "q198_predict_from_artifact" -> ((s, d) => FpmQueries.predictFromRefreshedArtifact(s, d)),
     "q199_itemset_auto_resnapshot" -> ((s, d) => FpmQueries.itemsetAutoResnapshot(s, d)),
     "q200_seqpattern_auto_resnapshot" -> ((s, d) => RelQueries.sequentialPatternAutoResnapshot(s, d)),
+    "q201_next_event_predict" -> ((s, d) => RelQueries.sequentialPredict(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -798,5 +799,8 @@ object SparkEntry {
     // q200: the same auto re-snapshot on the sequence artifact —
     // q121's statement verbatim over the union corpus
     "q200_seqpattern_auto_resnapshot" -> RelQueries.SequentialPatternsSql,
+    // q201: next-event prediction from the q186 rules — per-user rule
+    // firing by subsequence containment, max-lift dedup per consequent
+    "q201_next_event_predict" -> RelQueries.SequentialPredictSql,
   )
 }

@@ -73,6 +73,12 @@ object SequentialPatterns {
       },
       a => a.getField("e"))
 
+  /** Whether `seq` contains `pat` as a (not necessarily contiguous)
+    * subsequence — greedy earliest matching, see [[greedyMatchEnd]].
+    * Public for the transform surface (q201's rule firing test). */
+  def containsPattern(seq: Column, pat: Column): Column =
+    greedyMatchEnd(seq, pat) > 0
+
   /**
    * Exact support counts, over `events`' per-key sequences, of the
    * given candidate `patterns` — `(pattern, support)` with the

@@ -67,4 +67,76 @@ class SequentialRulesSpec extends AnyFunSuite {
   test("empty pattern table yields no rules") {
     assert(rules(Seq.empty, 7L).isEmpty)
   }
+
+  // ---- q201 next-event prediction (sequencePredictFrom core) ----
+
+  private def predict(
+      seqs: Seq[(Long, Seq[String])],
+      rules: Seq[(Seq[String], String, Double)]): Map[Long, String] = {
+    import spark.implicits._
+    RelQueries.sequencePredictFrom(
+        seqs.toDF("user_id", "seq"),
+        rules.sortBy { case (_, c, l) => (-l, c) })
+      .as[(Long, String)].collect().toMap
+  }
+
+  test("q201 hand fixture: containment fires, done consequents skip, lift orders, dedup keeps max") {
+    val rules = Seq(
+      (Seq("v"), "c", 2.0),          // fires for anyone with v, no c
+      (Seq("v", "c"), "p", 5.0),     // needs v before c
+      (Seq("c"), "p", 1.5),          // same consequent, lower lift
+      (Seq("x"), "z", 9.0))          // never fires (no x)
+    val got = predict(Seq(
+      1L -> Seq("v", "c"),           // v->c fires p(5.0); c fires p(1.5)
+                                     // dedup -> "p"; v->c? c present, skip
+      2L -> Seq("v"),                // only v: c(2.0) -> "c"
+      3L -> Seq("c", "v"),           // v before c ABSENT (order!), c fires
+                                     // p(1.5); v fires c? c present, skip
+      4L -> Seq("p", "c", "v")       // all done except... v->c needs v
+                                     // before c: absent; c->p: p present;
+                                     // v->c(2.0): c present -> ""
+      ), rules)
+    assert(got == Map(1L -> "p", 2L -> "c", 3L -> "p", 4L -> ""))
+  }
+
+  test("q201 fire order: higher lift first, equal lift by consequent asc") {
+    val rules = Seq(
+      (Seq("a"), "m", 3.0),
+      (Seq("a"), "k", 3.0),  // equal lift: k before m alphabetically
+      (Seq("a"), "z", 7.0))  // highest lift first
+    val got = predict(Seq(1L -> Seq("a")), rules)
+    assert(got(1L) == "z, k, m")
+  }
+
+  test("q201 matches a driver-side reference on random logs and rules") {
+    val rnd = new scala.util.Random(41)
+    val types = Seq("v", "c", "p", "e", "s")
+    val seqs = (1L to 50L).map(u =>
+      u -> Seq.fill(2 + rnd.nextInt(8))(types(rnd.nextInt(types.size))))
+    val rules: Seq[(Seq[String], String, Double)] = (1 to 12).map { i =>
+      val aLen = 1 + rnd.nextInt(2)
+      (Seq.fill(aLen)(types(rnd.nextInt(types.size))),
+        types(rnd.nextInt(types.size)),
+        (rnd.nextInt(40) + 1) / 8.0) // coarse lifts so ties occur
+    }
+    def contains(s: Seq[String], p: Seq[String]): Boolean = {
+      var m = 0
+      for (x <- s if m < p.length) if (x == p(m)) m += 1
+      m == p.length
+    }
+    val ordered = rules.sortBy { case (_, c, l) => (-l, c) }
+    val want = seqs.map { case (u, s) =>
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      ordered.foreach { case (a, c, _) =>
+        if (!s.contains(c) && contains(s, a)) out += c
+      }
+      u -> out.mkString(", ")
+    }.toMap
+    assert(predict(seqs, rules) == want)
+  }
+
+  test("q201 empty rule table predicts empty string for every user") {
+    val got = predict(Seq(1L -> Seq("v"), 2L -> Seq()), Seq.empty)
+    assert(got == Map(1L -> "", 2L -> ""))
+  }
 }
