@@ -1857,8 +1857,19 @@ object RelQueries {
   /** Core of q201 over any `(user_id, seq)` frame and FIRE-ORDERED
     * rules (lift desc, consequent asc — the caller sorts): fire each
     * rule whose antecedent is greedily contained and whose consequent
-    * is absent, then a first-occurrence dedup fold per consequent —
-    * both codegen'd HOFs over the rule literal, no UDF, no join. */
+    * is absent, then a first-occurrence dedup fold per consequent.
+    *
+    * The containment probe SPECIALIZES per rule at expression-build
+    * time (rule antecedents are known Scala values): length 1 is one
+    * `array_contains`, length 2 is `array_position` (the greedy first
+    * occurrence) + `array_contains` over the suffix — early-exiting
+    * native array scans instead of the generic per-element struct
+    * fold, which made the first cut of this row the suite's slowest
+    * (7.4 s -> the fold walked every rule across every user's WHOLE
+    * sequence with no early exit). Longer antecedents (none are
+    * produced under the plen<=3 mining cap, but the core stays
+    * general) fall back to the greedy fold. Still zero UDFs and zero
+    * joins: the rule table is the plan. */
   private[graft] def sequencePredictFrom(
       seqs: DataFrame,
       rules: Seq[(Seq[String], String, Double)]): DataFrame = {
@@ -1866,16 +1877,26 @@ object RelQueries {
     if (rules.isEmpty)
       seqs.select(col("user_id"), lit("").as("prediction"))
     else {
-      val ruleLit = array(rules.map { case (a, c, _) =>
-        struct(array(a.map(lit): _*).as("ant"), lit(c).as("cons"))
-      }: _*)
-      val fired = filter(ruleLit, r =>
-        sp.containsPattern(col("seq"), r.getField("ant")) &&
-          !array_contains(col("seq"), r.getField("cons")))
+      val picks: Seq[Column] = rules.map { case (a, c, _) =>
+        val contained =
+          if (a.length == 1) array_contains(col("seq"), a.head)
+          else if (a.length == 2) {
+            val p = array_position(col("seq"), a.head)
+            p > 0 && array_contains(
+              slice(col("seq"), (p + 1).cast("int"), size(col("seq"))),
+              a(1))
+          } else
+            sp.containsPattern(col("seq"), array(a.map(lit): _*))
+        when(contained && !array_contains(col("seq"), lit(c)), lit(c))
+          .otherwise(lit(null).cast("string"))
+      }
+      // fired consequents in fire order, then the first-occurrence
+      // dedup fold — codegen'd HOFs, no UDF
+      val fired = filter(array(picks: _*), x => x.isNotNull)
       val picked = aggregate(fired,
         array().cast("array<string>"),
-        (acc, r) => when(array_contains(acc, r.getField("cons")), acc)
-          .otherwise(concat(acc, array(r.getField("cons")))))
+        (acc, x) => when(array_contains(acc, x), acc)
+          .otherwise(concat(acc, array(x))))
       seqs.select(col("user_id"),
         array_join(picked, ", ").as("prediction"))
     }
