@@ -1831,17 +1831,47 @@ object RelQueries {
    * second corpus pass. The declared row derives its rules from the
    * memoized q121 mine (the artifact-store convention).
    */
-  def sequentialPredict(spark: SparkSession, dir: String): DataFrame = {
+  def sequentialPredict(spark: SparkSession, dir: String): DataFrame =
+    predictUsingPatterns(spark, dir, sequentialPatterns(spark, dir))
+
+  /**
+   * q: NEXT-EVENT PREDICTION FROM THE REFRESHED ARTIFACT — q198's
+   * transform-stability statement on the ordered half, making the two
+   * lifecycle matrices fully symmetric: the q189-refreshed pattern
+   * artifact (bit-equal to the union re-mine by the FUP bound) feeds
+   * the q186 rule algebra, and the resulting rules drive q201's
+   * per-user recommendation pass. Because refresh == re-mine, the rule
+   * chain is deterministic IEEE, and the predictor is invariant under
+   * permutations of an equal rule set, predict(refresh-derived rules)
+   * == predict(mine-derived rules) byte for byte — the oracle is
+   * q201's statement verbatim. A production pipeline recommends from
+   * the maintained artifact with zero mine cost per serving refresh.
+   */
+  def sequentialPredictFromArtifact(
+      spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val sp = graft.fpm.SequentialPatterns
+    // ONE evaluation of the refresh plan (the q191 bounded-collect
+    // idiom: the pattern artifact is support-bounded metadata)
+    val pat = sequentialPatternRefreshIn(spark, dir, "q202")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq.toDF("pattern", "plen", "support")
+    predictUsingPatterns(spark, dir, pat)
+  }
+
+  /** q201's chain over any (pattern, plen, support) table: derive the
+    * rules, collect them in FIRE ORDER (lift desc, consequent asc —
+    * the q05 broadcast-rules convention; output-bounded), build the
+    * per-user sequences, probe. */
+  private def predictUsingPatterns(
+      spark: SparkSession, dir: String, pat: DataFrame): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val nUsers = Tables.load(spark, dir, "events")
       .where(col("event_type").isNotNull)
       .agg(count_distinct(col("user_id")).as("n_users"))
-    // output-bounded rule table, collected in FIRE ORDER (lift desc,
-    // consequent asc) — the q05 broadcast-rules convention
     val rules: Seq[(Seq[String], String, Double)] =
-      sequenceRulesFrom(sequentialPatterns(spark, dir), nUsers)
+      sequenceRulesFrom(pat, nUsers)
         .select(col("antecedent"), col("consequent"), col("lift"))
         .as[(String, String, Double)].collect().toSeq
         .map { case (a, c, l) => (a.split("->").toSeq, c, l) }

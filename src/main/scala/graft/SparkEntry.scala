@@ -216,6 +216,7 @@ object SparkEntry {
     "q199_itemset_auto_resnapshot" -> ((s, d) => FpmQueries.itemsetAutoResnapshot(s, d)),
     "q200_seqpattern_auto_resnapshot" -> ((s, d) => RelQueries.sequentialPatternAutoResnapshot(s, d)),
     "q201_next_event_predict" -> ((s, d) => RelQueries.sequentialPredict(s, d)),
+    "q202_seq_predict_from_artifact" -> ((s, d) => RelQueries.sequentialPredictFromArtifact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -802,5 +803,8 @@ object SparkEntry {
     // q201: next-event prediction from the q186 rules — per-user rule
     // firing by subsequence containment, max-lift dedup per consequent
     "q201_next_event_predict" -> RelQueries.SequentialPredictSql,
+    // q202: the same prediction from refresh-derived rules — transform
+    // is artifact-stable, so q201's statement holds verbatim
+    "q202_seq_predict_from_artifact" -> RelQueries.SequentialPredictSql,
   )
 }

@@ -82,7 +82,8 @@ class BatchPerfBoundSpec extends AnyFunSuite {
     "q195_seqpattern_erase" -> 1.4,
     "q198_predict_from_artifact" -> 1.5,
     "q199_itemset_auto_resnapshot" -> 5.0,
-    "q201_next_event_predict" -> 3.5)
+    "q201_next_event_predict" -> 3.5,
+    "q202_seq_predict_from_artifact" -> 5.0)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0

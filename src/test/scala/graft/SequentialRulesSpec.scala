@@ -139,4 +139,18 @@ class SequentialRulesSpec extends AnyFunSuite {
     val got = predict(Seq(1L -> Seq("v"), 2L -> Seq()), Seq.empty)
     assert(got == Map(1L -> "", 2L -> ""))
   }
+
+  test("q202: prediction from refresh-derived rules == prediction from the mine (transform is artifact-stable)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val viaArtifact = RelQueries.sequentialPredictFromArtifact(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val viaMine = RelQueries.sequentialPredict(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(viaArtifact.size == viaMine.size)
+    val diffs = viaMine.collect {
+      case (k, v) if viaArtifact(k) != v => (k, v, viaArtifact(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
 }
