@@ -10,6 +10,19 @@ package graft
  * use, so a sweep is always safe, never required for correctness.
  */
 object Caches {
+
+  /** Lazily-evaluated cache cell for `ConcurrentHashMap.computeIfAbsent`
+    * callers whose body is a multi-second Spark job: computeIfAbsent
+    * holds the map's bin lock for the whole mapping function, so
+    * computing the value INSIDE it blocks every unrelated lookup that
+    * hashes to the same bin for the job's duration (and a re-entrant
+    * mine on the same key would deadlock on the bin). Mapping to a cell
+    * keeps the critical section to an allocation; the Spark job runs on
+    * first [[value]] OUTSIDE the map lock. Same-key callers serialize on
+    * the cell's own lazy-init monitor — the intended wait — while other
+    * keys proceed. */
+  final class Memo[T](body: => T) { lazy val value: T = body }
+
   def clearAll(): Unit = {
     Tables.clearCaches()
     FpmQueries.clearCaches()

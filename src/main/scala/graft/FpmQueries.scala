@@ -35,7 +35,7 @@ object FpmQueries {
   // artifact store: one probe mine per snapshot serves every
   // maintenance consumer.
   private val probeMines =
-    new ConcurrentHashMap[String, Seq[(String, Long)]]()
+    new ConcurrentHashMap[String, Caches.Memo[Seq[(String, Long)]]]()
 
   /** Unpersist and drop every memoized model (mirrors Tables/Dedup). */
   def clearCaches(): Unit = {
@@ -51,8 +51,13 @@ object FpmQueries {
   private def minedItemsets(
       spark: SparkSession, dir: String, subsetTag: String,
       input: DataFrame, minCount: Long): DataFrame = {
-    val key = Tables.cacheKey(spark, dir) + s"#itemmine#$subsetTag#$minCount"
-    val rows = probeMines.computeIfAbsent(key, _ => {
+    // semanticHash of the analyzed input plan rides in the key so a
+    // reused subset tag with a coinciding threshold can never serve a
+    // mine of a DIFFERENT input; the fit runs inside a Caches.Memo,
+    // outside the ConcurrentHashMap bin lock (see minedSequences twin)
+    val key = Tables.cacheKey(spark, dir) + s"#itemmine#$subsetTag#" +
+      s"${input.queryExecution.analyzed.semanticHash()}#$minCount"
+    val rows = probeMines.computeIfAbsent(key, _ => new Caches.Memo({
       val m = new FPGrowth()
         .setMinCount(minCount)
         .setNumPartitions(spark.sparkContext.defaultParallelism)
@@ -64,7 +69,7 @@ object FpmQueries {
         .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
       m.freqItemsets.unpersist()
       r
-    })
+    })).value
     val spark2 = spark
     import spark2.implicits._
     rows.toDF("itemset", "freq")
@@ -493,12 +498,16 @@ object FpmQueries {
    * new snapshot); the oracle is q03's statement verbatim.
    *
    * Scale shape: the ingest record is the fixture's stand-in for the
-   * warehouse's own ingested partitions (id-keyed, so redelivery after
-   * a crash overwrites idempotently); the re-mine costs one
-   * corpus-sized pass — the point of the trigger is that it runs once
-   * per consumed-headroom epoch instead of once per query (q170's
-   * amortization argument), and the stream schedules it itself instead
-   * of waiting for a human to notice the require firing.
+   * warehouse's own ingested partitions (epoch-scoped and id-keyed, so
+   * redelivery after a crash overwrites idempotently); the re-mine
+   * costs one corpus-sized pass — the point of the trigger is that it
+   * runs once per consumed-headroom epoch instead of once per query
+   * (q170's amortization argument), and the stream schedules it itself
+   * instead of waiting for a human to notice the require firing. The
+   * trigger also RE-BASES: the union corpus promotes to the next
+   * epoch's base and the absorbed ingest dirs are swept at the next
+   * batch, so the record and the re-mine input stay epoch-sized over
+   * an unbounded stream (see [[autoResnapshotBatch]]).
    */
   def itemsetAutoResnapshot(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.orderBrandBaskets(spark, dir)
@@ -525,39 +534,69 @@ object FpmQueries {
     }
     graft.streaming.ArtifactStream.foldAvailableNowWithId(
         spark, base, artDir, in) { (batch, id, sibling) =>
-      autoResnapshotBatch(spark, old, ingested, artDir, sibling,
-        batch, id, minCountUni, headroom, probe)
+      autoResnapshotBatch(spark, old, ingested, base.resolve("corpus"),
+        artDir, sibling, batch, id, minCountUni, headroom, probe)
     }
     spark.read.parquet(artDir.toString)
       .where(col("freq") >= minCountUni)
   }
 
   /** One q199 micro-batch — the headroom-watch branch: durable
-    * id-keyed ingest record (idempotent under redelivery-after-crash:
-    * the same id overwrites its own dir), then either the FUP fold or,
-    * past 60% of the headroom, the restoring re-mine over old ∪
-    * ingested (which subsumes this batch's fold and resets the
-    * cumulative budget). Every piece of state — artifact, `_cum_`,
-    * `_snap_` — commits through the caller's one atomic swap.
-    * Package-private so the crash-restart spec can drive the REAL
-    * branch under an injected failure; the declared row's closure is
-    * exactly this call. */
+    * epoch-scoped, id-keyed ingest record (idempotent under
+    * redelivery-after-crash: the same id overwrites its own dir), then
+    * either the FUP fold or, past 60% of the headroom, the restoring
+    * re-mine over the CURRENT EPOCH's corpus base ∪ its ingest record
+    * (which subsumes this batch's fold and resets the cumulative
+    * budget). Every piece of state — artifact, `_cum_`, `_snap_`, and
+    * the `_epoch_` counter that keys the re-base — commits through the
+    * caller's one atomic swap.
+    *
+    * RE-BASE AT SNAPSHOT TIME (VERDICT r15 #4): the trigger first
+    * PROMOTES the union corpus to `corpus/e<epoch+1>` (re-run-safe: a
+    * crash before the swap leaves residue the redelivered batch
+    * overwrites), mines the promoted copy, and commits `_epoch_+1`
+    * with the swap — after which the absorbed `ingested/e<epoch>` dirs
+    * and the old base are unreferenced and the NEXT batch's lazy
+    * [[graft.Fs.sweepBelowEpoch]] reclaims them. A year-long stream's
+    * re-mine input and dir listing stay EPOCH-sized (bounded by the
+    * headroom budget), not lifetime-sized — mirroring the `_applied_`
+    * marker compaction. Epoch 0's base is the caller's `old` frame
+    * (the warehouse's existing partitions); epoch n>=1 reads the
+    * promoted parquet base. At warehouse scale the promotion is a
+    * partition-manifest update (the new snapshot's corpus = base
+    * partitions + absorbed ingest partitions), not a data copy — here
+    * the copy IS the manifest, same asymptotics as the re-mine's own
+    * corpus-sized pass it rides along with.
+    *
+    * Package-private so the crash-restart and two-epoch specs can
+    * drive the REAL branches; the declared row's closure is exactly
+    * this call. */
   private[graft] def autoResnapshotBatch(
       spark: SparkSession, old: DataFrame,
-      ingested: java.nio.file.Path, artDir: java.nio.file.Path,
+      ingested: java.nio.file.Path, corpus: java.nio.file.Path,
+      artDir: java.nio.file.Path,
       sibling: java.nio.file.Path, batch: DataFrame, id: Long,
       minCountUni: Long, headroom: Long, probe: Long): Unit = {
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    // lazy sweep of epochs a committed re-base absorbed — pure cleanup
+    graft.Fs.sweepBelowEpoch(ingested, epoch)
+    graft.Fs.sweepBelowEpoch(corpus, epoch)
     batch.coalesce(1).write.mode("overwrite")
-      .parquet(ingested.resolve(s"b$id").toString)
+      .parquet(ingested.resolve(s"e$epoch").resolve(s"b$id").toString)
     val cum = graft.Fs.readCounter(artDir, "cum") + batch.count()
     val snaps = graft.Fs.readCounter(artDir, "snap")
     if (5L * cum >= 3L * headroom) {
-      val current = old.unionByName(
-        spark.read.parquet(s"$ingested/b*"))
+      val base =
+        if (epoch == 0L) old
+        else spark.read.parquet(corpus.resolve(s"e$epoch").toString)
+      val promoted = corpus.resolve(s"e${epoch + 1L}")
+      graft.Fs.deleteRecursively(promoted) // pre-swap crash residue
+      base.unionByName(spark.read.parquet(s"$ingested/e$epoch/b*"))
+        .write.parquet(promoted.toString)
       val m2 = new FPGrowth()
         .setMinCount(probe)
         .setNumPartitions(spark.sparkContext.defaultParallelism)
-        .fit(current)
+        .fit(spark.read.parquet(promoted.toString))
       m2.freqItemsets
         .where(size(col("items")) <= 3)
         .select(array_join(array_sort(col("items")), ",").as("itemset"),
@@ -566,6 +605,7 @@ object FpmQueries {
       m2.freqItemsets.unpersist()
       graft.Fs.writeCounter(sibling, "cum", 0L)
       graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+      graft.Fs.writeCounter(sibling, "epoch", epoch + 1L)
     } else {
       graft.fpm.ItemsetRefresh.fold(
           spark.read.parquet(artDir.toString), batch, "items",
@@ -573,6 +613,7 @@ object FpmQueries {
         .coalesce(1).write.parquet(sibling.toString)
       graft.Fs.writeCounter(sibling, "cum", cum)
       graft.Fs.writeCounter(sibling, "snap", snaps)
+      graft.Fs.writeCounter(sibling, "epoch", epoch)
     }
   }
 

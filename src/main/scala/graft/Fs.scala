@@ -92,36 +92,74 @@ object Fs {
   def writeCounter(dir: Path, name: String, value: Long): Unit =
     Files.createFile(dir.resolve(s"_${name}_$value"))
 
-  /** Read the durable key set `_<name>` (one decimal key per line) from
-    * `dir`; empty when absent. The erase-once guard persists the
-    * already-erased key universe THIS way — inside the artifact dir,
-    * committed atomically with each fold by the same swap rename — so
-    * "each key is erased once across batches" is a CHECKED invariant
-    * (a key redelivered in a LATER batch is skipped) instead of a
-    * routing obligation the queue is merely trusted to meet. Exact set
-    * at fixture scale; in a 10^9-key regime store a Bloom filter under
-    * the same commit discipline as a prefilter — a Bloom negative
-    * ("definitely never erased") admits the subtraction directly, and
-    * the rare positive confirms against an exact key-pruned store
-    * before skipping, because skipping a NOT-actually-erased key is
-    * the unsafe direction (the deletion would silently not happen). */
-  def readKeySet(dir: Path, name: String): Set[Long] = {
+  /** Read the durable keyed record `_<name>` (one `key value` pair of
+    * decimal longs per line) from `dir`; empty when absent. The
+    * erase-once guard persists the already-erased key universe THIS
+    * way — inside the artifact dir, committed atomically with each
+    * fold by the same swap rename — so "each key is erased once across
+    * batches" is a CHECKED invariant (a key redelivered in a LATER
+    * batch is skipped) instead of a routing obligation the queue is
+    * merely trusted to meet. The value is the batch id that last
+    * carried the key, which is what lets the record stay BOUNDED: keys
+    * older than the queue's declared redelivery horizon are compacted
+    * away ([[graft.fpm.SequentialPatterns.compactEraseRecord]]), so
+    * the record's size tracks the keys erased within the horizon, not
+    * the stream's lifetime. A malformed line fails loudly (we wrote
+    * this file ourselves — unlike the stray-FILE tolerance of
+    * [[readCounter]], silently dropping a key here would let a
+    * redelivered erasure double-subtract). In a 10^9-keys-per-horizon
+    * regime store a Bloom filter per horizon window under the same
+    * commit discipline as a prefilter — a Bloom negative ("definitely
+    * never erased") admits the subtraction directly, and the rare
+    * positive confirms against an exact key-pruned store before
+    * skipping, because skipping a NOT-actually-erased key is the
+    * unsafe direction (the deletion would silently not happen). */
+  def readKeyMap(dir: Path, name: String): Map[Long, Long] = {
     val f = dir.resolve(s"_$name")
-    if (!Files.exists(f)) Set.empty
+    if (!Files.exists(f)) Map.empty
     else {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(f).asScala.iterator
-        .filter(_.nonEmpty).map(_.toLong).toSet
+        .filter(_.nonEmpty).map { line =>
+          line.split(" ") match {
+            case Array(k, v) => k.toLong -> v.toLong
+            case _ => sys.error(
+              s"malformed keyed-record line in ${f}: '$line'")
+          }
+        }.toMap
     }
   }
 
-  /** Write the durable key set `_<name>` into a sibling about to be
-    * swapped in (see [[readKeySet]]; sorted for a stable on-disk form). */
-  def writeKeySet(dir: Path, name: String, keys: Set[Long]): Unit = {
+  /** Write the durable keyed record `_<name>` into a sibling about to
+    * be swapped in (see [[readKeyMap]]; key-sorted for a stable
+    * on-disk form). */
+  def writeKeyMap(dir: Path, name: String, keys: Map[Long, Long]): Unit = {
     import scala.jdk.CollectionConverters._
     Files.write(dir.resolve(s"_$name"),
-      keys.toSeq.sorted.map(_.toString).asJava)
+      keys.toSeq.sortBy(_._1).map { case (k, v) => s"$k $v" }.asJava)
   }
+
+  /** Delete the `e<k>` subdirs of `dir` for every k below `epoch` —
+    * the lazy sweep of epoch-scoped side dirs (ingest record, promoted
+    * corpus base) absorbed by a committed re-base: the auto-re-snapshot
+    * rows key those dirs by the durable `_epoch_` counter that commits
+    * with each swap, so once the swap publishes epoch k+1 every
+    * `e<j<=k>` dir is unreferenced garbage and deleting it at ANY later
+    * point is pure cleanup — crash-safe by construction (a reader
+    * always consults the committed counter first). Non-`e<digits>`
+    * entries are left alone. */
+  def sweepBelowEpoch(dir: Path, epoch: Long): Unit =
+    if (Files.exists(dir)) {
+      val stream = Files.list(dir)
+      val stale = try {
+        val b = Seq.newBuilder[Path]
+        stream.filter(p =>
+            numericSuffix(p.getFileName.toString, "e").exists(_ < epoch))
+          .forEach(p => b += p)
+        b.result()
+      } finally stream.close()
+      stale.foreach(deleteRecursively)
+    }
 
   /**
    * Applied-marker read-merge-swap commit for ADDITIVE foreachBatch
@@ -144,6 +182,19 @@ object Fs {
    * invisible to parquet readers), this batch's marker is added, and
    * sibling atomically renames over `artDir` — marker and fold commit
    * in ONE rename.
+   *
+   * DURABILITY SCOPE: the crash-anywhere case analysis below covers
+   * PROCESS crashes (kill -9, OOM, driver loss) — the protocol never
+   * fsyncs file contents or the parent directory, so under POWER LOSS
+   * / OS crash a rename may be durable while a sibling member's
+   * contents (a counter, the `_erased` key record, even parquet
+   * footers) are not, and "either old artifact or complete new one"
+   * does not hold. That matches the deployment model: these artifacts
+   * live on object stores / replicated filesystems whose own commit
+   * semantics (or a re-run from the stream checkpoint) cover machine
+   * loss. A caller needing single-disk power-loss durability must
+   * fsync each sibling file and the parent dir before the publish
+   * rename.
    */
   /** Repair crash residue before a swap decision. Case analysis over
     * every kill point of [[appliedMarkerSwap]] (write → markers →

@@ -1262,8 +1262,8 @@ object RelQueries {
   // share. One row pays the declared build; every other declared step
   // of each row's lifecycle (artifact write + fold + swap + executed
   // stream) still runs per invocation.
-  private val seqMines =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int, Long)]]()
+  private val seqMines = new java.util.concurrent.ConcurrentHashMap[
+    String, Caches.Memo[Seq[(String, Int, Long)]]]()
 
   /** Drop the sequence-mine memo (see [[Caches.clearAll]]). */
   def clearCaches(): Unit = seqMines.clear()
@@ -1271,14 +1271,21 @@ object RelQueries {
   private def minedSequences(
       spark: SparkSession, dir: String, subsetTag: String,
       input: DataFrame, num: Long, den: Long, maxLen: Int = 3): DataFrame = {
+    // the key embeds the analyzed plan's semanticHash, not just the
+    // caller-supplied subset tag: two call sites reusing a tag with a
+    // coinciding threshold but DIFFERENT input plans must not share a
+    // mine (the tag stays in the key as a human-readable trace label);
+    // the mine runs inside a Caches.Memo so the multi-second Spark job
+    // never executes under the ConcurrentHashMap bin lock
     val key = Tables.cacheKey(spark, dir) +
-      s"#seqmine#$subsetTag#$num/$den#$maxLen"
-    val rows = seqMines.computeIfAbsent(key, _ =>
+      s"#seqmine#$subsetTag#" +
+      s"${input.queryExecution.analyzed.semanticHash()}#$num/$den#$maxLen"
+    val rows = seqMines.computeIfAbsent(key, _ => new Caches.Memo(
       graft.fpm.SequentialPatterns.frequentSequences(
           input, "user_id", "tsu", "event_id", "event_type",
           minSupportNum = num, minSupportDen = den, maxLen = maxLen)
         .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)).value
     val spark2 = spark
     import spark2.implicits._
     rows.toDF("pattern", "plen", "support")
@@ -1516,16 +1523,18 @@ object RelQueries {
     // subtraction fold => a replayed batch corrupts downward (marker
     // guard) and a key redelivered across batches corrupts downward
     // too (durable `_erased` record, committed with each swap —
-    // [[graft.fpm.SequentialPatterns.eraseBatchOnce]]). No cumulative
-    // counter: deletions carry no candidate bound to track.
-    graft.streaming.ArtifactStream.foldAvailableNow(
-        spark, base, artDir, in) { (batch, sibling) =>
+    // [[graft.fpm.SequentialPatterns.eraseBatchOnce]]; batch-id
+    // stamped so the record compacts to the redelivery-horizon
+    // window instead of growing with the stream's lifetime). No
+    // cumulative counter: deletions carry no candidate bound to track.
+    graft.streaming.ArtifactStream.foldAvailableNowWithId(
+        spark, base, artDir, in) { (batch, id, sibling) =>
       val requested = batch.select(col("user_id")).distinct()
         .collect().map(_.getLong(0)).toSet
       sp.eraseBatchOnce(
         spark.read.parquet(artDir.toString), ev,
         "user_id", "tsu", "event_id", "event_type",
-        artDir, sibling, requested)
+        artDir, sibling, requested, id)
     }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountNew)
@@ -1655,7 +1664,11 @@ object RelQueries {
    * Scale shape mirrors q199: per-batch work is delta-sized between
    * triggers; the re-mine is one corpus pass per consumed-headroom
    * epoch, scheduled by the stream itself instead of by the FUP
-   * require failing in someone's pager.
+   * require failing in someone's pager — and each trigger RE-BASES
+   * (the union corpus promotes to the next epoch's base, absorbed
+   * ingest dirs are swept at the next batch), so the ingest record
+   * and the re-mine input stay epoch-sized over an unbounded stream
+   * ([[seqAutoResnapshotBatch]]).
    */
   def sequentialPatternAutoResnapshot(
       spark: SparkSession, dir: String): DataFrame = {
@@ -1684,33 +1697,182 @@ object RelQueries {
     }
     graft.streaming.ArtifactStream.foldAvailableNowWithId(
         spark, base, artDir, in) { (batch, id, sibling) =>
-      // durable ingest record keyed by batch id (idempotent under
-      // redelivery-after-crash) — the warehouse-partitions stand-in
-      batch.coalesce(1).write.mode("overwrite")
-        .parquet(ingested.resolve(s"b$id").toString)
-      val cum = graft.Fs.readCounter(artDir, "cum") +
-        batch.select(col("user_id")).distinct().count()
-      val snaps = graft.Fs.readCounter(artDir, "snap")
-      if (5L * cum >= 3L * headroom) {
-        val current = old.unionByName(
-          spark.read.parquet(s"$ingested/b*"))
-        val nCur = current.select(col("user_id")).distinct().count()
-        sp.frequentSequences(current, "user_id", "tsu", "event_id",
-            "event_type", minSupportNum = probe,
-            minSupportDen = math.max(1L, nCur), maxLen = 3)
-          .coalesce(1).write.parquet(sibling.toString)
-        graft.Fs.writeCounter(sibling, "cum", 0L)
-        graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
-      } else {
-        sp.fold(spark.read.parquet(artDir.toString), batch,
-            "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
-          .coalesce(1).write.parquet(sibling.toString)
-        graft.Fs.writeCounter(sibling, "cum", cum)
-        graft.Fs.writeCounter(sibling, "snap", snaps)
-      }
+      seqAutoResnapshotBatch(spark, old, ingested,
+        base.resolve("corpus"), artDir, sibling, batch, id,
+        minCountUni, headroom, probe)
     }
     spark.read.parquet(artDir.toString)
       .where(col("support") >= minCountUni)
+  }
+
+  /** One q200 micro-batch — [[graft.FpmQueries.autoResnapshotBatch]]'s
+    * sequence twin, same epoch-keyed re-base protocol (see that
+    * scaladoc for the crash analysis): epoch-scoped id-keyed ingest
+    * record, lazy sweep of absorbed epochs, and at the 60% trigger the
+    * union corpus PROMOTES to `corpus/e<epoch+1>` before the re-mine,
+    * with `_cum_` reset, `_snap_` and `_epoch_` bumped — all committed
+    * by the caller's one atomic swap, so the ingest record and the
+    * re-mine input stay epoch-sized over an unbounded stream.
+    * Package-private for the two-epoch spec. */
+  private[graft] def seqAutoResnapshotBatch(
+      spark: SparkSession, old: DataFrame,
+      ingested: java.nio.file.Path, corpus: java.nio.file.Path,
+      artDir: java.nio.file.Path, sibling: java.nio.file.Path,
+      batch: DataFrame, id: Long,
+      minCountUni: Long, headroom: Long, probe: Long): Unit = {
+    val sp = graft.fpm.SequentialPatterns
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    graft.Fs.sweepBelowEpoch(ingested, epoch)
+    graft.Fs.sweepBelowEpoch(corpus, epoch)
+    batch.coalesce(1).write.mode("overwrite")
+      .parquet(ingested.resolve(s"e$epoch").resolve(s"b$id").toString)
+    val cum = graft.Fs.readCounter(artDir, "cum") +
+      batch.select(col("user_id")).distinct().count()
+    val snaps = graft.Fs.readCounter(artDir, "snap")
+    if (5L * cum >= 3L * headroom) {
+      val baseDf =
+        if (epoch == 0L) old
+        else spark.read.parquet(corpus.resolve(s"e$epoch").toString)
+      val promoted = corpus.resolve(s"e${epoch + 1L}")
+      graft.Fs.deleteRecursively(promoted) // pre-swap crash residue
+      baseDf.unionByName(spark.read.parquet(s"$ingested/e$epoch/b*"))
+        .write.parquet(promoted.toString)
+      val current = spark.read.parquet(promoted.toString)
+      val nCur = current.select(col("user_id")).distinct().count()
+      sp.frequentSequences(current, "user_id", "tsu", "event_id",
+          "event_type", minSupportNum = probe,
+          minSupportDen = math.max(1L, nCur), maxLen = 3)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", 0L)
+      graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+      graft.Fs.writeCounter(sibling, "epoch", epoch + 1L)
+    } else {
+      sp.fold(spark.read.parquet(artDir.toString), batch,
+          "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+      graft.Fs.writeCounter(sibling, "snap", snaps)
+      graft.Fs.writeCounter(sibling, "epoch", epoch)
+    }
+  }
+
+  /**
+   * q: TOUCHED-KEY AUTO-RE-SNAPSHOT — the third FUP bound family gets
+   * its recovery path, completing the trigger's coverage (q199 bounds
+   * |added| for key-disjoint adds, deletions are free, and q192/q196's
+   * |touchedKeys| bound had a fail-loudly `require` but no demonstrated
+   * self-recovery until this row): same-key-EXTENDING micro-batches
+   * (q196's CDC shape, each touched user's whole delta in exactly one
+   * batch) maintain the artifact via the un-thresholded
+   * [[graft.fpm.SequentialPatterns.foldTouched]], the stream watches
+   * its durable `_cum_` distinct-touched-keys counter against the
+   * declared headroom budget `H` (artifact mined at `minCount_union -
+   * H`), and past 60% of `H` the fold is REPLACED by a re-mine of the
+   * current corpus — with q199's full RE-BASE protocol: the union
+   * corpus (epoch base ∪ this epoch's ingested delta events) promotes
+   * to `corpus/e<epoch+1>`, `_cum_` resets, `_snap_`/`_epoch_` bump,
+   * all in one atomic swap, and the next batch sweeps the absorbed
+   * dirs. Touches never change the key universe, so `minCount_union`
+   * is constant and the re-mine threshold is the exact rational
+   * `probe/nUsers`. Final state == the union re-mine; the oracle is
+   * q121's statement verbatim (q192/q196's oracle).
+   *
+   * Scale shape: per batch, two touched-keys-sized containment terms +
+   * one artifact-sized join; the re-mine is one corpus pass per
+   * consumed-headroom epoch, scheduled by the stream itself; the
+   * ingest record holds delta EVENTS (epoch-scoped, id-keyed,
+   * overwrite-idempotent) and stays epoch-bounded under the re-base.
+   */
+  def sequentialPatternTouchAutoResnapshot(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
+    val isDelta = col("user_id") % 13 === 0 && col("event_id") % 5 === 0
+    val old = ev.where(!isDelta)
+    val delta = ev.where(isDelta)
+    val nTouched = delta.select(col("user_id")).distinct().count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val minCountUni = (nUsers * 4L + 4L) / 5L
+    val headroom = math.max(1L, nTouched)
+    val probe = math.max(1L, minCountUni - headroom)
+    val base = graft.Fs.staged(java.nio.file.Paths.get(
+      "/tmp", "graft-q203-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val artDir = base.resolve("seqpatterns")
+    minedSequences(spark, dir, "oldtouch", old, probe,
+        math.max(1L, nOldUsers))
+      .write.parquet(artDir.toString)
+    // four key-disjoint quarter batches of touch churn (each touched
+    // user's WHOLE delta in exactly one file — q196's routing
+    // contract), so the 60% trigger fires mid-stream: folds land
+    // before AND after the re-snapshot
+    val in = base.resolve("in").toString
+    (0L to 3L).foreach { qd =>
+      delta.where(expr("user_id div 13") % 4 === qd).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    graft.streaming.ArtifactStream.foldAvailableNowWithId(
+        spark, base, artDir, in) { (batch, id, sibling) =>
+      seqTouchAutoResnapshotBatch(spark, old, ingested = base.resolve("ingested"),
+        corpus = base.resolve("corpus"), artDir = artDir, sibling = sibling,
+        batch = batch, id = id, minCountUni = minCountUni,
+        headroom = headroom, probe = probe)
+    }
+    spark.read.parquet(artDir.toString)
+      .where(col("support") >= minCountUni)
+  }
+
+  /** One q203 micro-batch — [[seqAutoResnapshotBatch]] with the
+    * touched-key fold in the non-trigger branch: the batch's keys'
+    * OLD containment terms come from the CURRENT EPOCH's corpus base
+    * (post-trigger batches are key-disjoint from absorbed ones by the
+    * routing contract, but reading the epoch base keeps the semantics
+    * right regardless), their NEW terms from base-history ∪ this
+    * batch's delta. Trigger branch and re-base protocol are q199's
+    * verbatim (see [[graft.FpmQueries.autoResnapshotBatch]] for the
+    * crash analysis). Package-private for the spec. */
+  private[graft] def seqTouchAutoResnapshotBatch(
+      spark: SparkSession, old: DataFrame,
+      ingested: java.nio.file.Path, corpus: java.nio.file.Path,
+      artDir: java.nio.file.Path, sibling: java.nio.file.Path,
+      batch: DataFrame, id: Long,
+      minCountUni: Long, headroom: Long, probe: Long): Unit = {
+    val sp = graft.fpm.SequentialPatterns
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    graft.Fs.sweepBelowEpoch(ingested, epoch)
+    graft.Fs.sweepBelowEpoch(corpus, epoch)
+    batch.coalesce(1).write.mode("overwrite")
+      .parquet(ingested.resolve(s"e$epoch").resolve(s"b$id").toString)
+    val keys = batch.select(col("user_id")).distinct()
+    val cum = graft.Fs.readCounter(artDir, "cum") + keys.count()
+    val snaps = graft.Fs.readCounter(artDir, "snap")
+    val baseDf =
+      if (epoch == 0L) old
+      else spark.read.parquet(corpus.resolve(s"e$epoch").toString)
+    if (5L * cum >= 3L * headroom) {
+      val promoted = corpus.resolve(s"e${epoch + 1L}")
+      graft.Fs.deleteRecursively(promoted) // pre-swap crash residue
+      baseDf.unionByName(spark.read.parquet(s"$ingested/e$epoch/b*"))
+        .write.parquet(promoted.toString)
+      val current = spark.read.parquet(promoted.toString)
+      val nCur = current.select(col("user_id")).distinct().count()
+      sp.frequentSequences(current, "user_id", "tsu", "event_id",
+          "event_type", minSupportNum = probe,
+          minSupportDen = math.max(1L, nCur), maxLen = 3)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", 0L)
+      graft.Fs.writeCounter(sibling, "snap", snaps + 1L)
+      graft.Fs.writeCounter(sibling, "epoch", epoch + 1L)
+    } else {
+      val oldTouched = baseDf.join(keys, Seq("user_id"), "left_semi")
+      val newTouched = oldTouched.unionByName(batch)
+      sp.foldTouched(
+          spark.read.parquet(artDir.toString), oldTouched, newTouched,
+          "user_id", "tsu", "event_id", "event_type", minCountUni, cum)
+        .coalesce(1).write.parquet(sibling.toString)
+      graft.Fs.writeCounter(sibling, "cum", cum)
+      graft.Fs.writeCounter(sibling, "snap", snaps)
+      graft.Fs.writeCounter(sibling, "epoch", epoch)
+    }
   }
 
   /** q121's statement over any user subset — the erasure oracle

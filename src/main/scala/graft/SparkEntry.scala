@@ -217,6 +217,7 @@ object SparkEntry {
     "q200_seqpattern_auto_resnapshot" -> ((s, d) => RelQueries.sequentialPatternAutoResnapshot(s, d)),
     "q201_next_event_predict" -> ((s, d) => RelQueries.sequentialPredict(s, d)),
     "q202_seq_predict_from_artifact" -> ((s, d) => RelQueries.sequentialPredictFromArtifact(s, d)),
+    "q203_seqpattern_touch_auto_resnapshot" -> ((s, d) => RelQueries.sequentialPatternTouchAutoResnapshot(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -806,5 +807,9 @@ object SparkEntry {
     // q202: the same prediction from refresh-derived rules — transform
     // is artifact-stable, so q201's statement holds verbatim
     "q202_seq_predict_from_artifact" -> RelQueries.SequentialPredictSql,
+    // q203: touched-key auto re-snapshot — the |touchedKeys| FUP bound's
+    // recovery path; folds before + re-snapshot (with re-base) + folds
+    // after == the union re-mine, q121's statement verbatim
+    "q203_seqpattern_touch_auto_resnapshot" -> RelQueries.SequentialPatternsSql,
   )
 }

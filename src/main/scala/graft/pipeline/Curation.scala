@@ -597,6 +597,16 @@ object Curation {
    * sample bit for bit, INCLUDING tau (the k+1-th priority is kept in
    * the artifact precisely so the threshold survives maintenance).
    * Serve with [[finishPrioritySample]] over the loaded artifact.
+   *
+   * ARTIFACT-DIR CONTRACT: `batchId`s are scoped to ONE streaming
+   * query — commit goes through [[graft.Fs.appliedMarkerSwap]], whose
+   * replay guard skips any id at or below the artifact's max
+   * `_applied_` marker. A NEW query (fresh checkpoint, ids restarting
+   * at 0) pointed at a dir that outlived its old stream would have its
+   * early batches silently skipped as "replays". Stage a fresh
+   * `artifactDir` per query (what every caller here does), or sweep
+   * the stale `_applied_` markers when bootstrapping a new stream over
+   * an inherited dir. Same contract on [[exactKSampleMaintain]].
    */
   def prioritySampleMaintain(
       spark: org.apache.spark.sql.SparkSession,
@@ -642,6 +652,11 @@ object Curation {
    * stratum's rank-k row; ranks are recomputed at each merge so `rk`
    * stays contiguous. Insert-only, like every artifact here: deleting
    * a sampled doc needs a rebuild from the surviving corpus.
+   *
+   * ARTIFACT-DIR CONTRACT: one `artifactDir` per streaming query —
+   * see [[prioritySampleMaintain]]; a dir inherited from a dead
+   * stream carries `_applied_` markers that would skip a new query's
+   * restarted batch ids.
    */
   def exactKSampleMaintain(
       spark: org.apache.spark.sql.SparkSession,

@@ -175,22 +175,34 @@ class FsSpec extends AnyFunSuite {
     Fs.deleteRecursively(base)
   }
 
-  test("key-set record: round trip, absent default, commit-with-swap") {
+  test("keyed record: round trip, absent default, commit-with-swap") {
     val base = freshBase()
     val art = base.resolve("art")
-    assert(Fs.readKeySet(art, "erased").isEmpty, "absent dir reads empty")
+    assert(Fs.readKeyMap(art, "erased").isEmpty, "absent dir reads empty")
     Fs.appliedMarkerSwap(base, art, 0L) { sib =>
       Files.createDirectories(sib)
-      Fs.writeKeySet(sib, "erased", Set(42L, 7L))
+      Fs.writeKeyMap(sib, "erased", Map(42L -> 0L, 7L -> 0L))
     }
-    assert(Fs.readKeySet(art, "erased") == Set(7L, 42L))
+    assert(Fs.readKeyMap(art, "erased") == Map(7L -> 0L, 42L -> 0L))
     // the record is REPLACED by each swap, not carried like markers:
-    // writers re-emit the full set (done ++ requested)
+    // writers re-emit the full compacted map
     Fs.appliedMarkerSwap(base, art, 1L) { sib =>
       Files.createDirectories(sib)
-      Fs.writeKeySet(sib, "erased", Set(7L, 42L, 99L))
+      Fs.writeKeyMap(sib, "erased", Map(7L -> 0L, 42L -> 0L, 99L -> 1L))
     }
-    assert(Fs.readKeySet(art, "erased") == Set(7L, 42L, 99L))
+    assert(Fs.readKeyMap(art, "erased") ==
+      Map(7L -> 0L, 42L -> 0L, 99L -> 1L))
+    Fs.deleteRecursively(base)
+  }
+
+  test("keyed record: a malformed line fails loudly, never drops keys") {
+    val base = freshBase()
+    val art = base.resolve("art")
+    Files.createDirectories(art)
+    // self-written content (unlike stray marker FILES) — silently
+    // ignoring a bad line would let a redelivered erasure re-subtract
+    Files.writeString(art.resolve("_erased"), "7 0\ngarbage\n")
+    intercept[RuntimeException](Fs.readKeyMap(art, "erased"))
     Fs.deleteRecursively(base)
   }
 }

@@ -92,6 +92,17 @@ class ItemsetRefreshSpec extends AnyFunSuite {
     assert(graft.Fs.readCounter(artDir, "cum") > 0L,
       "no fold landed AFTER the re-snapshot — the row no longer proves " +
         "the swapped snapshot serves subsequent folds")
+    // the trigger RE-BASED: epoch tracks snap, the promoted corpus
+    // exists, and the post-trigger batch swept the absorbed epoch-0
+    // ingest dirs — the record is epoch-bounded (VERDICT r15 #4)
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    assert(epoch == graft.Fs.readCounter(artDir, "snap"))
+    val streamBase = artDir.getParent
+    assert(java.nio.file.Files.exists(
+      streamBase.resolve("corpus").resolve(s"e$epoch")))
+    assert(!java.nio.file.Files.exists(
+      streamBase.resolve("ingested").resolve("e0")),
+      "absorbed epoch-0 ingest dirs must be swept after the trigger")
   }
 
   test("auto re-snapshot state (cum reset + snap bump) survives a crash-restart") {
@@ -129,8 +140,8 @@ class ItemsetRefreshSpec extends AnyFunSuite {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.Fs.appliedMarkerSwap(base, art, id) { sib =>
             graft.FpmQueries.autoResnapshotBatch(spark, old, ingested,
-              art, sib, batch, id, minCountUni = 100L, headroom = 4L,
-              probe = 1L)
+              base.resolve("corpus"), art, sib, batch, id,
+              minCountUni = 100L, headroom = 4L, probe = 1L)
           }
           if (id == 1L && crashed.compareAndSet(false, true))
             throw new RuntimeException("injected crash after snap commit")
@@ -155,6 +166,59 @@ class ItemsetRefreshSpec extends AnyFunSuite {
       "the redelivered snap batch must be marker-skipped, not re-snapshotted")
     assert(graft.Fs.readCounter(art, "cum") == 1L,
       "cum must restart from the durable zero and count only the post-snap fold")
+    // the re-base committed with the snap: epoch bumped, the union
+    // corpus promoted, and the post-restart fold batch swept the
+    // absorbed e0 ingest dirs — the record is epoch-bounded, not
+    // lifetime-bounded (VERDICT r15 #4)
+    assert(graft.Fs.readCounter(art, "epoch") == 1L)
+    assert(java.nio.file.Files.exists(
+      base.resolve("corpus").resolve("e1")), "promoted corpus base")
+    assert(!java.nio.file.Files.exists(ingested.resolve("e0")),
+      "absorbed epoch-0 ingest dirs must be swept by the next batch")
+    assert(java.nio.file.Files.exists(ingested.resolve("e1").resolve("b2")),
+      "post-trigger record carries only the current epoch's batches")
+    graft.Fs.deleteRecursively(base)
+  }
+
+  test("two-epoch auto re-snapshot: the second trigger re-mines FROM the promoted corpus") {
+    // epoch >= 1's re-mine reads corpus/e<n>, not the caller's `old`
+    // frame — drive two full headroom epochs and check the final
+    // artifact equals the exact union counts, which can only happen if
+    // the promoted base carried epoch 0's ingest forward.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-two-epoch")
+    val art = base.resolve("art")
+    val ingested = base.resolve("ingested")
+    val old = Seq(Seq("a", "b"), Seq("a"), Seq("b"), Seq("a", "b"))
+      .toDF("items")
+    Seq(("a", 3L), ("b", 3L), ("a,b", 2L)).toDF("itemset", "freq")
+      .coalesce(1).write.parquet(art.toString)
+    // headroom 2: every second single-row batch trips the 60% trigger
+    // (cum 1 folds, cum 2 snaps) — two full epochs, then one trailing
+    // fold whose lazy sweep reclaims epoch 1's absorbed dirs
+    val batches = Seq(Seq(Seq("a")), Seq(Seq("a", "b")),
+      Seq(Seq("b")), Seq(Seq("a")), Seq(Seq("b")))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      graft.Fs.appliedMarkerSwap(base, art, id.toLong) { sib =>
+        graft.FpmQueries.autoResnapshotBatch(spark, old, ingested,
+          base.resolve("corpus"), art, sib, rows.toDF("items"),
+          id.toLong, minCountUni = 100L, headroom = 2L, probe = 1L)
+      }
+    }
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Long)].collect().toMap
+    // old(a:3,b:3,ab:2) + {a} + {a,b} + {b} + {a} + {b}: a 6, b 6, ab 3
+    assert(got == Map("a" -> 6L, "b" -> 6L, "a,b" -> 3L),
+      s"second-epoch re-mine lost epoch 0's absorbed ingest: $got")
+    assert(graft.Fs.readCounter(art, "snap") == 2L, "two triggers fired")
+    assert(graft.Fs.readCounter(art, "epoch") == 2L)
+    // batch 4 (epoch 2) swept everything below epoch 2 — the dir
+    // listing is epoch-bounded over an unbounded stream
+    assert(!java.nio.file.Files.exists(ingested.resolve("e0")))
+    assert(!java.nio.file.Files.exists(ingested.resolve("e1")))
+    assert(!java.nio.file.Files.exists(base.resolve("corpus").resolve("e1")))
+    assert(java.nio.file.Files.exists(base.resolve("corpus").resolve("e2")))
+    assert(java.nio.file.Files.exists(ingested.resolve("e2").resolve("b4")))
     graft.Fs.deleteRecursively(base)
   }
 

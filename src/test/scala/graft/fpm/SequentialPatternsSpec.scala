@@ -413,7 +413,7 @@ class SequentialPatternsSpec extends AnyFunSuite {
       graft.Fs.appliedMarkerSwap(base, artDir, id) { sibling =>
         SequentialPatterns.eraseBatchOnce(
           spark.read.parquet(artDir.toString), ev, "u", "t", "i", "y",
-          artDir, sibling, keys)
+          artDir, sibling, keys, id)
       }
       ()
     }
@@ -428,8 +428,37 @@ class SequentialPatternsSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
     stored0.unpersist()
     assert(got == want, "duplicate request double-subtracted")
-    assert(graft.Fs.readKeySet(artDir, "erased") == Set(4L, 8L, 12L))
+    // the redelivered key's stamp REFRESHES to the batch that last
+    // carried it (full new horizon — the safe direction)
+    assert(graft.Fs.readKeyMap(artDir, "erased") ==
+      Map(4L -> 0L, 8L -> 1L, 12L -> 1L))
     graft.Fs.deleteRecursively(base)
+  }
+
+  test("compactEraseRecord: bounded under churn, refresh-on-redelivery, horizon drop") {
+    val sp = SequentialPatterns
+    // churn fixture: 60 batches, each erasing 3 fresh keys, horizon 5 —
+    // the record must stay window-sized, never lifetime-sized
+    var rec = Map.empty[Long, Long]
+    (0L until 60L).foreach { id =>
+      val fresh = Set(id * 10 + 1, id * 10 + 2, id * 10 + 3)
+      rec = sp.compactEraseRecord(rec, fresh, id, horizon = 5L)
+      assert(rec.size <= 3 * 6,
+        s"record grew past the horizon window at batch $id: ${rec.size}")
+      // every key within the horizon is still present (dedup works)
+      assert(fresh.subsetOf(rec.keySet))
+    }
+    // at batch 59 with horizon 5, exactly batches 54-59 survive
+    assert(rec.keySet == (54L to 59L).flatMap(id =>
+      Set(id * 10 + 1, id * 10 + 2, id * 10 + 3)).toSet)
+    // refresh-on-redelivery: a key re-requested later gets the LATER
+    // stamp, extending its dedup window
+    val r2 = sp.compactEraseRecord(Map(7L -> 0L), Set(7L), 3L, horizon = 5L)
+    assert(r2 == Map(7L -> 3L))
+    // beyond the horizon the key leaves the exact set — the documented
+    // price: the queue's max redelivery lag must stay under the horizon
+    val r3 = sp.compactEraseRecord(Map(7L -> 0L), Set.empty, 6L, horizon = 5L)
+    assert(r3.isEmpty)
   }
 
   test("the erase-once record survives a crash-restart (marker skip and set skip compose)") {
@@ -469,7 +498,7 @@ class SequentialPatternsSpec extends AnyFunSuite {
               .map(_.getLong(0)).toSet
             SequentialPatterns.eraseBatchOnce(
               spark.read.parquet(art.toString), ev, "u", "t", "i", "y",
-              art, sib, req)
+              art, sib, req, id)
           }
           if (id == 0L && crashed.compareAndSet(false, true))
             throw new RuntimeException("injected crash after commit")
@@ -491,7 +520,7 @@ class SequentialPatternsSpec extends AnyFunSuite {
     stored0.unpersist()
     assert(got == want,
       s"crash + redelivery must erase each key exactly once: $got vs $want")
-    assert(graft.Fs.readKeySet(art, "erased") == Set(4L, 8L))
+    assert(graft.Fs.readKeyMap(art, "erased").keySet == Set(4L, 8L))
     graft.Fs.deleteRecursively(base)
   }
 
@@ -513,6 +542,48 @@ class SequentialPatternsSpec extends AnyFunSuite {
       "the 60%-headroom trigger never fired")
     assert(graft.Fs.readCounter(artDir, "cum") > 0L,
       "no fold landed AFTER the re-snapshot")
+    // the trigger RE-BASED (q199's protocol, sequence side): promoted
+    // corpus present, absorbed epoch-0 ingest dirs swept at the next
+    // batch — epoch-bounded record (VERDICT r15 #4)
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    assert(epoch == graft.Fs.readCounter(artDir, "snap"))
+    val streamBase = artDir.getParent
+    assert(java.nio.file.Files.exists(
+      streamBase.resolve("corpus").resolve(s"e$epoch")))
+    assert(!java.nio.file.Files.exists(
+      streamBase.resolve("ingested").resolve("e0")),
+      "absorbed epoch-0 ingest dirs must be swept after the trigger")
+  }
+
+  test("touched-key auto re-snapshot (q203): trigger fires mid-stream, touch folds continue after, final == union re-mine") {
+    import spark.implicits._
+    // sf0.01 (sf0.001's touch delta is degenerate, like q200): the
+    // touched users arrive in four key-disjoint quarters, so the 60%
+    // trigger fires mid-stream — foldTouched corrections land before
+    // AND after the re-snapshot
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.RelQueries
+      .sequentialPatternTouchAutoResnapshot(spark, dir)
+      .as[(String, Int, Long)].collect().toSet
+    val want = graft.RelQueries.sequentialPatterns(spark, dir)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      "touch folds + auto re-snapshot + touch folds must land exactly " +
+        "on the union re-mine")
+    val artDir = java.nio.file.Paths.get("/tmp",
+      "graft-q203-" + dir.replaceAll("[^A-Za-z0-9.]", "_"), "seqpatterns")
+    assert(graft.Fs.readCounter(artDir, "snap") >= 1L,
+      "the 60%-headroom trigger never fired")
+    assert(graft.Fs.readCounter(artDir, "cum") > 0L,
+      "no touch fold landed AFTER the re-snapshot")
+    val epoch = graft.Fs.readCounter(artDir, "epoch")
+    assert(epoch == graft.Fs.readCounter(artDir, "snap"))
+    val streamBase = artDir.getParent
+    assert(java.nio.file.Files.exists(
+      streamBase.resolve("corpus").resolve(s"e$epoch")))
+    assert(!java.nio.file.Files.exists(
+      streamBase.resolve("ingested").resolve("e0")),
+      "absorbed epoch-0 ingest dirs must be swept after the trigger")
   }
 
   test("a delta of keys at or above minCount_union is refused (re-mine trigger)") {
