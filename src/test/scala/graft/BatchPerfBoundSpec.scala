@@ -83,7 +83,25 @@ class BatchPerfBoundSpec extends AnyFunSuite {
     "q198_predict_from_artifact" -> 1.5,
     "q199_itemset_auto_resnapshot" -> 5.0,
     "q201_next_event_predict" -> 3.5,
-    "q202_seq_predict_from_artifact" -> 5.0)
+    "q202_seq_predict_from_artifact" -> 5.0,
+    // r16 extension: every row >= ~1.5 s in the round-15 driver
+    // recording (which ran a 1.29x drifted host) now carries a bound,
+    // so a host draw can never move a row out of the bounded set
+    // again — the round-15 verdict's frontier argument. Measured
+    // 2026-08-15, warm JVM, cold per-query caches.
+    "q33b_neardup_grid" -> 0.8,
+    "q63_apriori_itemsets" -> 2.0,
+    "q86_ann_pq" -> 2.1,
+    "q87_ann_ivfpq" -> 2.5,
+    "q93_ann_ivf_indexed" -> 2.0,
+    "q99_span_dedup" -> 2.0,
+    "q103_unigram_encode" -> 1.3,
+    "q114_tokenizer_report" -> 0.9,
+    "q120_hll_cardinality" -> 0.6,
+    "q156_price_quantile_sketch" -> 1.1,
+    "q158_bucketed_rollup" -> 0.8,
+    "q163_boilerplate_refresh" -> 1.0,
+    "q174_kmv_refresh" -> 1.5)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0

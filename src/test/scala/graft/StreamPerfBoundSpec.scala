@@ -84,7 +84,15 @@ class StreamPerfBoundSpec extends AnyFunSuite {
     "q194_itemset_cdc_stream" -> 2.4,
     "q196_seqpattern_touch_stream" -> 2.7,
     "q197_seqpattern_erase_stream" -> 2.4,
-    "q200_seqpattern_auto_resnapshot" -> 6.0)
+    "q200_seqpattern_auto_resnapshot" -> 6.0,
+    // r16 extension (see BatchPerfBoundSpec): the two stream rows that
+    // crossed 2 s in the drifted round-15 driver recording unbounded,
+    // plus q203 bounded from birth (its cold value pays the probe
+    // mine, four touched-key folds, the mid-stream re-mine AND the
+    // corpus promotion — the declared lifecycle)
+    "q126_scd2_stream" -> 3.2,
+    "q160_session_window_stream" -> 2.3,
+    "q203_seqpattern_touch_auto_resnapshot" -> 9.5)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0
