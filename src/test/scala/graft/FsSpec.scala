@@ -195,6 +195,30 @@ class FsSpec extends AnyFunSuite {
     Fs.deleteRecursively(base)
   }
 
+  test("sweepBelowEpoch: stale e<k> dirs go, current/future epochs and foreign entries stay") {
+    val base = freshBase()
+    val dir = base.resolve("ingested")
+    Seq("e0", "e1", "e2", "e10").foreach { e =>
+      Files.createDirectories(dir.resolve(e).resolve("b0"))
+    }
+    // foreign entries that merely look epoch-adjacent must survive:
+    // no digits, non-numeric suffix, and an unrelated name
+    Files.createDirectories(dir.resolve("e"))
+    Files.createDirectories(dir.resolve("extra"))
+    Files.writeString(dir.resolve("e1x"), "junk")
+    Fs.sweepBelowEpoch(dir, 2L)
+    assert(!Files.exists(dir.resolve("e0")))
+    assert(!Files.exists(dir.resolve("e1")))
+    assert(Files.exists(dir.resolve("e2").resolve("b0")))
+    assert(Files.exists(dir.resolve("e10")), "e10 is ABOVE epoch 2 (numeric, not lexicographic)")
+    assert(Files.exists(dir.resolve("e")))
+    assert(Files.exists(dir.resolve("extra")))
+    assert(Files.exists(dir.resolve("e1x")))
+    // absent dir is a no-op, not a crash (first batch of a stream)
+    Fs.sweepBelowEpoch(base.resolve("never-created"), 5L)
+    Fs.deleteRecursively(base)
+  }
+
   test("keyed record: a malformed line fails loudly, never drops keys") {
     val base = freshBase()
     val art = base.resolve("art")

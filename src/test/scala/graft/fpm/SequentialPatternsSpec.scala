@@ -555,6 +555,144 @@ class SequentialPatternsSpec extends AnyFunSuite {
       "absorbed epoch-0 ingest dirs must be swept after the trigger")
   }
 
+  test("two-epoch sequence auto re-snapshot: the second trigger re-mines FROM the promoted corpus") {
+    // the sequence twin of ItemsetRefreshSpec's two-epoch test: epoch
+    // >= 1's re-mine must read corpus/e<n>, not the caller's `old`
+    // frame. User 1 carries (v,c,p)^3 so the probe mine's candidate
+    // set holds EVERY pattern up to maxLen 3 — the un-thresholded
+    // artifact is then exactly comparable to a minCount-1 re-mine.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-seq-two-epoch")
+    val art = base.resolve("art")
+    val ingested = base.resolve("ingested")
+    val cyc = Seq("v", "c", "p")
+    val oldRows =
+      (0 until 9).map(k => (1L, k.toLong + 1, 100L + k, cyc(k % 3))) ++
+        Seq((2L, 1L, 201L, "v"), (2L, 2L, 202L, "p"),
+          (3L, 1L, 301L, "c"), (3L, 2L, 302L, "c"))
+    val old = oldRows.toDF("user_id", "tsu", "event_id", "event_type")
+    SequentialPatterns.frequentSequences(old, "user_id", "tsu",
+        "event_id", "event_type", 1L, 3L, 3)
+      .coalesce(1).write.parquet(art.toString)
+    // five single-new-user batches at headroom 2: fold, SNAP(e1),
+    // fold, SNAP(e2), fold — the e2 re-mine reads corpus/e1, and the
+    // trailing fold's sweep reclaims epoch 1's absorbed dirs
+    val batches = Seq(
+      Seq((10L, 1L, 1001L, "v"), (10L, 2L, 1002L, "c")),
+      Seq((11L, 1L, 1101L, "p"), (11L, 2L, 1102L, "p")),
+      Seq((12L, 1L, 1201L, "c"), (12L, 2L, 1202L, "v")),
+      Seq((13L, 1L, 1301L, "v"), (13L, 2L, 1302L, "p"), (13L, 3L, 1303L, "v")),
+      Seq((14L, 1L, 1401L, "c")))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      graft.Fs.appliedMarkerSwap(base, art, id.toLong) { sib =>
+        graft.RelQueries.seqAutoResnapshotBatch(spark, old, ingested,
+          base.resolve("corpus"), art, sib,
+          rows.toDF("user_id", "tsu", "event_id", "event_type"),
+          id.toLong, minCountUni = 100L, headroom = 2L, probe = 1L)
+      }
+    }
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val union = (oldRows ++ batches.flatten)
+      .toDF("user_id", "tsu", "event_id", "event_type")
+    val want = SequentialPatterns.frequentSequences(union, "user_id",
+        "tsu", "event_id", "event_type", 1L, 8L, 3)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want,
+      s"second-epoch re-mine lost epoch 0's absorbed ingest")
+    assert(graft.Fs.readCounter(art, "snap") == 2L, "two triggers fired")
+    assert(graft.Fs.readCounter(art, "epoch") == 2L)
+    assert(!java.nio.file.Files.exists(ingested.resolve("e0")))
+    assert(!java.nio.file.Files.exists(ingested.resolve("e1")))
+    assert(!java.nio.file.Files.exists(base.resolve("corpus").resolve("e1")))
+    assert(java.nio.file.Files.exists(base.resolve("corpus").resolve("e2")))
+    assert(java.nio.file.Files.exists(ingested.resolve("e2").resolve("b4")))
+    graft.Fs.deleteRecursively(base)
+  }
+
+  test("q203 snap state (cum reset + epoch re-base) survives a crash-restart") {
+    // the q199 crash pin on the TOUCHED-KEY branch: the snap batch's
+    // swap committed (re-mined artifact + _cum_0 + _snap_1 + _epoch_1
+    // + promoted corpus), then the process died before the checkpoint
+    // commit. On restart the snap batch is redelivered under the SAME
+    // id and must be marker-skipped; the next TOUCH batch must
+    // foldTouched against the promoted epoch-1 base.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-touch-snap-recovery")
+    val art = base.resolve("art")
+    val ingested = base.resolve("ingested")
+    val cyc = Seq("v", "c", "p")
+    val oldRows =
+      (0 until 9).map(k => (1L, k.toLong + 1, 100L + k, cyc(k % 3))) ++
+        Seq((2L, 1L, 201L, "v"), (3L, 1L, 301L, "c"),
+          (4L, 1L, 401L, "p"), (5L, 1L, 501L, "v"))
+    val oldDf = oldRows.toDF("user_id", "tsu", "event_id", "event_type")
+    SequentialPatterns.frequentSequences(oldDf, "user_id", "tsu",
+        "event_id", "event_type", 1L, 5L, 3)
+      .coalesce(1).write.parquet(art.toString)
+    // touch batches EXTEND existing keys, whole delta per key per
+    // batch: user 2 (fold, cum 1), user 4 (SNAP at cum 2 + crash),
+    // user 5 (fold after restart)
+    val deltas = Seq(
+      Seq((2L, 2L, 202L, "c")),
+      Seq((4L, 2L, 402L, "v"), (4L, 3L, 403L, "c")),
+      Seq((5L, 2L, 502L, "p")))
+    val in = base.resolve("in").toString
+    deltas.zipWithIndex.foreach { case (rows, i) =>
+      val mode = if (i == 0) "overwrite" else "append"
+      rows.toDF("user_id", "tsu", "event_id", "event_type")
+        .coalesce(1).write.mode(mode).parquet(in)
+    }
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.Fs.appliedMarkerSwap(base, art, id) { sib =>
+            graft.RelQueries.seqTouchAutoResnapshotBatch(spark, oldDf,
+              ingested, base.resolve("corpus"), art, sib, batch, id,
+              minCountUni = 100L, headroom = 2L, probe = 1L)
+          }
+          if (id == 1L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after snap commit")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(crashed.get, "the injected crash must have fired")
+    assert(graft.Fs.readCounter(art, "snap") == 1L, "snap committed pre-crash")
+    run() // restart: batch 1 marker-skipped, batch 2 touch-folds
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val union = (oldRows ++ deltas.flatten)
+      .toDF("user_id", "tsu", "event_id", "event_type")
+    val want = SequentialPatterns.frequentSequences(union, "user_id",
+        "tsu", "event_id", "event_type", 1L, 5L, 3)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want,
+      "crash + redelivery must land exactly on the union re-mine")
+    assert(graft.Fs.readCounter(art, "snap") == 1L,
+      "the redelivered snap batch must be marker-skipped, not re-mined")
+    assert(graft.Fs.readCounter(art, "cum") == 1L,
+      "cum restarts from the durable zero, counting only the post-snap touch")
+    assert(graft.Fs.readCounter(art, "epoch") == 1L)
+    assert(java.nio.file.Files.exists(
+      base.resolve("corpus").resolve("e1")))
+    assert(!java.nio.file.Files.exists(ingested.resolve("e0")),
+      "the post-restart batch sweeps the absorbed epoch-0 dirs")
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("touched-key auto re-snapshot (q203): trigger fires mid-stream, touch folds continue after, final == union re-mine") {
     import spark.implicits._
     // sf0.01 (sf0.001's touch delta is degenerate, like q200): the
