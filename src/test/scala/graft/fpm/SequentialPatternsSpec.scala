@@ -612,6 +612,48 @@ class SequentialPatternsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(base)
   }
 
+  test("a single batch overshooting the whole headroom re-mines instead of require-failing") {
+    // the documented backstop: the 60% trigger is checked BEFORE any
+    // fold, so a batch so large it jumps past 100% of the headroom in
+    // one step routes to the re-mine branch — the fold's FUP require
+    // (which would refuse it) is never consulted on that path
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-overshoot")
+    val art = base.resolve("art")
+    val cyc = Seq("v", "c", "p")
+    val oldRows =
+      (0 until 9).map(k => (1L, k.toLong + 1, 100L + k, cyc(k % 3))) ++
+        Seq((2L, 1L, 201L, "v"))
+    val old = oldRows.toDF("user_id", "tsu", "event_id", "event_type")
+    SequentialPatterns.frequentSequences(old, "user_id", "tsu",
+        "event_id", "event_type", 1L, 2L, 3)
+      .coalesce(1).write.parquet(art.toString)
+    // headroom 2, ONE batch of 5 new users: cum 5 >= headroom — a fold
+    // would violate the candidate bound; the trigger must re-mine
+    val giant = (10L to 14L).flatMap(u =>
+      Seq((u, 1L, u * 100 + 1, "v"), (u, 2L, u * 100 + 2, "c")))
+    graft.Fs.appliedMarkerSwap(base, art, 0L) { sib =>
+      graft.RelQueries.seqAutoResnapshotBatch(spark, old,
+        base.resolve("ingested"), base.resolve("corpus"), art, sib,
+        giant.toDF("user_id", "tsu", "event_id", "event_type"),
+        0L, minCountUni = 3L, headroom = 2L, probe = 1L)
+    }
+    val got = spark.read.parquet(art.toString)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = SequentialPatterns.frequentSequences(
+        (oldRows ++ giant).toDF("user_id", "tsu", "event_id", "event_type"),
+        "user_id", "tsu", "event_id", "event_type", 1L, 7L, 3)
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want, "overshoot batch must land on the union re-mine")
+    assert(graft.Fs.readCounter(art, "snap") == 1L)
+    assert(graft.Fs.readCounter(art, "epoch") == 1L)
+    assert(graft.Fs.readCounter(art, "cum") == 0L,
+      "the overshoot batch is absorbed by the snapshot, not counted as a fold")
+    graft.Fs.deleteRecursively(base)
+  }
+
   test("q203 snap state (cum reset + epoch re-base) survives a crash-restart") {
     // the q199 crash pin on the TOUCHED-KEY branch: the snap batch's
     // swap committed (re-mined artifact + _cum_0 + _snap_1 + _epoch_1
