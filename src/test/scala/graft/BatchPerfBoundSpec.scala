@@ -101,7 +101,14 @@ class BatchPerfBoundSpec extends AnyFunSuite {
     "q156_price_quantile_sketch" -> 1.1,
     "q158_bucketed_rollup" -> 0.8,
     "q163_boilerplate_refresh" -> 1.0,
-    "q174_kmv_refresh" -> 1.5)
+    "q174_kmv_refresh" -> 1.5,
+    // r16 completion: the last three rows >= 1.1 s in ANY recording —
+    // with these, every row that could cross 2 s under a < ~1.8x host
+    // draw is bounded. q187/q106 baselines are COLD (the probe mine /
+    // wordpiece table land on the first family row in a shared run).
+    "q33_embedding_neardup" -> 1.2,
+    "q106_wordpiece_encode" -> 3.2,
+    "q187_rules_from_artifact" -> 5.6)
 
   private val Slack = 4.0
   private val FloorSeconds = 4.0
