@@ -23,18 +23,21 @@ object Bench {
     * host contention — real queries average well below full
     * parallelism (short stages, driver barriers, skewed tasks), so a
     * saturating calibration over-corrects if divided out linearly.
-    * Fitted 2026-08-15 on a controlled three-point experiment (same
-    * code, same 10-query subset, 0/12/24 background spin threads on
-    * 32 cores): raw totals 15.02 / 14.83 / 18.53 s at host_factor
-    * 1.04 / 1.27 / 2.14; dividing by hf^0.3 lands all three at
-    * 14.85 / 13.80 / 14.86 s — within ~8%, vs 23% raw (BENCH_NOTES
-    * round 16 has the full table; the SHORT probe read 1.00 in all
-    * three runs, the round-15 failure mode reproduced live).
-    * host_factor itself stays the primary signal — DETECTION of a
-    * contended recording; the exponent is for round-over-round total
-    * comparison only, and per-row ratios against bounds remain the
-    * per-query signal. */
-  val SuiteLoadExponent = 0.3
+    * Fitted 2026-08-15 on the FULL 207-query suite under a controlled
+    * 24-spin-thread load on the 32-core host: raw totals 163.1 s idle
+    * (host_factor 1.05) vs 226.0 s loaded (host_factor 2.03) — a
+    * diffuse 1.385x band with movers 0.9-2.0x, the same signature as
+    * the round-14/15 inter-round drift, and the SHORT probe read 1.00
+    * in BOTH runs. Dividing by hf^0.5 lands the two recordings at
+    * 159.2 vs 158.6 s — within 0.4%. (A lighter 10-query subset fit
+    * ~0.3 — the response is workload-dependent; this constant is
+    * calibrated to the full suite because that is what BENCH_r*.json
+    * records. BENCH_NOTES round 16 has both tables.) host_factor
+    * itself stays the primary signal — DETECTION of a contended
+    * recording; the exponent is for round-over-round total comparison
+    * only, and per-row ratios against bounds remain the per-query
+    * signal. */
+  val SuiteLoadExponent = 0.5
 
   /** The StreamPerfBoundSpec/BatchPerfBoundSpec calibration workload:
     * deterministic hash + shuffle + sum — measures the host, not any
