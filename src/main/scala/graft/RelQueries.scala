@@ -1250,6 +1250,25 @@ object RelQueries {
       .select(col("user_id"), expr("ts div 1000L").as("tsu"),
         col("event_id"), col("event_type"))
 
+  /** One-pass distinct-user counts of `ev` split by `pred`: (users
+    * among pred rows, users among !pred rows, users total). The
+    * lifecycle prologues previously paid two or three separate
+    * scan+distinct JOBS over the same uncached events projection for
+    * numbers one aggregation derives — Catalyst plans the three
+    * DISTINCT aggregates as a single scan + expand + exchange, which
+    * is also the only shape that survives a 100x corpus (threshold
+    * derivation must not cost three corpus passes). An event-level
+    * predicate counts a user on BOTH sides when their events straddle
+    * it — exactly like the filtered distinct counts this replaces. */
+  private def splitUserCounts(
+      ev: DataFrame, pred: Column): (Long, Long, Long) = {
+    val r = ev.agg(
+      countDistinct(when(pred, col("user_id"))),
+      countDistinct(when(!pred, col("user_id"))),
+      countDistinct(col("user_id"))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   // Keyed memo of sequence-pattern mines, the q53/q66/q40 keyed-cache
   // discipline applied to this family: seven lifecycle rows
   // (q189-q192, q195-q197) each need a probe mine of a near-identical
@@ -1323,8 +1342,8 @@ object RelQueries {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val old = ev.where(col("user_id") % 17 =!= 0)
     val added = ev.where(col("user_id") % 17 === 0)
-    val nOld = old.select(col("user_id")).distinct().count()
-    val nAdded = added.select(col("user_id")).distinct().count()
+    val (nAdded, nOld, _) =
+      splitUserCounts(ev, col("user_id") % 17 === 0)
     val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
     val probe = math.max(1L, minCountUni - nAdded)
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
@@ -1365,9 +1384,7 @@ object RelQueries {
     val old = ev.where(!isDelta)
     val delta = ev.where(isDelta)
     val touchedKeys = delta.select(col("user_id")).distinct()
-    val nTouched = touchedKeys.count()
-    val nUsers = ev.select(col("user_id")).distinct().count()
-    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val (nTouched, nOldUsers, nUsers) = splitUserCounts(ev, isDelta)
     val minCountUni = (nUsers * 4L + 4L) / 5L
     val probe = math.max(1L, minCountUni - nTouched)
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
@@ -1410,9 +1427,7 @@ object RelQueries {
     val old = ev.where(!isDelta)
     val delta = ev.where(isDelta)
     val touchedKeys = delta.select(col("user_id")).distinct()
-    val nTouched = touchedKeys.count()
-    val nUsers = ev.select(col("user_id")).distinct().count()
-    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val (nTouched, nOldUsers, nUsers) = splitUserCounts(ev, isDelta)
     val minCountUni = (nUsers * 4L + 4L) / 5L
     val probe = math.max(1L, minCountUni - nTouched)
     val base = graft.Fs.staged(java.nio.file.Paths.get(
@@ -1498,8 +1513,8 @@ object RelQueries {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val erased = ev.where(col("user_id") % 17 === 0)
     val kept = ev.where(col("user_id") % 17 =!= 0)
-    val nKept = kept.select(col("user_id")).distinct().count()
-    val nAll = ev.select(col("user_id")).distinct().count()
+    val (_, nKept, nAll) =
+      splitUserCounts(ev, col("user_id") % 17 === 0)
     val minCountNew = (nKept * 4L + 4L) / 5L
     val base = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q197-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
@@ -1545,8 +1560,8 @@ object RelQueries {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val erased = ev.where(col("user_id") % 17 === 0)
     val kept = ev.where(col("user_id") % 17 =!= 0)
-    val nKept = kept.select(col("user_id")).distinct().count()
-    val nAll = ev.select(col("user_id")).distinct().count()
+    val (_, nKept, nAll) =
+      splitUserCounts(ev, col("user_id") % 17 === 0)
     val minCountNew = (nKept * 4L + 4L) / 5L
     val staged = graft.Fs.staged(java.nio.file.Paths.get(
       "/tmp", "graft-q195-" + dir.replaceAll("[^A-Za-z0-9.]", "_")))
@@ -1610,8 +1625,8 @@ object RelQueries {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val old = ev.where(col("user_id") % 17 =!= 0)
     val added = ev.where(col("user_id") % 17 === 0)
-    val nOld = old.select(col("user_id")).distinct().count()
-    val nAdded = added.select(col("user_id")).distinct().count()
+    val (nAdded, nOld, _) =
+      splitUserCounts(ev, col("user_id") % 17 === 0)
     val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
     val probe = math.max(1L, minCountUni - nAdded)
     val base = graft.Fs.staged(java.nio.file.Paths.get(
@@ -1676,8 +1691,8 @@ object RelQueries {
     val ev = seqEvents(spark, dir).where(col("event_type").isNotNull)
     val old = ev.where(col("user_id") % 17 =!= 0)
     val added = ev.where(col("user_id") % 17 === 0)
-    val nOld = old.select(col("user_id")).distinct().count()
-    val nAdded = added.select(col("user_id")).distinct().count()
+    val (nAdded, nOld, _) =
+      splitUserCounts(ev, col("user_id") % 17 === 0)
     val minCountUni = ((nOld + nAdded) * 4L + 4L) / 5L
     val headroom = math.max(1L, nAdded)
     val probe = math.max(1L, minCountUni - headroom)
@@ -1789,9 +1804,7 @@ object RelQueries {
     val isDelta = col("user_id") % 13 === 0 && col("event_id") % 5 === 0
     val old = ev.where(!isDelta)
     val delta = ev.where(isDelta)
-    val nTouched = delta.select(col("user_id")).distinct().count()
-    val nUsers = ev.select(col("user_id")).distinct().count()
-    val nOldUsers = old.select(col("user_id")).distinct().count()
+    val (nTouched, nOldUsers, nUsers) = splitUserCounts(ev, isDelta)
     val minCountUni = (nUsers * 4L + 4L) / 5L
     val headroom = math.max(1L, nTouched)
     val probe = math.max(1L, minCountUni - headroom)
