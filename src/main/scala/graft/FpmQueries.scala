@@ -250,13 +250,28 @@ object FpmQueries {
     * the lifecycle under its own dir so its `Fs.staged` truncation can
     * never invalidate a previously-built q170 frame's pinned file
     * listing (and vice versa). */
+  /** One-pass row counts of the basket table split by the delta
+    * (and, for the CDC rows, removal) predicates — the prologues
+    * previously paid a separate count job per split. The basket table
+    * is persisted, so this trims job overhead locally; at warehouse
+    * scale it is the difference between one corpus pass and three for
+    * numbers a single aggregation derives. */
+  private def splitBasketCounts(b: DataFrame): (Long, Long, Long) = {
+    val isAdded = col("l_orderkey") % 211 === 0
+    val isRemoved = !isAdded && col("l_orderkey") % 199 === 0
+    val r = b.agg(
+      count(when(!isAdded, lit(1))),
+      count(when(isAdded, lit(1))),
+      count(when(isRemoved, lit(1)))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   private def itemsetRefreshIn(
       spark: SparkSession, dir: String, tag: String): DataFrame = {
     val b = Tables.orderBrandBaskets(spark, dir)
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
-    val nOld = old.count()
-    val nAdded = added.count()
+    val (nOld, nAdded, _) = splitBasketCounts(b)
     val minCountUni =
       math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
     val probe = math.max(1L, minCountUni - nAdded)
@@ -427,8 +442,7 @@ object FpmQueries {
     val b = Tables.orderBrandBaskets(spark, dir)
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
-    val nOld = old.count()
-    val nAdded = added.count()
+    val (nOld, nAdded, _) = splitBasketCounts(b)
     val minCountUni =
       math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
     val probe = math.max(1L, minCountUni - nAdded)
@@ -513,8 +527,7 @@ object FpmQueries {
     val b = Tables.orderBrandBaskets(spark, dir)
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
-    val nOld = old.count()
-    val nAdded = added.count()
+    val (nOld, nAdded, _) = splitBasketCounts(b)
     val minCountUni =
       math.max(1L, math.ceil(MinSupport * (nOld + nAdded)).toLong)
     // declared headroom budget: the whole delta fits exactly once —
@@ -650,9 +663,7 @@ object FpmQueries {
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
     val removed = old.where(col("l_orderkey") % 199 === 0)
-    val nOld = old.count()
-    val nAdded = added.count()
-    val nRemoved = removed.count()
+    val (nOld, nAdded, nRemoved) = splitBasketCounts(b)
     val minCountNew = math.max(1L,
       math.ceil(MinSupport * (nOld - nRemoved + nAdded)).toLong)
     val probe = math.max(1L, minCountNew - nAdded)
@@ -720,9 +731,7 @@ object FpmQueries {
     val old = b.where(col("l_orderkey") % 211 =!= 0)
     val added = b.where(col("l_orderkey") % 211 === 0)
     val removed = old.where(col("l_orderkey") % 199 === 0)
-    val nOld = old.count()
-    val nAdded = added.count()
-    val nRemoved = removed.count()
+    val (nOld, nAdded, nRemoved) = splitBasketCounts(b)
     val minCountNew = math.max(1L,
       math.ceil(MinSupport * (nOld - nRemoved + nAdded)).toLong)
     val probe = math.max(1L, minCountNew - nAdded)
