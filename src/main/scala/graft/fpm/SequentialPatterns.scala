@@ -60,6 +60,11 @@ object SequentialPatterns {
     * carries (match cursor m, element index i, completion index e):
     * greedy matching advances m on every hit while m < |pat|, and e
     * records i the first time m reaches |pat|. */
+  /** Test-only window onto [[greedyMatchEnd]] — the specialization
+    * contract spec pins [[matchEndLit]] against the generic fold. */
+  private[fpm] def testGreedyMatchEnd(seq: Column, pat: Column): Column =
+    greedyMatchEnd(seq, pat)
+
   private def greedyMatchEnd(seq: Column, pat: Column): Column =
     aggregate(seq,
       struct(lit(0).as("m"), lit(0).as("i"), lit(0).as("e")),
@@ -79,6 +84,34 @@ object SequentialPatterns {
   def containsPattern(seq: Column, pat: Column): Column =
     greedyMatchEnd(seq, pat) > 0
 
+  /** Patterns per call up to which [[matchEndLit]] specialization is
+    * used; above it the generic [[greedyMatchEnd]] fold keeps the
+    * expression tree bounded (a plan literal of tens of thousands of
+    * chained natives would cost more to codegen than it saves — the
+    * same cap discipline as the q201 probe). Artifact candidate lists
+    * are support-bounded (~10^2 at any useful threshold), so the
+    * specialized arm is the one that runs in practice. */
+  private[fpm] val SpecializeCap = 1024
+
+  /** [[greedyMatchEnd]] SPECIALIZED at expression-build time for a
+    * pattern known driver-side (the q201 probe discipline generalized
+    * to any literal pattern): greedy earliest matching is a chain of
+    * first-occurrence scans, so each step is one early-exiting native
+    * `array_position` over the suffix after the previous step's match
+    * — whole-stage-codegen'd, no per-element struct allocation, exits
+    * at the hit instead of folding the whole sequence. Returns the
+    * identical 1-based completion index, 0 on no match (spec-pinned
+    * equal to the generic fold on random inputs). */
+  private[fpm] def matchEndLit(seq: Column, pat: Seq[String]): Column = {
+    require(pat.nonEmpty, "matchEndLit needs a nonempty pattern")
+    pat.tail.foldLeft(array_position(seq, lit(pat.head))) { (prev, item) =>
+      // slice length over-shoots (clamped) — cheaper than size-prev
+      val rel = array_position(
+        slice(seq, (prev + 1).cast("int"), size(seq)), lit(item))
+      when(prev > 0 && rel > 0, prev + rel).otherwise(lit(0L))
+    }
+  }
+
   /**
    * Exact support counts, over `events`' per-key sequences, of the
    * given candidate `patterns` — `(pattern, support)` with the
@@ -92,20 +125,41 @@ object SequentialPatterns {
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       typeCol: String, patterns: Seq[Seq[String]]): DataFrame = {
     val spark = events.sparkSession
+    import spark.implicits._
     if (patterns.isEmpty) {
-      import spark.implicits._
       Seq.empty[(String, Long)].toDF("pattern", "support")
     } else {
-      val patLit = array(patterns.map(p => array(p.map(lit): _*)): _*)
-      events.where(col(typeCol).isNotNull)
+      val seqs = events.where(col(typeCol).isNotNull)
         .groupBy(col(keyCol))
         .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
           col(idCol).as("i"), col(typeCol).as("y")))).as("s"))
         .select(expr("transform(s, x -> x.y)").as("seq"))
-        .select(explode(patLit).as("pat"), col("seq"))
-        .where(greedyMatchEnd(col("seq"), col("pat")) > 0)
-        .groupBy(array_join(col("pat"), "->").as("pattern"))
-        .agg(count(lit(1)).as("support"))
+      if (patterns.length <= SpecializeCap) {
+        // Specialized arm: ONE aggregation pass — each candidate is a
+        // [[matchEndLit]] conditional count, so the whole call is one
+        // scan + one partial-aggregated exchange of |patterns| longs
+        // (vs the fold arm's |patterns| x |seqs| exploded rows each
+        // carrying the full sequence and folding it element by
+        // element with struct-allocating state). The result row is
+        // artifact-sized metadata (the mine's own layer-collect
+        // convention); support-0 candidates are omitted exactly as
+        // the fold arm's inner groupBy omits them.
+        val aggs = patterns.zipWithIndex.map { case (p, i) =>
+          count(when(matchEndLit(col("seq"), p) > 0, 1)).as(s"c$i")
+        }
+        val row = seqs.agg(aggs.head, aggs.tail: _*).head()
+        patterns.indices.flatMap { i =>
+          val c = row.getLong(i)
+          if (c > 0) Some((patterns(i).mkString("->"), c)) else None
+        }.toDF("pattern", "support")
+      } else {
+        val patLit = array(patterns.map(p => array(p.map(lit): _*)): _*)
+        seqs
+          .select(explode(patLit).as("pat"), col("seq"))
+          .where(greedyMatchEnd(col("seq"), col("pat")) > 0)
+          .groupBy(array_join(col("pat"), "->").as("pattern"))
+          .agg(count(lit(1)).as("support"))
+      }
     }
   }
 
@@ -410,7 +464,29 @@ object SequentialPatterns {
       // data (suffix after the greedy match), never enumerated.
       def extendLayer(freqPrev: Seq[List[String]]): Seq[(List[String], Long)] =
         if (freqPrev.isEmpty) Nil
-        else {
+        else if (freqPrev.length <= SpecializeCap) {
+          // Specialized arm (the [[matchEndLit]] discipline): compute
+          // every prefix's distinct suffix types in ONE projection per
+          // sequence row — each prefix costs an early-exiting native
+          // match + one guarded slice/distinct — then posexplode the
+          // per-prefix arrays. The exchange carries (int index, type)
+          // instead of the fold arm's (full pattern array, type), and
+          // no generator row ever copies the sequence itself.
+          val exts = array(freqPrev.map { p =>
+            val e = matchEndLit(col("seq"), p)
+            when(e > 0, array_distinct(
+              slice(col("seq"), (e + 1).cast("int"), size(col("seq")))))
+              .otherwise(lit(null).cast("array<string>"))
+          }: _*)
+          seqs.select(posexplode(exts).as(Seq("j", "cs")))
+            .where(col("cs").isNotNull)
+            .select(col("j"), explode(col("cs")).as("c"))
+            .groupBy(col("j"), col("c")).agg(count(lit(1)).as("support"))
+            .where(col("support") >= minCount)
+            .collect()
+            .map(r => (freqPrev(r.getInt(0)) :+ r.getString(1),
+              r.getLong(2))).toSeq
+        } else {
           val patLit = array(freqPrev.map(p => array(p.map(lit): _*)): _*)
           seqs.select(col("seq"), explode(patLit).as("pat"))
             .withColumn("e", greedyMatchEnd(col("seq"), col("pat")))

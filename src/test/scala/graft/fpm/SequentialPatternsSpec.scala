@@ -86,6 +86,32 @@ class SequentialPatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("matchEndLit == greedyMatchEnd on random sequences (specialization contract)") {
+    // the literal-pattern native chain must return the IDENTICAL
+    // 1-based greedy completion index as the generic fold — including
+    // repeated symbols, prefix-only partial matches, and the empty
+    // sequence — because supportCounts/extendLayer pick an arm by
+    // pattern-list size alone, never by data
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val types = Seq("v", "c", "p", "e")
+    val seqs = (1 to 300).map(_ =>
+      Seq.fill(rnd.nextInt(12))(types(rnd.nextInt(types.size)))) :+
+      Seq.empty[String]
+    val pats = (1 to 25).map(_ =>
+      Seq.fill(1 + rnd.nextInt(4))(types(rnd.nextInt(types.size))))
+    val df = seqs.toDF("seq")
+    pats.foreach { p =>
+      val patCol = array(p.map(lit): _*)
+      val diverged = df.where(
+        SequentialPatterns.matchEndLit(col("seq"), p) =!=
+          SequentialPatterns.testGreedyMatchEnd(col("seq"), patCol))
+        .count()
+      assert(diverged == 0L, s"pattern $p diverged on $diverged sequences")
+    }
+  }
+
   test("depth beyond the oracle cap: maxLen=4 matches brute force") {
     // the declared rows cap at plen<=3 (oracle arity); the miner itself
     // is depth-generic — pin the level-4 projection against the same
